@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+
+/** Cross-engine **reproducible** floating-point aggregates.
+  *
+  * Plain `sum`/`avg`/`stddev` over doubles are order-dependent: a Spark
+  * partial-aggregate tree and a single-threaded engine (the DuckDB oracle,
+  * or a re-run with different partitioning) can disagree in the last ulp.
+  * For an engine whose results must be *verifiable* — and reproducible
+  * across cluster sizes, which matters when the same query runs on 32 cores
+  * locally and 1000 executors in production — we aggregate through exact
+  * decimal arithmetic and only drop to IEEE double for the final derived
+  * value. Every double-producing step after the exact sums is a fixed
+  * sequence of IEEE-defined ops (`* / - sqrt`), which all engines compute
+  * identically. (Notably `pow` is NOT in that set — correctly-rounded
+  * `pow` is not guaranteed, and empirically differs between JVM and C —
+  * so variance uses `s*s`, never `pow(s, 2)`.)
+  *
+  * The decimal sums are still ordinary partial-aggregatable `sum`s:
+  * map-side combine, codegen, and AQE all apply; the cost over a double
+  * sum is a constant factor in the agg operator, not a change in shuffle
+  * shape, so the plan scales exactly like the plain version.
+  *
+  * `sql*` mirrors each Column builder as ANSI SQL (DuckDB-compatible) with
+  * the *identical* operation tree, so Spark results hash-match the oracle
+  * bit-for-bit. Keep both halves in lockstep when editing.
+  *
+  * Magnitude bounds: inputs cast to DECIMAL(18,6) (|x| < 10^12), squares
+  * to DECIMAL(38,12); sums stay exact up to 10^26 — far beyond the 100 TB
+  * scale point for the value/price/money columns this is used on.
+  */
+object ExactAgg {
+
+  private val In = DecimalType(18, 6)
+  private val Sq = DecimalType(38, 12)
+
+  /** Exact sum, returned as double (deterministic nearest-double of the
+    * exact rational). */
+  def dsum(c: Column): Column = sum(c.cast(In)).cast(DoubleType)
+
+  def davg(c: Column): Column = dsum(c) / count(c)
+
+  /** Exact sum of squares as double. */
+  def dsumsq(c: Column): Column =
+    sum((c.cast(In) * c.cast(In)).cast(Sq)).cast(DoubleType)
+
+  /** Sample standard deviation (n-1), deterministic; null when n == 1,
+    * mirroring `stddev_samp`. */
+  def dstddev(c: Column): Column = {
+    val n = count(c)
+    val s = dsum(c)
+    val ssq = dsumsq(c)
+    when(n === 1, lit(null).cast(DoubleType))
+      .otherwise(sqrt(greatest((ssq - s * s / n) / (n - lit(1)), lit(0.0))))
+  }
+
+  /** Reference semantics: null/NaN stddev coerced to 0.0
+    * (reference moving_statistic.py:86-87). */
+  def dstddev0(c: Column): Column = {
+    val sd = dstddev(c)
+    when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd)
+  }
+
+  // ---- SQL mirrors (same op tree; DuckDB + ANSI) ----
+
+  def sqlSum(e: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) AS DOUBLE)"
+
+  def sqlAvg(e: String): String = s"${sqlSum(e)} / COUNT($e)"
+
+  def sqlSumSq(e: String): String =
+    s"CAST(SUM(CAST(CAST($e AS DECIMAL(18,6)) * CAST($e AS DECIMAL(18,6)) AS DECIMAL(38,12))) AS DOUBLE)"
+
+  def sqlStddev(e: String): String =
+    s"CASE WHEN COUNT($e) = 1 THEN NULL ELSE " +
+      s"sqrt(greatest((${sqlSumSq(e)} - ${sqlSum(e)} * ${sqlSum(e)} / COUNT($e)) / (COUNT($e) - 1), 0.0)) END"
+
+  def sqlStddev0(e: String): String = {
+    val sd = sqlStddev(e)
+    s"CASE WHEN ($sd) IS NULL OR isnan($sd) THEN 0.0 ELSE ($sd) END"
+  }
+}

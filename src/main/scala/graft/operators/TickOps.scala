@@ -1,0 +1,219 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, StringType}
+
+import graft.functions.ExactAgg
+import graft.model.Models
+
+/** The price-pipeline operator library: every transform is a pure
+  * `DataFrame => DataFrame`, so the identical logical plan runs in batch
+  * (DuckDB-oracle-checked) and Structured Streaming (the Kafka jobs in
+  * [[graft.streaming]]).
+  *
+  * Operator provenance (SURVEY.md §2): parseTicks = P1/P3/P5/F1;
+  * slidingStats = A1/A2/T2/T3/P8/P10/P11; unionAll = U1; nestWindows = A3;
+  * explodeWindows = G1; joinTicksToStats = J1; zscore = P9/P12;
+  * nestZScores = A4.
+  */
+object TickOps {
+
+  /** One sliding-window configuration. The reference uses a uniform 10 s
+    * slide for all six windows (reference moving_statistic.py:52-62). */
+  final case class WindowConfig(name: String, duration: String, slide: String = "10 seconds") {
+    def durationMs: Long = WindowConfig.toMs(duration)
+    def slideMs: Long = WindowConfig.toMs(slide)
+  }
+  object WindowConfig {
+    def toMs(s: String): Long = {
+      val Array(n, unit) = s.trim.split("\\s+")
+      val base = unit.toLowerCase match {
+        case u if u.startsWith("second") => 1000L
+        case u if u.startsWith("minute") => 60000L
+        case u if u.startsWith("hour")   => 3600000L
+        case u => throw new IllegalArgumentException(s"unsupported unit $u")
+      }
+      n.toLong * base
+    }
+  }
+
+  /** The reference's six windows (reference moving_statistic.py:54-62). */
+  val defaultWindows: Seq[WindowConfig] = Seq(
+    WindowConfig("30s", "30 seconds"),
+    WindowConfig("1m", "1 minute"),
+    WindowConfig("5m", "5 minutes"),
+    WindowConfig("15m", "15 minutes"),
+    WindowConfig("30m", "30 minutes"),
+    WindowConfig("1h", "1 hour")
+  )
+
+  /** JSON-decode raw tick messages: cast binary/string payload, apply the
+    * declared schema, parse the ISO8601 event_time, drop rows whose JSON or
+    * timestamp failed to parse (malformed JSON yields a null struct →
+    * null event_time → filtered; reference moving_statistic.py:42-46). */
+  def parseTicks(raw: DataFrame, valueCol: String = "value"): DataFrame =
+    raw
+      .select(from_json(col(valueCol).cast(StringType), Models.tickSchema).as("data"))
+      .select(col("data.*"))
+      // try_to_timestamp: Spark 4 runs ANSI mode by default, where a
+      // malformed timestamp string throws; the reference (Spark 3.5,
+      // ANSI off) yields null and drops the row via the filter below.
+      .withColumn("event_time", try_to_timestamp(col("event_time")))
+      .filter(col("event_time").isNotNull)
+
+  private def avgStd(exact: Boolean): (Column, Column) =
+    if (exact)
+      (coalesce(ExactAgg.davg(col("price")), lit(0.0)).as("avg_price"),
+        ExactAgg.dstddev0(col("price")).as("std_price"))
+    else {
+      val sd = stddev(col("price"))
+      (coalesce(avg(col("price")), lit(0.0)).as("avg_price"),
+        when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd).as("std_price"))
+    }
+
+  /** Per-(sliding window × symbol) mean and sample-stddev of price, with the
+    * reference's null/NaN→0.0 coercions. Output: window_timestamp (= window
+    * END, reference moving_statistic.py:81), window tag, symbol, avg_price,
+    * std_price.
+    *
+    * `exact = true` routes through [[ExactAgg]] for cross-engine
+    * reproducibility (batch/oracle); streaming jobs use the native
+    * aggregates (`exact = false`).
+    */
+  def slidingStats(
+      ticks: DataFrame,
+      cfg: WindowConfig,
+      exact: Boolean = false): DataFrame = {
+    val (a, s) = avgStd(exact)
+    ticks
+      .groupBy(window(col("event_time"), cfg.duration, cfg.slide), col("symbol"))
+      .agg(a, s)
+      .select(
+        col("window.end").as("window_timestamp"),
+        col("symbol"),
+        lit(cfg.name).as("window"),
+        col("avg_price"),
+        col("std_price"))
+  }
+
+  /** Bag-semantics union fold — the reference's topology: one windowed agg
+    * per config, folded with union (reference moving_statistic.py:93-97).
+    * N configs ⇒ N shuffles of the full input. Kept for fidelity and for
+    * streaming (each agg is an independent stateful operator); batch
+    * callers that care about scale should prefer [[slidingStatsMulti]]. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = dfs.reduce(_ union _)
+
+  def movingStatsUnion(ticks: DataFrame, cfgs: Seq[WindowConfig] = defaultWindows, exact: Boolean = false): DataFrame =
+    unionAll(cfgs.map(slidingStats(ticks, _, exact)))
+
+  /** Scale-optimized equivalent of [[movingStatsUnion]]: instead of one
+    * shuffle per window config, explode each row into its window-instance
+    * memberships (window tag + window end) and aggregate once — a single
+    * shuffle keyed by (window end, tag, symbol) regardless of how many
+    * window configs exist. At 100 TB this turns 6 full-input shuffles into
+    * 1 (the exploded rows partial-aggregate map-side before shuffling, so
+    * shuffled bytes are bounded by group cardinality, not by the ×46
+    * explode fan-out).
+    *
+    * Requires a uniform slide across configs (true of the reference's six).
+    */
+  def slidingStatsMulti(
+      ticks: DataFrame,
+      cfgs: Seq[WindowConfig] = defaultWindows,
+      exact: Boolean = false): DataFrame = {
+    require(cfgs.map(_.slideMs).distinct.size == 1, "uniform slide required")
+    val slideMs = cfgs.head.slideMs
+    // For each config: window ends are bucket+dur, bucket+dur-slide, ...
+    // k in [0, dur/slide): end_ms = floor(ts/slide)*slide + dur - k*slide
+    val wins = cfgs.map { c =>
+      val k = (c.durationMs / c.slideMs).toInt
+      s"transform(sequence(0, ${k - 1}), k -> named_struct(" +
+        s"'window', '${c.name}', " +
+        s"'end_ms', (unix_millis(event_time) div ${slideMs}L) * ${slideMs}L + ${c.durationMs}L - k * ${slideMs}L))"
+    }.mkString("concat(", ", ", ")")
+    val (a, s) = avgStd(exact)
+    ticks
+      .select(col("symbol"), col("price"), explode(expr(wins)).as("w"))
+      .groupBy(col("w.end_ms"), col("w.window"), col("symbol"))
+      .agg(a, s)
+      .select(
+        timestamp_millis(col("end_ms")).as("window_timestamp"),
+        col("symbol"),
+        col("window"),
+        col("avg_price"),
+        col("std_price"))
+  }
+
+  /** Re-nest flat per-window rows into one record per (timestamp, symbol)
+    * with an array of per-window stats (reference moving_statistic.py:100-113).
+    * Array order is collect_list arrival order — nondeterministic, exactly
+    * like the reference; consumers must not rely on it. */
+  def nestWindows(flat: DataFrame): DataFrame =
+    flat
+      .groupBy(col("window_timestamp"), col("symbol"))
+      .agg(collect_list(struct(col("window"), col("avg_price"), col("std_price"))).as("windows"))
+      .select(
+        col("window_timestamp").cast(StringType).as("timestamp"),
+        col("symbol"),
+        col("windows"))
+
+  /** Inverse of [[nestWindows]] (reference zscore_calculator.py:84-97). */
+  def explodeWindows(nested: DataFrame): DataFrame =
+    nested
+      .select(
+        to_timestamp(col("timestamp")).as("window_timestamp"),
+        col("symbol"),
+        explode(col("windows")).as("w"))
+      .select(
+        col("window_timestamp"),
+        col("symbol"),
+        col("w.window").as("window"),
+        col("w.avg_price").as("avg_price"),
+        col("w.std_price").as("std_price"))
+
+  /** The reference's stream-stream inner equi-join: tick event_time ==
+    * window END timestamp && same symbol (reference
+    * zscore_calculator.py:103-118). Equality — not a range — on the time
+    * key is intentional reference semantics: only ticks landing exactly on
+    * a slide boundary match. */
+  def joinTicksToStats(ticks: DataFrame, statsFlat: DataFrame): DataFrame =
+    ticks.alias("t").join(
+      statsFlat.alias("m"),
+      col("t.event_time") === col("m.window_timestamp") &&
+        col("t.symbol") === col("m.symbol"),
+      "inner")
+      .select(
+        col("t.event_time").as("event_time"),
+        col("t.symbol").as("symbol"),
+        col("t.price").as("price"),
+        col("m.window").as("window"),
+        col("m.avg_price").as("avg_price"),
+        col("m.std_price").as("std_price"))
+
+  /** z = (price - avg) / std, forced to 0.0 when std is 0/null/NaN — the
+    * guard runs *before* the division (reference zscore_calculator.py:124-133). */
+  def zscore(joined: DataFrame): DataFrame =
+    joined.withColumn(
+      "zscore_price",
+      when(
+        col("std_price") === 0.0 || col("std_price").isNull || isnan(col("std_price")),
+        lit(0.0))
+        .otherwise((col("price") - col("avg_price")) / col("std_price")))
+
+  /** Re-nest z-scores per (timestamp, symbol)
+    * (reference zscore_calculator.py:145-155). */
+  def nestZScores(flat: DataFrame): DataFrame =
+    flat
+      .groupBy(col("event_time"), col("symbol"))
+      .agg(collect_list(struct(col("window"), col("zscore_price"))).as("zscores"))
+      .select(
+        col("event_time").cast(StringType).as("timestamp"),
+        col("symbol"),
+        col("zscores"))
+
+  /** JSON-encode a record for a Kafka sink
+    * (reference moving_statistic.py:116-118). */
+  def toKafkaJson(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.select(to_json(struct(cols.map(col): _*)).as("value"))
+}

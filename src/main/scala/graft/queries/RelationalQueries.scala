@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg._
+import graft.util.SparkUtil.table
+
+/** Relational engine breadth over the TPC-H-ish star schema: scan with
+  * pushdown, hash/broadcast joins, distinct, set ops, semi/anti joins,
+  * ranking window functions, rollup, top-k. The reference itself uses only
+  * a slice of this (SURVEY.md §2.11 lists the deliberate absences) — these
+  * prove the engine is a complete analytics surface, not just the pipeline.
+  *
+  * Scale notes: dimension tables (region, nation) are broadcast
+  * explicitly; fact-fact joins shuffle on their keys and rely on AQE for
+  * skew/coalesce. Filters are literal predicates that push to the parquet
+  * scan (verified via explain in BenchSpec).
+  */
+object RelationalQueries {
+
+  private val cutoff = "1998-09-02"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TPC-H Q1 shape: scan + filter pushdown + wide hash aggregation.
+    "q10_pricing_summary" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(cutoff).cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))),
+
+    // TPC-H Q5 shape: multi-join with broadcast dims, revenue per nation.
+    "q11_revenue_by_nation" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"),
+          count(lit(1)).as("n_items"))
+    }),
+
+    // Top-k: global sort + limit with deterministic tiebreak.
+    "q12_top_orders" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))),
+
+    // Fact-fact-dim join, revenue per market segment.
+    "q13_mktsegment_revenue" -> ((s, dir) => {
+      val li = table(s, dir, "lineitem")
+      val o = table(s, dir, "orders")
+      val c = table(s, dir, "customer")
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+    }),
+
+    // Distinct aggregation.
+    "q14_distinct_users" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_users"), count(lit(1)).as("n_events"))),
+
+    // Set semantics: UNION (distinct) of two predicates.
+    "q15_union_distinct" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+        .union(c.filter(col("c_acctbal") > 9000.0).select(col("c_custkey")))
+        .distinct()
+    }),
+
+    // Left-semi join (EXISTS).
+    "q16_semi_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_mktsegment"))
+    }),
+
+    // Left-anti join (NOT EXISTS): customers without any urgent order.
+    "q17_anti_join" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val o = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_acctbal"))
+    }),
+
+    // Ranking window function: top-2 orders per customer.
+    "q18_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rn"))
+    }),
+
+    // Rollup over region → nation with exact money sums.
+    "q19_rollup" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val n = broadcast(table(s, dir, "nation"))
+      val r = broadcast(table(s, dir, "region"))
+      c.join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
+    })
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q10_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         |  ${sqlSum("l_quantity")} AS sum_qty,
+         |  ${sqlSum("l_extendedprice")} AS sum_base_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+         |  ${sqlAvg("l_quantity")} AS avg_qty,
+         |  ${sqlAvg("l_extendedprice")} AS avg_price,
+         |  ${sqlAvg("l_discount")} AS avg_disc,
+         |  COUNT(1) AS count_order
+         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '$cutoff 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q11_revenue_by_nation" ->
+      s"""SELECT n_name,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(1) AS n_items
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |WHERE r_name = 'ASIA'
+         |GROUP BY n_name""".stripMargin,
+
+    "q12_top_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+
+    "q13_mktsegment_revenue" ->
+      s"""SELECT c_mktsegment,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue
+         |FROM lineitem
+         |JOIN orders ON l_orderkey = o_orderkey
+         |JOIN customer ON o_custkey = c_custkey
+         |GROUP BY c_mktsegment""".stripMargin,
+
+    "q14_distinct_users" ->
+      """SELECT event_type, COUNT(DISTINCT user_id) AS n_users, COUNT(1) AS n_events
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q15_union_distinct" ->
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_acctbal > 9000.0""".stripMargin,
+
+    "q16_semi_join" ->
+      """SELECT c_custkey, c_mktsegment FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q17_anti_join" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q18_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    ROW_NUMBER() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        |  FROM orders) WHERE rn <= 2""".stripMargin,
+
+    "q19_rollup" ->
+      s"""SELECT r_name, n_name, COUNT(1) AS n_customers,
+         |  ${sqlSum("c_acctbal")} AS sum_bal
+         |FROM customer
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+  )
+}
