@@ -1,0 +1,160 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.model.Models.PriceTick
+import graft.operators.TickOps
+import graft.streaming.{MovingStatsJob, PriceAlerts, ZScoreJob}
+
+/** Structured Streaming behavior driven synchronously with MemoryStream:
+  * update-mode emission, watermark late-data policy, the stream-stream
+  * equi-join, H1 foreachBatch re-nesting, and the bonus alert operator. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def tickJson(symbol: String, price: Double, iso: String): String =
+    s"""{"symbol":"$symbol","price":$price,"event_time":"$iso","data_age_ms":1}"""
+
+  test("moving stats streaming: windowed update-mode emission via MemoryStream") {
+    val in = MemoryStream[String](spark)
+    val raw = in.toDF().withColumnRenamed("value", "value")
+    val flat = MovingStatsJob.statsStream(raw)
+    val q = flat.writeStream
+      .format("memory").queryName("mv_out").outputMode(OutputMode.Update).start()
+    try {
+      in.addData(
+        tickJson("BTCUSDT", 100.0, "2024-01-01T00:00:02.000Z"),
+        tickJson("BTCUSDT", 110.0, "2024-01-01T00:00:07.000Z"))
+      q.processAllAvailable()
+      val out = spark.table("mv_out")
+      // 6 window configs; the 30s config alone contributes 3 window instances
+      val w30 = out.filter(col("window") === "30s").collect()
+      assert(w30.length == 3)
+      assert(w30.forall(_.getAs[Double]("avg_price") == 105.0))
+
+      // second batch updates the same windows (update mode re-emits)
+      in.addData(tickJson("BTCUSDT", 120.0, "2024-01-01T00:00:09.000Z"))
+      q.processAllAvailable()
+      val w30b = spark.table("mv_out").filter(col("window") === "30s")
+        .groupBy("window_timestamp").agg(max("avg_price").as("a")).collect()
+      assert(w30b.forall(_.getAs[Double]("a") == 110.0)) // (100+110+120)/3
+    } finally q.stop()
+  }
+
+  test("watermark: late data beyond 10s is dropped from append-mode windows") {
+    val in = MemoryStream[PriceTick](spark)
+    val agg = TickOps.slidingStats(
+      in.toDF().withWatermark("event_time", "10 seconds"),
+      TickOps.WindowConfig("10s", "10 seconds", "10 seconds"))
+    val q = agg.writeStream
+      .format("memory").queryName("wm_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(PriceTick("BTC", 100.0, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      // advance watermark far past the first window
+      in.addData(PriceTick("BTC", 200.0, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      // this row is > 10s behind the watermark → must be discarded
+      in.addData(PriceTick("BTC", 999.0, ts("2024-01-01 00:00:07")))
+      q.processAllAvailable()
+      in.addData(PriceTick("BTC", 300.0, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      val rows = spark.table("wm_out").collect()
+      val first = rows.filter(_.getAs[Timestamp]("window_timestamp") == ts("2024-01-01 00:00:10"))
+      assert(first.length == 1)
+      assert(first.head.getAs[Double]("avg_price") == 100.0) // 999 never entered
+    } finally q.stop()
+  }
+
+  test("stream-stream join + zscore: only boundary ticks match (J1 semantics)") {
+    val ticksIn = MemoryStream[PriceTick](spark)
+    val movingIn = MemoryStream[String](spark)
+    val moving = ZScoreJob.parseMoving(movingIn.toDF())
+    val flat = ZScoreJob.zscores(ticksIn.toDF(), moving)
+    val q = flat.writeStream
+      .format("memory").queryName("z_out").outputMode(OutputMode.Append).start()
+    try {
+      ticksIn.addData(
+        PriceTick("BTCUSDT", 110.0, ts("2024-01-01 00:00:10")), // on boundary
+        PriceTick("BTCUSDT", 123.0, ts("2024-01-01 00:00:13"))) // off boundary
+      movingIn.addData(
+        """{"timestamp":"2024-01-01 00:00:10","symbol":"BTCUSDT","windows":[
+          |{"window":"30s","avg_price":100.0,"std_price":5.0},
+          |{"window":"1m","avg_price":100.0,"std_price":0.0}]}""".stripMargin.replace("\n", ""))
+      q.processAllAvailable()
+      val rows = spark.table("z_out").orderBy("window").collect()
+      assert(rows.length == 2) // one per window entry, only the boundary tick
+      assert(rows.map(_.getAs[Double]("zscore_price")).sorted.sameElements(Array(0.0, 2.0)))
+      assert(rows.forall(_.getAs[Double]("price") == 110.0))
+    } finally q.stop()
+  }
+
+  test("H1 foreachBatch re-nest: nested JSON output without chained stateful aggs") {
+    val in = MemoryStream[String](spark)
+    val flat = MovingStatsJob.statsStream(in.toDF())
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = flat.writeStream
+      .outputMode(OutputMode.Update)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        seen ++= MovingStatsJob.nested(batch).as[String].collect()
+        ()
+      }
+      .start()
+    try {
+      in.addData(tickJson("BTCUSDT", 100.0, "2024-01-01T00:00:02.000Z"))
+      q.processAllAvailable()
+      assert(seen.nonEmpty)
+      val js = seen.find(_.contains(""""window":"30s"""")).get
+      assert(js.contains(""""symbol":"BTCUSDT"""") && js.contains(""""windows":["""))
+    } finally q.stop()
+  }
+
+  test("price alerts: time-until-higher/lower with horizon expiry") {
+    val in = MemoryStream[PriceTick](spark)
+    implicit val s = spark
+    val higher = PriceAlerts.alerts(
+      in.toDS().withWatermark("event_time", "10 seconds"), direction = +1, horizonSec = 20.0)
+    val q = higher.writeStream
+      .format("memory").queryName("alerts_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 100.0, ts("2024-01-01 00:00:00")),
+        PriceTick("BTC", 99.0, ts("2024-01-01 00:00:02")),
+        PriceTick("BTC", 101.0, ts("2024-01-01 00:00:05")))
+      q.processAllAvailable()
+      val rows = spark.table("alerts_out").collect()
+      // 100@t0 → first higher 101@t5 (5s); 99@t2 → 101@t5 (3s)
+      assert(rows.map(r => (r.getAs[Double]("price"), r.getAs[Double]("seconds_until"))).toSet ==
+        Set((100.0, 5.0), (99.0, 3.0)))
+      // 101 has no higher successor: expires at horizon once time advances
+      in.addData(PriceTick("BTC", 50.0, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      val expired = spark.table("alerts_out").filter(col("price") === 101.0).collect()
+      assert(expired.length == 1 && expired.head.getAs[Double]("seconds_until") == 20.0)
+    } finally q.stop()
+  }
+
+  test("chained H1 mode plans with correctness check disabled (reference fidelity)") {
+    spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    try {
+      val in = MemoryStream[String](spark)
+      val nested = TickOps.nestWindows(MovingStatsJob.statsStream(in.toDF()))
+      val q = TickOps.toKafkaJson(nested, Seq("timestamp", "symbol", "windows"))
+        .writeStream.format("memory").queryName("chained_out")
+        .outputMode(OutputMode.Update).start()
+      try {
+        in.addData(tickJson("BTCUSDT", 100.0, "2024-01-01T00:00:02.000Z"))
+        q.processAllAvailable()
+        assert(spark.table("chained_out").count() >= 0) // topology accepted
+      } finally q.stop()
+    } finally spark.conf.set(
+      "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+  }
+}
