@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Deduplication operators for a large-scale training-data pipeline:
+  * exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+  * near-dup.
+  *
+  * Scale design: every variant is a bounded number of shuffles keyed by a
+  * content-derived bucket (hash, band, sketch prefix), never an all-pairs
+  * comparison. Candidate generation happens in the bucket join; the exact
+  * verification metric (Jaccard / cosine) runs only on bucket-mates.
+  * Oversized buckets (degenerate content) are capped and reported rather
+  * than allowed to quadratically explode a task.
+  */
+object Dedup {
+
+  /** Exact dedup: canonical keeper = lowest id per identical text.
+    * One hash-shuffle; comparing 128-bit md5 instead of full text keeps
+    * shuffle rows small at 100 TB (collision probability negligible). */
+  def exactDuplicates(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col("content_hash")).orderBy(col(idCol))
+    docs
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn("dup_rank", row_number().over(w))
+      .withColumn("is_duplicate", col("dup_rank") > 1)
+      .select(col(idCol), col("content_hash"), col("dup_rank"), col("is_duplicate"))
+  }
+
+  /** Word k-shingles (distinct) over an already-selected token column
+    * (referenced by name so the expression tree stays parseable). */
+  def shingles(tokensColName: String, k: Int): Column = expr(
+    s"""array_distinct(CASE WHEN size($tokensColName) < $k
+       |  THEN array(array_join($tokensColName, ' '))
+       |  ELSE transform(sequence(0, size($tokensColName) - $k),
+       |                 i -> array_join(slice($tokensColName, i + 1, $k), ' '))
+       |END)""".stripMargin)
+
+  /** MinHash signature: numHashes universal hash functions
+    * h_i(x) = (a_i·x + b_i) mod p over 31-bit-masked xxhash64 shingle
+    * values, p = 2^31−1 (Mersenne). Keeping x < 2^31 and a_i < 2^30 bounds
+    * a·x + b < 2^62 — no long overflow under ANSI mode. Fixed constants →
+    * deterministic across runs and cluster sizes. */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column = {
+    val p = 2147483647L // 2^31 - 1
+    val hashes = (0 until numHashes).map { i =>
+      val a = (2862933555777941757L * (i + 1) >>> 34) | 1L // odd, < 2^30
+      val b = (6364136223846793005L * (i + 1)) >>> 33 // < 2^31
+      s"array_min(transform($shinglesCol, " +
+        s"s -> pmod(${a}L * (xxhash64(s) & 2147483647L) + ${b}L, ${p}L)))"
+    }
+    expr(hashes.mkString("array(", ", ", ")"))
+  }
+
+  /** MinHash + LSH banding: signature → (band, hash-of-band-slice) keys →
+    * bucket join → candidate pairs → exact Jaccard verification on the
+    * shingle sets. Output: (id_a, id_b, jaccard) with id_a < id_b and
+    * jaccard ≥ threshold.
+    *
+    * `maxBucket` caps degenerate buckets (boilerplate-heavy corpora) so no
+    * single task goes quadratic; capped buckets are dropped, trading
+    * recall for bounded latency — standard practice at web scale.
+    */
+  def minhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    val withSig = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles("toks", k).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .withColumn("sig", minhashSignature("sh", numHashes))
+    val banded = withSig.select(
+      col("doc_id"), col("sh"),
+      posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))"))
+        .as(Seq("band", "band_hash")))
+    // bucket size cap
+    val sized = banded
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+    val a = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val b = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .distinct()
+  }
+
+  /** SimHash near-dup: 64-bit sketch (custom expression), bucketed by the
+    * four 16-bit sketch quarters — any pair within Hamming distance ≤ 3
+    * shares at least one exact quarter (pigeonhole), so candidate
+    * generation is 4 equi-joins, not an all-pairs scan. */
+  def simhashPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val sketched = docs.select(
+      col(idCol).as("doc_id"),
+      GraftFunctions.simhash64(TextOps.tokens(col(textCol))).as("sketch"))
+    val quartered = sketched.select(
+      col("doc_id"), col("sketch"),
+      posexplode(expr(
+        "transform(sequence(0, 3), q -> (sketch >> (q * 16)) & 65535)"))
+        .as(Seq("q", "qhash")))
+    val a = quartered.select(col("q"), col("qhash"), col("doc_id").as("id_a"), col("sketch").as("sk_a"))
+    val b = quartered.select(col("q"), col("qhash"), col("doc_id").as("id_b"), col("sketch").as("sk_b"))
+    a.join(b, Seq("q", "qhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sk_a ^ sk_b)").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard for a candidate pair set (id_a, id_b). */
+  def ngramJaccard(
+      pairs: DataFrame,
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("jid"), TextOps.tokens(col(textCol)).as("jtoks"))
+      .select(col("jid"), shingles("jtoks", k).as("jsh"))
+    pairs
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Embedding near-dup via sign-LSH buckets + exact cosine verify; see
+    * [[Similarity.signLshBucket]] for the sketch. */
+  def embeddingNearDups(
+      embeddings: DataFrame,
+      idCol: String,
+      vecCol: String,
+      planes: Int = 12,
+      threshold: Double = 0.95): DataFrame = {
+    val sk = embeddings.select(col(idCol).as("doc_id"), col(vecCol).as("v"))
+      .withColumn("bucket", Similarity.signLshBucket("v", planes))
+    val a = sk.select(col("bucket"), col("doc_id").as("id_a"), col("v").as("v_a"))
+    val b = sk.select(col("bucket"), col("doc_id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .distinct()
+  }
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (array<float>).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact baseline — broadcast the (small) query
+  *    set, one scan over the corpus, per-query top-k via ranking window.
+  *    At 100 TB this is the correct shape when |queries| is small: the
+  *    corpus is never shuffled, only scanned; the window ranks within
+  *    query partitions whose size equals the corpus count per query, so
+  *    for large corpora prefer the LSH path.
+  *  - [[lshTopK]]: sign-LSH (random hyperplanes) buckets corpus and
+  *    queries; top-k is computed inside matching buckets only. Recall is
+  *    tunable via plane count (fewer planes → bigger buckets → higher
+  *    recall, more compute). Hyperplane components are derived from a
+  *    hash of (plane, dimension) — deterministic, no stored model.
+  */
+object Similarity {
+
+  def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_similarity(a, b)
+
+  /** Sign-LSH bucket id over a named array<float> column: one bit per
+    * hyperplane; hyperplane component d of plane p is ±1 from
+    * xxhash64(p·1024 + d) parity. Runs entirely in Catalyst expressions —
+    * no model state, reproducible on any cluster size. */
+  def signLshBucket(vecName: String, planes: Int): Column = {
+    val bits = (0 until planes).map { p =>
+      s"""(CASE WHEN aggregate(zip_with($vecName, sequence(0, size($vecName) - 1),
+         |  (v, d) -> CASE WHEN pmod(xxhash64($p * 1024 + d), 2) = 0
+         |            THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END),
+         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0.0
+         |THEN ${1L << p}L ELSE 0L END)""".stripMargin
+    }
+    expr(bits.mkString("(", " + ", ")"))
+  }
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .crossJoin(q)
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+  }
+
+  /** ANN top-k with multi-probe: the query probes its own sign-LSH bucket
+    * plus every bucket at Hamming distance 1 (one flipped hyperplane) —
+    * the standard recall boost that costs (planes+1)× on the tiny
+    * broadcast query side and nothing on the corpus side. */
+  def lshTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      planes: Int = 8): DataFrame = {
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("bucket", signLshBucket("cv", planes))
+    val q = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .withColumn("bucket0", signLshBucket("qv", planes))
+        .select(col("query_id"), col("qv"),
+          explode(expr(
+            s"concat(array(bucket0), transform(sequence(0, ${planes - 1}), " +
+              "i -> bucket0 ^ shiftleft(1L, i)))")).as("bucket")))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    c.join(q, Seq("bucket"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+      .distinct()
+  }
+}

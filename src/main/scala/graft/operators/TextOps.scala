@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+
+/** Text-analysis operators for a training-data pipeline: tokenization,
+  * token counting (whitespace + BPE-ish regex), quality scoring, n-gram
+  * language identification, and document fingerprinting. All built from
+  * codegen'd Catalyst expressions (no UDFs), so they stay inside
+  * whole-stage codegen and scale linearly with input bytes.
+  */
+object TextOps {
+
+  /** Whitespace tokens; empty / all-space text → empty array (split would
+    * yield [""] — normalized here so token counts are honest zeros). */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
+    * punctuation each count as one piece — the standard approximation of
+    * GPT-2-family pre-tokenization without a vocab. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column = regexp_count(text, lit(bpePattern))
+
+  /** Heuristic quality score in [0,1]:
+    * 0.4·min(1, tokens/100) + 0.3·(distinct tokens / tokens) +
+    * 0.3·min(1, 5·stopwords/tokens). Deterministic double arithmetic —
+    * mirrored exactly by the DuckDB oracle in TextQueries. */
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  def qualityScore(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = size(t)
+    val stop = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*)))
+    when(n === 0, lit(0.0)).otherwise(
+      lit(0.4) * least(lit(1.0), n / lit(100.0)) +
+        lit(0.3) * (size(array_distinct(t)) / n.cast("double")) +
+        lit(0.3) * least(lit(1.0), lit(5.0) * stop / n.cast("double")))
+  }
+
+  /** Small public stopword profiles per language (top function words). */
+  val langProfiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "that", "it", "for"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "por"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de" -> Seq("der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"))
+
+  /** n-gram/stopword language ID: score = profile-token hits per token;
+    * CJK character ratio short-circuits to "zh"; ties and no-hit default
+    * to "und". Struct-max keeps the whole argmax inside codegen. */
+  def langId(text: Column): Column = {
+    val t = tokens(lower(text))
+    val n = greatest(size(t), lit(1)).cast("double")
+    val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(
+        (size(filter(t, x => x.isin(words.map(lit(_)): _*))) / n).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    val cjk = regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    when(cjk > 0.3, lit("zh"))
+      .when(best.getField("score") > 0.0, best.getField("lang"))
+      .otherwise(lit("und"))
+  }
+
+  /** FNV-1a rolling-hash document fingerprint (custom codegen'd
+    * expression). */
+  def fingerprint(text: Column): Column = GraftFunctions.rolling_fingerprint(text)
+}

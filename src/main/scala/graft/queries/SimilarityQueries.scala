@@ -1,0 +1,83 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Multimodal, Similarity}
+import graft.util.SparkUtil.table
+
+/** Similarity-search + embedding near-dup + multimodal queries over the
+  * `embeddings` table. The brute-force top-k is oracle-checked bit-for-bit
+  * (DuckDB `list_inner_product` composes to the identical IEEE op
+  * sequence as our codegen'd cosine kernel); the LSH variants are
+  * rows-only here with recall asserted against brute force in
+  * SimilaritySpec. */
+object SimilarityQueries {
+
+  private val K = 10
+  private val NQ = 5 // query vectors: vec_id < 5
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact ANN baseline: top-10 cosine neighbors of 5 query vectors.
+    "q30_ann_brute" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K)
+    }),
+
+    // Scale path: sign-LSH bucketed ANN (recall vs brute force in spec).
+    "q31_ann_lsh" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.lshTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K, planes = 6)
+    }),
+
+    // Embedding near-duplicate candidates via LSH buckets + exact cosine.
+    // τ=0.4 suits this synthetic corpus (max pairwise cosine ≈ 0.48);
+    // production near-dup τ≈0.95 is exercised on planted vectors in
+    // DedupSpec.
+    "q32_embedding_neardups" -> ((s, dir) =>
+      Dedup.embeddingNearDups(table(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = 4, threshold = 0.4)),
+
+    // Multimodal plumbing: synthetic binary payloads → stubbed decode →
+    // feature vectors ready for similarity ops.
+    "q33_media_features" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.featureFrame(media)
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          size(col("features")).as("dim"),
+          element_at(col("features"), 1).as("f0"))
+    }),
+
+    // Frame sampling of video payloads — metadata fan-out shape.
+    "q34_frame_samples" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.sampleFrames(media, strideMs = 500L).toDF()
+        .groupBy(col("media_id"))
+        .agg(count(lit(1)).as("n_frames"), max(col("frame_ts_ms")).as("last_ts"))
+    })
+  )
+
+  /** Composed cosine with the exact op tree of HashKernels.cosineFF. */
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN list_inner_product($a, $a) = 0.0 OR list_inner_product($b, $b) = 0.0
+       |THEN 0.0 ELSE list_inner_product($a, $b)
+       |  / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q30_ann_brute" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id < $NQ),
+         |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, ${cosSql("cv", "qv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("cv", "qv")} DESC, neighbor_id ASC) AS rank
+         |  FROM c CROSS JOIN q)
+         |WHERE rank <= $K""".stripMargin
+  )
+}

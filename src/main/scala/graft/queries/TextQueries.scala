@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg._
+import graft.operators.{Dedup, TextOps}
+import graft.util.SparkUtil.table
+
+/** Text-analysis + dedup queries over the `documents` table. Scalar text
+  * math (token counts, quality score) is mirrored exactly in DuckDB SQL;
+  * hash-based operators (fingerprint, minhash, simhash) have no SQL
+  * equivalent and are verified by planted-duplicate ScalaTest specs
+  * instead (rows-only driver check).
+  */
+object TextQueries {
+
+  private val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: rank within identical-content groups.
+    "q20_dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Token statistics: chars, whitespace tokens, BPE-ish pieces.
+    "q21_token_stats" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        TextOps.tokenCount(col("text")).as("n_ws_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"))),
+
+    // Per-document quality score (deterministic double arithmetic).
+    "q22_quality" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))),
+
+    // Per-language corpus profile with exact aggregates.
+    "q23_lang_profile" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          davg(col("n_chars")).as("avg_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          davg(col("quality")).as("avg_quality"))),
+
+    // Document fingerprint (custom codegen'd expression) — rows-only.
+    "q24_fingerprint" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))),
+
+    // Language ID heuristic — rows-only (profile tables are engine-side).
+    "q25_langid" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    // MinHash signatures (per-doc; pair generation exercised in DedupSpec
+    // and in q27 below) — rows-only.
+    "q26_minhash_sigs" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), Dedup.shingles("toks", 3).as("sh"))
+        .withColumn("sig", Dedup.minhashSignature("sh", 16))
+        .select(col("doc_id"),
+          element_at(col("sig"), 1).as("sig0"),
+          element_at(col("sig"), 2).as("sig1"),
+          element_at(col("sig"), 3).as("sig2"),
+          element_at(col("sig"), 4).as("sig3"))),
+
+    // MinHash+LSH near-dup pairs at a low threshold (same-vocab corpus
+    // yields genuine mid-Jaccard pairs) — rows-only.
+    "q27_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
+        k = 2, numHashes = 32, bands = 16, threshold = 0.2)),
+
+    // SimHash near-dup pairs — rows-only.
+    "q28_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+        maxHamming = 12))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q20_dedup_exact" ->
+      """SELECT doc_id, md5(text) AS content_hash,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank,
+        |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
+        |FROM documents""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS INT) AS n_chars_calc,
+        |  CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_bpe_tokens
+        |FROM documents""".stripMargin,
+
+    "q22_quality" -> {
+      s"""SELECT doc_id,
+         |  CASE WHEN n = 0 THEN 0.0 ELSE
+         |    0.4 * least(1.0, n / 100.0) +
+         |    0.3 * (nd / CAST(n AS DOUBLE)) +
+         |    0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+         |FROM (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |        t -> t IN $stopIn)) AS stop
+         |  FROM documents)""".stripMargin
+    },
+
+    "q23_lang_profile" -> {
+      s"""SELECT lang, COUNT(1) AS n_docs,
+         |  ${sqlAvg("n_chars")} AS avg_chars,
+         |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+         |  ${sqlAvg("quality")} AS avg_quality
+         |FROM (
+         |  SELECT lang, n_chars, text,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+         |  FROM (
+         |    SELECT lang, n_chars, text,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN $stopIn)) AS stop
+         |    FROM documents))
+         |GROUP BY lang""".stripMargin
+    }
+  )
+}

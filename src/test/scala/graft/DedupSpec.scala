@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+
+  /** corpus with planted exact dups (1,2), near dups (3,4), unrelated (5,6). */
+  private def corpus = Seq(
+    (1L, base),
+    (2L, base),
+    (3L, base + " phi"),
+    (4L, base + " chi"),
+    (5L, "totally different text about spark catalyst optimizer rules and strategies here"),
+    (6L, "yet another unrelated document mentioning parquet columnar storage formats")
+  ).toDF("doc_id", "text")
+
+  test("exactDuplicates: identical text shares hash, keeper is lowest id") {
+    val out = Dedup.exactDuplicates(corpus, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getInt(2), r.getBoolean(3))).toMap
+    assert(out(1L) == (1, false))
+    assert(out(2L) == (2, true))
+    assert(out(3L) == (1, false)) // unique text → rank 1
+  }
+
+  test("minhashPairs: planted near-dups found, unrelated absent") {
+    val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((3L, 4L)) || pairs.contains((1L, 3L))) // near dup family
+    assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
+  test("minhashPairs: jaccard values are exact set Jaccard") {
+    val j = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.9)
+      .filter(col("id_a") === 1 && col("id_b") === 2)
+      .select("jaccard").as[Double].collect()
+    assert(j.length == 1 && j.head == 1.0)
+  }
+
+  test("simhashPairs: exact and near dups collide, unrelated don't") {
+    val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 5L && p._2 == 6L))
+  }
+
+  test("ngramJaccard: exact metric on candidate pairs") {
+    val cand = Seq((1L, 2L), (1L, 5L)).toDF("id_a", "id_b")
+    val out = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", k = 3)
+      .select("id_a", "id_b", "jaccard")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 5L)) == 0.0)
+  }
+
+  test("embeddingNearDups: planted near-identical vectors pair up") {
+    val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
+    val v2 = v1.clone(); v2(0) = v2(0) * 1.01f // ~same direction
+    val v3 = Array.tabulate(16)(i => math.cos(3 * i + 2).toFloat) // unrelated
+    val df = Seq((1L, v1), (2L, v2), (3L, v3)).toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingNearDups(df, "vec_id", "embedding", planes = 4, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+}

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity}
+import graft.util.SparkUtil
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cosine kernel: known values, zero-norm guard") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f), 1.0),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f), 0.0),
+      (Array(1.0f, 1.0f), Array(1.0f, 0.0f), 1.0 / math.sqrt(2.0)),
+      (Array(0.0f, 0.0f), Array(1.0f, 0.0f), 0.0) // zero norm → 0.0
+    ).toDF("a", "b", "want")
+    val got = df.select(Similarity.cosine(col("a"), col("b")).as("c"), col("want"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-15))
+  }
+
+  test("bruteForceTopK: self is rank 1 with cosine 1.0") {
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val top = out.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 3L).foreach { q =>
+      assert(top(q)._1 == q)
+      assert(math.abs(top(q)._2 - 1.0) < 1e-12)
+    }
+  }
+
+  test("lshTopK: recall vs brute force is reasonable at few planes") {
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10, planes = 4)
+      .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall $recall too low") // few planes, single probe
+    // every LSH hit must be a genuine corpus member with itself at rank 1
+    assert(lsh.exists { case (a, b) => a == b })
+  }
+
+  test("multimodal: stub decode is deterministic, partition-shaped, joinable") {
+    val media = Multimodal.syntheticMedia(spark, 50)
+    val f1 = Multimodal.featureFrame(media).orderBy("media_id").collect()
+    val f2 = Multimodal.featureFrame(media.repartition(7)).orderBy("media_id").collect()
+    assert(f1.length == 50)
+    // determinism across partitionings
+    assert(f1.map(_.getLong(0)).sameElements(f2.map(_.getLong(0))))
+    assert(f1.map(_.getInt(2)).sameElements(f2.map(_.getInt(2))))
+    // features feed the similarity ops (self-similarity = 1)
+    val ff = Multimodal.featureFrame(media)
+    val self = ff.select(Similarity.cosine(col("features"), col("features")).as("c"))
+      .agg(min("c")).as[Double].collect().head
+    assert(math.abs(self - 1.0) < 1e-12)
+  }
+
+  test("frame sampling: stride math") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val frames = Multimodal.sampleFrames(media, strideMs = 500L)
+    val counts = frames.groupByKey(_.media_id).count().collect().toMap
+    val durations = media.filter(_.kind == "video").collect().map(m => m.media_id -> m.duration_ms).toMap
+    durations.foreach { case (id, dur) =>
+      assert(counts(id) == (dur + 499) / 500)
+    }
+  }
+}

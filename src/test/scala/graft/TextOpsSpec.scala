@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, HashKernels}
+import graft.operators.TextOps
+
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace semantics with empty and messy input") {
+    val df = Seq("hello world", "  padded   out  ", "", "   ", "one").toDF("text")
+      .select(TextOps.tokenCount(col("text")).as("n"))
+    assert(df.as[Int].collect().sameElements(Array(2, 2, 0, 0, 1)))
+  }
+
+  test("bpeTokenCount: letter runs, digit runs, punctuation pieces") {
+    val df = Seq(("hello world 42 foo-bar", 0)).toDF("text", "x")
+      .select(TextOps.bpeTokenCount(col("text")).as("n"))
+    // hello|world|42|foo|-|bar = 6 (matches DuckDB regexp_extract_all)
+    assert(df.as[Int].collect().head == 6)
+  }
+
+  test("qualityScore: bounded [0,1], zero for empty, higher for diverse text") {
+    val rows = Seq(
+      "",
+      "spam spam spam spam spam spam spam spam",
+      "the quick brown fox jumps over a lazy dog and then it runs away to the hills"
+    ).toDF("text").select(TextOps.qualityScore(col("text")).as("q")).as[Double].collect()
+    assert(rows(0) == 0.0)
+    assert(rows.forall(q => q >= 0.0 && q <= 1.0))
+    assert(rows(2) > rows(1))
+  }
+
+  test("langId: real multilingual fixtures route to the right profile") {
+    val fixtures = Seq(
+      ("the cat sat on the mat and it is a fine day for the walk", "en"),
+      ("el gato se sienta en la alfombra y la casa es un lugar", "es"),
+      ("le chat est sur le tapis et les jours du printemps", "fr"),
+      ("der hund und die katze sind in den garten mit der sonne", "de"),
+      ("你好世界这是一个中文测试文本需要足够长", "zh"),
+      ("xyzzy plugh qwerty", "und"))
+    val got = fixtures.map(_._1).toDF("text")
+      .select(TextOps.langId(col("text")).as("p")).as[String].collect().toSeq
+    assert(got == fixtures.map(_._2))
+  }
+
+  test("fingerprint: deterministic FNV-1a, content-sensitive") {
+    val got = Seq("abc", "abc", "abd").toDF("text")
+      .select(TextOps.fingerprint(col("text")).as("f")).as[Long].collect()
+    assert(got(0) == got(1) && got(0) != got(2))
+    // pin the constant so accidental kernel changes fail loudly
+    assert(got(0) == HashKernels.fnv1a(
+      org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
+  }
+
+  test("simhash: near-identical docs within small hamming distance, unrelated far") {
+    val a = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val b = a.replace("today", "tonight") // one token changed
+    val c = "completely different words about database engines and vectorized execution plans"
+    val hs = Seq(a, b, c).toDF("text")
+      .select(GraftFunctions.simhash64(TextOps.tokens(col("text"))).as("h"))
+      .as[Long].collect()
+    assert(HashKernels.hamming64(hs(0), hs(1)) <= 12)
+    assert(HashKernels.hamming64(hs(0), hs(2)) > 12)
+  }
+}
