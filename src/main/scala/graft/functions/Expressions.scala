@@ -77,6 +77,180 @@ object HashKernels {
 
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  private def splitmix64(x0: Long): Long = {
+    var x = x0 + -7046029254386353131L // golden gamma
+    x = (x ^ (x >>> 30)) * -4658895280553007687L
+    x = (x ^ (x >>> 27)) * -7723592293110705685L
+    x ^ (x >>> 31)
+  }
+
+  /** MinHash signature in one fused pass: per shingle x = 31-bit FNV-1a,
+    * per hash i: (a_i·x + b_i) mod p, p = 2^31−1; signature[i] = min.
+    * Constants from splitmix64(i) — deterministic on any cluster. Bounds
+    * (x < 2^31, a < 2^30) keep every product within a long. */
+  def minhashSig(shingles: ArrayData, numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val p = 2147483647L
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = (splitmix64(i.toLong) >>> 35) | 1L // odd, < 2^29
+      b(i) = splitmix64(i.toLong + 7919L) >>> 33 // < 2^31
+      i += 1
+    }
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    val n = shingles.numElements()
+    var s = 0
+    while (s < n) {
+      if (!shingles.isNullAt(s)) {
+        val x = fnv1a(shingles.getUTF8String(s)) & 0x7fffffffL
+        var j = 0
+        while (j < numHashes) {
+          val h = (a(j) * x + b(j)) % p
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** MinHash signature straight from tokens: shingle hashes are a
+    * polynomial combine of per-token FNV-1a over a sliding k-window — no
+    * shingle strings are ever materialized. One pass for token hashes +
+    * (n−k+1)·k combines + (n−k+1)·numHashes min-updates per row.
+    * Shorter-than-k docs hash all tokens as one shingle (mirrors
+    * Dedup.shingles). MinHash is duplicate-insensitive, so no dedup
+    * needed. */
+  def minhashTokens(tokens: ArrayData, k: Int, numHashes: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val p = 2147483647L
+    val a = new Array[Long](numHashes)
+    val b = new Array[Long](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      a(i) = (splitmix64(i.toLong) >>> 35) | 1L
+      b(i) = splitmix64(i.toLong + 7919L) >>> 33
+      i += 1
+    }
+    val sig = Array.fill[Long](numHashes)(Long.MaxValue)
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i))
+      i += 1
+    }
+    val kk = math.min(k, math.max(n, 1))
+    var s = 0
+    val last = n - kk
+    while (s <= last) {
+      var h = -3750763034362895579L
+      var j = 0
+      while (j < kk) {
+        h = (h ^ th(s + j)) * 1099511628211L
+        j += 1
+      }
+      val x = h & 0x7fffffffL
+      var m = 0
+      while (m < numHashes) {
+        val hv = (a(m) * x + b(m)) % p
+        if (hv < sig(m)) sig(m) = hv
+        m += 1
+      }
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
+  }
+
+  /** Fraction of equal components between two MinHash signatures — an
+    * unbiased estimate of Jaccard similarity; used to prefilter LSH
+    * candidate pairs before the exact (array-materializing) verify. */
+  def sigOverlap(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    if (n == 0) return 0.0
+    var eq = 0
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) eq += 1
+      i += 1
+    }
+    eq.toDouble / n
+  }
+
+  /** Sign-LSH bucket of a float vector: bit p = sign of dot(vec, h_p)
+    * where hyperplane component h_p[d] = ±1 from splitmix64(p·1024+d)
+    * parity. Deterministic, model-free, one fused pass per row. */
+  def signLsh(vec: ArrayData, planes: Int): Long = {
+    val n = vec.numElements()
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        val sign = if ((splitmix64(p.toLong * 1024L + d) & 1L) == 0L) 1.0 else -1.0
+        dot += vec.getFloat(d).toDouble * sign
+        d += 1
+      }
+      if (dot > 0.0) bucket |= (1L << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+/** MinHash signature straight from an array<string> token column. */
+case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_tokens"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashTokens(input.asInstanceOf[ArrayData], k, numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashTokens($c, $k, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashFromTokens =
+    copy(child = newChild)
+}
+
+/** Signature-overlap Jaccard estimate of two array<long> columns → double. */
+case class SigOverlap(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sig_overlap"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.sigOverlap(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.sigOverlap($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SigOverlap =
+    copy(left = l, right = r)
+}
+
+/** MinHash signature of an array<string> shingle column → array<long>. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.minhashSig(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashSig($c, $numHashes)")
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** Sign-LSH bucket id of an array<float> column → long. */
+case class SignLshBucket(child: Expression, planes: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "sign_lsh_bucket"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.signLsh(input.asInstanceOf[ArrayData], planes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.signLsh($c, $planes)")
+  override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+    copy(child = newChild)
 }
 
 /** FNV-1a rolling fingerprint of a string column → long. */
@@ -127,4 +301,16 @@ object GraftFunctions {
   def cosine_similarity(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CosineSimilarity(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
+  def sign_lsh_bucket(c: Column, planes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SignLshBucket(org.apache.spark.sql.graft.Bridge.expression(c), planes))
+  def minhash_signature(c: Column, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashSignature(org.apache.spark.sql.graft.Bridge.expression(c), numHashes))
+  def minhash_from_tokens(c: Column, k: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MinHashFromTokens(org.apache.spark.sql.graft.Bridge.expression(c), k, numHashes))
+  def sig_overlap(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      SigOverlap(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
 }

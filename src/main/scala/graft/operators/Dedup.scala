@@ -40,21 +40,14 @@ object Dedup {
        |                 i -> array_join(slice($tokensColName, i + 1, $k), ' '))
        |END)""".stripMargin)
 
-  /** MinHash signature: numHashes universal hash functions
-    * h_i(x) = (a_i·x + b_i) mod p over 31-bit-masked xxhash64 shingle
-    * values, p = 2^31−1 (Mersenne). Keeping x < 2^31 and a_i < 2^30 bounds
-    * a·x + b < 2^62 — no long overflow under ANSI mode. Fixed constants →
-    * deterministic across runs and cluster sizes. */
-  def minhashSignature(shinglesCol: String, numHashes: Int): Column = {
-    val p = 2147483647L // 2^31 - 1
-    val hashes = (0 until numHashes).map { i =>
-      val a = (2862933555777941757L * (i + 1) >>> 34) | 1L // odd, < 2^30
-      val b = (6364136223846793005L * (i + 1)) >>> 33 // < 2^31
-      s"array_min(transform($shinglesCol, " +
-        s"s -> pmod(${a}L * (xxhash64(s) & 2147483647L) + ${b}L, ${p}L)))"
-    }
-    expr(hashes.mkString("array(", ", ", ")"))
-  }
+  /** MinHash signature: numHashes universal hash functions over shingle
+    * hashes, computed in one fused codegen'd pass
+    * ([[graft.functions.MinHashSignature]]) — numHashes×shingles
+    * multiply-adds per row in a single JVM loop instead of numHashes
+    * interpreted array traversals. Deterministic constants → identical
+    * signatures on any cluster size. */
+  def minhashSignature(shinglesCol: String, numHashes: Int): Column =
+    GraftFunctions.minhash_signature(col(shinglesCol), numHashes)
 
   /** MinHash + LSH banding: signature → (band, hash-of-band-slice) keys →
     * bucket join → candidate pairs → exact Jaccard verification on the
@@ -75,29 +68,35 @@ object Dedup {
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
     val rows = numHashes / bands
+    // Signatures come straight from tokens (fused kernel, no shingle
+    // strings); exact shingle sets are materialized only for the few
+    // verify-stage survivors inside ngramJaccard.
     val withSig = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingles("toks", k).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .withColumn("sig", minhashSignature("sh", numHashes))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", GraftFunctions.minhash_from_tokens(col("toks"), k, numHashes))
     val banded = withSig.select(
-      col("doc_id"), col("sh"),
+      col("doc_id"), col("sig"),
       posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))"))
         .as(Seq("band", "band_hash")))
-    // bucket size cap
+    // bucket size cap: degenerate buckets would go quadratic in one task
     val sized = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucket)
-    val a = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("sh").as("sh_a"))
-    val b = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "band_hash"))
+    val a = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+    val b = sized.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+    // Two-stage verify: the O(numHashes) signature-overlap estimate
+    // prunes the candidate mass cheaply (margin = τ/2 keeps recall of
+    // borderline-τ pairs ≳ 90% at 32 hashes); only survivors pay the
+    // exact set-Jaccard on materialized shingle arrays.
+    val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
+      .filter(GraftFunctions.sig_overlap(col("sig_a"), col("sig_b")) >= threshold / 2)
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    ngramJaccard(candidates, docs, idCol, textCol, k)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** SimHash near-dup: 64-bit sketch (custom expression), bucketed by the

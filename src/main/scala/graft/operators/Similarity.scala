@@ -27,19 +27,12 @@ object Similarity {
   def cosine(a: Column, b: Column): Column = GraftFunctions.cosine_similarity(a, b)
 
   /** Sign-LSH bucket id over a named array<float> column: one bit per
-    * hyperplane; hyperplane component d of plane p is ±1 from
-    * xxhash64(p·1024 + d) parity. Runs entirely in Catalyst expressions —
-    * no model state, reproducible on any cluster size. */
-  def signLshBucket(vecName: String, planes: Int): Column = {
-    val bits = (0 until planes).map { p =>
-      s"""(CASE WHEN aggregate(zip_with($vecName, sequence(0, size($vecName) - 1),
-         |  (v, d) -> CASE WHEN pmod(xxhash64($p * 1024 + d), 2) = 0
-         |            THEN CAST(v AS DOUBLE) ELSE -CAST(v AS DOUBLE) END),
-         |  CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) > 0.0
-         |THEN ${1L << p}L ELSE 0L END)""".stripMargin
-    }
-    expr(bits.mkString("(", " + ", ")"))
-  }
+    * hyperplane; component d of plane p is ±1 from splitmix64(p·1024+d)
+    * parity. A codegen'd custom expression ([[graft.functions.SignLshBucket]])
+    * — one fused JVM loop per row, no model state, reproducible on any
+    * cluster size. */
+  def signLshBucket(vecName: String, planes: Int): Column =
+    GraftFunctions.sign_lsh_bucket(col(vecName), planes)
 
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(

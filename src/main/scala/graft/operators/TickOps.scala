@@ -124,18 +124,22 @@ object TickOps {
       exact: Boolean = false): DataFrame = {
     require(cfgs.map(_.slideMs).distinct.size == 1, "uniform slide required")
     val slideMs = cfgs.head.slideMs
-    // For each config: window ends are bucket+dur, bucket+dur-slide, ...
-    // k in [0, dur/slide): end_ms = floor(ts/slide)*slide + dur - k*slide
-    val wins = cfgs.map { c =>
-      val k = (c.durationMs / c.slideMs).toInt
-      s"transform(sequence(0, ${k - 1}), k -> named_struct(" +
-        s"'window', '${c.name}', " +
-        s"'end_ms', (unix_millis(event_time) div ${slideMs}L) * ${slideMs}L + ${c.durationMs}L - k * ${slideMs}L))"
-    }.mkString("concat(", ", ", ")")
+    // Window ends containing a tick: bucket + dur − k·slide, k ∈ [0, dur/slide).
+    // The (tag, end-offset) pairs are a CONSTANT array — one literal,
+    // exploded per row with trivial arithmetic after it — rather than a
+    // per-row array-of-structs construction (which costs an allocation per
+    // row×instance and overwhelms whole-stage codegen at 6 configs).
+    val offsets: Seq[(String, Long)] = cfgs.flatMap { c =>
+      (0 until (c.durationMs / c.slideMs).toInt).map(k => (c.name, c.durationMs - k * c.slideMs))
+    }
     val (a, s) = avgStd(exact)
     ticks
-      .select(col("symbol"), col("price"), explode(expr(wins)).as("w"))
-      .groupBy(col("w.end_ms"), col("w.window"), col("symbol"))
+      .select(col("symbol"), col("price"),
+        (expr(s"unix_millis(event_time) div ${slideMs}L") * slideMs).as("bucket_ms"))
+      .select(col("symbol"), col("price"), col("bucket_ms"),
+        explode(typedlit(offsets)).as("w"))
+      .groupBy((col("bucket_ms") + col("w._2")).as("end_ms"),
+        col("w._1").as("window"), col("symbol"))
       .agg(a, s)
       .select(
         timestamp_millis(col("end_ms")).as("window_timestamp"),

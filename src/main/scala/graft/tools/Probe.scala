@@ -1,0 +1,64 @@
+package graft.tools
+
+import graft.operators.TickOps
+import graft.util.SparkUtil
+
+/** Ad-hoc timing/plan probe: runMain graft.tools.Probe <what> [sfDir].
+  * what = query name from SparkEntry.queries, "multi_exact",
+  * "multi_fast", "union_exact", or "explain:<query>". */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val what = args(0)
+    val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
+    val spark = SparkUtil.newLocalSession("probe", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+    def ticks = SparkUtil.events(spark, dir)
+      .selectExpr("event_type AS symbol", "value AS price", "ts AS event_time")
+    def time(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE $what rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+    }
+    what match {
+      case "multi_exact" =>
+        time(TickOps.slidingStatsMulti(ticks, TickOps.defaultWindows, exact = true).count())
+      case "multi_fast" =>
+        time(TickOps.slidingStatsMulti(ticks, TickOps.defaultWindows, exact = false).count())
+      case "union_exact" =>
+        time(TickOps.movingStatsUnion(ticks, TickOps.defaultWindows, exact = true).count())
+      case "mh_stages" =>
+        import org.apache.spark.sql.functions._
+        val docs = SparkUtil.table(spark, dir, "documents")
+        val t0 = System.nanoTime()
+        val withSig = docs
+          .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), graft.operators.Dedup.shingles("toks", 2).as("sh"))
+          .filter(size(col("sh")) > 0)
+          .withColumn("sig", graft.operators.Dedup.minhashSignature("sh", 32))
+        println(s"PROBE sig_rows=${withSig.count()} t=${(System.nanoTime() - t0) / 1e9}")
+        val t1 = System.nanoTime()
+        val banded = withSig.select(col("doc_id"), col("sig"),
+          posexplode(expr(
+            "transform(sequence(0, 15), b -> xxhash64(array_join(slice(sig, b * 2 + 1, 2), ',')))"))
+            .as(Seq("band", "band_hash")))
+        val aa = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_a"), col("sig").as("sig_a"))
+        val bb = banded.select(col("band"), col("band_hash"), col("doc_id").as("id_b"), col("sig").as("sig_b"))
+        val raw = aa.join(bb, Seq("band", "band_hash")).filter(col("id_a") < col("id_b"))
+        println(s"PROBE raw_pairs=${raw.count()} t=${(System.nanoTime() - t1) / 1e9}")
+        val t2 = System.nanoTime()
+        val cand = raw.filter(graft.functions.GraftFunctions.sig_overlap(col("sig_a"), col("sig_b")) >= 0.1)
+          .select(col("id_a"), col("id_b")).distinct()
+        println(s"PROBE candidates=${cand.count()} t=${(System.nanoTime() - t2) / 1e9}")
+        val t3 = System.nanoTime()
+        val n = graft.operators.Dedup.ngramJaccard(cand, docs, "doc_id", "text", 2)
+          .filter(col("jaccard") >= 0.2).count()
+        println(s"PROBE final=$n t=${(System.nanoTime() - t3) / 1e9}")
+      case w if w.startsWith("explain:") =>
+        val q = graft.SparkEntry.queries(w.stripPrefix("explain:"))(spark, dir)
+        println(q.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+      case q =>
+        time(graft.SparkEntry.queries(q)(spark, dir).count())
+    }
+    spark.stop()
+  }
+}
