@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.functions.ExactAgg
+import graft.operators.TickOps
+
+/** Property-based checks for the numeric core (scalacheck Gen driven by a
+  * fixed seed — deterministic, no runner bridge needed): ExactAgg vs
+  * reference math, z-score guards, and engine-order invariance (the
+  * property the ExactAgg design exists for). */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def samples[A](gen: Gen[A], n: Int): Seq[A] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(42L + i)))
+
+  test("ExactAgg avg/stddev match reference math and are repartition-invariant") {
+    val prices: Gen[List[Double]] =
+      Gen.choose(1, 40).flatMap(n =>
+        Gen.listOfN(n, Gen.choose(0.01, 500.0).map(d => math.rint(d * 100) / 100)))
+    samples(prices, 20).filter(_.nonEmpty).foreach { xs =>
+      val df = xs.toDF("price")
+      def run(parts: Int) = df.repartition(parts)
+        .agg(ExactAgg.davg(col("price")).as("a"), ExactAgg.dstddev0(col("price")).as("s"))
+        .as[(Double, Double)].collect().head
+      val (a1, s1) = run(1)
+      val (a7, s7) = run(7)
+      // bitwise identical regardless of partitioning — the oracle property
+      assert(a1 == a7 && s1 == s7, s"partitioning changed result for $xs")
+      val mean = xs.sum / xs.size
+      assert(math.abs(a1 - mean) < 1e-9)
+      val sd = if (xs.size == 1) 0.0
+        else math.sqrt(xs.map(x => (x - mean) * (x - mean)).sum / (xs.size - 1))
+      assert(math.abs(s1 - sd) < 1e-6, s"stddev mismatch for $xs: $s1 vs $sd")
+    }
+  }
+
+  test("zscore is always finite and zero exactly when std is 0/null/NaN") {
+    val gen = for {
+      p <- Gen.choose(-1e6, 1e6)
+      avg <- Gen.choose(-1e6, 1e6)
+      std <- Gen.oneOf(Gen.const(0.0), Gen.const(Double.NaN), Gen.choose(1e-9, 1e3))
+    } yield (p, avg, std)
+    val rows = samples(gen, 60)
+    val df = rows.map { case (p, a, s) =>
+      (java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), "S", p, "w", a, s)
+    }.toDF("event_time", "symbol", "price", "window", "avg_price", "std_price")
+    val out = TickOps.zscore(df)
+      .select("price", "avg_price", "std_price", "zscore_price")
+      .collect()
+    assert(out.length == rows.length)
+    out.foreach { r =>
+      val (p, avg, std, z) = (r.getDouble(0), r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      assert(!z.isNaN && !z.isInfinite)
+      if (std == 0.0 || std.isNaN) assert(z == 0.0)
+      else assert(math.abs(z - (p - avg) / std) < 1e-12)
+    }
+  }
+}
