@@ -122,8 +122,59 @@ object RelationalQueries {
         .join(r, col("n_regionkey") === col("r_regionkey"))
         .rollup(col("r_name"), col("n_name"))
         .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_bal"))
-    })
+    }),
+
+    // SQL-text interface: TPC-H Q3 shape via spark.sql over registered
+    // views — the oracle runs the *identical* SQL string in DuckDB.
+    "q35_sql_tpch3" -> ((s, dir) => {
+      Seq("customer", "orders", "lineitem").foreach(t =>
+        table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sqlQ3)
+    }),
+
+    // CUBE over order status × priority.
+    "q36_cube" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))),
+
+    // Session windows (300 s gap) per user over the events stream table.
+    "q37_session_stats" -> ((s, dir) => {
+      val ev = graft.util.SparkUtil.events(s, dir)
+      ev.groupBy(col("user_id"), session_window(col("ts"), "300 seconds"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("user_id"))
+        .agg(
+          count(lit(1)).as("n_sessions"),
+          sum(col("cnt")).as("n_events"),
+          max(col("cnt")).as("max_session_events"))
+    }),
+
+    // Exact percentiles (Spark percentile ≡ DuckDB quantile_cont).
+    "q38_percentiles" -> ((s, dir) =>
+      table(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("p50"),
+          expr("percentile(l_extendedprice, 0.95)").as("p95"),
+          expr("percentile(l_extendedprice, 0.99)").as("p99"),
+          min(col("l_extendedprice")).as("min_price"),
+          max(col("l_extendedprice")).as("max_price")))
   )
+
+  /** Runs verbatim in both Spark SQL and DuckDB. */
+  private val sqlQ3: String =
+    s"""SELECT l_orderkey, o_orderdate,
+       |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+       |FROM customer
+       |JOIN orders ON c_custkey = o_custkey
+       |JOIN lineitem ON l_orderkey = o_orderkey
+       |WHERE c_mktsegment = 'BUILDING'
+       |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+       |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+       |GROUP BY l_orderkey, o_orderdate
+       |ORDER BY revenue DESC, l_orderkey ASC
+       |LIMIT 10""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q10_pricing_summary" ->
@@ -195,6 +246,35 @@ object RelationalQueries {
          |FROM customer
          |JOIN nation ON c_nationkey = n_nationkey
          |JOIN region ON n_regionkey = r_regionkey
-         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin
+         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q35_sql_tpch3" -> sqlQ3,
+
+    "q36_cube" ->
+      s"""SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders,
+         |  ${sqlSum("o_totalprice")} AS sum_price
+         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""".stripMargin,
+
+    "q37_session_stats" ->
+      """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
+        | o AS (SELECT user_id, tus,
+        |   CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 300000000
+        |        OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
+        |        THEN 1 ELSE 0 END AS brk FROM t),
+        | g AS (SELECT user_id, tus,
+        |   SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS grp FROM o),
+        | sess AS (SELECT user_id, grp, COUNT(1) AS cnt FROM g GROUP BY user_id, grp)
+        |SELECT user_id, COUNT(1) AS n_sessions, SUM(cnt) AS n_events,
+        |       MAX(cnt) AS max_session_events
+        |FROM sess GROUP BY user_id""".stripMargin,
+
+    "q38_percentiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.5) AS p50,
+        |  quantile_cont(l_extendedprice, 0.95) AS p95,
+        |  quantile_cont(l_extendedprice, 0.99) AS p99,
+        |  MIN(l_extendedprice) AS min_price,
+        |  MAX(l_extendedprice) AS max_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin
   )
 }

@@ -25,6 +25,16 @@ object Probe {
         time(TickOps.slidingStatsMulti(ticks, TickOps.defaultWindows, exact = false).count())
       case "union_exact" =>
         time(TickOps.movingStatsUnion(ticks, TickOps.defaultWindows, exact = true).count())
+      case "sqlfns" =>
+        graft.GraftExtensions.register(spark)
+        SparkUtil.table(spark, dir, "documents").createOrReplaceTempView("docs")
+        val r = spark.sql(
+          """SELECT count(DISTINCT rolling_fingerprint(text)) AS fps,
+            |       count(DISTINCT simhash64(split(text, '\\s+'))) AS shs,
+            |       min(sig_overlap(minhash_from_tokens(split(text, '\\s+'), 3, 16),
+            |                       minhash_from_tokens(split(text, '\\s+'), 3, 16))) AS self_overlap
+            |FROM docs""".stripMargin).collect().head
+        println(s"PROBE sqlfns fingerprints=${r.getLong(0)} simhashes=${r.getLong(1)} self_overlap=${r.getDouble(2)}")
       case "mh_stages" =>
         import org.apache.spark.sql.functions._
         val docs = SparkUtil.table(spark, dir, "documents")
