@@ -149,6 +149,47 @@ object TickOps {
         col("std_price"))
   }
 
+  /** Streaming-native scale path for multi-window stats: phase 1 tumbles
+    * ticks into slide-sized buckets (1-branch Expand, tiny state), phase 2
+    * re-windows the *bucket partials* (count/sum/sumsq) into each sliding
+    * config — the wide dur/slide-branch Expand then runs over one row per
+    * (bucket × symbol) instead of one per tick, ~rate×slide fewer rows.
+    *
+    * This chains two stateful aggregations, the exact topology the
+    * reference accepts by disabling Spark's correctness check
+    * (SURVEY.md §4 H1) — callers must set
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
+    * for streaming use; in batch it is just a two-level aggregation.
+    * Sample stddev is reconstructed exactly from the merged partials.
+    */
+  def slidingStatsTwoPhase(
+      ticks: DataFrame,
+      cfgs: Seq[WindowConfig] = defaultWindows): DataFrame = {
+    require(cfgs.map(_.slideMs).distinct.size == 1, "uniform slide required")
+    val slide = cfgs.head.slide
+    val partial = ticks
+      .groupBy(window(col("event_time"), slide, slide).as("w10"), col("symbol"))
+      .agg(
+        count(col("price")).as("pn"),
+        sum(col("price")).as("ps"),
+        sum(col("price") * col("price")).as("pq"))
+    val branches = cfgs.map { c =>
+      val merged = partial
+        .groupBy(window(col("w10"), c.duration, c.slide).as("w"), col("symbol"))
+        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"), sum(col("pq")).as("q"))
+      val variance = (col("q") - col("s") * col("s") / col("n")) / (col("n") - lit(1))
+      val sd = when(col("n") === 1, lit(0.0))
+        .otherwise(sqrt(greatest(variance, lit(0.0))))
+      merged.select(
+        col("w.end").as("window_timestamp"),
+        col("symbol"),
+        lit(c.name).as("window"),
+        coalesce(col("s") / col("n"), lit(0.0)).as("avg_price"),
+        when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd).as("std_price"))
+    }
+    branches.reduce(_ union _)
+  }
+
   /** Re-nest flat per-window rows into one record per (timestamp, symbol)
     * with an array of per-window stats (reference moving_statistic.py:100-113).
     * Array order is collect_list arrival order — nondeterministic, exactly
