@@ -59,6 +59,29 @@ object PipelineDemo {
       .distinct()
     val z = TickOps.zscore(TickOps.joinTicksToStats(boundaryTicks, movingTopic))
     println(s"DEMO zscore_rows=${z.count()} sample=${z.orderBy(desc("zscore_price")).limit(1).collect().mkString}")
+
+    // Stage 3 (bonus topics): time-until-higher alerts over a replayed
+    // tick stream, via the transformWithState processor on RocksDB state.
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val alertIn = java.nio.file.Files.createTempDirectory("demo-alerts").toFile
+    spark.read.schema(schema).parquet(dir)
+      .orderBy("ts").limit(2000)
+      .select(to_json(struct(
+        col("event_type").as("symbol"), col("value").as("price"),
+        date_format(timestamp_micros(expr("ts div 1000")),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("event_time"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(alertIn.getAbsolutePath)
+    implicit val s2 = spark
+    val parsedTicks = TickOps.parseTicks(
+      spark.readStream.schema("value STRING").text(alertIn.getAbsolutePath))
+      .withWatermark("event_time", "10 seconds")
+      .as[graft.model.Models.PriceTick](org.apache.spark.sql.Encoders.product)
+    val qa = PriceAlertsTws.alerts(parsedTicks, direction = +1, horizonSec = 60.0)
+      .writeStream.format("memory").queryName("alerts_demo")
+      .outputMode("append").start()
+    qa.processAllAvailable(); qa.stop()
+    println(s"DEMO alerts_rows=${spark.table("alerts_demo").count()}")
     spark.stop()
   }
 }

@@ -157,4 +157,35 @@ class StreamingSpec extends SparkSpec {
     } finally spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
   }
+
+  test("price alerts via transformWithState (RocksDB state store)") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[PriceTick](spark)
+      implicit val s = spark
+      val higher = graft.streaming.PriceAlertsTws.alerts(
+        in.toDS().withWatermark("event_time", "10 seconds"), direction = +1, horizonSec = 20.0)
+      val q = higher.writeStream.format("memory").queryName("tws_out")
+        .outputMode(OutputMode.Append).start()
+      try {
+        in.addData(
+          PriceTick("BTC", 100.0, ts("2024-01-01 00:00:00")),
+          PriceTick("BTC", 99.0, ts("2024-01-01 00:00:02")),
+          PriceTick("BTC", 101.0, ts("2024-01-01 00:00:05")))
+        q.processAllAvailable()
+        val rows = spark.table("tws_out").collect()
+        assert(rows.map(r => (r.getAs[Double]("price"), r.getAs[Double]("seconds_until"))).toSet ==
+          Set((100.0, 5.0), (99.0, 3.0)))
+        in.addData(PriceTick("BTC", 50.0, ts("2024-01-01 00:01:00")))
+        q.processAllAvailable()
+        val expired = spark.table("tws_out").filter(col("price") === 101.0).collect()
+        assert(expired.length == 1 && expired.head.getAs[Double]("seconds_until") == 20.0)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
