@@ -118,6 +118,37 @@ object TextQueries {
          |  FROM documents)""".stripMargin
     },
 
+    "q25_langid" -> {
+      // Mirrors TextOps.langId exactly: per-language stopword-hit rate,
+      // argmax via lexicographic (score, lang) struct ordering (DuckDB
+      // list_sort ≡ Spark greatest-over-structs), CJK short-circuit.
+      val structs = TextOps.langProfiles.toSeq.sortBy(_._1).map { case (l, words) =>
+        val in = words.map(w => s"'$w'").mkString("(", ", ", ")")
+        s"struct_pack(score := len(list_filter(toks, t -> t IN $in)) / n, lang := '$l')"
+      }.mkString(",\n        ")
+      s"""WITH t AS (
+         |  SELECT lang, text,
+         |    CASE WHEN length(trim(text)) = 0 THEN []
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         | s AS (
+         |  SELECT lang, text,
+         |    CAST(greatest(len(toks), 1) AS DOUBLE) AS n, toks
+         |  FROM t),
+         | scored AS (
+         |  SELECT lang, text,
+         |    list_sort([$structs])[-1] AS best,
+         |    len(regexp_extract_all(text, '[\\x{4e00}-\\x{9fff}]'))
+         |      / CAST(greatest(length(text), 1) AS DOUBLE) AS cjk
+         |  FROM s)
+         |SELECT lang,
+         |  CASE WHEN cjk > 0.3 THEN 'zh'
+         |       WHEN best.score > 0.0 THEN best.lang
+         |       ELSE 'und' END AS predicted,
+         |  COUNT(1) AS n
+         |FROM scored GROUP BY lang, predicted""".stripMargin
+    },
+
     "q23_lang_profile" -> {
       s"""SELECT lang, COUNT(1) AS n_docs,
          |  ${sqlAvg("n_chars")} AS avg_chars,

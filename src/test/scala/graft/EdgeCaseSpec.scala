@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators._
+import graft.operators.TickOps.WindowConfig
+
+/** Degenerate-input robustness: every operator must handle empty inputs,
+  * all-malformed inputs, and empty text without throwing — the conditions
+  * a 100 TB run hits in some partition somewhere. */
+class EdgeCaseSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def emptyTicks: DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(Seq(
+        StructField("symbol", StringType),
+        StructField("price", DoubleType),
+        StructField("event_time", TimestampType))))
+
+  test("tick pipeline ops on empty input: empty output, no failure") {
+    val e = emptyTicks
+    assert(TickOps.slidingStats(e, WindowConfig("30s", "30 seconds"), exact = true).count() == 0)
+    assert(TickOps.slidingStatsMulti(e, TickOps.defaultWindows, exact = true).count() == 0)
+    assert(TickOps.slidingStatsTwoPhase(e).count() == 0)
+    val stats = TickOps.slidingStats(e, WindowConfig("30s", "30 seconds"))
+    assert(TickOps.zscore(TickOps.joinTicksToStats(e, stats)).count() == 0)
+    assert(TickOps.explodeWindows(TickOps.nestWindows(stats)).count() == 0)
+  }
+
+  test("parseTicks on 100% malformed input: empty, not an exception") {
+    val junk = Seq("", "{", "null", "[1,2]", "{\"price\":\"NaNish\"}").toDF("value")
+    assert(TickOps.parseTicks(junk).count() == 0)
+  }
+
+  test("text ops on pathological documents") {
+    val docs = Seq(
+      (1L, ""), (2L, "   "), (3L, "\n\t"), (4L, "a"),
+      (5L, "x " * 5000) // long repetitive doc
+    ).toDF("doc_id", "text")
+    val counted = docs.select(
+      TextOps.tokenCount(col("text")).as("n"),
+      TextOps.bpeTokenCount(col("text")).as("b"),
+      TextOps.qualityScore(col("text")).as("q"),
+      TextOps.langId(col("text")).as("l"),
+      TextOps.fingerprint(col("text")).as("f")).collect()
+    assert(counted.length == 5)
+    assert(counted.forall(r => r.getAs[Double]("q") >= 0.0 && r.getAs[Double]("q") <= 1.0))
+    // dedup stacks accept them too
+    assert(Dedup.exactDuplicates(docs, "doc_id", "text").count() == 5)
+    assert(Dedup.minhashPairs(docs, "doc_id", "text", k = 3, numHashes = 16,
+      bands = 4, threshold = 0.9).collect() != null)
+    assert(Dedup.simhashPairs(docs, "doc_id", "text").collect() != null)
+  }
+
+  test("similarity ops on empty and degenerate vectors") {
+    val vecs = Seq(
+      (1L, Array.empty[Float]),
+      (2L, Array(0.0f, 0.0f)),
+      (3L, Array(1.0f, 2.0f))).toDF("vec_id", "embedding")
+    val out = vecs.crossJoin(vecs.select(col("vec_id").as("b"), col("embedding").as("e2")))
+      .select(Similarity.cosine(col("embedding"), col("e2")).as("c")).collect()
+    assert(out.forall(r => !r.getDouble(0).isNaN))
+    val topk = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.limit(1), "vec_id", "embedding", 2)
+    assert(topk.count() == 2)
+  }
+}
