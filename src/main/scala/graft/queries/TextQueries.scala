@@ -47,7 +47,11 @@ object TextQueries {
           count(lit(1)).as("n_docs"),
           davg(col("n_chars")).as("avg_chars"),
           sum(col("n_tokens")).as("total_tokens"),
-          davg(col("quality")).as("avg_quality"))),
+          // min/max, not a decimal-cast avg: quality is a *derived* double
+          // and decimal casts of derived doubles can tie-break differently
+          // across engines (see q03 note in ReferenceQueries)
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))),
 
     // Document fingerprint (custom codegen'd expression) — rows-only.
     "q24_fingerprint" -> ((s, dir) =>
@@ -154,7 +158,7 @@ object TextQueries {
          |  ${sqlAvg("n_chars")} AS avg_chars,
          |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
          |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
-         |  ${sqlAvg("quality")} AS avg_quality
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
          |FROM (
          |  SELECT lang, n_chars, text,
          |    CASE WHEN n = 0 THEN 0.0 ELSE
