@@ -70,7 +70,6 @@ object Bench {
       twoPhase: Boolean): Long = {
     import org.apache.spark.sql.functions._
     val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toFile
-    tmp.deleteOnExit()
     // Replay events as the producer would emit them: one tick per 100 ms
     // of event time (reference cadence, main.py:11), as pre-rendered JSON
     // frames split into several files → several micro-batches. Sparse
@@ -81,12 +80,18 @@ object Bench {
     ev.select(col("event_type"), col("value"),
       row_number().over(org.apache.spark.sql.expressions.Window
         .orderBy(col("ts"), col("event_id"))).as("rn"))
-      .select(to_json(struct(
+      .select(col("rn"), to_json(struct(
         col("event_type").as("symbol"),
         col("value").as("price"),
         date_format(timestamp_millis(lit(1704067200000L) + col("rn") * 100L),
           "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("event_time"))).as("value"))
-      .repartition(8)
+      // range-partition by arrival order so part files (consumed in name
+      // order by the file source) replay time-ordered — a round-robin
+      // split would put the stream's max event time in batch 1 and the
+      // watermark would discard most later rows as late
+      .repartitionByRange(8, col("rn"))
+      .sortWithinPartitions(col("rn"))
+      .select(col("value"))
       .write.mode("overwrite").text(tmp.getAbsolutePath)
     val raw = spark.readStream
       .schema(org.apache.spark.sql.types.StructType(Seq(
@@ -115,6 +120,9 @@ object Bench {
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      // deleteOnExit can't remove non-empty dirs; clean up the replay files
+      tmp.listFiles().foreach(_.delete())
+      tmp.delete()
     }
     n
   }

@@ -158,9 +158,11 @@ object Dedup {
     val b = sk.select(col("bucket"), col("doc_id").as("id_b"), col("v").as("v_b"))
     a.join(b, Seq("bucket"))
       .filter(col("id_a") < col("id_b"))
+      // no distinct: each vector lands in exactly one bucket, so a pair
+      // can only be generated once — a distinct here would be a full
+      // extra shuffle of the pair set
       .select(col("id_a"), col("id_b"),
         GraftFunctions.cosine_similarity(col("v_a"), col("v_b")).as("cosine"))
       .filter(col("cosine") >= threshold)
-      .distinct()
   }
 }

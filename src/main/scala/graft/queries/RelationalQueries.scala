@@ -258,7 +258,7 @@ object RelationalQueries {
     "q37_session_stats" ->
       """WITH t AS (SELECT user_id, epoch_ns(ts) // 1000 AS tus FROM events),
         | o AS (SELECT user_id, tus,
-        |   CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) > 300000000
+        |   CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus) >= 300000000
         |        OR lag(tus) OVER (PARTITION BY user_id ORDER BY tus) IS NULL
         |        THEN 1 ELSE 0 END AS brk FROM t),
         | g AS (SELECT user_id, tus,

@@ -25,40 +25,52 @@ object PriceAlerts {
 
   final case class Pending(ticks: List[PriceTick])
 
-  /** direction = +1 → time-until-higher; -1 → time-until-lower. */
+  /** direction = +1 → time-until-higher; -1 → time-until-lower.
+    *
+    * Resolution: a pending tick resolves against the first qualifying
+    * successor *within the horizon*; successors beyond the horizon leave
+    * it to expire at the horizon value. Expiry is watermark-driven — a
+    * tick expires only once the event-time watermark passes
+    * `tick + horizon`, at which point no in-watermark successor can still
+    * resolve it — so late-but-valid ticks keep their chance to resolve.
+    * Event-time timers re-arm for the earliest outstanding expiry, so
+    * quiet keys still flush (and release their state) as the watermark
+    * advances on other keys.
+    */
   def resolve(direction: Int, horizonSec: Double)(
       symbol: String,
       in: Iterator[PriceTick],
       state: GroupState[Pending]): Iterator[Alert] = {
     val horizonMs = (horizonSec * 1000).toLong
     val incoming = in.toList.sortBy(_.event_time.getTime)
-    val pending = state.getOption.map(_.ticks).getOrElse(Nil) ++ incoming
-
     val out = scala.collection.mutable.ListBuffer.empty[Alert]
-    var remaining = pending
+
+    var open = state.getOption.map(_.ticks).getOrElse(Nil) ++ incoming
     for (t <- incoming) {
-      val (resolved, stillOpen) = remaining.partition { p =>
+      val (resolved, stillOpen) = open.partition { p =>
         p.event_time.getTime < t.event_time.getTime &&
+          t.event_time.getTime - p.event_time.getTime <= horizonMs &&
           (if (direction > 0) t.price > p.price else t.price < p.price)
       }
       resolved.foreach { p =>
         out += Alert(symbol, p.event_time, p.price,
           (t.event_time.getTime - p.event_time.getTime) / 1000.0)
       }
-      remaining = stillOpen
+      open = stillOpen
     }
 
-    // expire ticks past the horizon (no qualifying successor in time)
-    val maxSeen = (state.getOption.map(_.ticks).getOrElse(Nil) ++ incoming)
-      .map(_.event_time.getTime).maxOption.getOrElse(0L)
-    val (expired, open) = remaining.partition(p => maxSeen - p.event_time.getTime >= horizonMs)
+    // watermark-driven horizon expiry (covers both data-driven calls and
+    // timer firings, where `incoming` is empty)
+    val wm = state.getCurrentWatermarkMs()
+    val (expired, kept) = open.partition(p => wm >= p.event_time.getTime + horizonMs)
     expired.foreach(p => out += Alert(symbol, p.event_time, p.price, horizonSec))
 
-    if (open.isEmpty) state.remove()
+    if (kept.isEmpty) state.remove()
     else {
-      state.update(Pending(open))
-      if (state.getOption.isDefined && !state.hasTimedOut)
-        state.setTimeoutTimestamp(maxSeen + horizonMs)
+      state.update(Pending(kept))
+      // earliest outstanding expiry; strictly above the current watermark
+      // because every kept tick has event_time + horizon > wm
+      state.setTimeoutTimestamp(kept.map(_.event_time.getTime).min + horizonMs)
     }
     out.iterator
   }

@@ -38,6 +38,7 @@ class AlertProcessor(direction: Int, horizonSec: Double)
     for (t <- incoming) {
       val (resolved, still) = open.partition { p =>
         p.event_time.getTime < t.event_time.getTime &&
+          t.event_time.getTime - p.event_time.getTime <= horizonMs &&
           (if (direction > 0) t.price > p.price else t.price < p.price)
       }
       resolved.foreach(p => out += Alert(key, p.event_time, p.price,
@@ -45,13 +46,32 @@ class AlertProcessor(direction: Int, horizonSec: Double)
       open = still
     }
 
-    val maxSeen = open.map(_.event_time.getTime).maxOption.getOrElse(0L)
-    val (expired, kept) = open.partition(p => maxSeen - p.event_time.getTime >= horizonMs)
-    expired.foreach(p => out += Alert(key, p.event_time, p.price, horizonSec))
+    out.iterator ++ expireAndRearm(key, open, timerValues)
+  }
 
+  /** Timer firing: no input rows, just watermark-driven expiry. */
+  override def handleExpiredTimer(
+      key: String,
+      timerValues: TimerValues,
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] =
+    expireAndRearm(key, pending.get().toList, timerValues)
+
+  /** Emit horizon alerts for ticks the watermark has passed, persist the
+    * rest, and re-arm a timer for the earliest outstanding expiry so quiet
+    * keys still flush and release state. */
+  private def expireAndRearm(
+      key: String,
+      open: List[PriceTick],
+      timerValues: TimerValues): Iterator[Alert] = {
+    val horizonMs = (horizonSec * 1000).toLong
+    val wm = timerValues.getCurrentWatermarkInMs()
+    val (expired, kept) = open.partition(p => wm >= p.event_time.getTime + horizonMs)
     if (kept.isEmpty) pending.clear()
-    else pending.put(kept.toArray)
-    out.iterator
+    else {
+      pending.put(kept.toArray)
+      getHandle.registerTimer(kept.map(_.event_time.getTime).min + horizonMs)
+    }
+    expired.map(p => Alert(key, p.event_time, p.price, horizonSec)).iterator
   }
 }
 

@@ -188,4 +188,43 @@ class StreamingSpec extends SparkSpec {
       case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
   }
+
+  test("price alerts: quiet key expires via timer when other keys advance the watermark") {
+    val in = MemoryStream[PriceTick](spark)
+    implicit val s = spark
+    val higher = PriceAlerts.alerts(
+      in.toDS().withWatermark("event_time", "10 seconds"), direction = +1, horizonSec = 20.0)
+    val q = higher.writeStream.format("memory").queryName("alerts_quiet")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(PriceTick("BTC", 100.0, ts("2024-01-01 00:00:00")))
+      q.processAllAvailable()
+      // BTC goes quiet; ETH traffic advances the watermark past 0:00:20+10s
+      in.addData(PriceTick("ETH", 1.0, ts("2024-01-01 00:01:00")))
+      q.processAllAvailable()
+      in.addData(PriceTick("ETH", 2.0, ts("2024-01-01 00:02:00")))
+      q.processAllAvailable()
+      val btc = spark.table("alerts_quiet").filter(col("symbol") === "BTC").collect()
+      assert(btc.length == 1 && btc.head.getAs[Double]("seconds_until") == 20.0)
+    } finally q.stop()
+  }
+
+  test("price alerts: successor beyond horizon does not resolve, tick expires at horizon") {
+    val in = MemoryStream[PriceTick](spark)
+    implicit val s = spark
+    val higher = PriceAlerts.alerts(
+      in.toDS().withWatermark("event_time", "10 seconds"), direction = +1, horizonSec = 20.0)
+    val q = higher.writeStream.format("memory").queryName("alerts_beyond")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 100.0, ts("2024-01-01 00:00:00")),
+        PriceTick("BTC", 200.0, ts("2024-01-01 00:00:25"))) // higher but past horizon
+      q.processAllAvailable()
+      in.addData(PriceTick("BTC", 1.0, ts("2024-01-01 00:01:00"))) // advance watermark
+      q.processAllAvailable()
+      val first = spark.table("alerts_beyond").filter(col("price") === 100.0).collect()
+      assert(first.length == 1 && first.head.getAs[Double]("seconds_until") == 20.0)
+    } finally q.stop()
+  }
 }
