@@ -164,6 +164,61 @@ object HashKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(sig)
   }
 
+  /** Sorted distinct k-shingle hashes of a token array — the compact
+    * (8 bytes/shingle) representation for exact-set verification. Same
+    * windowed polynomial hash as [[minhashTokens]]. */
+  def shingleHashes(tokens: ArrayData, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = tokens.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (tokens.isNullAt(i)) 0L else fnv1a(tokens.getUTF8String(i))
+      i += 1
+    }
+    val kk = math.min(k, math.max(n, 1))
+    val last = n - kk
+    val hs = new Array[Long](math.max(last + 1, 0))
+    var s = 0
+    while (s <= last) {
+      var h = -3750763034362895579L
+      var j = 0
+      while (j < kk) {
+        h = (h ^ th(s + j)) * 1099511628211L
+        j += 1
+      }
+      hs(s) = h
+      s += 1
+    }
+    java.util.Arrays.sort(hs)
+    // distinct in place
+    var w = 0
+    var r = 0
+    while (r < hs.length) {
+      if (w == 0 || hs(r) != hs(w - 1)) { hs(w) = hs(r); w += 1 }
+      r += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(java.util.Arrays.copyOf(hs, w))
+  }
+
+  /** Exact Jaccard of two SORTED distinct long arrays via linear merge
+    * (set semantics modulo 64-bit hash collisions). */
+  def jaccardSorted(a: ArrayData, b: ArrayData): Double = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    if (na == 0 && nb == 0) return 0.0
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter.toDouble / (na + nb - inter)
+  }
+
   /** Fraction of equal components between two MinHash signatures — an
     * unbiased estimate of Jaccard similarity; used to prefilter LSH
     * candidate pairs before the exact (array-materializing) verify. */
@@ -212,6 +267,32 @@ case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int)
     defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.minhashTokens($c, $k, $numHashes)")
   override protected def withNewChildInternal(newChild: Expression): MinHashFromTokens =
     copy(child = newChild)
+}
+
+/** Sorted distinct shingle hashes of an array<string> token column. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.shingleHashes(input.asInstanceOf[ArrayData], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.shingleHashes($c, $k)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+/** Exact Jaccard of two sorted array<long> columns → double. */
+case class JaccardSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "jaccard_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.jaccardSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.jaccardSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): JaccardSorted =
+    copy(left = l, right = r)
 }
 
 /** Signature-overlap Jaccard estimate of two array<long> columns → double. */
@@ -310,6 +391,12 @@ object GraftFunctions {
   def minhash_from_tokens(c: Column, k: Int, numHashes: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       MinHashFromTokens(org.apache.spark.sql.graft.Bridge.expression(c), k, numHashes))
+  def shingle_hashes(c: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      ShingleHashes(org.apache.spark.sql.graft.Bridge.expression(c), k))
+  def jaccard_sorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      JaccardSorted(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
   def sig_overlap(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       SigOverlap(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))

@@ -89,13 +89,22 @@ object Dedup {
     // Two-stage verify: the O(numHashes) signature-overlap estimate
     // prunes the candidate mass cheaply (margin = τ/2 keeps recall of
     // borderline-τ pairs ≳ 90% at 32 hashes); only survivors pay the
-    // exact set-Jaccard on materialized shingle arrays.
+    // exact set-Jaccard — computed over sorted 64-bit shingle hashes
+    // (8 bytes/shingle, linear-merge kernel) instead of shuffling and
+    // intersecting shingle string arrays.
     val candidates = a.join(b, Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .filter(GraftFunctions.sig_overlap(col("sig_a"), col("sig_b")) >= threshold / 2)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    ngramJaccard(candidates, docs, idCol, textCol, k)
+    val sh = docs
+      .select(col(idCol).as("jid"), TextOps.tokens(col(textCol)).as("jtoks"))
+      .select(col("jid"), GraftFunctions.shingle_hashes(col("jtoks"), k).as("jsh"))
+    candidates
+      .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.jaccard_sorted(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
