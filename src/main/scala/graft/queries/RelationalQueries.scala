@@ -150,6 +150,18 @@ object RelationalQueries {
           max(col("cnt")).as("max_session_events"))
     }),
 
+    // Approximate sketches: HLL distinct counts + approx quantiles per
+    // segment — the constant-memory path for 100 TB cardinalities
+    // (rows-only: sketch estimates are engine-specific by design;
+    // SketchSpec bounds the error against exact counts).
+    "q39_approx_sketches" -> ((s, dir) =>
+      table(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
+          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
+          count(lit(1)).as("n"))),
+
     // Exact percentiles (Spark percentile ≡ DuckDB quantile_cont).
     "q38_percentiles" -> ((s, dir) =>
       table(s, dir, "lineitem")
