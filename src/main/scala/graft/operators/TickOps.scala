@@ -129,15 +129,19 @@ object TickOps {
     // exploded per row with trivial arithmetic after it — rather than a
     // per-row array-of-structs construction (which costs an allocation per
     // row×instance and overwhelms whole-stage codegen at 6 configs).
-    val offsets: Seq[(String, Long)] = cfgs.flatMap { c =>
-      (0 until (c.durationMs / c.slideMs).toInt).map(k => (c.name, c.durationMs - k * c.slideMs))
-    }
+    // pure lit/struct literal array (constant-folded once by Catalyst);
+    // deliberately NOT typedlit, whose runtime encoder derivation breaks
+    // under REPL-style layered classloaders
+    val offsets = array(cfgs.flatMap { c =>
+      (0 until (c.durationMs / c.slideMs).toInt).map(k =>
+        struct(lit(c.name).as("_1"), lit(c.durationMs - k * c.slideMs).as("_2")))
+    }: _*)
     val (a, s) = avgStd(exact)
     ticks
       .select(col("symbol"), col("price"),
         (expr(s"unix_millis(event_time) div ${slideMs}L") * slideMs).as("bucket_ms"))
       .select(col("symbol"), col("price"), col("bucket_ms"),
-        explode(typedlit(offsets)).as("w"))
+        explode(offsets).as("w"))
       .groupBy((col("bucket_ms") + col("w._2")).as("end_ms"),
         col("w._1").as("window"), col("symbol"))
       .agg(a, s)
