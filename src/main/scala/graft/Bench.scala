@@ -3,9 +3,17 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: one warmup pass at sf0.001 (JIT + codegen compile +
-  * parquet footer caches), then one timed pass per query at the target
-  * scale factor, in sorted name order for run-to-run stability. Prints
-  * exactly one JSON line. */
+  * parquet footer caches), then three timed passes per query at the target
+  * scale factor (median reported; min/max spread retained), in sorted name
+  * order for run-to-run stability.
+  *
+  * Output contract (driver-parseable): the JSON metric line is
+  *   1. written to `bench_out.json` next to the repo root,
+  *   2. printed to stdout during the run, and
+  *   3. re-printed from a JVM shutdown hook — when run un-forked inside
+  *      sbt, the hook fires after sbt's own `[success]` logger line, so the
+  *      bare (undecorated) JSON is the final line of process output.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -20,20 +28,33 @@ object Bench {
     spark.sparkContext.setLogLevel("ERROR")
 
     val names = SparkEntry.queries.keys.toSeq.sorted
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     names.foreach { name =>
       try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $name failed: ${e.getClass.getName}: ${e.getMessage}")
+      }
     }
 
+    val Reps = 3
     val results = names.map { name =>
-      val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        try SparkEntry.queries(name)(spark, sfDir).count()
+        catch { case e: Throwable =>
+          errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.sorted
+      name -> times
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, t) => "\"" + k + "\":" + t(Reps / 2) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val spread = results.map { case (k, t) =>
+      "\"" + k + "\":[" + t.head + "," + t.last + "]"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2(Reps / 2)).sum
 
     // End-to-end streaming throughput: events replayed through the full
     // parse → 6-sliding-window moving-stats pipeline in micro-batch mode
@@ -56,9 +77,29 @@ object Bench {
       // magnitude fewer rows through the wide Expand.
       val all6b = one(graft.operators.TickOps.defaultWindows, 100000, twoPhase = true)
       s"""{"single_window":$w30,"six_windows_union":$all6,"six_windows_two_phase":$all6b}"""
-    } catch { case _: Throwable => "null" }
+    } catch { case e: Throwable =>
+      errors("stream_throughput") = s"${e.getClass.getName}: ${e.getMessage}"
+      System.err.println(s"[bench] stream_throughput FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      "null"
+    }
 
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"stream":$stream,"sf":"$sfDir"}""")
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
+        .replaceAll("[\\x00-\\x1f]", " ") + "\""
+    }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"stream":$stream,"sf":"$sfDir"}"""
+
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
+    // Un-forked in sbt, stdout is decorated with "[info] " and followed by
+    // sbt's "[success] ..." line; this hook runs at sbt-JVM exit, after
+    // both, so the bare JSON is the last line the driver sees.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      System.out.println(json)
+      System.out.flush()
+    }))
     spark.stop()
   }
 
@@ -108,6 +149,14 @@ object Bench {
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     if (twoPhase)
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
+    // Multi-window plans put 360+ branches through Spark's window() Expand;
+    // whole-stage codegen for that span cannot compile (janino method-split
+    // bug on huge switch-cases) and Spark falls back to interpreted after a
+    // failed multi-second compile that also spews an ERROR stack trace into
+    // the bench output. Skip the doomed attempt up front: identical
+    // execution path (interpreted Expand), no wasted compile, clean output.
+    if (cfgs.size > 1)
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val ticks = graft.operators.TickOps.parseTicks(raw)
         .withWatermark("event_time", "10 seconds")
@@ -117,9 +166,11 @@ object Bench {
       val q = stats.writeStream.format("noop").outputMode("update").start()
       q.processAllAvailable()
       q.stop()
+      q.awaitTermination()
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
       // deleteOnExit can't remove non-empty dirs; clean up the replay files
       tmp.listFiles().foreach(_.delete())
       tmp.delete()

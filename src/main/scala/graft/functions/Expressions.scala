@@ -400,4 +400,9 @@ object GraftFunctions {
   def sig_overlap(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       SigOverlap(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
+  def top_k_by_score(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      TopKByScore(
+        org.apache.spark.sql.graft.Bridge.expression(score),
+        org.apache.spark.sql.graft.Bridge.expression(id), k).toAggregateExpression())
 }

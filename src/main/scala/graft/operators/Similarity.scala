@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions
@@ -34,6 +33,25 @@ object Similarity {
   def signLshBucket(vecName: String, planes: Int): Column =
     GraftFunctions.sign_lsh_bucket(col(vecName), planes)
 
+  /** Per-query exact top-k via the partial-aggregatable bounded-heap
+    * aggregate ([[graft.functions.TopKByScore]]): each map task reduces its
+    * partition to a k-entry heap per query, heaps merge across the shuffle,
+    * and ranks come from the final sorted heap. Shuffled bytes are
+    * `partitions × queries × k` entries — constant in corpus size — unlike
+    * a `row_number().over(partitionBy(query_id))` window, which funnels
+    * every scored corpus row through one reducer per query. Tie-break is
+    * (score desc, id asc), identical to the ranking-window ordering. */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(GraftFunctions.top_k_by_score(col("cosine"), col("neighbor_id"), k).as("topk"))
+      .select(col("query_id"), posexplode(col("topk")).as(Seq("pos", "t")))
+      .select(
+        col("query_id"),
+        col("t.id").as("neighbor_id"),
+        col("t.score").as("cosine"),
+        (col("pos") + 1).as("rank"))
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(
       corpus: DataFrame,
@@ -47,12 +65,7 @@ object Similarity {
     val scored = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .crossJoin(q)
       .withColumn("cosine", cosine(col("cv"), col("qv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKPerQuery(scored, k)
   }
 
   /** ANN top-k with multi-probe: the query probes its own sign-LSH bucket
@@ -77,12 +90,10 @@ object Similarity {
           explode(expr(
             s"concat(array(bucket0), transform(sequence(0, ${planes - 1}), " +
               "i -> bucket0 ^ shiftleft(1L, i)))")).as("bucket")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    c.join(q, Seq("bucket"))
+    // no dedup needed: a corpus row has exactly one bucket and the probe
+    // buckets are pairwise distinct, so each (query, neighbor) joins ≤ once
+    val joined = c.join(q, Seq("bucket"))
       .withColumn("cosine", cosine(col("cv"), col("qv")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("cosine"), col("rank"))
+    topKPerQuery(joined, k)
   }
 }

@@ -276,7 +276,7 @@ object RelationalQueries {
         | g AS (SELECT user_id, tus,
         |   SUM(brk) OVER (PARTITION BY user_id ORDER BY tus ROWS UNBOUNDED PRECEDING) AS grp FROM o),
         | sess AS (SELECT user_id, grp, COUNT(1) AS cnt FROM g GROUP BY user_id, grp)
-        |SELECT user_id, COUNT(1) AS n_sessions, SUM(cnt) AS n_events,
+        |SELECT user_id, COUNT(1) AS n_sessions, CAST(SUM(cnt) AS BIGINT) AS n_events,
         |       MAX(cnt) AS max_session_events
         |FROM sess GROUP BY user_id""".stripMargin,
 

@@ -156,8 +156,8 @@ object TextQueries {
     "q23_lang_profile" -> {
       s"""SELECT lang, COUNT(1) AS n_docs,
          |  ${sqlAvg("n_chars")} AS avg_chars,
-         |  SUM(CASE WHEN length(trim(text)) = 0 THEN 0
-         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS total_tokens,
+         |  CAST(SUM(CASE WHEN length(trim(text)) = 0 THEN 0
+         |      ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT) AS total_tokens,
          |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
          |FROM (
          |  SELECT lang, n_chars, text,

@@ -62,6 +62,17 @@ object Probe {
         val n = graft.operators.Dedup.ngramJaccard(cand, docs, "doc_id", "text", 2)
           .filter(col("jaccard") >= 0.2).count()
         println(s"PROBE final=$n t=${(System.nanoTime() - t3) / 1e9}")
+      case "all" =>
+        // run every query with a stderr name marker so codegen-fallback
+        // ERROR lines (log4j → stderr) attribute to the query that made them
+        graft.SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+          System.err.println(s"### PROBE-QUERY $name")
+          System.err.flush()
+          try graft.SparkEntry.queries(name)(spark, dir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"### PROBE-FAIL $name ${e.getClass.getName}")
+          }
+        }
       case w if w.startsWith("explain:") =>
         val q = graft.SparkEntry.queries(w.stripPrefix("explain:"))(spark, dir)
         println(q.queryExecution.explainString(

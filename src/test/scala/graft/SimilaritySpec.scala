@@ -32,6 +32,38 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("topK plan shape: heap aggregate with map-side combine, no ranking window") {
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val out = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", e.filter(col("vec_id") < 3), "vec_id", "embedding", 5)
+    val plan = out.queryExecution.executedPlan.toString
+    // no per-query single-reducer exchange: the ranking window is gone...
+    assert(!plan.contains("Window"), s"ranking window present:\n$plan")
+    // ...replaced by the bounded-heap aggregate, partial (map-side) +
+    // final, so shuffled bytes are O(partitions × queries × k)
+    assert(plan.contains("top_k_by_score"), plan)
+    assert(plan.contains("partial_top_k_by_score"), s"no map-side combine:\n$plan")
+  }
+
+  test("topK heap matches ranking-window semantics incl. tie-break") {
+    import org.apache.spark.sql.expressions.Window
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val got = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    // reference: the old window formulation, computed independently
+    val qb = broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("qv")))
+    val want = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      .crossJoin(qb)
+      .withColumn("cosine", Similarity.cosine(col("cv"), col("qv")))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(col("cosine").desc, col("neighbor_id").asc)))
+      .filter(col("rank") <= 10)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == want)
+  }
+
   test("lshTopK: recall vs brute force is reasonable at few planes") {
     val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
     val q = e.filter(col("vec_id") < 10)

@@ -67,10 +67,16 @@ class TickOpsSpec extends SparkSpec {
       ("BTC", 130.0, "2024-01-01 00:02:33"),
       ("BTC", 90.0, "2024-01-01 00:02:39"))
     val cfgs = TickOps.defaultWindows
-    val a = TickOps.slidingStatsMulti(t, cfgs, exact = true)
-    val b = TickOps.movingStatsUnion(t, cfgs, exact = true)
-    assert(a.count() == b.count())
-    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    // the 1h/10s window() Expand (360 branches) cannot compile under
+    // whole-stage codegen (known janino method-split limit) and would log
+    // a noisy failed-compile stack trace before falling back to the
+    // interpreted path — skip the doomed attempt; execution is identical
+    noWideExpandCodegen {
+      val a = TickOps.slidingStatsMulti(t, cfgs, exact = true)
+      val b = TickOps.movingStatsUnion(t, cfgs, exact = true)
+      assert(a.count() == b.count())
+      assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
+    }
   }
 
   test("nestWindows/explodeWindows roundtrip preserves the bag") {
@@ -155,11 +161,14 @@ class TickOpsSpec extends SparkSpec {
       ("ETH", 55.0, "2024-01-01 00:01:07"),
       ("BTC", 130.0, "2024-01-01 00:02:33"),
       ("BTC", 90.0, "2024-01-01 00:02:39"))
-    val one = TickOps.movingStatsUnion(t, TickOps.defaultWindows, exact = false)
-    val two = TickOps.slidingStatsTwoPhase(t, TickOps.defaultWindows)
-    // same groups; stats equal within fp reconstruction tolerance
-    val a = one.orderBy("window_timestamp", "symbol", "window").collect()
-    val b = two.orderBy("window_timestamp", "symbol", "window").collect()
+    // see slidingStatsMulti test: 360-branch Expand can't codegen anyway
+    val (a, b) = noWideExpandCodegen {
+      val one = TickOps.movingStatsUnion(t, TickOps.defaultWindows, exact = false)
+      val two = TickOps.slidingStatsTwoPhase(t, TickOps.defaultWindows)
+      // same groups; stats equal within fp reconstruction tolerance
+      (one.orderBy("window_timestamp", "symbol", "window").collect(),
+        two.orderBy("window_timestamp", "symbol", "window").collect())
+    }
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) =>
       assert(x.getTimestamp(0) == y.getTimestamp(0) && x.getString(1) == y.getString(1)
