@@ -59,38 +59,56 @@ object Bench {
     // End-to-end streaming throughput: events replayed through the full
     // parse → 6-sliding-window moving-stats pipeline in micro-batch mode
     // (the reference's own design point is ~10 msg/s; this measures ours).
+    // Median-of-3 like the batch section — round-1→2 showed single-run
+    // stream numbers wobble 1.7× on unchanged code. Caps are sized so the
+    // 3-rep stream section costs about what the 1-rep section did.
     val stream = try {
       def one(cfgs: Seq[graft.operators.TickOps.WindowConfig], cap: Int,
-              twoPhase: Boolean = false): String = {
-        val t0 = System.nanoTime()
-        val rows = streamThroughput(spark, sfDir, cfgs, cap, twoPhase)
-        val sec = (System.nanoTime() - t0) / 1e9
-        s"""{"input_rows":$rows,"sec":$sec,"rows_per_sec":${rows / sec}}"""
+              twoPhase: Boolean = false): (String, String) = {
+        var rows = 0L
+        val times = (1 to Reps).map { _ =>
+          val t0 = System.nanoTime()
+          rows = streamThroughput(spark, sfDir, cfgs, cap, twoPhase)
+          (System.nanoTime() - t0) / 1e9
+        }.sorted
+        val med = times(Reps / 2)
+        val slim = s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med}}"""
+        val full = slim.dropRight(1) + s""","spread":[${times.head},${times.last}]}"""
+        (slim, full)
       }
       // Six sliding windows go through Spark's window() Expand (669 total
       // branches; the 360-branch case falls out of codegen) — measured on
       // a capped replay so BENCH stays bounded; see README scale notes.
       val w30 = one(graft.operators.TickOps.defaultWindows.take(1), 100000)
-      val all6 = one(graft.operators.TickOps.defaultWindows, 20000)
+      val all6 = one(graft.operators.TickOps.defaultWindows, 6000)
       // Scale path: tumbling pre-aggregate, then re-window the partials —
       // the reference's own chained-stateful topology (H1), 2 orders of
       // magnitude fewer rows through the wide Expand.
-      val all6b = one(graft.operators.TickOps.defaultWindows, 100000, twoPhase = true)
-      s"""{"single_window":$w30,"six_windows_union":$all6,"six_windows_two_phase":$all6b}"""
+      val all6b = one(graft.operators.TickOps.defaultWindows, 40000, twoPhase = true)
+      def wrap(f: ((String, String)) => String) =
+        s"""{"single_window":${f(w30)},"six_windows_union":${f(all6)},"six_windows_two_phase":${f(all6b)}}"""
+      (wrap(_._1), wrap(_._2))
     } catch { case e: Throwable =>
       errors("stream_throughput") = s"${e.getClass.getName}: ${e.getMessage}"
       System.err.println(s"[bench] stream_throughput FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      "null"
+      ("null", "null")
     }
 
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
     }.mkString("{", ",", "}")
+    // Two renderings of the same measurements: the FULL json (per-query and
+    // per-stream min/max spread) goes to bench_out.json; the SLIM line (no
+    // spread maps) goes to stdout and the shutdown hook. The driver parses
+    // a 2,000-char tail of process output — round 2's full line was 3,133
+    // chars and truncated to unparseable; the slim line measures ~1,500.
+    val jsonFull =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"stream":$stream,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stream":${stream._1},"sf":"$sfDir"}"""
 
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), json + "\n")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), jsonFull + "\n")
     catch { case _: Throwable => () }
     println(json)
     // Un-forked in sbt, stdout is decorated with "[info] " and followed by

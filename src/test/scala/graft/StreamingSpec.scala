@@ -22,7 +22,7 @@ class StreamingSpec extends SparkSpec {
   private def tickJson(symbol: String, price: Double, iso: String): String =
     s"""{"symbol":"$symbol","price":$price,"event_time":"$iso","data_age_ms":1}"""
 
-  test("moving stats streaming: windowed update-mode emission via MemoryStream") {
+  test("moving stats streaming: windowed update-mode emission via MemoryStream") { noWideExpandCodegen {
     val in = MemoryStream[String](spark)
     val raw = in.toDF().withColumnRenamed("value", "value")
     val flat = MovingStatsJob.statsStream(raw)
@@ -46,7 +46,7 @@ class StreamingSpec extends SparkSpec {
         .groupBy("window_timestamp").agg(max("avg_price").as("a")).collect()
       assert(w30b.forall(_.getAs[Double]("a") == 110.0)) // (100+110+120)/3
     } finally q.stop()
-  }
+  } }
 
   test("watermark: late data beyond 10s is dropped from append-mode windows") {
     val in = MemoryStream[PriceTick](spark)
@@ -96,7 +96,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("H1 foreachBatch re-nest: nested JSON output without chained stateful aggs") {
+  test("H1 foreachBatch re-nest: nested JSON output without chained stateful aggs") { noWideExpandCodegen {
     val in = MemoryStream[String](spark)
     val flat = MovingStatsJob.statsStream(in.toDF())
     val seen = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -114,7 +114,7 @@ class StreamingSpec extends SparkSpec {
       val js = seen.find(_.contains(""""window":"30s"""")).get
       assert(js.contains(""""symbol":"BTCUSDT"""") && js.contains(""""windows":["""))
     } finally q.stop()
-  }
+  } }
 
   test("price alerts: time-until-higher/lower with horizon expiry") {
     val in = MemoryStream[PriceTick](spark)
@@ -141,7 +141,7 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
-  test("chained H1 mode plans with correctness check disabled (reference fidelity)") {
+  test("chained H1 mode plans with correctness check disabled (reference fidelity)") { noWideExpandCodegen {
     spark.conf.set("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
     try {
       val in = MemoryStream[String](spark)
@@ -156,7 +156,7 @@ class StreamingSpec extends SparkSpec {
       } finally q.stop()
     } finally spark.conf.set(
       "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
-  }
+  } }
 
   test("price alerts via transformWithState (RocksDB state store)") {
     val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
