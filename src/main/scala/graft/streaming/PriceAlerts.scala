@@ -28,11 +28,17 @@ object PriceAlerts {
   /** direction = +1 → time-until-higher; -1 → time-until-lower.
     *
     * Resolution: a pending tick resolves against the first qualifying
-    * successor *within the horizon*; successors beyond the horizon leave
-    * it to expire at the horizon value. Expiry is watermark-driven — a
-    * tick expires only once the event-time watermark passes
-    * `tick + horizon`, at which point no in-watermark successor can still
-    * resolve it — so late-but-valid ticks keep their chance to resolve.
+    * successor (event-time within the horizon) **in arrival order** —
+    * the alert is emitted the micro-batch that successor arrives, so a
+    * late-arriving successor with an *earlier* event time cannot revise
+    * an already-emitted `seconds_until` (append mode; emissions are
+    * final). Late-but-in-watermark ticks do still resolve ticks that are
+    * *still pending*: expiry alone is watermark-driven — a pending tick
+    * emits the horizon value only once the event-time watermark passes
+    * `tick + horizon`, i.e. once no in-watermark successor can arrive.
+    * Exact event-time-order resolution would require buffering every
+    * alert until the watermark passes its resolver; arrival-order is the
+    * standard low-latency trade-off and matches update-mode intuition.
     * Event-time timers re-arm for the earliest outstanding expiry, so
     * quiet keys still flush (and release their state) as the watermark
     * advances on other keys.

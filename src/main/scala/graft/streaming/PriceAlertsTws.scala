@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{Dataset, Encoders, SparkSession}
-import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig}
+import org.apache.spark.sql.streaming.{ListState, OutputMode, StatefulProcessor, TimeMode, TimerValues, TTLConfig, ValueState}
 
 import graft.model.Models.PriceTick
 import graft.streaming.PriceAlerts.Alert
@@ -11,7 +11,9 @@ import graft.streaming.PriceAlerts.Alert
   * (`ListState`), explicit TTL, timers, and the RocksDB state store.
   * Same semantics: per tick, seconds until the first strictly
   * higher/lower price within a horizon; unresolved ticks emit the horizon
-  * value.
+  * value. Resolution is first-qualifying-successor-in-*arrival*-order,
+  * with watermark-driven expiry — see [[PriceAlerts.resolve]] for the
+  * exact late-data contract.
   *
   * Requires `spark.sql.streaming.stateStore.providerClass =
   * ...state.RocksDBStateStoreProvider` (transformWithState is
@@ -21,10 +23,18 @@ class AlertProcessor(direction: Int, horizonSec: Double)
     extends StatefulProcessor[String, PriceTick, Alert] {
 
   @transient private var pending: ListState[PriceTick] = _
+  // Timestamp of the one timer currently registered for this key, so a
+  // re-arm can delete its predecessor. Without this, every input batch
+  // leaves a stale timer behind: they all fire eventually as no-op
+  // invocations, costing state-store work per key per batch.
+  @transient private var armedTimer: ValueState[Long] = _
 
-  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+  override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
     pending = getHandle.getListState[PriceTick](
       "pending", Encoders.product[PriceTick], TTLConfig.NONE)
+    armedTimer = getHandle.getValueState[Long](
+      "armed_timer", Encoders.scalaLong, TTLConfig.NONE)
+  }
 
   override def handleInputRows(
       key: String,
@@ -53,8 +63,14 @@ class AlertProcessor(direction: Int, horizonSec: Double)
   override def handleExpiredTimer(
       key: String,
       timerValues: TimerValues,
-      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] =
+      expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[Alert] = {
+    // The timer that fired is the one we tracked; forget it before
+    // re-arming so expireAndRearm doesn't try to delete a spent timer.
+    if (armedTimer.exists() &&
+        armedTimer.get() == expiredTimerInfo.getExpiryTimeInMs())
+      armedTimer.clear()
     expireAndRearm(key, pending.get().toList, timerValues)
+  }
 
   /** Emit horizon alerts for ticks the watermark has passed, persist the
     * rest, and re-arm a timer for the earliest outstanding expiry so quiet
@@ -66,10 +82,19 @@ class AlertProcessor(direction: Int, horizonSec: Double)
     val horizonMs = (horizonSec * 1000).toLong
     val wm = timerValues.getCurrentWatermarkInMs()
     val (expired, kept) = open.partition(p => wm >= p.event_time.getTime + horizonMs)
-    if (kept.isEmpty) pending.clear()
-    else {
+    val prev = if (armedTimer.exists()) Some(armedTimer.get()) else None
+    if (kept.isEmpty) {
+      pending.clear()
+      prev.foreach(getHandle.deleteTimer)
+      armedTimer.clear()
+    } else {
       pending.put(kept.toArray)
-      getHandle.registerTimer(kept.map(_.event_time.getTime).min + horizonMs)
+      val next = kept.map(_.event_time.getTime).min + horizonMs
+      if (!prev.contains(next)) {
+        prev.foreach(getHandle.deleteTimer)
+        getHandle.registerTimer(next)
+        armedTimer.update(next)
+      }
     }
     expired.map(p => Alert(key, p.event_time, p.price, horizonSec)).iterator
   }
