@@ -19,6 +19,36 @@ object PipelineDemo {
     val dir = args.headOption.getOrElse("/tmp/stream_in")
     val spark = SparkUtil.newLocalSession("graft-pipeline-demo", "4")
     val schema = spark.read.parquet(dir).schema
+    // Every stage here runs the six-window union: its window() Expand has
+    // too many branches for whole-stage codegen (janino method-split bug)
+    // and Spark would fall back to interpreted after a failed multi-second
+    // compile + ERROR stack trace per query. Skip the doomed attempt.
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+
+    // Stage 0a (producer fidelity, reference main.py semantics): event
+    // values play the role of fetched Binance prices; ProducerSim applies
+    // the stale-republish policy and the drift-free 100 ms schedule, and
+    // its frames replay through the same moving-stats pipeline.
+    locally {
+      import org.apache.spark.sql.Encoders
+      val prices = spark.read.parquet(dir).orderBy("ts").limit(300)
+        .select(col("value").cast("double")).as[Double](Encoders.scalaDouble).collect()
+      val fetches = prices.zipWithIndex.map { case (p, i) =>
+        // jittered completion times; coarse rounding yields repeated prices
+        graft.streaming.ProducerSim.Fetch(i * 100L + 37L, Some(math.round(p).toDouble))
+      }
+      val frames = graft.streaming.ProducerSim.run(fetches.toSeq, 0L, prices.length * 100L)
+      val prodDir = java.nio.file.Files.createTempDirectory("demo-producer").toFile
+      java.nio.file.Files.write(new java.io.File(prodDir, "frames.json").toPath,
+        graft.streaming.ProducerSim.toJson(frames).mkString("\n").getBytes)
+      val qp = MovingStatsJob.statsStream(
+          spark.readStream.schema("value STRING").text(prodDir.getAbsolutePath))
+        .writeStream.format("memory").queryName("producer_stats")
+        .outputMode("update").start()
+      qp.processAllAvailable(); qp.stop()
+      println(s"DEMO producer_frames=${frames.length} " +
+        s"producer_stats_rows=${spark.table("producer_stats").count()}")
+    }
 
     // Stage 0 (producer analog): events → tick JSON frames
     val rawJson = spark.readStream.schema(schema).parquet(dir)
