@@ -40,7 +40,7 @@ object SimilarityQueries {
     // DedupSpec.
     "q32_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = 4, threshold = 0.4)),
+        planes = 4, threshold = 0.4, tables = 3)),
 
     // Multimodal plumbing: synthetic binary payloads → stubbed decode →
     // feature vectors ready for similarity ops.

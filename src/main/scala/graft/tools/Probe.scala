@@ -62,6 +62,53 @@ object Probe {
         val n = graft.operators.Dedup.ngramJaccard(cand, docs, "doc_id", "text", 2)
           .filter(col("jaccard") >= 0.2).count()
         println(s"PROBE final=$n t=${(System.nanoTime() - t3) / 1e9}")
+      case "recall" =>
+        // measured recall of the three LSH queries vs exact ground truth,
+        // with the exact driver-query parameters (q27/q31/q32)
+        import org.apache.spark.sql.functions._
+        import graft.functions.GraftFunctions
+        val docs = SparkUtil.table(spark, dir, "documents")
+        val emb = SparkUtil.table(spark, dir, "embeddings")
+
+        val sh = docs.select(col("doc_id"),
+          GraftFunctions.shingle_hashes(graft.operators.TextOps.tokens(col("text")), 2).as("sh"))
+        val truth27 = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+          .crossJoin(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            GraftFunctions.jaccard_sorted(col("sh_a"), col("sh_b")).as("j"))
+          .filter(col("j") >= 0.2)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got27 = graft.operators.Dedup.minhashPairs(docs, "doc_id", "text",
+          k = 2, numHashes = 32, bands = 16, threshold = 0.2)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"PROBE q27 truth=${truth27.size} got=${got27.size} " +
+          s"outside_truth=${(got27 diff truth27).size} " +
+          s"recall=${(got27 intersect truth27).size.toDouble / truth27.size}")
+
+        val q = emb.filter(col("vec_id") < 5)
+        val brute = graft.operators.Similarity.bruteForceTopK(
+          emb, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+          .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val lsh = graft.operators.Similarity.lshTopK(
+          emb, "vec_id", "embedding", q, "vec_id", "embedding", 10, planes = 6)
+          .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"PROBE q31 truth=${brute.size} got=${lsh.size} " +
+          s"recall=${(brute intersect lsh).size.toDouble / brute.size}")
+
+        val truth32 = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+          .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
+          .filter(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b"),
+            GraftFunctions.cosine_similarity(col("v_a"), col("v_b")).as("c"))
+          .filter(col("c") >= 0.4)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        val got32 = graft.operators.Dedup.embeddingNearDups(
+          emb, "vec_id", "embedding", planes = 4, threshold = 0.4, tables = 3)
+          .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"PROBE q32 truth=${truth32.size} got=${got32.size} " +
+          s"outside_truth=${(got32 diff truth32).size} " +
+          s"recall=${(got32 intersect truth32).size.toDouble / truth32.size}")
       case "all" =>
         // run every query with a stderr name marker so codegen-fallback
         // ERROR lines (log4j → stderr) attribute to the query that made them
