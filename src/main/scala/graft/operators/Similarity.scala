@@ -109,4 +109,89 @@ object Similarity {
       .withColumn("cosine", cosine(col("cv"), col("qv")))
     topKPerQuery(joined, k)
   }
+
+  /** Literal array<float> column from a centroid (plain `lit` per element:
+    * `typedlit` breaks under foreign classloaders — see SparkEntry). */
+  private def litVec(v: Array[Float]): Column = array(v.map(x => lit(x)): _*)
+
+  /** Per-row cosine scores against every centroid, as one array column. */
+  private def centroidScores(vecCol: Column, cents: Array[Array[Float]]): Column =
+    array(cents.map(c => cosine(vecCol, litVec(c))): _*)
+
+  /** argmax over [[centroidScores]] — first max wins (deterministic). */
+  private def nearestCell(vecCol: Column, cents: Array[Array[Float]]): Column = {
+    val s = centroidScores(vecCol, cents)
+    (array_position(s, array_max(s)) - 1).cast("int")
+  }
+
+  /** Coarse quantizer for [[ivfTopK]]: k-means by Lloyd iteration, written
+    * as plain DataFrame aggregations so the training scan distributes like
+    * any other query (no driver-side loops over rows — only the k×dim
+    * centroid matrix is ever collected). Initialization picks exemplar
+    * vectors by hashed id — deterministic, no RNG state. Cosine is the
+    * assignment metric, so member means are the (unnormalized) spherical
+    * k-means update. At production scale: train on a sample (`sampleN`),
+    * persist the centroid matrix, and reuse it across queries; here it is
+    * recomputed per call because the corpora are small. */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      iters: Int = 3,
+      sampleN: Int = 100000): Array[Array[Float]] = {
+    val sample = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .orderBy(xxhash64(col("id"))).limit(sampleN)
+    var cents = sample.orderBy(xxhash64(col("id") + 1)).limit(nlist)
+      .select("v").collect().map(_.getSeq[Float](0).toArray)
+    for (_ <- 1 to iters) {
+      val updated = sample
+        .withColumn("cell", nearestCell(col("v"), cents))
+        .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell")
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("c"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toArray).toMap
+      // cells that lost every member keep their previous centroid
+      cents = cents.indices.map(i => updated.getOrElse(i, cents(i))).toArray
+    }
+    cents
+  }
+
+  /** IVF (inverted-file) ANN: corpus rows are indexed by nearest coarse
+    * centroid; a query scores only the rows in its `nprobe` closest cells.
+    * The second classic ANN scale path next to [[lshTopK]] — centroids
+    * adapt to the data distribution, so cells stay balanced where static
+    * hyperplanes can't. Corpus-side cost: one assignment scan (k×dim
+    * fused cosine kernels, codegen'd) + the bucket-join shuffle keyed by
+    * cell; query side is broadcast with an nprobe-cell fan-out. Recall is
+    * tunable via nprobe (= nlist recovers exact brute force). */
+  def ivfTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters)
+    val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      .withColumn("cell", nearestCell(col("cv"), cents))
+    val q = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .withColumn("scores", centroidScores(col("qv"), cents))
+        // top-nprobe cells: pair (-score, index) sorts ascending = score desc
+        .select(col("query_id"), col("qv"),
+          explode(expr(
+            s"transform(slice(array_sort(transform(sequence(0, ${nlist - 1}), " +
+              s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $nprobe), p -> p.idx)"))
+            .as("cell")))
+    val joined = c.join(q, Seq("cell"))
+      .withColumn("cosine", cosine(col("cv"), col("qv")))
+    topKPerQuery(joined, k)
+  }
 }

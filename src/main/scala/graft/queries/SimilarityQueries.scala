@@ -34,6 +34,18 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQ), "vec_id", "embedding", K, planes = 6)
     }),
 
+    // Second ANN scale path: IVF — data-adaptive coarse quantizer (Lloyd
+    // k-means over DataFrame aggs), nprobe-cell search. Rows-only (the
+    // iterative float centroid training has no DuckDB mirror); recall vs
+    // brute force asserted in RecallSpec.
+    "q40_ann_ivf" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K,
+        nlist = 16, nprobe = 4)
+    }),
+
     // Embedding near-duplicate candidates via LSH buckets + exact cosine.
     // τ=0.4 suits this synthetic corpus (max pairwise cosine ≈ 0.48);
     // production near-dup τ≈0.95 is exercised on planted vectors in

@@ -96,6 +96,13 @@ object Probe {
         println(s"PROBE q31 truth=${brute.size} got=${lsh.size} " +
           s"recall=${(brute intersect lsh).size.toDouble / brute.size}")
 
+        val ivf = graft.operators.Similarity.ivfTopK(
+          emb, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+          nlist = 16, nprobe = 4)
+          .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        println(s"PROBE q40 truth=${brute.size} got=${ivf.size} " +
+          s"recall=${(brute intersect ivf).size.toDouble / brute.size}")
+
         val truth32 = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
           .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
           .filter(col("id_a") < col("id_b"))

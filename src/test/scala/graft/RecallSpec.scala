@@ -63,6 +63,26 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, s"q31 recall@10 $recall (measured 0.58 at radius-2 multi-probe)")
   }
 
+  test("q40 ANN IVF: recall at nprobe=4, exact brute-force equivalence at nprobe=nlist") {
+    val e = SparkUtil.table(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val ivf4 = pairSet(
+      Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 4) // q40's parameters
+        .select("query_id", "neighbor_id"))
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val recall = (bruteIds intersect ivf4).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"q40 recall@10 $recall (measured 0.58 at nprobe=4/16)")
+    // probing every cell searches the whole corpus: IVF must then equal
+    // brute force exactly — same neighbors, same cosines, same ranks
+    val ivfAll = Similarity.ivfTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(ivfAll == brute, "IVF at nprobe=nlist diverged from brute force")
+  }
+
   test("q32 embedding near-dups: exact containment and recall vs brute-force cosine") {
     val e = SparkUtil.table(spark, sf(), "embeddings")
     val truth = pairSet(
