@@ -177,8 +177,13 @@ object Similarity {
       k: Int,
       nlist: Int = 16,
       nprobe: Int = 4,
-      iters: Int = 3): DataFrame = {
-    val cents = trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters)
+      iters: Int = 3,
+      centroids: Option[Array[Array[Float]]] = None): DataFrame = {
+    // IVF's contract is train-once / search-many: callers that persist the
+    // centroid matrix (it is tiny) pass it back in and skip training —
+    // also what keeps repeated searches from re-running Lloyd jobs.
+    val cents = centroids.getOrElse(
+      trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters))
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("cell", nearestCell(col("cv"), cents))
     val q = broadcast(

@@ -127,6 +127,14 @@ object Probe {
             System.err.println(s"### PROBE-FAIL $name ${e.getClass.getName}")
           }
         }
+      case w if w.startsWith("x3:") =>
+        // three timed runs in one JVM — shows warm-cache / post-codegen cost
+        val name = w.stripPrefix("x3:")
+        (1 to 3).foreach { i =>
+          val t0 = System.nanoTime()
+          val n = graft.SparkEntry.queries(name)(spark, dir).count()
+          println(f"PROBE $name rep$i rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
       case w if w.startsWith("explain:") =>
         val q = graft.SparkEntry.queries(w.stripPrefix("explain:"))(spark, dir)
         println(q.queryExecution.explainString(
