@@ -33,12 +33,18 @@ object Dedup {
 
   /** Word k-shingles (distinct) over an already-selected token column
     * (referenced by name so the expression tree stays parseable). */
-  def shingles(tokensColName: String, k: Int): Column = expr(
-    s"""array_distinct(CASE WHEN size($tokensColName) < $k
+  def shingles(tokensColName: String, k: Int): Column =
+    array_distinct(shinglesAll(tokensColName, k))
+
+  /** Word k-shingles keeping duplicates — the multiset variant, for
+    * within-document repetition measurement where the duplicate count IS
+    * the signal. */
+  def shinglesAll(tokensColName: String, k: Int): Column = expr(
+    s"""CASE WHEN size($tokensColName) < $k
        |  THEN array(array_join($tokensColName, ' '))
        |  ELSE transform(sequence(0, size($tokensColName) - $k),
        |                 i -> array_join(slice($tokensColName, i + 1, $k), ' '))
-       |END)""".stripMargin)
+       |END""".stripMargin)
 
   /** MinHash signature: numHashes universal hash functions over shingle
     * hashes, computed in one fused codegen'd pass

@@ -71,4 +71,46 @@ object TextOps {
   /** FNV-1a rolling-hash document fingerprint (custom codegen'd
     * expression). */
   def fingerprint(text: Column): Column = GraftFunctions.rolling_fingerprint(text)
+
+  /** Benchmark-contamination check (GPT-3-style n-gram overlap): for each
+    * non-benchmark document, the fraction of its distinct word k-grams
+    * that appear anywhere in the benchmark documents (`benchFilter`
+    * selects those). The benchmark gram set is inherently small (eval
+    * sets are MBs against a 100 TB corpus), so membership is a broadcast
+    * left join — map-side only; the single shuffle is the per-document
+    * count aggregation. Output: (idCol, n_grams, n_contaminated,
+    * contamination). */
+  def contamination(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      benchFilter: Column,
+      k: Int = 5): org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col(idCol), benchFilter.as("is_bench"), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("is_bench"), explode(Dedup.shingles("toks", k)).as("gram"))
+    val bench = grams.filter(col("is_bench"))
+      .select(col("gram")).distinct().withColumn("hit", lit(1))
+    grams.filter(!col("is_bench"))
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"), count(col("hit")).as("n_contaminated"))
+      .withColumn("contamination", col("n_contaminated") / col("n_grams"))
+  }
+
+  /** Within-document repetition (C4-style quality signal): 1 − distinct/
+    * total word k-grams. Pure per-row array expressions — no shuffle,
+    * fully codegen'd. Output: (idCol, n_grams, n_distinct, repetition). */
+  def repetitionStats(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .select(col(idCol), Dedup.shinglesAll("toks", k).as("grams"))
+      .select(col(idCol),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"))
+      .withColumn("repetition", lit(1.0) - col("n_distinct") / col("n_grams"))
 }

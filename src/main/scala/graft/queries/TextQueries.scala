@@ -88,10 +88,71 @@ object TextQueries {
     // SimHash near-dup pairs — rows-only.
     "q28_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
-        maxHamming = 12))
+        maxHamming = 12)),
+
+    // Benchmark-contamination check: per-document fraction of distinct
+    // word 5-grams that appear in a holdout "benchmark" set (docs with
+    // doc_id % 50 == 0 stand in for the eval set). The benchmark gram set
+    // is small by nature, so the membership probe is a broadcast left
+    // join — map-side only, no shuffle of the corpus grams; the one
+    // shuffle is the per-doc count aggregation.
+    "q41_contamination" -> ((s, dir) =>
+      TextOps.contamination(table(s, dir, "documents"), "doc_id", "text",
+        benchFilter = col("doc_id") % 50 === 0, k = 5)),
+
+    // Within-document repetition (C4-style quality signal): 1 − distinct/
+    // total word 3-grams. Pure per-row array expressions — no shuffle at
+    // all, fully codegen'd, embarrassingly parallel at any scale.
+    "q42_repetition" -> ((s, dir) =>
+      TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", k = 3))
   )
 
   def oracles: Map[String, String] = Map(
+    "q41_contamination" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, CASE WHEN len(toks) < 5 THEN 2 ELSE len(toks) - 3 END)) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN array_to_string(toks, ' ')
+        |         ELSE array_to_string(toks[i:i+4], ' ') END AS gram
+        |  FROM idx),
+        |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0)
+        |SELECT g.doc_id,
+        |  COUNT(*) AS n_grams,
+        |  COUNT(b.gram) AS n_contaminated,
+        |  COUNT(b.gram) / COUNT(*) AS contamination
+        |FROM grams g LEFT JOIN bench b USING (gram)
+        |WHERE g.doc_id % 50 <> 0
+        |GROUP BY g.doc_id""".stripMargin,
+
+    "q42_repetition" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |idx AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(1, CASE WHEN len(toks) < 3 THEN 2 ELSE len(toks) - 1 END)) AS i
+        |  FROM toks),
+        |grams AS (
+        |  SELECT doc_id,
+        |    list(CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+        |         ELSE array_to_string(toks[i:i+2], ' ') END) AS grams
+        |  FROM idx GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(len(grams) AS INT) AS n_grams,
+        |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
+        |  1.0 - len(list_distinct(grams)) / len(grams) AS repetition
+        |FROM grams""".stripMargin,
+
     "q20_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank,

@@ -54,6 +54,39 @@ class TextOpsSpec extends SparkSpec {
       org.apache.spark.unsafe.types.UTF8String.fromString("abc")))
   }
 
+  test("repetitionStats: exact distinct/total gram arithmetic") {
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),    // 9 toks → 7 3-grams, 3 distinct
+      (2L, "w x y z"),              // 4 toks → 2 3-grams, both distinct
+      (3L, ""),                     // degenerate: single empty gram
+      (4L, "one two")               // < k tokens: whole text is the gram
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    assert(out(1L) == ((7, 3, 1.0 - 3.0 / 7.0)))
+    assert(out(2L) == ((2, 2, 0.0)))
+    assert(out(3L) == ((1, 1, 0.0)))
+    assert(out(4L) == ((1, 1, 0.0)))
+  }
+
+  test("contamination: planted benchmark overlap is counted exactly") {
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, benchText),                                    // the benchmark doc
+      (1L, benchText),                                    // fully contaminated copy
+      (2L, "alpha beta gamma delta epsilon other words here now"), // partial overlap
+      (3L, "nothing in common with that benchmark document at all")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contamination(docs, "doc_id", "text",
+      benchFilter = col("doc_id") === 0, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(!out.contains(0L)) // benchmark docs are excluded from scoring
+    assert(out(1L) == ((4L, 4L, 1.0))) // 8 toks → 4 5-grams, all benchmark grams
+    // doc 2: 9 toks → 5 distinct 5-grams, exactly one ("alpha ... epsilon") in benchmark
+    assert(out(2L) == ((5L, 1L, 0.2)))
+    assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
+  }
+
   test("simhash: near-identical docs within small hamming distance, unrelated far") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = a.replace("today", "tonight") // one token changed
