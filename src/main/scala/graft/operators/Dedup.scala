@@ -159,6 +159,41 @@ object Dedup {
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
   }
 
+  /** Duplicate-cluster assignment: connected components over a pair set
+    * (id_a, id_b), by iterative min-label propagation — every node adopts
+    * the smallest id reachable so far; converges in O(component diameter)
+    * rounds, each a join + aggregation (the degenerate-free version of
+    * map-reduce large-star). Dedup clusters are shallow (near-dup graphs
+    * are dense blobs, not paths), so the loop terminates in a handful of
+    * rounds; `localCheckpoint` truncates the growing plan lineage each
+    * round, which is what makes iterative DataFrame algorithms viable.
+    * Output: (id, cluster) for every id present in `pairs`, cluster = min
+    * member id — join back to the corpus to pick canonical keepers. */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("cluster", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = sym.join(labels, sym("src") === labels("id"))
+        .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
+      // `moved` rides along so convergence needs no second comparison join
+      val next = labels.join(prop, labels("id") === prop("dst"), "left")
+        .select(labels("id"),
+          least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("moved"))
+        .localCheckpoint(true)
+      converged = next.filter(col("moved")).isEmpty
+      labels = next.select(col("id"), col("cluster"))
+      i += 1
+    }
+    labels
+  }
+
   /** Embedding near-dup via sign-LSH buckets + exact cosine verify; see
     * [[Similarity.signLshBucket]] for the sketch.
     *

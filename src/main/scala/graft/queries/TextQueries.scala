@@ -90,6 +90,15 @@ object TextQueries {
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
         maxHamming = 12)),
 
+    // Duplicate clusters: connected components over the SimHash pair set
+    // → canonical cluster id per involved doc. Rows-only (iterative
+    // LSH-derived graph has no SQL mirror); exact cluster structure
+    // asserted on planted graphs in DedupSpec.
+    "q43_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 12))),
+
     // Benchmark-contamination check: per-document fraction of distinct
     // word 5-grams that appear in a holdout "benchmark" set (docs with
     // doc_id % 50 == 0 stand in for the eval set). The benchmark gram set

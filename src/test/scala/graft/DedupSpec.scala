@@ -61,6 +61,33 @@ class DedupSpec extends SparkSpec {
     assert(out((1L, 5L)) == 0.0)
   }
 
+  test("duplicateClusters: chains, blobs, and singleton pairs resolve to min-id components") {
+    // component {1,2,3,4} as a pure chain (worst-case diameter),
+    // component {10,11,12} as a triangle, component {20,21} as one edge
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("duplicateClusters composes with minhashPairs for end-to-end dedup") {
+    val clusters = Dedup.duplicateClusters(
+      Dedup.minhashPairs(corpus, "doc_id", "text",
+        k = 3, numHashes = 32, bands = 16, threshold = 0.5))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // docs 1 and 2 are exact duplicates → same cluster, keeper = 1
+    assert(clusters(1L) == 1L && clusters(2L) == 1L)
+    // unrelated docs never enter the pair graph
+    assert(!clusters.contains(5L) && !clusters.contains(6L))
+  }
+
   test("embeddingNearDups: planted near-identical vectors pair up") {
     val v1 = Array.tabulate(16)(i => math.sin(i + 1).toFloat)
     val v2 = v1.clone(); v2(0) = v2(0) * 1.01f // ~same direction
