@@ -72,6 +72,23 @@ object TextOps {
     * expression). */
   def fingerprint(text: Column): Column = GraftFunctions.rolling_fingerprint(text)
 
+  /** PII scrub patterns — deliberately engine-portable regex (no
+    * lookaround, no backreferences), so the same pattern text runs under
+    * Java regex (Spark codegen) and RE2-family engines identically. */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails and IPv4 addresses with typed placeholders; pure
+    * per-row regexp_replace chain — codegen'd, shuffle-free, linear in
+    * bytes (the shape of a 100 TB scrubbing pass). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, emailPattern, "[EMAIL]"),
+      ipv4Pattern, "[IP]")
+
+  def piiEmailCount(text: Column): Column = regexp_count(text, lit(emailPattern))
+  def piiIpCount(text: Column): Column = regexp_count(text, lit(ipv4Pattern))
+
   /** Benchmark-contamination check (GPT-3-style n-gram overlap): for each
     * non-benchmark document, the fraction of its distinct word k-grams
     * that appear anywhere in the benchmark documents (`benchFilter`

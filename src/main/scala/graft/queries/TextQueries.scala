@@ -113,7 +113,41 @@ object TextQueries {
     // total word 3-grams. Pure per-row array expressions — no shuffle at
     // all, fully codegen'd, embarrassingly parallel at any scale.
     "q42_repetition" -> ((s, dir) =>
-      TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", k = 3))
+      TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", k = 3)),
+
+    // PII scrub: per-doc email/IPv4 counts and the md5 of the redacted
+    // text (the hash keeps the oracle row narrow while still proving the
+    // replacement output matches byte-for-byte).
+    "q45_pii_redaction" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        TextOps.piiEmailCount(col("text")).as("n_emails"),
+        TextOps.piiIpCount(col("text")).as("n_ips"),
+        md5(TextOps.redactPii(col("text"))).as("redacted_md5"))),
+
+    // The composed training-data filter: quality, repetition,
+    // contamination, and exact-dup rank joined into one keep/drop
+    // decision per document — the end-to-end shape of a corpus-cleaning
+    // job. Benchmark docs drop out via the contamination inner join
+    // (eval data must never enter the training set). Every branch
+    // re-shuffles only on doc_id, so AQE coalesces the joins; the
+    // per-row branches (quality, repetition) are shuffle-free.
+    "q44_filter_pipeline" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val qual = docs.select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+      val rep = TextOps.repetitionStats(docs, "doc_id", "text", k = 3)
+        .select(col("doc_id"), col("repetition"))
+      val cont = TextOps.contamination(docs, "doc_id", "text",
+        benchFilter = col("doc_id") % 50 === 0, k = 5)
+        .select(col("doc_id"), col("contamination"))
+      val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
+        .select(col("doc_id"), col("is_duplicate"))
+      qual.join(rep, Seq("doc_id")).join(dup, Seq("doc_id")).join(cont, Seq("doc_id"))
+        .withColumn("keep",
+          col("quality") >= 0.5 && col("repetition") <= 0.2 &&
+            col("contamination") < 0.5 && !col("is_duplicate"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -161,6 +195,69 @@ object TextQueries {
         |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
         |  1.0 - len(list_distinct(grams)) / len(grams) AS repetition
         |FROM grams""".stripMargin,
+
+    "q45_pii_redaction" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  md5(regexp_replace(regexp_replace(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
+        |FROM documents""".stripMargin,
+
+    "q44_filter_pipeline" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
+         |  FROM documents),
+         |rep AS (
+         |  SELECT doc_id, 1.0 - len(list_distinct(grams)) / len(grams) AS repetition
+         |  FROM (
+         |    SELECT doc_id,
+         |      list(CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+         |           ELSE array_to_string(toks[i:i+2], ' ') END) AS grams
+         |    FROM (SELECT doc_id, toks,
+         |            unnest(range(1, CASE WHEN len(toks) < 3 THEN 2 ELSE len(toks) - 1 END)) AS i
+         |          FROM toks)
+         |    GROUP BY doc_id)),
+         |grams5 AS (
+         |  SELECT DISTINCT doc_id,
+         |    CASE WHEN len(toks) < 5 THEN array_to_string(toks, ' ')
+         |         ELSE array_to_string(toks[i:i+4], ' ') END AS gram
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, CASE WHEN len(toks) < 5 THEN 2 ELSE len(toks) - 3 END)) AS i
+         |        FROM toks)),
+         |bench AS (SELECT DISTINCT gram FROM grams5 WHERE doc_id % 50 = 0),
+         |cont AS (
+         |  SELECT g.doc_id, COUNT(b.gram) / COUNT(*) AS contamination
+         |  FROM grams5 g LEFT JOIN bench b USING (gram)
+         |  WHERE g.doc_id % 50 <> 0
+         |  GROUP BY g.doc_id),
+         |qual AS (
+         |  SELECT doc_id, CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+         |  FROM (
+         |    SELECT doc_id,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN $stopIn)) AS stop
+         |    FROM documents)),
+         |dup AS (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
+         |  FROM documents)
+         |SELECT q.doc_id, q.quality, r.repetition, c.contamination, d.is_duplicate,
+         |  (q.quality >= 0.5 AND r.repetition <= 0.2 AND
+         |   c.contamination < 0.5 AND NOT d.is_duplicate) AS keep
+         |FROM qual q
+         |JOIN rep r USING (doc_id)
+         |JOIN dup d USING (doc_id)
+         |JOIN cont c USING (doc_id)""".stripMargin,
 
     "q20_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,

@@ -87,6 +87,25 @@ class TextOpsSpec extends SparkSpec {
     assert(out(3L)._2 == 0L && out(3L)._3 == 0.0)
   }
 
+  test("redactPii: emails and IPv4 replaced with placeholders, counts exact") {
+    val docs = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk or bob@test.org today"),
+      (2L, "server at 10.0.0.1 talks to 192.168.255.254 nightly"),
+      (3L, "mixed: eve@corp.io from 172.16.4.20 logged in"),
+      (4L, "clean text with no identifiers at all")
+    ).toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+      TextOps.piiEmailCount(col("text")).as("e"),
+      TextOps.piiIpCount(col("text")).as("i"),
+      TextOps.redactPii(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getString(3))).toMap
+    assert(out(1L)._1 == 2 && out(1L)._2 == 0)
+    assert(out(1L)._3 == "contact [EMAIL] or [EMAIL] today")
+    assert(out(2L) == ((0, 2, "server at [IP] talks to [IP] nightly")))
+    assert(out(3L) == ((1, 1, "mixed: [EMAIL] from [IP] logged in")))
+    assert(out(4L) == ((0, 0, "clean text with no identifiers at all")))
+  }
+
   test("simhash: near-identical docs within small hamming distance, unrelated far") {
     val a = "the quick brown fox jumps over the lazy dog near the river bank today"
     val b = a.replace("today", "tonight") // one token changed
