@@ -49,6 +49,12 @@ object Bench {
       }.sorted
       name -> times
     }
+    // ms precision on the stdout line: every query name+median costs line
+    // budget against the driver's 2,000-char tail, and the query count
+    // keeps growing. Full-precision medians live in bench_out.json.
+    def ms(x: Double): String = f"$x%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    val qsSlim = results.map { case (k, t) => "\"" + k + "\":" + ms(t(Reps / 2)) }
+      .mkString("{", ",", "}")
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(Reps / 2) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, t) =>
@@ -72,8 +78,10 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         val med = times(Reps / 2)
-        val slim = s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med}}"""
-        val full = slim.dropRight(1) + s""","spread":[${times.head},${times.last}]}"""
+        val slim = f"""{"input_rows":$rows,"sec":${ms(med)},"rows_per_sec":${rows / med}%.1f}"""
+        val full =
+          s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
+            s""""spread":[${times.head},${times.last}]}"""
         (slim, full)
       }
       // Six sliding windows go through Spark's window() Expand (669 total
@@ -106,7 +114,7 @@ object Bench {
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errJson,"stream":${stream._1},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsSlim,"errors":$errJson,"stream":${stream._1},"sf":"$sfDir"}"""
 
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), jsonFull + "\n")
     catch { case _: Throwable => () }

@@ -115,6 +115,24 @@ object TextQueries {
     "q42_repetition" -> ((s, dir) =>
       TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", k = 3)),
 
+    // Sequence packing: assign documents to fixed-token-budget training
+    // bins by running token count within each language partition — the
+    // standard pre-tokenization packing pass. Window runs per lang, so
+    // parallelism is the partition count (a real packer would pre-hash
+    // into finer salts; the shape is the same running-sum window).
+    "q46_sequence_pack" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          TextOps.tokenCount(col("text")).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("bin",
+          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))
+    }),
+
     // PII scrub: per-doc email/IPv4 counts and the md5 of the redacted
     // text (the hash keeps the oracle row narrow while still proving the
     // replacement output matches byte-for-byte).
@@ -195,6 +213,19 @@ object TextQueries {
         |  CAST(len(list_distinct(grams)) AS INT) AS n_distinct,
         |  1.0 - len(list_distinct(grams)) / len(grams) AS repetition
         |FROM grams""".stripMargin,
+
+    "q46_sequence_pack" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(string_split_regex(trim(text), '\s+')) END AS INT) AS n_tokens
+        |  FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens) / 2048) AS INT) AS bin
+        |FROM t""".stripMargin,
 
     "q45_pii_redaction" ->
       """SELECT doc_id,
