@@ -59,4 +59,46 @@ class PropertySpec extends SparkSpec {
       else assert(math.abs(z - (p - avg) / std) < 1e-12)
     }
   }
+
+  test("text-quality scores stay in bounds and PII redaction is idempotent") {
+    val word: Gen[String] = Gen.oneOf(
+      Gen.alphaLowerStr.map(_.take(8)).suchThat(_.nonEmpty),
+      Gen.const("the"), Gen.const("user@example.com"), Gen.const("10.0.0.1"),
+      Gen.const("a.b"), Gen.const("@"), Gen.const("1.2.3"), Gen.const("..."))
+    val text: Gen[String] =
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, word)).map(_.mkString(" "))
+    val docs = samples(text, 80).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+
+    val rows = docs.select(
+      graft.operators.TextOps.qualityScore(col("text")).as("q"),
+      graft.operators.TextOps.redactPii(col("text")).as("r1"),
+      graft.operators.TextOps.redactPii(
+        graft.operators.TextOps.redactPii(col("text"))).as("r2"),
+      col("text")).collect()
+    rows.foreach { r =>
+      val q = r.getDouble(0)
+      assert(q >= 0.0 && q <= 1.0, s"quality $q out of [0,1] for '${r.getString(3)}'")
+      // placeholders contain no emails/IPs themselves → scrubbing is a fixpoint
+      assert(r.getString(1) == r.getString(2),
+        s"redaction not idempotent for '${r.getString(3)}'")
+    }
+
+    val rep = graft.operators.TextOps.repetitionStats(docs, "doc_id", "text", k = 3)
+      .select("repetition").collect().map(_.getDouble(0))
+    assert(rep.forall(x => x >= 0.0 && x < 1.0)) // 1.0 unreachable: first gram unique
+
+    // cluster labels: always ≤ own id (min-propagation) and a fixpoint
+    // under re-clustering the (id, cluster) edges themselves
+    val pairs = samples(Gen.zip(Gen.choose(0L, 30L), Gen.choose(0L, 30L)), 40)
+      .collect { case (a, b) if a != b => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("id_a", "id_b")
+    val labels = graft.operators.Dedup.duplicateClusters(pairs)
+    val lm = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(lm.forall { case (id, c) => c <= id })
+    val again = graft.operators.Dedup.duplicateClusters(
+        labels.toDF("id_a", "id_b").filter(col("id_a") =!= col("id_b")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again.forall { case (id, c) => lm(id) == c })
+  }
 }
