@@ -184,6 +184,10 @@ object Similarity {
     // also what keeps repeated searches from re-running Lloyd jobs.
     val cents = centroids.getOrElse(
       trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters))
+    // a corpus smaller than nlist trains fewer centroids — size the probe
+    // expression from the actual matrix, not the requested cell count
+    val cells = cents.length
+    val probeN = math.min(nprobe, cells)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("cell", nearestCell(col("cv"), cents))
     val q = broadcast(
@@ -192,8 +196,8 @@ object Similarity {
         // top-nprobe cells: pair (-score, index) sorts ascending = score desc
         .select(col("query_id"), col("qv"),
           explode(expr(
-            s"transform(slice(array_sort(transform(sequence(0, ${nlist - 1}), " +
-              s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $nprobe), p -> p.idx)"))
+            s"transform(slice(array_sort(transform(sequence(0, ${cells - 1}), " +
+              s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $probeN), p -> p.idx)"))
             .as("cell")))
     val joined = c.join(q, Seq("cell"))
       .withColumn("cosine", cosine(col("cv"), col("qv")))

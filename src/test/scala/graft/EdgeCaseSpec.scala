@@ -56,6 +56,35 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashPairs(docs, "doc_id", "text").collect() != null)
   }
 
+  test("round-3 ops on degenerate inputs: empty pair sets, empty benchmark, empty docs") {
+    // clustering an empty pair set terminates immediately with no labels
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClusters(noPairs).count() == 0)
+    // a single self-pair must not loop or emit a bogus second node
+    assert(Dedup.duplicateClusters(Seq((7L, 7L)).toDF("id_a", "id_b"))
+      .collect().toSeq == Seq(org.apache.spark.sql.Row(7L, 7L)))
+
+    val docs = Seq((1L, ""), (2L, "a b c"), (3L, "a b c d e f g h")).toDF("doc_id", "text")
+    // benchFilter matching nothing → bench gram set empty → contamination 0 everywhere
+    val cont = TextOps.contamination(docs, "doc_id", "text",
+      benchFilter = lit(false), k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(cont.size == 3 && cont.values.forall(_ == 0.0))
+    // benchFilter matching everything → nothing left to score
+    assert(TextOps.contamination(docs, "doc_id", "text",
+      benchFilter = lit(true), k = 3).count() == 0)
+    // repetition/redaction over empty text
+    assert(TextOps.repetitionStats(docs, "doc_id", "text").count() == 3)
+    assert(docs.select(TextOps.redactPii(col("text"))).count() == 3)
+
+    // IVF with more requested cells than corpus rows must still answer
+    val vecs = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    val ivf = Similarity.ivfTopK(vecs, "vec_id", "embedding",
+      vecs.limit(1), "vec_id", "embedding", k = 2, nlist = 8, nprobe = 8)
+    assert(ivf.count() == 2)
+  }
+
   test("similarity ops on empty and degenerate vectors") {
     val vecs = Seq(
       (1L, Array.empty[Float]),
