@@ -152,16 +152,21 @@ object TextQueries {
     // per-row branches (quality, repetition) are shuffle-free.
     "q44_filter_pipeline" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      val qual = docs.select(col("doc_id"),
-        TextOps.qualityScore(col("text")).as("quality"))
-      val rep = TextOps.repetitionStats(docs, "doc_id", "text", k = 3)
-        .select(col("doc_id"), col("repetition"))
+      // quality + repetition are both per-row: one projection, one scan
+      val perRow = docs
+        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          TextOps.qualityScore(col("text")).as("quality"),
+          Dedup.shinglesAll("toks", 3).as("grams"))
+        .select(col("doc_id"), col("quality"),
+          (lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams")))
+            .as("repetition"))
       val cont = TextOps.contamination(docs, "doc_id", "text",
         benchFilter = col("doc_id") % 50 === 0, k = 5)
         .select(col("doc_id"), col("contamination"))
       val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
         .select(col("doc_id"), col("is_duplicate"))
-      qual.join(rep, Seq("doc_id")).join(dup, Seq("doc_id")).join(cont, Seq("doc_id"))
+      perRow.join(dup, Seq("doc_id")).join(cont, Seq("doc_id"))
         .withColumn("keep",
           col("quality") >= 0.5 && col("repetition") <= 0.2 &&
             col("contamination") < 0.5 && !col("is_duplicate"))
