@@ -27,6 +27,72 @@ object Joins {
     saltedLeft.join(saltedRight, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** As-of join (nearest preceding match): for every left row, attach the
+    * right row with the greatest `rightTs` ≤ `leftTs` within the same
+    * keys — without any inequality join. Both sides union into one
+    * relation and a running `last(..., ignoreNulls)` window carries the
+    * most recent right-side values forward; one shuffle on `keys`, linear
+    * scan per partition — the shape that survives 100 TB, unlike a
+    * BroadcastNestedLoop theta-join.
+    *
+    * Right rows sort before left rows at equal timestamps (ties match
+    * "at or before"), and `rightOrd` (a unique right-side id) makes the
+    * winner among equal right timestamps deterministic: largest ord wins.
+    * Every right column except keys and `rightOrd` comes back as
+    * `asof_<name>` (null when no preceding right row exists). Left and
+    * right column names must not collide except on `keys`. */
+  def asofJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      rightOrd: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightOrd)
+    val l = left
+      .withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
+      .withColumn("__ord", lit(Long.MaxValue))
+    val r = right
+      .withColumn("__t", col(rightTs)).withColumn("__side", lit(0))
+      .withColumn("__ord", col(rightOrd).cast("long")).drop(rightOrd)
+    val u = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"), col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(u)((d, v) =>
+      d.withColumn(s"asof_$v", last(col(v), ignoreNulls = true).over(w)))
+    carried.filter(col("__side") === 1)
+      .select(left.columns.map(col) ++ rightVals.map(v => col(s"asof_$v")): _*)
+  }
+
+  /** Range join: left × right pairs with `rightTime` in
+    * `[leftTime + lower, leftTime + upper]` under equal `keys`, via the
+    * bucket trick — left rows bucket on `leftTime div width`, right rows
+    * replicate to every bucket their match interval can touch (≤ 3 for
+    * width = upper − lower), and an equi-join + residual filter does the
+    * rest. Shuffle volume is |left| + ~2|right|, never the |left|×|right|
+    * of the nested-loop plan Spark would otherwise pick for a theta join.
+    * Time values must be non-negative (`div` truncation = floor). */
+  def rangeJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      lower: Long,
+      upper: Long): DataFrame = {
+    require(upper > lower, "empty range")
+    val width = upper - lower
+    val lb = left.withColumn("__b", expr(s"$leftTime div $width"))
+    val rb = right.withColumn("__b",
+      explode(expr(s"sequence(($rightTime - ($upper)) div $width, ($rightTime - ($lower)) div $width)")))
+    lb.join(rb, (keys :+ "__b").toSeq)
+      .filter(col(rightTime) >= col(leftTime) + lower &&
+        col(rightTime) <= col(leftTime) + upper)
+      .drop("__b")
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * exchange-free (co-located). Returns the two table names registered in
     * the session catalog. At 100 TB this converts every fact-fact join on

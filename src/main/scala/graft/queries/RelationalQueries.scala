@@ -172,6 +172,40 @@ object RelationalQueries {
           expr("percentile(l_extendedprice, 0.99)").as("p99"),
           min(col("l_extendedprice")).as("min_price"),
           max(col("l_extendedprice")).as("max_price")))
+  ,
+
+    // As-of join: each click event picks up the most recent view (ts +
+    // value) at or before it per user — union + running-window operator
+    // (graft.operators.Joins.asofJoin), one shuffle, no theta join.
+    // Time keys emitted as epoch-micros longs for engine-neutral hashing.
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = graft.util.SparkUtil.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), unix_micros(col("ts")).as("view_t_us"),
+          col("event_id").as("view_ord"), col("value").as("view_value"))
+      graft.operators.Joins.asofJoin(
+        clicks, views, Seq("user_id"), "t_us", "view_t_us", "view_ord")
+    }),
+
+    // Range join: errors within ±60 s of each click per user, counted —
+    // bucketed-replication equi-join (Joins.rangeJoin), shuffle volume
+    // |left| + ~2|right| instead of a nested-loop theta join.
+    "q48_range_join" -> ((s, dir) => {
+      val ev = graft.util.SparkUtil.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("t_us"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), unix_micros(col("ts")).as("e_t_us"))
+      val counts = graft.operators.Joins.rangeJoin(
+        clicks, errors, Seq("user_id"), "t_us", "e_t_us",
+        lower = -60000000L, upper = 60000000L)
+        .groupBy(col("event_id")).agg(count(lit(1)).as("n"))
+      clicks.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"), col("user_id"), col("t_us"),
+          coalesce(col("n"), lit(0L)).as("n_errors_1m"))
+    })
   )
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
@@ -189,6 +223,46 @@ object RelationalQueries {
        |LIMIT 10""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q47_asof_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us
+        |  FROM events WHERE event_type = 'click'),
+        |v AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS vt, event_id AS ord, value
+        |  FROM events WHERE event_type = 'view'),
+        |u AS (
+        |  SELECT user_id, t_us AS t, 1 AS side, 9223372036854775807 AS ord,
+        |         event_id, t_us, CAST(NULL AS BIGINT) AS vt, CAST(NULL AS DOUBLE) AS vvalue
+        |  FROM c
+        |  UNION ALL
+        |  SELECT user_id, vt AS t, 0 AS side, ord,
+        |         NULL, NULL, vt, value
+        |  FROM v),
+        |w AS (
+        |  SELECT *,
+        |    last_value(vt IGNORE NULLS) OVER win AS asof_view_t_us,
+        |    last_value(vvalue IGNORE NULLS) OVER win AS asof_view_value
+        |  FROM u
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY t, side, ord
+        |                 ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, user_id, t_us, asof_view_t_us, asof_view_value
+        |FROM w WHERE side = 1""".stripMargin,
+
+    "q48_range_join" ->
+      """WITH c AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us
+        |  FROM events WHERE event_type = 'click'),
+        |e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS e_t_us
+        |  FROM events WHERE event_type = 'error')
+        |SELECT c.event_id, c.user_id, c.t_us,
+        |  COUNT(e.e_t_us) AS n_errors_1m
+        |FROM c LEFT JOIN e
+        |  ON c.user_id = e.user_id
+        | AND e.e_t_us >= c.t_us - 60000000
+        | AND e.e_t_us <= c.t_us + 60000000
+        |GROUP BY c.event_id, c.user_id, c.t_us""".stripMargin,
+
     "q10_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,
          |  ${sqlSum("l_quantity")} AS sum_qty,

@@ -42,4 +42,45 @@ class JoinsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS bkt_lines")
     }
   }
+
+  test("asofJoin: nearest preceding match, equal-ts inclusion, deterministic tie-break") {
+    import spark.implicits._
+    val clicks = Seq(
+      (1L, "A", 5L),   // before any view → nulls
+      (2L, "A", 20L),  // ties with views at t=20 → matched ("at or before")
+      (3L, "A", 25L),  // after both → latest view
+      (4L, "B", 30L)   // other key: isolated
+    ).toDF("event_id", "user", "t")
+    val views = Seq(
+      ("A", 10L, 101L, 1.0),
+      ("A", 20L, 102L, 2.0), // two views at the same ts:
+      ("A", 20L, 103L, 3.0), //   largest ord (103) must win deterministically
+      ("B", 29L, 104L, 9.0)
+    ).toDF("user", "vt", "ord", "vvalue")
+    val out = Joins.asofJoin(clicks, views, Seq("user"), "t", "vt", "ord")
+      .collect().map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]), Option(r.get(4)).map(_.asInstanceOf[Double]))).toMap
+    assert(out(1L) == ((None, None)))
+    assert(out(2L) == ((Some(20L), Some(3.0))))
+    assert(out(3L) == ((Some(20L), Some(3.0))))
+    assert(out(4L) == ((Some(29L), Some(9.0))))
+  }
+
+  test("rangeJoin: inclusive bounds, bucket-boundary crossings, no duplicate pairs") {
+    import spark.implicits._
+    val left = Seq((1L, "A", 19L), (2L, "A", 100L), (3L, "B", 50L))
+      .toDF("lid", "user", "lt")
+    val right = Seq(
+      ("A", 9L),   // 19 - 10: inclusive lower bound of click 1
+      ("A", 29L),  // 19 + 10: inclusive upper bound, crosses bucket boundary
+      ("A", 30L),  // 19 + 11: out of range
+      ("A", 95L),  // in range of click 2
+      ("B", 61L)   // out of range of click 3 (+11)
+    ).toDF("user", "rt")
+    val pairs = Joins.rangeJoin(left, right, Seq("user"), "lt", "rt",
+      lower = -10L, upper = 10L)
+      .select("lid", "rt").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length, "duplicate pairs emitted")
+    assert(pairs.toSet == Set((1L, 9L), (1L, 29L), (2L, 95L)))
+  }
 }
