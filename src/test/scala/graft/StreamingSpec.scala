@@ -189,6 +189,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("tws alerts: repeated re-arms across batches still expire exactly once") {
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[PriceTick](spark)
+      implicit val s = spark
+      val higher = graft.streaming.PriceAlertsTws.alerts(
+        in.toDS().withWatermark("event_time", "10 seconds"), direction = +1, horizonSec = 20.0)
+      val q = higher.writeStream.format("memory").queryName("tws_rearm")
+        .outputMode(OutputMode.Append).start()
+      try {
+        // each batch carries a monotonically falling price → nothing
+        // resolves, every batch re-arms the expiry timer for the same key
+        for (i <- 0 to 3) {
+          in.addData(PriceTick("BTC", 100.0 - i, ts(f"2024-01-01 00:00:0$i")))
+          q.processAllAvailable()
+        }
+        // advance the watermark far past every tick's horizon
+        in.addData(PriceTick("ETH", 1.0, ts("2024-01-01 00:05:00")))
+        q.processAllAvailable()
+        in.addData(PriceTick("ETH", 0.5, ts("2024-01-01 00:10:00")))
+        q.processAllAvailable()
+        val btc = spark.table("tws_rearm").filter(col("symbol") === "BTC").collect()
+        // one horizon alert per tick, no duplicates from stale timers
+        assert(btc.length == 4)
+        assert(btc.forall(_.getAs[Double]("seconds_until") == 20.0))
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+      case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("price alerts: quiet key expires via timer when other keys advance the watermark") {
     val in = MemoryStream[PriceTick](spark)
     implicit val s = spark
