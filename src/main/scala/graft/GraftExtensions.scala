@@ -13,13 +13,16 @@ import graft.functions._
   *  - `GraftExtensions.register(spark)` on an existing session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, b) =>
       e.injectFunction(
         (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
           new org.apache.spark.sql.catalyst.expressions.ExpressionInfo("graft", name),
           b))
     }
+    // theta range joins → bucketed equi-joins (kills BroadcastNestedLoop)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinBucketRewrite)
+  }
 }
 
 object GraftExtensions {
@@ -41,8 +44,12 @@ object GraftExtensions {
   )
 
   /** Register on an already-built session. */
-  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     builders.foreach { case (name, b) =>
       org.apache.spark.sql.graft.Bridge.registerFunction(spark, name, b)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.RangeJoinBucketRewrite))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.RangeJoinBucketRewrite
+  }
 }
