@@ -15,6 +15,28 @@ import org.apache.spark.sql.SparkSession
   *      bare (undecorated) JSON is the final line of process output.
   */
 object Bench {
+
+  /** ms precision for the stdout line: every query name+median costs line
+    * budget against the driver's 2,000-char tail, and the query count
+    * keeps growing. Full-precision medians live in bench_out.json. */
+  def ms(x: Double): String =
+    f"$x%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+
+  /** The SLIM stdout metric line (no spread maps). Factored out so
+    * BenchContractSpec can assert the rendered length of the CURRENT
+    * query registry stays under the driver's tail buffer — the gate this
+    * line feeds was unscored for two rounds when it silently outgrew it. */
+  def renderSlim(
+      medians: Seq[(String, Double)],
+      total: Double,
+      errJson: String,
+      streamJson: String,
+      sfDir: String): String = {
+    val qsSlim = medians.map { case (k, t) => "\"" + k + "\":" + ms(t) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsSlim,"errors":$errJson,"stream":$streamJson,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,12 +71,6 @@ object Bench {
       }.sorted
       name -> times
     }
-    // ms precision on the stdout line: every query name+median costs line
-    // budget against the driver's 2,000-char tail, and the query count
-    // keeps growing. Full-precision medians live in bench_out.json.
-    def ms(x: Double): String = f"$x%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-    val qsSlim = results.map { case (k, t) => "\"" + k + "\":" + ms(t(Reps / 2)) }
-      .mkString("{", ",", "}")
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(Reps / 2) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, t) =>
@@ -113,8 +129,8 @@ object Bench {
     // chars and truncated to unparseable; the slim line measures ~1,500.
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
-    val json =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsSlim,"errors":$errJson,"stream":${stream._1},"sf":"$sfDir"}"""
+    val json = renderSlim(
+      results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir)
 
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), jsonFull + "\n")
     catch { case _: Throwable => () }

@@ -1,0 +1,33 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The driver parses only a 2,000-char tail of bench output — the gate
+  * was silently unscored for two rounds when the metric line outgrew it.
+  * This spec renders the slim line for the CURRENT query registry with
+  * worst-case-width numbers, so adding queries that would overflow the
+  * budget fails here instead of in the next round's scoring. */
+class BenchContractSpec extends AnyFunSuite {
+
+  test("slim metric line fits the driver tail with worst-case numbers") {
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // 999.9999 is the widest value ms() can emit for a sane runtime
+    val medians = names.map(_ -> 999.9999)
+    val stream =
+      """{"single_window":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
+        """"six_windows_union":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
+        """"six_windows_two_phase":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9}}"""
+    val line = Bench.renderSlim(medians, 9999.9999, "{}", stream, "/root/testdata/sf0.1")
+    assert(line.length <= 1900,
+      s"metric line ${line.length} chars leaves <100 headroom under the 2000-char driver tail " +
+        "— shorten query names or drop per-query detail from the slim line")
+  }
+
+  test("ms renderer emits valid minimal JSON numbers") {
+    assert(Bench.ms(0.0) == "0")
+    assert(Bench.ms(1.0) == "1")
+    assert(Bench.ms(0.31003) == "0.31")
+    assert(Bench.ms(12.00005) == "12.0001" || Bench.ms(12.00005) == "12") // %.4f rounding
+    assert(Bench.ms(3.14159) == "3.1416")
+  }
+}
