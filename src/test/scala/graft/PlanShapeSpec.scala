@@ -1,0 +1,25 @@
+package graft
+
+/** Registry-wide plan-shape regression gate: no query may plan a
+  * CartesianProduct or BroadcastNestedLoopJoin — the two shapes that are
+  * O(|l|·|r|) and end a 100 TB run — except the explicitly whitelisted
+  * ANN brute-force baseline, whose nested loop is a corpus scan against a
+  * broadcast ≤ 5-row query set (bounded by design, and the exact shape a
+  * small-query-set top-k wants). Planning only; nothing executes except
+  * operators that train/iterate at construction time. */
+class PlanShapeSpec extends SparkSpec {
+
+  // crossJoin against a broadcast, constant-size query set — intended
+  private val boundedByDesign = Set("q30_ann_brute")
+
+  test("no registered query plans an unbounded join shape") {
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      val plan = f(spark, sf()).queryExecution.executedPlan.toString
+      val bad = Seq("CartesianProduct", "BroadcastNestedLoopJoin")
+        .filter(plan.contains)
+        .filterNot(_ => boundedByDesign(name))
+      bad.map(b => s"$name: $b")
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+}
