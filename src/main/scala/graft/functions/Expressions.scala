@@ -26,6 +26,27 @@ object HashKernels {
     h
   }
 
+  /** Tokens present in a small constant word set, every occurrence
+    * counted, nulls skipped — linear scan beats a hash set at set sizes
+    * of ~10 function words. */
+  def tokenSetCount(tokens: ArrayData, set: Array[UTF8String]): Int = {
+    val n = tokens.numElements()
+    var c = 0
+    var i = 0
+    while (i < n) {
+      if (!tokens.isNullAt(i)) {
+        val t = tokens.getUTF8String(i)
+        var j = 0
+        while (j < set.length) {
+          if (set(j).equals(t)) { c += 1; j = set.length }
+          else j += 1
+        }
+      }
+      i += 1
+    }
+    c
+  }
+
   /** 64-bit SimHash over an array of string tokens: per-token FNV-1a,
     * per-bit majority vote. Near-duplicate texts land within a small
     * Hamming distance. */
@@ -360,6 +381,29 @@ case class SimHash64(child: Expression)
     copy(child = newChild)
 }
 
+/** Count of tokens (array<string>) that belong to a small constant word
+  * set — the codegen'd replacement for `size(filter(t, _.isin(words)))`:
+  * Spark's higher-order `filter` is a CodegenFallback, so the lambda
+  * interprets per token per language and dominated the language-ID and
+  * quality-score profiles. One static JVM loop instead; identical
+  * semantics (every occurrence counts, null tokens don't). */
+case class TokenSetCount(child: Expression, words: Seq[String])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "token_set_count"
+  @transient private lazy val set: Array[UTF8String] =
+    words.map(UTF8String.fromString).toArray
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.tokenSetCount(input.asInstanceOf[ArrayData], set)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("tokenSet", set,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.tokenSetCount($c, $ref)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+    copy(child = newChild)
+}
+
 /** Cosine similarity of two array<float> columns → double. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -379,6 +423,9 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(RollingFingerprint(org.apache.spark.sql.graft.Bridge.expression(c)))
   def simhash64(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(SimHash64(org.apache.spark.sql.graft.Bridge.expression(c)))
+  def token_set_count(c: Column, words: Seq[String]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      TokenSetCount(org.apache.spark.sql.graft.Bridge.expression(c), words))
   def cosine_similarity(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CosineSimilarity(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))

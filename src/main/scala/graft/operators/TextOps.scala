@@ -35,7 +35,9 @@ object TextOps {
   def qualityScore(text: Column): Column = {
     val t = tokens(lower(text))
     val n = size(t)
-    val stop = size(filter(t, x => x.isin(stopwords.map(lit(_)): _*)))
+    // codegen'd kernel, not filter+isin: higher-order filter is a
+    // CodegenFallback whose lambda interprets per token (profiled hot)
+    val stop = GraftFunctions.token_set_count(t, stopwords)
     when(n === 0, lit(0.0)).otherwise(
       lit(0.4) * least(lit(1.0), n / lit(100.0)) +
         lit(0.3) * (size(array_distinct(t)) / n.cast("double")) +
@@ -57,9 +59,15 @@ object TextOps {
     val n = greatest(size(t), lit(1)).cast("double")
     val scored = langProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct(
-        (size(filter(t, x => x.isin(words.map(lit(_)): _*))) / n).as("score"),
+        (GraftFunctions.token_set_count(t, words) / n).as("score"),
         lit(lang).as("lang"))
     }
+    // greatest() over (score, lang) structs = lexicographic argmax, the
+    // semantics the DuckDB oracle mirrors with list_sort. When used as a
+    // GROUPING expression this evaluates interpreted (measured ~0.2 ms/row
+    // — an array-argmax reformulation measured slower still, since the
+    // aggregate path gives grouping keys no subexpression reuse); as a
+    // projected value it codegens fine. Linear in bytes either way.
     val best = greatest(scored: _*)
     val cjk = regexp_count(text, lit("[\\u4e00-\\u9fff]")).cast("double") /
       greatest(length(text), lit(1)).cast("double")

@@ -127,6 +127,56 @@ object Probe {
             System.err.println(s"### PROBE-FAIL $name ${e.getClass.getName}")
           }
         }
+      case w if w.startsWith("plan:") =>
+        // planning cost vs execution cost: construct + plan, then count
+        val name = w.stripPrefix("plan:")
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          val df = graft.SparkEntry.queries(name)(spark, dir)
+          val planned = df.queryExecution.executedPlan
+          val t1 = System.nanoTime()
+          df.count()
+          val t2 = System.nanoTime()
+          println(f"PROBE $name rep$i plan=${(t1 - t0) / 1e9}%.2f s exec=${(t2 - t1) / 1e9}%.2f s (${planned.getClass.getSimpleName})")
+        }
+      case "langid_parts" =>
+        import org.apache.spark.sql.functions._
+        val docs = SparkUtil.table(spark, dir, "documents")
+        def t3(label: String)(df: org.apache.spark.sql.DataFrame): Unit = {
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime(); df.count(); (System.nanoTime() - t0) / 1e9
+          }.sorted
+          println(f"PROBE langid_parts $label med=${times(1)}%.2f s")
+        }
+        val toks = graft.operators.TextOps.tokens(lower(col("text")))
+        t3("split_only")(docs.select(toks.as("t")).select(sum(size(col("t")))))
+        t3("split_4sets")(docs.select(
+          graft.operators.TextOps.langProfiles.toSeq.sortBy(_._1).zipWithIndex.map {
+            case ((_, words), i) =>
+              graft.functions.GraftFunctions.token_set_count(toks, words).as(s"c$i")
+          }: _*)
+          .select(sum(col("c0") + col("c1") + col("c2") + col("c3"))))
+        t3("cjk_regex")(docs.select(
+          regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")).as("c")).select(sum(col("c"))))
+        t3("full_langid")(docs.select(
+          graft.operators.TextOps.langId(col("text")).as("l"))
+          .select(count(col("l"))))
+        t3("groupby_expr_key")(docs
+          .groupBy(col("lang"), graft.operators.TextOps.langId(col("text")).as("predicted"))
+          .agg(count(lit(1))))
+        t3("groupby_projected_key")(docs
+          .select(col("lang"), graft.operators.TextOps.langId(col("text")).as("predicted"))
+          .groupBy(col("lang"), col("predicted"))
+          .agg(count(lit(1))))
+        // same group-by shape, scalar key: isolates the struct-greatest
+        val cjk = regexp_count(col("text"), lit("[\\u4e00-\\u9fff]")).cast("double") /
+          greatest(length(col("text")), lit(1)).cast("double")
+        t3("groupby_scalar_key")(docs
+          .groupBy(col("lang"), when(cjk > 0.3, lit("zh")).otherwise(lit("en")).as("p"))
+          .agg(count(lit(1))))
+        t3("agg_on_struct_greatest")(docs.select(
+          graft.operators.TextOps.langId(col("text")).as("l"))
+          .groupBy(col("l")).agg(count(lit(1))))
       case w if w.startsWith("x3:") =>
         // three timed runs in one JVM — shows warm-cache / post-codegen cost
         val name = w.stripPrefix("x3:")
