@@ -33,5 +33,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 48g default: the bench/verify JVM is a local[32] driver+executor
+  // running 45+ queries back-to-back in one process — iterative operators
+  // checkpoint blocks, broadcasts pile up until the ContextCleaner's next
+  // GC, and 32 concurrent tasks each want execution memory. 8g left
+  // ~150 MB/task and bled GC pressure into late-alphabet query timings;
+  // the machine has 125g.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -18,9 +18,12 @@ object Bench {
 
   /** ms precision for the stdout line: every query name+median costs line
     * budget against the driver's 2,000-char tail, and the query count
-    * keeps growing. Full-precision medians live in bench_out.json. */
+    * keeps growing. Full-precision medians live in bench_out.json.
+    * Locale.ROOT, not the `f` interpolator: a comma-decimal default locale
+    * would render `0,1234` and silently break the driver's JSON parse. */
   def ms(x: Double): String =
-    f"$x%.4f".reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+    String.format(java.util.Locale.ROOT, "%.4f", Double.box(x))
+      .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
 
   /** The SLIM stdout metric line (no spread maps). Factored out so
     * BenchContractSpec can assert the rendered length of the CURRENT
@@ -46,6 +49,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // shuffle files, broadcasts, and checkpoint blocks are reclaimed by
+      // the ContextCleaner only after their handles are GC'd; a big heap
+      // may not GC for minutes while a 45-query session accumulates them
+      // — force a periodic sweep so late queries run in a clean JVM
+      .config("spark.cleaner.periodicGC.interval", "2min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -57,6 +65,7 @@ object Bench {
         System.err.println(s"[bench] warmup $name failed: ${e.getClass.getName}: ${e.getMessage}")
       }
     }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
     val Reps = 3
     val results = names.map { name =>
@@ -69,6 +78,10 @@ object Bench {
         }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // iterative operators (connected components) eagerly localCheckpoint
+      // each round; drop those blocks now instead of letting them ride the
+      // whole session and tax later queries' storage/GC budget
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       name -> times
     }
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(Reps / 2) }
@@ -94,7 +107,8 @@ object Bench {
           (System.nanoTime() - t0) / 1e9
         }.sorted
         val med = times(Reps / 2)
-        val slim = f"""{"input_rows":$rows,"sec":${ms(med)},"rows_per_sec":${rows / med}%.1f}"""
+        val rps = String.format(java.util.Locale.ROOT, "%.1f", Double.box(rows / med))
+        val slim = s"""{"input_rows":$rows,"sec":${ms(med)},"rows_per_sec":$rps}"""
         val full =
           s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
             s""""spread":[${times.head},${times.last}]}"""

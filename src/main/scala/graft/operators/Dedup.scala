@@ -160,13 +160,17 @@ object Dedup {
   }
 
   /** Duplicate-cluster assignment: connected components over a pair set
-    * (id_a, id_b), by iterative min-label propagation — every node adopts
-    * the smallest id reachable so far; converges in O(component diameter)
-    * rounds, each a join + aggregation (the degenerate-free version of
-    * map-reduce large-star). Dedup clusters are shallow (near-dup graphs
-    * are dense blobs, not paths), so the loop terminates in a handful of
-    * rounds; `localCheckpoint` truncates the growing plan lineage each
-    * round, which is what makes iterative DataFrame algorithms viable.
+    * (id_a, id_b), by iterative min-label propagation with pointer
+    * doubling — every node adopts the smallest label among its neighbors,
+    * then adopts its label's own label (halving the remaining pointer-
+    * chain depth), so convergence is O(log diameter) rounds even on the
+    * chain-shaped near-dup graphs (A~B~C~…) that defeat plain
+    * propagation's O(diameter). Each round is two joins + an aggregation;
+    * `localCheckpoint` truncates the growing plan lineage each round,
+    * which is what makes iterative DataFrame algorithms viable.
+    * Throws if `maxIter` rounds don't reach the fixpoint (2^maxIter
+    * diameter — unreachable in practice) rather than silently returning
+    * partially-propagated labels.
     * Output: (id, cluster) for every id present in `pairs`, cluster = min
     * member id — join back to the corpus to pick canonical keepers. */
   def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
@@ -181,16 +185,28 @@ object Dedup {
     while (!converged && i < maxIter) {
       val prop = sym.join(labels, sym("src") === labels("id"))
         .groupBy(col("dst")).agg(min(col("cluster")).as("nbr"))
-      // `moved` rides along so convergence needs no second comparison join
-      val next = labels.join(prop, labels("id") === prop("dst"), "left")
+      // `m1` rides along so convergence needs no second comparison join
+      val stepped = labels.join(prop, labels("id") === prop("dst"), "left")
         .select(labels("id"),
           least(col("cluster"), coalesce(col("nbr"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("moved"))
+          (coalesce(col("nbr"), col("cluster")) < col("cluster")).as("m1"))
+      // pointer doubling: label values are themselves node ids, so joining
+      // labels-on-labels replaces each label with its label's label
+      val l2 = stepped.select(col("id").as("pid"), col("cluster").as("pc"))
+      val next = stepped.join(l2, stepped("cluster") === l2("pid"), "left")
+        .select(stepped("id"),
+          coalesce(col("pc"), stepped("cluster")).as("cluster"),
+          (col("m1") ||
+            coalesce(col("pc"), stepped("cluster")) < stepped("cluster")).as("moved"))
         .localCheckpoint(true)
       converged = next.filter(col("moved")).isEmpty
       labels = next.select(col("id"), col("cluster"))
       i += 1
     }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClusters did not converge in $maxIter rounds — component " +
+          "diameter exceeds 2^maxIter; raise maxIter")
     labels
   }
 

@@ -40,7 +40,13 @@ object Joins {
     * winner among equal right timestamps deterministic: largest ord wins.
     * Every right column except keys and `rightOrd` comes back as
     * `asof_<name>` (null when no preceding right row exists). Left and
-    * right column names must not collide except on `keys`. */
+    * right column names must not collide except on `keys`.
+    *
+    * All right values ride in ONE struct through the window (left rows
+    * contribute a NULL struct), so a right row that legitimately holds a
+    * NULL in one value column still matches atomically — per-column
+    * `last(ignoreNulls)` would stitch fields from different right rows
+    * into a composite that never existed. */
   def asofJoin(
       left: DataFrame,
       right: DataFrame,
@@ -50,6 +56,7 @@ object Joins {
       rightOrd: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val rightVals = right.columns.filterNot(c => keys.contains(c) || c == rightOrd)
+    require(rightVals.nonEmpty, "right side carries no value columns")
     val l = left
       .withColumn("__t", col(leftTs)).withColumn("__side", lit(1))
       .withColumn("__ord", lit(Long.MaxValue))
@@ -57,13 +64,15 @@ object Joins {
       .withColumn("__t", col(rightTs)).withColumn("__side", lit(0))
       .withColumn("__ord", col(rightOrd).cast("long")).drop(rightOrd)
     val u = l.unionByName(r, allowMissingColumns = true)
+      .withColumn("__rv",
+        when(col("__side") === 0, struct(rightVals.map(col): _*)))
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__side"), col("__ord"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(u)((d, v) =>
-      d.withColumn(s"asof_$v", last(col(v), ignoreNulls = true).over(w)))
-    carried.filter(col("__side") === 1)
-      .select(left.columns.map(col) ++ rightVals.map(v => col(s"asof_$v")): _*)
+    u.withColumn("__carried", last(col("__rv"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(left.columns.map(col) ++
+        rightVals.map(v => col("__carried").getField(v).as(s"asof_$v")): _*)
   }
 
   /** Range join: left × right pairs with `rightTime` in

@@ -86,6 +86,13 @@ object Similarity {
       k: Int,
       planes: Int = 8,
       probeRadius: Int = 2): DataFrame = {
+    require(planes >= 1, s"need at least one hyperplane, got $planes")
+    // clamp the radius to the plane count: radius 2 with a single plane
+    // would render sequence(0, -1) — a DESCENDING [0,-1] sequence whose
+    // out-of-range bit flips produce duplicate probe buckets and break
+    // the "probes are pairwise distinct" invariant the no-dedup join
+    // relies on (the same pair would enter the top-k heap twice)
+    val radius = math.min(math.max(probeRadius, 0), planes)
     val c = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
       .withColumn("bucket", signLshBucket("cv", planes))
     val h1 =
@@ -94,11 +101,10 @@ object Similarity {
       s"flatten(transform(sequence(0, ${planes - 2}), i -> " +
         s"transform(sequence(i + 1, ${planes - 1}), " +
         "j -> bucket0 ^ shiftleft(1L, i) ^ shiftleft(1L, j))))"
-    val probes = probeRadius match {
-      case 0 => "array(bucket0)"
-      case 1 => s"concat(array(bucket0), $h1)"
-      case _ => s"concat(array(bucket0), $h1, $h2)"
-    }
+    val probes =
+      if (radius == 0) "array(bucket0)"
+      else if (radius == 1 || planes < 2) s"concat(array(bucket0), $h1)"
+      else s"concat(array(bucket0), $h1, $h2)"
     val q = broadcast(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
         .withColumn("bucket0", signLshBucket("qv", planes))

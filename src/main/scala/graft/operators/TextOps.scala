@@ -104,7 +104,17 @@ object TextOps {
     * sets are MBs against a 100 TB corpus), so membership is a broadcast
     * left join — map-side only; the single shuffle is the per-document
     * count aggregation. Output: (idCol, n_grams, n_contaminated,
-    * contamination). */
+    * contamination).
+    *
+    * Grams travel as distinct 64-bit rolling hashes
+    * ([[graft.functions.HashKernels.shingleHashes]]; 8 bytes each), not
+    * k-token strings (~k× the document bytes): membership is the only
+    * thing probed, so the explode, the broadcast set, and the join keys
+    * all shrink by roughly the gram length. A doc with fewer than k
+    * tokens is its own single gram; a token-empty doc contributes one
+    * sentinel gram (mirroring the "" gram of the string formulation), so
+    * every input doc stays present in the output. Cross-doc hash
+    * collisions (~n²/2⁶⁴) are the standard accepted trade. */
   def contamination(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -113,7 +123,10 @@ object TextOps {
       k: Int = 5): org.apache.spark.sql.DataFrame = {
     val grams = docs
       .select(col(idCol), benchFilter.as("is_bench"), tokens(col(textCol)).as("toks"))
-      .select(col(idCol), col("is_bench"), explode(Dedup.shingles("toks", k)).as("gram"))
+      .select(col(idCol), col("is_bench"),
+        explode(
+          when(size(col("toks")) === 0, array(lit(Long.MinValue)))
+            .otherwise(GraftFunctions.shingle_hashes(col("toks"), k))).as("gram"))
     val bench = grams.filter(col("is_bench"))
       .select(col("gram")).distinct().withColumn("hit", lit(1))
     grams.filter(!col("is_bench"))

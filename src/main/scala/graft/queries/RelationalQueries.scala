@@ -189,6 +189,22 @@ object RelationalQueries {
         clicks, views, Seq("user_id"), "t_us", "view_t_us", "view_ord")
     }),
 
+    // Grouped top-k via the bounded-heap aggregate (the ANN top-k kernel
+    // generalized to relational work): top-3 customers by balance per
+    // market segment with NO ranking window — map-side k-entry heaps
+    // merge across one shuffle, so shuffled rows are groups × k, constant
+    // in table size, where the window plan funnels every row of a
+    // segment through a single reducer. Tie-break (score desc, id asc)
+    // matches ROW_NUMBER ordering exactly.
+    "q49_group_topk" -> ((s, dir) =>
+      table(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("c_acctbal"), col("c_custkey"), 3).as("topk"))
+        .select(col("c_mktsegment"), posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("c_mktsegment"), col("t.id").as("c_custkey"),
+          col("t.score").as("c_acctbal"), (col("pos") + 1).as("rnk"))),
+
     // Range join: errors within ±60 s of each click per user, counted —
     // bucketed-replication equi-join (Joins.rangeJoin), shuffle volume
     // |left| + ~2|right| instead of a nested-loop theta join.
@@ -262,6 +278,13 @@ object RelationalQueries {
         | AND e.e_t_us >= c.t_us - 60000000
         | AND e.e_t_us <= c.t_us + 60000000
         |GROUP BY c.event_id, c.user_id, c.t_us""".stripMargin,
+
+    "q49_group_topk" ->
+      """SELECT c_mktsegment, c_custkey, c_acctbal, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT c_mktsegment, c_custkey, c_acctbal,
+        |    ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+        |      ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+        |  FROM customer) WHERE rn <= 3""".stripMargin,
 
     "q10_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

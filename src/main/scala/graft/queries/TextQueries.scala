@@ -133,6 +133,43 @@ object TextQueries {
           floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))
     }),
 
+    // TF-IDF top term per document: tf × (N/df) with the document-
+    // frequency join shuffled on term and the corpus size attached as a
+    // broadcast 1-row scalar — the correct distributed shape for a global
+    // constant (whitelisted in PlanShapeSpec). Deterministic double math:
+    // counts are exact longs, and one IEEE divide + one multiply are
+    // correctly rounded, so the score hashes identically cross-engine.
+    "q50_tfidf" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val terms = docs.select(col("doc_id"),
+        explode(TextOps.tokens(lower(col("text")))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term").asc)
+      tf.join(dfq, Seq("term"))
+        .crossJoin(broadcast(n))
+        .withColumn("score",
+          col("tf").cast("double") * (col("n_docs").cast("double") / col("df").cast("double")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("tf"), col("df"), col("score"))
+    }),
+
+    // Deterministic stratified sampling: md5-bucket membership per
+    // language (en 128/256, es 32/256, default 16/256) — a pure per-row
+    // predicate (no RNG, no shuffle) whose decisions survive
+    // repartitioning, retries, and cluster-size changes, and reproduce
+    // bit-identically in any engine (that's what makes it oracle-
+    // checkable where df.sample never could be).
+    "q51_stratified_sample" -> ((s, dir) =>
+      graft.operators.Sampling.stratifiedHashSample(
+        table(s, dir, "documents"),
+        col("doc_id"), col("lang"),
+        Map("en" -> 128, "es" -> 32), default = 16)
+        .select(col("doc_id"), col("lang"))),
+
     // PII scrub: per-doc email/IPv4 counts and the md5 of the redacted
     // text (the hash keeps the oracle row narrow while still proving the
     // replacement output matches byte-for-byte).
@@ -174,6 +211,32 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q50_tfidf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |terms AS (SELECT doc_id, unnest(toks) AS term FROM toks),
+        |tf AS (SELECT doc_id, term, COUNT(1) AS tf FROM terms GROUP BY doc_id, term),
+        |dfreq AS (SELECT term, COUNT(1) AS df FROM tf GROUP BY term),
+        |n AS (SELECT COUNT(1) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT doc_id, term, tf, df,
+        |    CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n)
+        |SELECT doc_id, term AS top_term, tf, df, score FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term ASC) AS rn
+        |  FROM scored) WHERE rn = 1""".stripMargin,
+
+    "q51_stratified_sample" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'es' THEN '20'
+        |       WHEN lang = 'en' THEN '80'
+        |       ELSE '10' END""".stripMargin,
+
     "q41_contamination" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Streaming curation operators: the training-data pipeline ops that must
+  * run on unbounded input with bounded state. Both are pure
+  * `DataFrame => DataFrame`, so the same call works in batch (where the
+  * watermark is a no-op) and under `readStream`.
+  */
+object StreamOps {
+
+  /** Exact streaming deduplication within a watermark horizon: the first
+    * row per key set wins; later duplicates are dropped as long as they
+    * arrive within `horizon` of the stream's max event time.
+    *
+    * State is one entry per distinct key inside the horizon — bounded by
+    * input rate × horizon, and the engine evicts entries as the watermark
+    * passes them (plain `dropDuplicates` on a stream would grow state
+    * forever). For document streams, pass a content hash (e.g.
+    * `md5(text)`) as the key column rather than the text itself: state
+    * entries then cost 32 bytes instead of a document. */
+  def dedupWithinWatermark(
+      in: DataFrame,
+      keyCols: Seq[String],
+      eventTimeCol: String,
+      horizon: String): DataFrame =
+    in.withWatermark(eventTimeCol, horizon)
+      .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Time-bounded stream-stream inner join ("interval join"): left and
+    * right rows with equal `key` match when `rightTs` lies in
+    * `[leftTs + lower, leftTs + upper]`. The range condition on two
+    * watermarked event-time columns is exactly what lets Spark bound the
+    * join state: each side's buffer holds only rows the other side's
+    * watermark could still match, and everything older is evicted.
+    * Without the time bound the state would be unbounded — this is the
+    * streaming analog of [[graft.operators.Joins.rangeJoin]].
+    *
+    * Output carries all left columns plus the right's value columns
+    * prefixed `r_`. `lower`/`upper` are SQL interval strings (e.g.
+    * "interval 60 seconds"). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      lower: String,
+      upper: String,
+      horizon: String): DataFrame = {
+    val l = left.withWatermark(leftTs, horizon)
+    val r0 = right.withWatermark(rightTs, horizon)
+    val rCols = r0.columns.filterNot(c => c == key || c == rightTs)
+    val r = (rCols.foldLeft(r0)((d, c) => d.withColumnRenamed(c, s"r_$c")))
+      .withColumnRenamed(key, "r_key")
+      .withColumnRenamed(rightTs, s"r_$rightTs")
+    l.join(r,
+      col(key) === col("r_key") &&
+        col(s"r_$rightTs") >= expr(s"$leftTs + $lower") &&
+        col(s"r_$rightTs") <= expr(s"$leftTs + $upper"))
+      .drop("r_key")
+  }
+}

@@ -77,6 +77,20 @@ class DedupSpec extends SparkSpec {
       20L -> 20L, 21L -> 20L))
   }
 
+  test("duplicateClusters: 40-node chain converges within the doubling budget, tiny budget throws") {
+    // A pure chain is the worst case for plain min-label propagation
+    // (O(diameter) rounds); pointer doubling must close a 40-node chain in
+    // ~log2(40) ≈ 6 rounds. A 2-round budget must fail LOUDLY, not return
+    // partially-propagated labels.
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val got = Dedup.duplicateClusters(chain, maxIter = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 40 && got.values.forall(_ == 1L))
+    assertThrows[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIter = 2).count()
+    }
+  }
+
   test("duplicateClusters composes with minhashPairs for end-to-end dedup") {
     val clusters = Dedup.duplicateClusters(
       Dedup.minhashPairs(corpus, "doc_id", "text",

@@ -66,6 +66,23 @@ class JoinsSpec extends SparkSpec {
     assert(out(4L) == ((Some(29L), Some(9.0))))
   }
 
+  test("asofJoin: right row with a NULL value column matches atomically") {
+    import spark.implicits._
+    // The newest view (ord 102) legitimately carries a NULL vvalue. The
+    // matched row must be (vt=20, vvalue=NULL) — per-column last(ignoreNulls)
+    // carrying would stitch vt from ord 102 with vvalue from ord 101, a
+    // composite row that never existed.
+    val clicks = Seq((1L, "A", 25L)).toDF("event_id", "user", "t")
+    val views = Seq(
+      ("A", 10L, 101L, Some(1.0)),
+      ("A", 20L, 102L, None: Option[Double])
+    ).toDF("user", "vt", "ord", "vvalue")
+    val row = Joins.asofJoin(clicks, views, Seq("user"), "t", "vt", "ord")
+      .select("asof_vt", "asof_vvalue").collect().head
+    assert(row.getLong(0) == 20L)
+    assert(row.isNullAt(1), s"expected NULL vvalue from the matched row, got ${row.get(1)}")
+  }
+
   test("rangeJoin: inclusive bounds, bucket-boundary crossings, no duplicate pairs") {
     import spark.implicits._
     val left = Seq((1L, "A", 19L), (2L, "A", 100L), (3L, "B", 50L))

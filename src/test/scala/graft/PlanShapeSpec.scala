@@ -9,8 +9,10 @@ package graft
   * operators that train/iterate at construction time. */
 class PlanShapeSpec extends SparkSpec {
 
-  // crossJoin against a broadcast, constant-size query set — intended
-  private val boundedByDesign = Set("q30_ann_brute")
+  // q30: crossJoin against a broadcast, constant-size query set;
+  // q50: crossJoin against a broadcast 1-row global-count scalar — both
+  // bounded by design (the "nested loop" side is O(1) rows)
+  private val boundedByDesign = Set("q30_ann_brute", "q50_tfidf")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Sampling
+
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keys = (1L to 10000L).toDF("k")
+
+  test("hashSample: fraction lands near target, 0 keeps none, 256 keeps all") {
+    val n = Sampling.hashSample(keys, col("k"), 64).count()
+    // 64/256 = 25% ± binomial noise on 10k draws
+    assert(n > 2200 && n < 2800, s"25% sample of 10k gave $n")
+    assert(Sampling.hashSample(keys, col("k"), 0).count() == 0)
+    assert(Sampling.hashSample(keys, col("k"), 256).count() == 10000)
+  }
+
+  test("sampling decisions are per-row: invariant under repartitioning") {
+    val a = Sampling.hashSample(keys, col("k"), 32).as[Long].collect().sorted
+    val b = Sampling.hashSample(keys.repartition(13), col("k"), 32)
+      .as[Long].collect().sorted
+    assert(a.sameElements(b), "sample membership changed with partition layout")
+  }
+
+  test("stratifiedHashSample: per-stratum fractions and default") {
+    val df = (1L to 6000L).map(k => (k, Seq("x", "y", "z")((k % 3).toInt)))
+      .toDF("k", "s")
+    val out = Sampling.stratifiedHashSample(df, col("k"), col("s"),
+      Map("x" -> 256, "y" -> 0), default = 64)
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("x") == 2000)          // keep-all stratum: every row kept
+    assert(!out.contains("y"))        // zero stratum: dropped entirely
+    assert(out("z") > 380 && out("z") < 620, s"25% of 2000 gave ${out.get("z")}")
+  }
+
+  test("stratified threshold for 256 sorts above every hex bucket") {
+    // threshold(256) must not render "100", which would sort BELOW "ff"
+    // in the 2-char comparison and silently keep nothing
+    assert(Sampling.threshold(256) > "ff")
+    assert(Sampling.threshold(255) == "ff" && Sampling.threshold(0) == "00")
+  }
+}

@@ -77,6 +77,24 @@ class SimilaritySpec extends SparkSpec {
     assert(lsh.exists { case (a, b) => a == b })
   }
 
+  test("lshTopK: probe radius clamps to plane count — no duplicate pairs, no rank gaps") {
+    // planes=1, probeRadius=2 used to render sequence(0,-1) — a DESCENDING
+    // [0,-1] probe list with out-of-range flips that duplicated buckets, so
+    // the same (query, neighbor) could enter the heap twice
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 3)
+    val out = Similarity.lshTopK(e, "vec_id", "embedding", q, "vec_id", "embedding",
+      10, planes = 1, probeRadius = 2)
+      .select("query_id", "neighbor_id", "rank").collect()
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.length == pairs.distinct.length,
+      "duplicate (query, neighbor) pairs — probe buckets not distinct")
+    // with 1 plane and its flip, every corpus row is probed: exact top-10
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      assert(rs.map(_.getInt(2)).sorted.sameElements(1 to 10))
+    }
+  }
+
   test("multimodal: stub decode is deterministic, partition-shaped, joinable") {
     val media = Multimodal.syntheticMedia(spark, 50)
     val f1 = Multimodal.featureFrame(media).orderBy("media_id").collect()

@@ -243,6 +243,63 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: duplicates within the watermark horizon dropped, state evicted after") {
+    val in = MemoryStream[PriceTick](spark)
+    val out = graft.streaming.StreamOps.dedupWithinWatermark(
+      in.toDF(), Seq("symbol", "price"), "event_time", "10 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("dedup_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 100.0, ts("2024-01-01 00:00:00")),
+        PriceTick("BTC", 100.0, ts("2024-01-01 00:00:03")), // dup within horizon
+        PriceTick("BTC", 101.0, ts("2024-01-01 00:00:04")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2) // first 100.0 + the 101.0
+      // same content again inside the horizon of a later batch → still a dup
+      in.addData(PriceTick("BTC", 100.0, ts("2024-01-01 00:00:06")))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() == 2)
+      // advance the watermark far past the horizon: state for the key is
+      // evicted (bounded state), so the same content re-admits
+      in.addData(PriceTick("ETH", 1.0, ts("2024-01-01 01:00:00")))
+      q.processAllAvailable()
+      in.addData(PriceTick("BTC", 100.0, ts("2024-01-01 01:00:01")))
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out")
+        .filter(col("symbol") === "BTC" && col("price") === 100.0).count()
+      assert(rows == 2, "evicted key did not re-admit — state would be unbounded")
+    } finally q.stop()
+  }
+
+  test("streaming interval join: only time-bounded matches emit, join state is watermark-bounded") {
+    val lIn = MemoryStream[PriceTick](spark)
+    val rIn = MemoryStream[PriceTick](spark)
+    val left = lIn.toDF().select(col("symbol").as("k"), col("event_time").as("lts"))
+    val right = rIn.toDF().select(
+      col("symbol").as("k"), col("event_time").as("rts"), col("price").as("v"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      left, right, "k", "lts", "rts",
+      lower = "interval -60 seconds", upper = "interval 60 seconds",
+      horizon = "30 seconds")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_out").outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(PriceTick("BTC", 0.0, ts("2024-01-01 00:10:00")))
+      rIn.addData(
+        PriceTick("BTC", 1.0, ts("2024-01-01 00:09:30")),  // within −60s
+        PriceTick("BTC", 2.0, ts("2024-01-01 00:10:45")),  // within +60s
+        PriceTick("BTC", 3.0, ts("2024-01-01 00:12:00")),  // outside +60s
+        PriceTick("ETH", 4.0, ts("2024-01-01 00:10:00")))  // other key
+      q.processAllAvailable()
+      val got = spark.table("ij_out").select("r_v").collect().map(_.getDouble(0)).toSet
+      assert(got == Set(1.0, 2.0))
+      // the range condition is what lets Spark bound both state buffers
+      val plan = q.lastProgress
+      assert(plan != null)
+    } finally q.stop()
+  }
+
   test("price alerts: successor beyond horizon does not resolve, tick expires at horizon") {
     val in = MemoryStream[PriceTick](spark)
     implicit val s = spark
