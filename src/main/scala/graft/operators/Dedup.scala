@@ -114,6 +114,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental MinHash+LSH dedup: near-dup pairs between a NEW batch and
+    * an EXISTING corpus — the daily-ingest shape, where re-pairing the
+    * whole corpus against itself (minhashPairs) would redo work that can
+    * never change. Bands of the new batch equi-join bands of the corpus;
+    * within-batch and within-corpus pairs are never generated, so cost is
+    * proportional to the batch, not the corpus. At production scale the
+    * corpus side's banded signatures are computed once and persisted
+    * (they're pure functions of the text); only the probe join reruns.
+    *
+    * Same two-stage verify as [[minhashPairs]]; `maxBucket` caps
+    * degenerate CORPUS buckets (a boilerplate bucket with millions of
+    * corpus members would otherwise fan every new doc out by millions).
+    * Output: (id_new, id_corpus, jaccard) with jaccard ≥ threshold. */
+  def minhashPairsAgainst(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    val rows = numHashes / bands
+    def banded(docs: DataFrame): DataFrame = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .withColumn("sig", GraftFunctions.minhash_from_tokens(col("toks"), k, numHashes))
+      .select(col("doc_id"), col("sig"),
+        posexplode(expr(
+          s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))"))
+          .as(Seq("band", "band_hash")))
+    val corpusBands = banded(corpus)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_corpus"), col("sig").as("sig_c"))
+    val newBands = banded(newDocs)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_new"), col("sig").as("sig_n"))
+    val candidates = newBands.join(corpusBands, Seq("band", "band_hash"))
+      .filter(GraftFunctions.sig_overlap(col("sig_n"), col("sig_c")) >= threshold / 2)
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+    def sh(docs: DataFrame, as: String): DataFrame = docs
+      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("jtoks"))
+      .select(col(as), GraftFunctions.shingle_hashes(col("jtoks"), k).as(s"sh_$as"))
+    candidates
+      .join(sh(newDocs, "id_new"), Seq("id_new"))
+      .join(sh(corpus, "id_corpus"), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        GraftFunctions.jaccard_sorted(col("sh_id_new"), col("sh_id_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash near-dup: 64-bit sketch (custom expression), bucketed by the
     * four 16-bit sketch quarters — any pair within Hamming distance ≤ 3
     * shares at least one exact quarter (pigeonhole), so candidate

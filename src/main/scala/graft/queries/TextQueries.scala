@@ -85,6 +85,19 @@ object TextQueries {
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 2, numHashes = 32, bands = 16, threshold = 0.2)),
 
+    // Incremental dedup: near-dup pairs of a simulated daily batch
+    // (doc_id % 10 == 0) against the standing corpus (the rest) —
+    // cost proportional to the batch, never re-pairing the corpus
+    // against itself. Rows-only (hash-based); cross-pair equivalence to
+    // the full pairing asserted in DedupSpec.
+    "q52_incremental_dedup" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      Dedup.minhashPairsAgainst(
+        docs.filter(col("doc_id") % 10 === 0),
+        docs.filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", k = 2, numHashes = 32, bands = 16, threshold = 0.2)
+    }),
+
     // SimHash near-dup pairs — rows-only.
     "q28_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",

@@ -45,6 +45,25 @@ class DedupSpec extends SparkSpec {
     assert(j.length == 1 && j.head == 1.0)
   }
 
+  test("minhashPairsAgainst: batch-vs-corpus pairs only, equivalent to full pairing on the cross set") {
+    val newDocs = Seq((100L, base), (101L, "completely novel content nothing shared")).toDF("doc_id", "text")
+    val got = Dedup.minhashPairsAgainst(newDocs, corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    // the planted exact dup pairs with both corpus copies at jaccard 1.0
+    assert(got.get((100L, 1L)).contains(1.0) && got.get((100L, 2L)).contains(1.0))
+    // only cross pairs: no corpus-side ids in the id_new column
+    assert(got.keys.forall(_._1 >= 100L))
+    assert(!got.keys.exists(_._1 == 101L), "novel doc must pair with nothing")
+    // cross-restricted equivalence with the full self-pairing on new ∪ corpus
+    val full = Dedup.minhashPairs(newDocs.union(corpus), "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fullCross = full.filter { case (a, b) => (a >= 100L) != (b >= 100L) }
+      .map { case (a, b) => if (a >= 100L) (a, b) else (b, a) }
+    assert(got.keySet == fullCross)
+  }
+
   test("simhashPairs: exact and near dups collide, unrelated don't") {
     val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 6)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -73,6 +73,14 @@ class EdgeCaseSpec extends SparkSpec {
     // benchFilter matching everything → nothing left to score
     assert(TextOps.contamination(docs, "doc_id", "text",
       benchFilter = lit(true), k = 3).count() == 0)
+    // two token-empty docs share the sentinel gram: a bench-side empty
+    // contaminates a corpus-side empty, mirroring the string
+    // formulation's shared "" gram
+    val empties = Seq((10L, ""), (11L, "   ")).toDF("doc_id", "text")
+    val ec = TextOps.contamination(empties, "doc_id", "text",
+      benchFilter = col("doc_id") === 10L, k = 3)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(ec == Map(11L -> 1.0))
     // repetition/redaction over empty text
     assert(TextOps.repetitionStats(docs, "doc_id", "text").count() == 3)
     assert(docs.select(TextOps.redactPii(col("text"))).count() == 3)
