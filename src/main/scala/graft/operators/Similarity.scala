@@ -209,4 +209,32 @@ object Similarity {
       .withColumn("cosine", cosine(col("cv"), col("qv")))
     topKPerQuery(joined, k)
   }
+
+  /** Per-group element-wise mean of an embedding column — class
+    * prototypes / cluster centroids, exploded to one row per
+    * (group, dimension). Cross-row float sums are order-dependent in
+    * IEEE arithmetic, so the mean goes through [[graft.functions.ExactAgg]]
+    * (exact decimal sum, one final IEEE divide): the result is
+    * bit-identical on 32 local threads and 1000 executors — and to the
+    * DuckDB oracle. The explode inflates rows ×dim before aggregation,
+    * but partial aggregation combines map-side, so the shuffle carries
+    * only groups × dim rows. */
+  def centroids(df: DataFrame, labelCol: Column, vecCol: Column): DataFrame =
+    df.select(labelCol.as("label"), posexplode(vecCol).as(Seq("pos", "e")))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        graft.functions.ExactAgg.davg(col("e").cast("double")).as("c"),
+        count(lit(1)).as("n"))
+
+  /** [[centroids]] re-assembled to one centroid vector per group (the
+    * library-facing shape; [[centroids]]' exploded form is the
+    * oracle-checkable one). Element order is restored by sorting the
+    * collected (pos, value) structs, not by relying on collect order. */
+  def centroidVectors(df: DataFrame, labelCol: Column, vecCol: Column): DataFrame =
+    centroids(df, labelCol, vecCol)
+      .groupBy(col("label"))
+      .agg(
+        expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
+          .as("centroid"),
+        max(col("n")).as("n"))
 }

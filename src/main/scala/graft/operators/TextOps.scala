@@ -151,4 +151,32 @@ object TextOps {
         size(col("grams")).as("n_grams"),
         size(array_distinct(col("grams"))).as("n_distinct"))
       .withColumn("repetition", lit(1.0) - col("n_distinct") / col("n_grams"))
+
+  /** Token-window document chunking — the context-length splitting pass
+    * that precedes tokenization-and-packing in a training pipeline.
+    * Chunk `c` covers tokens `[c·step, c·step + width)`; with
+    * `step < width` consecutive chunks overlap by `width − step` tokens.
+    * Chunk starts run to the last token, so trailing chunks may be
+    * shorter than `width` (never empty). Pure per-row explode +
+    * array-slice — shuffle-free, codegen'd, embarrassingly parallel;
+    * token-empty documents produce no chunks. */
+  def chunkByTokens(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      width: Int,
+      step: Int): org.apache.spark.sql.DataFrame = {
+    require(width > 0 && step > 0, s"width=$width and step=$step must be positive")
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col(idCol), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(step)))
+          .as(Seq("chunk_id", "start")))
+      .select(col(idCol), col("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(width)).as("chunk_toks"))
+      .select(col(idCol), col("chunk_id"),
+        size(col("chunk_toks")).as("n_tok"),
+        array_join(col("chunk_toks"), " ").as("chunk"))
+  }
 }

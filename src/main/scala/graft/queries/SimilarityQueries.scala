@@ -63,6 +63,14 @@ object SimilarityQueries {
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 4, threshold = 0.4, tables = 3)),
 
+    // Class prototypes: exact per-label element-wise mean of the
+    // embedding column, exploded to one row per (label, dimension).
+    // Oracle-checked bit-for-bit — the float sums go through ExactAgg's
+    // decimal path, so the mean is order-invariant and engine-invariant.
+    "q53_centroids" -> ((s, dir) =>
+      Similarity.centroids(table(s, dir, "embeddings"),
+        col("label"), col("embedding"))),
+
     // Multimodal plumbing: synthetic binary payloads → stubbed decode →
     // feature vectors ready for similarity ops.
     "q33_media_features" -> ((s, dir) => {
@@ -89,6 +97,15 @@ object SimilarityQueries {
        |  / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // The embedding dim (64) is a fixed property of the synthetic table
+    // (asserted for every SF); the Spark operator itself is dim-agnostic.
+    "q53_centroids" ->
+      s"""SELECT label, CAST(g.i - 1 AS INT) AS pos,
+         |  ${graft.functions.ExactAgg.sqlAvg("CAST(embedding[g.i] AS DOUBLE)")} AS c,
+         |  COUNT(1) AS n
+         |FROM embeddings, generate_series(1, 64) AS g(i)
+         |GROUP BY label, pos""".stripMargin,
+
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id < $NQ),

@@ -98,6 +98,13 @@ object TextQueries {
         "doc_id", "text", k = 2, numHashes = 32, bands = 16, threshold = 0.2)
     }),
 
+    // Token-window chunking: 32-token chunks on a 24-token stride
+    // (8-token overlap) — the context-length split that precedes
+    // packing. Oracle-checked bit-for-bit (chunk text included).
+    "q54_chunks" -> ((s, dir) =>
+      TextOps.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
+        width = 32, step = 24)),
+
     // SimHash near-dup pairs — rows-only.
     "q28_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -200,30 +207,72 @@ object TextQueries {
     // (eval data must never enter the training set). Every branch
     // re-shuffles only on doc_id, so AQE coalesces the joins; the
     // per-row branches (quality, repetition) are shuffle-free.
-    "q44_filter_pipeline" -> ((s, dir) => {
+    "q44_filter_pipeline" -> ((s, dir) =>
+      filterPipeline(table(s, dir, "documents"))),
+
+    // The full corpus-to-training-sequences job: keep-filter (q44) →
+    // token-window chunking (q54) → per-language bin packing (q46), one
+    // composed plan. This is the end-to-end shape a 100 TB pre-training
+    // data build runs; every stage shuffles only on doc_id/lang and the
+    // chunker itself is shuffle-free, so the composition adds no new
+    // scale hazards over its parts. Oracle-checked bit-for-bit.
+    "q55_clean_chunks" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
-      // quality + repetition are both per-row: one projection, one scan
-      val perRow = docs
-        .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
-        .select(col("doc_id"),
-          TextOps.qualityScore(col("text")).as("quality"),
-          Dedup.shinglesAll("toks", 3).as("grams"))
-        .select(col("doc_id"), col("quality"),
-          (lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams")))
-            .as("repetition"))
-      val cont = TextOps.contamination(docs, "doc_id", "text",
-        benchFilter = col("doc_id") % 50 === 0, k = 5)
-        .select(col("doc_id"), col("contamination"))
-      val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
-        .select(col("doc_id"), col("is_duplicate"))
-      perRow.join(dup, Seq("doc_id")).join(cont, Seq("doc_id"))
-        .withColumn("keep",
-          col("quality") >= 0.5 && col("repetition") <= 0.2 &&
-            col("contamination") < 0.5 && !col("is_duplicate"))
+      val kept = filterPipeline(docs).filter(col("keep")).select(col("doc_id"))
+      val chunks = TextOps.chunkByTokens(
+        docs.join(kept, Seq("doc_id")), "doc_id", "text", width = 32, step = 24)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .withColumn("bin",
+          floor((col("cum_tok") - col("n_tok")) / 2048).cast("int"))
+        .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok"),
+          col("cum_tok"), col("bin"))
     })
   )
 
+  /** The composed training-data keep/drop decision (q44): quality,
+    * repetition, contamination, and exact-dup rank joined per document.
+    * Benchmark docs drop out via the contamination inner join (eval data
+    * must never enter the training set). Every branch re-shuffles only on
+    * doc_id, so AQE coalesces the joins; the per-row branches (quality,
+    * repetition) are shuffle-free. Shared by q44 and the end-to-end q55. */
+  private def filterPipeline(docs: DataFrame): DataFrame = {
+    // quality + repetition are both per-row: one projection, one scan
+    val perRow = docs
+      .select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        Dedup.shinglesAll("toks", 3).as("grams"))
+      .select(col("doc_id"), col("quality"),
+        (lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams")))
+          .as("repetition"))
+    val cont = TextOps.contamination(docs, "doc_id", "text",
+      benchFilter = col("doc_id") % 50 === 0, k = 5)
+      .select(col("doc_id"), col("contamination"))
+    val dup = Dedup.exactDuplicates(docs, "doc_id", "text")
+      .select(col("doc_id"), col("is_duplicate"))
+    perRow.join(dup, Seq("doc_id")).join(cont, Seq("doc_id"))
+      .withColumn("keep",
+        col("quality") >= 0.5 && col("repetition") <= 0.2 &&
+          col("contamination") < 0.5 && !col("is_duplicate"))
+  }
+
   def oracles: Map[String, String] = Map(
+    "q54_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS s FROM toks)
+        |SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id,
+        |  CAST(len(toks[s+1:s+32]) AS INT) AS n_tok,
+        |  array_to_string(toks[s+1:s+32], ' ') AS chunk
+        |FROM starts""".stripMargin,
+
     "q50_tfidf" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -317,7 +366,30 @@ object TextQueries {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
 
-    "q44_filter_pipeline" ->
+    "q44_filter_pipeline" -> filterSql,
+
+    "q55_clean_chunks" ->
+      s"""WITH kept AS (SELECT doc_id FROM ($filterSql) WHERE keep),
+         |ktoks AS (
+         |  SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS toks, d.lang
+         |  FROM documents d JOIN kept USING (doc_id)
+         |  WHERE length(trim(d.text)) > 0),
+         |kstarts AS (
+         |  SELECT doc_id, lang, toks, unnest(range(0, len(toks), 24)) AS s FROM ktoks),
+         |kchunks AS (
+         |  SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id, lang,
+         |    CAST(len(toks[s+1:s+32]) AS INT) AS n_tok
+         |  FROM kstarts)
+         |SELECT doc_id, chunk_id, lang, n_tok,
+         |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
+         |  CAST(floor((SUM(n_tok) OVER w - n_tok) / 2048) AS INT) AS bin
+         |FROM kchunks
+         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+  ) ++ scalarOracles
+
+  /** q44's oracle SQL, shared verbatim by q55's `kept` stage. */
+  private val filterSql: String =
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -369,8 +441,9 @@ object TextQueries {
          |FROM qual q
          |JOIN rep r USING (doc_id)
          |JOIN dup d USING (doc_id)
-         |JOIN cont c USING (doc_id)""".stripMargin,
+         |JOIN cont c USING (doc_id)""".stripMargin
 
+  private val scalarOracles: Map[String, String] = Map(
     "q20_dedup_exact" ->
       """SELECT doc_id, md5(text) AS content_hash,
         |  CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank,

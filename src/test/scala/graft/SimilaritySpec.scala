@@ -32,6 +32,23 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("centroids: exact per-label element-wise means; vector form restores order") {
+    val df = Seq(
+      (1, Array(1.0f, 3.0f)),
+      (1, Array(3.0f, 5.0f)),
+      (2, Array(-2.0f, 0.5f))
+    ).toDF("label", "embedding")
+    val got = Similarity.centroids(df, col("label"), col("embedding"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> (r.getDouble(2), r.getLong(3))).toMap
+    assert(got == Map(
+      (1, 0) -> (2.0, 2L), (1, 1) -> (4.0, 2L),
+      (2, 0) -> (-2.0, 1L), (2, 1) -> (0.5, 1L)))
+    val vecs = Similarity.centroidVectors(df, col("label"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> (r.getSeq[Double](1), r.getLong(2))).toMap
+    assert(vecs(1)._1 == Seq(2.0, 4.0) && vecs(1)._2 == 2L)
+    assert(vecs(2)._1 == Seq(-2.0, 0.5) && vecs(2)._2 == 1L)
+  }
+
   test("topK plan shape: heap aggregate with map-side combine, no ranking window") {
     val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
     val out = Similarity.bruteForceTopK(

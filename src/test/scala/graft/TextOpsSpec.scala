@@ -21,6 +21,19 @@ class TextOpsSpec extends SparkSpec {
     assert(df.as[Int].collect().head == 6)
   }
 
+  test("chunkByTokens: stride windows with overlap, short tails, empty drop") {
+    val df = Seq((1L, "t0 t1 t2 t3 t4"), (2L, "solo"), (3L, "   ")).toDF("doc_id", "text")
+    val got = TextOps.chunkByTokens(df, "doc_id", "text", width = 3, step = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getInt(2), r.getString(3))).toMap
+    assert(got == Map(
+      (1L, 0) -> (3, "t0 t1 t2"),
+      (1L, 1) -> (3, "t2 t3 t4"),
+      (1L, 2) -> (1, "t4"),
+      (2L, 0) -> (1, "solo")))
+    // overlap: consecutive chunks share width - step tokens
+    assert(got((1L, 0))._2.split(" ").last == got((1L, 1))._2.split(" ").head)
+  }
+
   test("qualityScore: bounded [0,1], zero for empty, higher for diverse text") {
     val rows = Seq(
       "",
