@@ -263,6 +263,67 @@ object Dedup {
     labels
   }
 
+  /** Connected components by alternating large-star / small-star
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — same `(id, cluster=component-min)` output as
+    * [[duplicateClusters]], different scaling shape. Label propagation
+    * carries a full per-node labels table through every round;
+    * star contraction rewrites the EDGE set itself — each alternation is
+    * two aggregate+join passes with no per-node state, the edge set only
+    * shrinks toward the star fixpoint, and convergence is O(log n)
+    * alternations on any graph shape. Prefer it when components are huge
+    * (boilerplate / empty-doc blobs at corpus scale) where the labels
+    * table's hot keys skew the propagation join.
+    *
+    * Large-star: every neighbor of `u` larger than `u` links to the
+    * minimum of `u`'s neighborhood (incl. `u`). Small-star: on the
+    * larger→smaller oriented set, `u` and its smaller neighbors all link
+    * to that minimum. The fixpoint of the pair is a union of stars whose
+    * centers are component minima. Self-loops are dropped throughout, so
+    * degenerate `(a,a)` input pairs contribute nothing. */
+  def duplicateClustersStars(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    var e = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the symmetric view: m(u) = min(Γ(u) ∪ {u})
+      val both = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val lsMin = both.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      val ls = both.join(lsMin, Seq("u")).filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+      // small-star on the (u > v)-oriented result: all neighbors are
+      // smaller, so the neighborhood min is plain min(v)
+      val ssMin = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(ssMin, Seq("u"))
+        .select(col("v").as("n"), col("m"))
+        .union(ssMin.select(col("u").as("n"), col("m")))
+        .filter(col("n") =!= col("m"))
+        .select(col("n").as("u"), col("m").as("v"))
+        .distinct()
+        .localCheckpoint(true)
+      // both sides are distinct sets: equal counts + one-sided ⊆ ⇒ equal
+      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      e = ss
+      i += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateClustersStars did not converge in $maxIter alternations; " +
+          "raise maxIter")
+    // fixpoint = stars: non-roots each hold one (node, root) edge; roots
+    // only ever appear on the target side
+    val roots = e.select(col("v").as("id")).distinct()
+      .join(e.select(col("u").as("id")).distinct(), Seq("id"), "left_anti")
+      .withColumn("cluster", col("id"))
+    e.select(col("u").as("id"), col("v").as("cluster")).union(roots)
+  }
+
   /** Embedding near-dup via sign-LSH buckets + exact cosine verify; see
     * [[Similarity.signLshBucket]] for the sketch.
     *

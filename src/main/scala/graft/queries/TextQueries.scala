@@ -119,6 +119,16 @@ object TextQueries {
         Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
           maxHamming = 12))),
 
+    // Same cluster graph via large-star/small-star contraction — the
+    // edge-rewriting alternative whose per-round state is the shrinking
+    // edge set, not a per-node labels table. Rows-only; exact equivalence
+    // to q43's propagation asserted in DedupSpec. Side-by-side in the
+    // bench with q43 to compare the two shapes' fixed overhead.
+    "q56_clusters_star" -> ((s, dir) =>
+      Dedup.duplicateClustersStars(
+        Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
+          maxHamming = 12))),
+
     // Benchmark-contamination check: per-document fraction of distinct
     // word 5-grams that appear in a holdout "benchmark" set (docs with
     // doc_id % 50 == 0 stand in for the eval set). The benchmark gram set

@@ -61,4 +61,24 @@ object StreamOps {
         col(s"r_$rightTs") <= expr(s"$leftTs + $upper"))
       .drop("r_key")
   }
+
+  /** Admission-controlled file replay — the backfill knob. Streaming a
+    * large parquet backlog with no per-trigger bound makes the FIRST
+    * micro-batch swallow the entire history: its shuffles, window state,
+    * and sort buffers are sized to the backlog, not to the steady-state
+    * rate, which is exactly how a 100 TB reprocess falls over. Bounding
+    * `maxFilesPerTrigger` slices the same backlog into many micro-batches
+    * of known size — each one spill-safe, checkpointed, and resumable,
+    * with the watermark advancing steadily between them. Pair with
+    * `Trigger.AvailableNow` to drain the backlog and stop, preserving the
+    * per-trigger bound (one-shot `Trigger.Once` would ignore it). */
+  def boundedFileReplay(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 1): DataFrame =
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(path)
 }

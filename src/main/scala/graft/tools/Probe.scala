@@ -177,6 +177,51 @@ object Probe {
         t3("agg_on_struct_greatest")(docs.select(
           graft.operators.TextOps.langId(col("text")).as("l"))
           .groupBy(col("l")).agg(count(lit(1))))
+      case "q55_stages" =>
+        import org.apache.spark.sql.functions._
+        val docs = SparkUtil.table(spark, dir, "documents")
+        val q44 = graft.SparkEntry.queries("q44_filter_pipeline")(spark, dir)
+        def t(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"PROBE q55stage $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        t("kept")(q44.filter(col("keep")).select(col("doc_id")).count())
+        val kept = q44.filter(col("keep")).select(col("doc_id"))
+        t("join")(docs.join(kept, Seq("doc_id")).count())
+        val chunks = graft.operators.TextOps.chunkByTokens(
+          docs.join(kept, Seq("doc_id")), "doc_id", "text", 32, 24)
+        t("chunks")(chunks.count())
+        t("chunks_lang")(chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")).count())
+        t("full")(graft.SparkEntry.queries("q55_clean_chunks")(spark, dir).count())
+        t("full2")(graft.SparkEntry.queries("q55_clean_chunks")(spark, dir).count())
+      case "q55_cost" =>
+        import org.apache.spark.sql.functions._
+        val docs = SparkUtil.table(spark, dir, "documents")
+        def t(label: String)(f: => Any): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"PROBE q55cost $label -> $n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        t("quality")(docs.agg(sum(graft.operators.TextOps.qualityScore(col("text")))).collect().head.get(0))
+        val grams = docs
+          .select(col("doc_id"), graft.operators.TextOps.tokens(col("text")).as("toks"))
+          .select(col("doc_id"), graft.operators.Dedup.shinglesAll("toks", 3).as("grams"))
+        t("rep")(grams.select((lit(1.0) - size(array_distinct(col("grams"))) / size(col("grams"))).as("r"))
+          .agg(sum(col("r"))).collect().head.get(0))
+        t("cont")(graft.operators.TextOps.contamination(docs, "doc_id", "text",
+          benchFilter = col("doc_id") % 50 === 0, k = 5)
+          .agg(sum(col("contamination"))).collect().head.get(0))
+        t("dup")(graft.operators.Dedup.exactDuplicates(docs, "doc_id", "text")
+          .filter(col("is_duplicate")).count())
+        t("cont2")(graft.operators.TextOps.contamination(docs, "doc_id", "text",
+          benchFilter = col("doc_id") % 50 === 0, k = 5)
+          .agg(sum(col("contamination"))).collect().head.get(0))
+        t("quality2")(docs.agg(sum(graft.operators.TextOps.qualityScore(col("text")))).collect().head.get(0))
+        t("tok_only")(docs.agg(sum(size(graft.operators.TextOps.tokens(lower(col("text")))))).collect().head.get(0))
+        t("distinct_only")(docs.agg(sum(size(array_distinct(graft.operators.TextOps.tokens(lower(col("text"))))))).collect().head.get(0))
+        t("stop_only")(docs.agg(sum(graft.functions.GraftFunctions.token_set_count(
+          graft.operators.TextOps.tokens(lower(col("text"))), graft.operators.TextOps.stopwords))).collect().head.get(0))
       case w if w.startsWith("x3:") =>
         // three timed runs in one JVM — shows warm-cache / post-codegen cost
         val name = w.stripPrefix("x3:")

@@ -110,6 +110,36 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("duplicateClustersStars: matches label propagation on chains, blobs, and the minhash graph") {
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L)
+    ).toDF("id_a", "id_b")
+    val stars = Dedup.duplicateClustersStars(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(stars == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+    // 40-node chain: log-round convergence; tiny budget throws loudly
+    val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val chainGot = Dedup.duplicateClustersStars(chain, maxIter = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(chainGot.size == 40 && chainGot.values.forall(_ == 1L))
+    assertThrows[IllegalStateException] {
+      Dedup.duplicateClustersStars(chain, maxIter = 1).count()
+    }
+    // equivalence with the propagation path on a real LSH-derived graph
+    val g = Dedup.minhashPairs(corpus, "doc_id", "text",
+      k = 3, numHashes = 32, bands = 16, threshold = 0.5)
+    val a = Dedup.duplicateClusters(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.duplicateClustersStars(g).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
   test("duplicateClusters composes with minhashPairs for end-to-end dedup") {
     val clusters = Dedup.duplicateClusters(
       Dedup.minhashPairs(corpus, "doc_id", "text",

@@ -272,6 +272,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("bounded file replay: backlog drains in per-trigger slices, never one giant batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay").toFile
+    dir.deleteOnExit()
+    // a 4-file "backlog", 2 rows per file
+    (0 until 4).foreach { i =>
+      Seq((i * 2L, s"doc ${i * 2}"), (i * 2L + 1, s"doc ${i * 2 + 1}"))
+        .toDF("doc_id", "text")
+        .coalesce(1).write.parquet(s"${dir.getAbsolutePath}/part_$i")
+    }
+    val schema = spark.read.parquet(s"${dir.getAbsolutePath}/part_0").schema
+    val in = graft.streaming.StreamOps.boundedFileReplay(
+      spark, s"${dir.getAbsolutePath}/part_*", schema, maxFilesPerTrigger = 1)
+    val q = in.writeStream
+      .format("memory").queryName("replay_out").outputMode(OutputMode.Append)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("replay_out").count() == 8)
+      val batches = q.recentProgress.filter(_.numInputRows > 0)
+      assert(batches.length == 4,
+        s"expected 4 bounded micro-batches, got ${batches.length}")
+      assert(batches.forall(_.numInputRows == 2),
+        "a micro-batch exceeded the per-trigger file bound")
+    } finally q.stop()
+  }
+
   test("streaming interval join: only time-bounded matches emit, join state is watermark-bounded") {
     val lIn = MemoryStream[PriceTick](spark)
     val rIn = MemoryStream[PriceTick](spark)
