@@ -40,7 +40,9 @@ object GraftExtensions {
       SignLshBucket(args(0), intArg(args(1), "planes"))),
     "minhash_from_tokens" -> (args =>
       MinHashFromTokens(args(0), intArg(args(1), "k"), intArg(args(2), "numHashes"))),
-    "sig_overlap" -> (args => SigOverlap(args(0), args(1)))
+    "sig_overlap" -> (args => SigOverlap(args(0), args(1))),
+    "quant_scale" -> (args => QuantScale(args.head)),
+    "quant_int8" -> (args => QuantInt8(args(0), args(1)))
   )
 
   /** Register on an already-built session. */

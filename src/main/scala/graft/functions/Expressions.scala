@@ -275,6 +275,38 @@ object HashKernels {
     }
     bucket
   }
+
+  /** Per-vector symmetric int8 quantization scale: max |e| / 127 over an
+    * array<float>. max is order-invariant, the one divide is IEEE-exact
+    * → identical in every engine. */
+  def quantScale(vec: ArrayData): Double = {
+    val n = vec.numElements()
+    var m = 0.0
+    var i = 0
+    while (i < n) {
+      val a = math.abs(vec.getFloat(i).toDouble)
+      if (a > m) m = a
+      i += 1
+    }
+    m / 127.0
+  }
+
+  /** Quantize: floor(e/scale + 0.5) per element — floor(x+0.5), not
+    * round(), because e/scale CAN land exactly on .5 and half-way rules
+    * differ across engines while floor never does. scale == 0 (zero
+    * vector) → all-zero codes. */
+  def quantInt8(vec: ArrayData, scale: Double): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = vec.numElements()
+    val out = new Array[Int](n)
+    if (scale != 0.0) {
+      var i = 0
+      while (i < n) {
+        out(i) = math.floor(vec.getFloat(i).toDouble / scale + 0.5).toInt
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
 }
 
 /** MinHash signature straight from an array<string> token column. */
@@ -417,8 +449,39 @@ case class CosineSimilarity(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** int8 quantization scale of an array<float> vector → double. */
+case class QuantScale(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "quant_scale"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.quantScale(input.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.quantScale($c)")
+  override protected def withNewChildInternal(newChild: Expression): QuantScale =
+    copy(child = newChild)
+}
+
+/** int8 codes of an array<float> vector at a given scale → array<int>. */
+case class QuantInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "quant_int8"
+  override protected def nullSafeEval(vec: Any, scale: Any): Any =
+    HashKernels.quantInt8(vec.asInstanceOf[ArrayData], scale.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (v, s) => s"graft.functions.HashKernels.quantInt8($v, $s)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): QuantInt8 =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
+  def quant_scale(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(QuantScale(org.apache.spark.sql.graft.Bridge.expression(c)))
+  def quant_int8(vec: Column, scale: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      QuantInt8(org.apache.spark.sql.graft.Bridge.expression(vec), org.apache.spark.sql.graft.Bridge.expression(scale)))
   def rolling_fingerprint(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(RollingFingerprint(org.apache.spark.sql.graft.Bridge.expression(c)))
   def simhash64(c: Column): Column =

@@ -226,6 +226,21 @@ object Similarity {
         graft.functions.ExactAgg.davg(col("e").cast("double")).as("c"),
         count(lit(1)).as("n"))
 
+  /** Per-vector symmetric int8 quantization — the storage path for an
+    * embedding column at corpus scale (4× smaller than float32; the
+    * dot-product kernels can then run on ints). `scale = max(|e|)/127`
+    * per row, `code = floor(e/scale + 0.5)` — floor(x+0.5) instead of
+    * round() because floor is IEEE-exact and identical in every engine,
+    * while round()'s half-way rule differs (and e/scale CAN land exactly
+    * on .5). Zero vectors quantize to zeros with scale 0. Both steps are
+    * codegen'd custom kernels ([[graft.functions.QuantScale]] /
+    * [[graft.functions.QuantInt8]]) — per-row, shuffle-free, and
+    * deterministic down to the bit (q57 oracle).
+    * Output: input columns + `scale` (double) + `q` (array<int>). */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame =
+    df.withColumn("scale", GraftFunctions.quant_scale(col(vecCol)))
+      .withColumn("q", GraftFunctions.quant_int8(col(vecCol), col("scale")))
+
   /** [[centroids]] re-assembled to one centroid vector per group (the
     * library-facing shape; [[centroids]]' exploded form is the
     * oracle-checkable one). Element order is restored by sorting the

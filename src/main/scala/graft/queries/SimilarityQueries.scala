@@ -71,6 +71,13 @@ object SimilarityQueries {
       Similarity.centroids(table(s, dir, "embeddings"),
         col("label"), col("embedding"))),
 
+    // int8 embedding quantization, exploded to scalar (vec_id, pos)
+    // rows so every code and scale is oracle-checked bit-for-bit.
+    "q57_quant8" -> ((s, dir) =>
+      Similarity.quantizeInt8(table(s, dir, "embeddings"), "embedding")
+        .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("pos", "code")))
+        .select(col("vec_id"), col("pos"), col("scale"), col("code"))),
+
     // Multimodal plumbing: synthetic binary payloads → stubbed decode →
     // feature vectors ready for similarity ops.
     "q33_media_features" -> ((s, dir) => {
@@ -105,6 +112,19 @@ object SimilarityQueries {
          |  COUNT(1) AS n
          |FROM embeddings, generate_series(1, 64) AS g(i)
          |GROUP BY label, pos""".stripMargin,
+
+    // max|e| = greatest(|min|, |max|); float→double casts are exact, the
+    // divides and floor are IEEE-exact — the identical op tree to the
+    // QuantScale/QuantInt8 kernels.
+    "q57_quant8" ->
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |s AS (SELECT vec_id, e,
+        |         greatest(abs(list_min(e)), abs(list_max(e))) / 127.0 AS scale
+        |       FROM v)
+        |SELECT vec_id, CAST(g.i - 1 AS INT) AS pos, scale,
+        |  CAST(CASE WHEN scale = 0.0 THEN 0
+        |       ELSE floor(e[g.i] / scale + 0.5) END AS INT) AS code
+        |FROM s, generate_series(1, 64) AS g(i)""".stripMargin,
 
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

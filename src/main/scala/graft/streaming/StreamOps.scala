@@ -62,6 +62,34 @@ object StreamOps {
       .drop("r_key")
   }
 
+  /** Streaming corpus intake: the training-data cleaning pass as it runs
+    * on a LIVE document stream rather than a parquet corpus. Per-row
+    * signals — quality gate, PII redaction, content hash — are the same
+    * stateless Catalyst expressions the batch path uses (they neither
+    * know nor care that the plan is streaming); the one stateful op is
+    * content-hash dedup, bounded by the watermark horizon. Corpus-global
+    * passes (contamination, near-dup clustering, TF-IDF) have no bounded
+    * streaming form — they stay in the batch layer, and this split is the
+    * standard stream/batch division for a data build.
+    *
+    * Output: the input columns with `text` replaced by its redacted form,
+    * plus `quality` and `content_hash` (hash of the ORIGINAL text, so
+    * dedup is keyed on true content identity, 32 bytes of state per
+    * distinct doc inside the horizon). */
+  def cleanDocStream(
+      in: DataFrame,
+      textCol: String,
+      eventTimeCol: String,
+      horizon: String,
+      minQuality: Double = 0.5): DataFrame = {
+    val scored = in
+      .withColumn("quality", graft.operators.TextOps.qualityScore(col(textCol)))
+      .filter(col("quality") >= minQuality)
+      .withColumn("content_hash", md5(col(textCol)))
+      .withColumn(textCol, graft.operators.TextOps.redactPii(col(textCol)))
+    dedupWithinWatermark(scored, Seq("content_hash"), eventTimeCol, horizon)
+  }
+
   /** Admission-controlled file replay — the backfill knob. Streaming a
     * large parquet backlog with no per-trigger bound makes the FIRST
     * micro-batch swallow the entire history: its shuffles, window state,

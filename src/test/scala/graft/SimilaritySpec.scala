@@ -49,6 +49,23 @@ class SimilaritySpec extends SparkSpec {
     assert(vecs(2)._1 == Seq(-2.0, 0.5) && vecs(2)._2 == 1L)
   }
 
+  test("quantizeInt8: exact codes on known vectors, round-trip bound, zero-vector guard") {
+    val df = Seq(
+      (1L, Array(1.0f, -2.0f, 0.5f, 0.0f)),
+      (2L, Array(0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df, "embedding")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(2), r.getSeq[Int](3))).toMap
+    val scale = 2.0 / 127.0
+    assert(got(1L)._1 == scale)
+    assert(got(1L)._2 == Seq(64, -127, 32, 0)) // floor(63.5+.5), floor(-126.5), floor(32.25), 0
+    assert(got(2L)._1 == 0.0 && got(2L)._2 == Seq(0, 0))
+    // dequantization error ≤ scale/2 per element
+    val errs = Seq(1.0, -2.0, 0.5, 0.0).zip(got(1L)._2)
+      .map { case (e, q) => math.abs(e - q * scale) }
+    assert(errs.forall(_ <= scale / 2 + 1e-12))
+  }
+
   test("topK plan shape: heap aggregate with map-side combine, no ranking window") {
     val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
     val out = Similarity.bruteForceTopK(

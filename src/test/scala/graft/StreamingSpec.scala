@@ -272,6 +272,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming corpus intake: quality gate, PII redaction, watermarked content dedup") {
+    import graft.model.Models.StreamDoc
+    val in = MemoryStream[StreamDoc](spark)
+    val out = graft.streaming.StreamOps.cleanDocStream(
+      in.toDF(), "text", "event_time", "10 seconds", minQuality = 0.3)
+    val q = out.writeStream
+      .format("memory").queryName("intake_out").outputMode(OutputMode.Append).start()
+    try {
+      val good = "the quick brown fox jumps over a lazy dog and then it runs away to the hills"
+      val pii = "contact me at alice@example.com for the quick brown fox papers and more of it"
+      in.addData(
+        StreamDoc(1L, good, ts("2024-01-01 00:00:00")),
+        StreamDoc(2L, "spam spam spam spam spam spam spam spam", ts("2024-01-01 00:00:01")),
+        StreamDoc(3L, good, ts("2024-01-01 00:00:02")), // dup of 1 within horizon
+        StreamDoc(4L, pii, ts("2024-01-01 00:00:03")))
+      q.processAllAvailable()
+      val rows = spark.table("intake_out")
+        .select(col("doc_id"), col("text")).collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      // low-quality 2 and duplicate 3 dropped; 1 and 4 admitted
+      assert(rows.keySet == Set(1L, 4L))
+      // the emitted text is the redacted form, original content keyed dedup
+      assert(rows(4L).contains("[EMAIL]") && !rows(4L).contains("alice@example.com"))
+    } finally q.stop()
+  }
+
   test("bounded file replay: backlog drains in per-trigger slices, never one giant batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toFile
     dir.deleteOnExit()
