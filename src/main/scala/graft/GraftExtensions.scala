@@ -42,7 +42,8 @@ object GraftExtensions {
       MinHashFromTokens(args(0), intArg(args(1), "k"), intArg(args(2), "numHashes"))),
     "sig_overlap" -> (args => SigOverlap(args(0), args(1))),
     "quant_scale" -> (args => QuantScale(args.head)),
-    "quant_int8" -> (args => QuantInt8(args(0), args(1)))
+    "quant_int8" -> (args => QuantInt8(args(0), args(1))),
+    "cosine_int8" -> (args => CosineInt8(args(0), args(1)))
   )
 
   /** Register on an already-built session. */

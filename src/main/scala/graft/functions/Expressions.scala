@@ -291,6 +291,32 @@ object HashKernels {
     m / 127.0
   }
 
+  /** Cosine over two int8-code arrays (array<int>): integer dot and
+    * norms accumulate EXACTLY in long (≤ 127²·dim per sum — nowhere near
+    * overflow), then one IEEE divide over a product of IEEE sqrts. A
+    * double-summing engine gets the identical value because every partial
+    * sum of integer terms below 2^53 is exact regardless of order — which
+    * is what makes int8-space search oracle-checkable bit-for-bit when
+    * float-space dot products would drift. Zero norms → 0.0 (matches
+    * [[cosineFF]]). */
+  def cosineQQ(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0L
+    var na = 0L
+    var nb = 0L
+    var i = 0
+    while (i < n) {
+      val x = a.getInt(i).toLong
+      val y = b.getInt(i).toLong
+      dot += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    if (na == 0L || nb == 0L) 0.0
+    else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
+  }
+
   /** Quantize: floor(e/scale + 0.5) per element — floor(x+0.5), not
     * round(), because e/scale CAN land exactly on .5 and half-way rules
     * differ across engines while floor never does. scale == 0 (zero
@@ -475,8 +501,24 @@ case class QuantInt8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Cosine between two array<int> int8-code vectors → double. */
+case class CosineInt8(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_int8"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosineQQ(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.cosineQQ($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineInt8 =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
+  def cosine_int8(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CosineInt8(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
   def quant_scale(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(QuantScale(org.apache.spark.sql.graft.Bridge.expression(c)))
   def quant_int8(vec: Column, scale: Column): Column =

@@ -241,6 +241,35 @@ object Similarity {
     df.withColumn("scale", GraftFunctions.quant_scale(col(vecCol)))
       .withColumn("q", GraftFunctions.quant_int8(col(vecCol), col("scale")))
 
+  /** Exact top-k search in int8 space: the corpus is [[quantizeInt8]]
+    * codes (what you'd actually persist for a 100 TB embedding store —
+    * 4× less scan I/O), queries quantize the same way, and scoring is the
+    * integer-cosine kernel ([[graft.functions.CosineInt8]]). Same
+    * broadcast-queries / never-shuffle-corpus / bounded-heap-top-k shape
+    * as [[bruteForceTopK]]; scales cancel in cosine, so no dequantization
+    * happens anywhere. Integer dots are order-exact, so unlike the float
+    * path's scores these are reproducible bit-for-bit in ANY engine —
+    * q58's oracle checks every score. Recall vs float-space search is
+    * asserted in spec (quantization error ≤ scale/2 per element). */
+  def bruteForceTopKInt8(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int): DataFrame = {
+    val c = quantizeInt8(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("v")), "v")
+      .select(col("neighbor_id"), col("q").as("cq"))
+    val q = broadcast(quantizeInt8(
+        queries.select(col(queryId).as("query_id"), col(queryVec).as("v")), "v")
+      .select(col("query_id"), col("q").as("qq")))
+    val scored = c.crossJoin(q)
+      .withColumn("cosine", GraftFunctions.cosine_int8(col("cq"), col("qq")))
+    topKPerQuery(scored, k)
+  }
+
   /** [[centroids]] re-assembled to one centroid vector per group (the
     * library-facing shape; [[centroids]]' exploded form is the
     * oracle-checkable one). Element order is restored by sorting the

@@ -78,6 +78,16 @@ object SimilarityQueries {
         .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("pos"), col("scale"), col("code"))),
 
+    // ANN over the quantized corpus: top-10 int8-cosine neighbors of the
+    // same 5 queries as q30. Oracle-checked bit-for-bit — integer dot
+    // products are order-exact, so even the scores hash-match.
+    "q58_ann_int8" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      Similarity.bruteForceTopKInt8(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K)
+    }),
+
     // Multimodal plumbing: synthetic binary payloads → stubbed decode →
     // feature vectors ready for similarity ops.
     "q33_media_features" -> ((s, dir) => {
@@ -125,6 +135,28 @@ object SimilarityQueries {
         |  CAST(CASE WHEN scale = 0.0 THEN 0
         |       ELSE floor(e[g.i] / scale + 0.5) END AS INT) AS code
         |FROM s, generate_series(1, 64) AS g(i)""".stripMargin,
+
+    // codes as integral doubles: every partial sum in the inner products
+    // stays below 2^53, so DuckDB's in-order double summation equals the
+    // kernel's exact long accumulation bit-for-bit
+    "q58_ann_int8" ->
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |s AS (SELECT vec_id, e,
+         |         greatest(abs(list_min(e)), abs(list_max(e))) / 127.0 AS scale
+         |       FROM v),
+         |codes AS (
+         |  SELECT vec_id,
+         |    CASE WHEN scale = 0.0 THEN list_transform(e, x -> 0.0)
+         |         ELSE list_transform(e, x -> floor(x / scale + 0.5)) END AS qcode
+         |  FROM s),
+         |qq AS (SELECT vec_id AS query_id, qcode AS qv FROM codes WHERE vec_id < $NQ),
+         |cc AS (SELECT vec_id AS neighbor_id, qcode AS cv FROM codes)
+         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+         |  SELECT query_id, neighbor_id, ${cosSql("cv", "qv")} AS cosine,
+         |    ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY ${cosSql("cv", "qv")} DESC, neighbor_id ASC) AS rank
+         |  FROM cc CROSS JOIN qq)
+         |WHERE rank <= $K""".stripMargin,
 
     "q30_ann_brute" ->
       s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

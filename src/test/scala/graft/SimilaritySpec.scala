@@ -66,6 +66,27 @@ class SimilaritySpec extends SparkSpec {
     assert(errs.forall(_ <= scale / 2 + 1e-12))
   }
 
+  test("bruteForceTopKInt8: self is rank 1, high recall vs float-space search") {
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val int8 = Similarity.bruteForceTopKInt8(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+    val top = int8.filter(col("rank") === 1).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    (0L until 5L).foreach { qid =>
+      assert(top(qid)._1 == qid, s"query $qid: self not rank 1 in int8 space")
+      assert(math.abs(top(qid)._2 - 1.0) < 1e-12)
+    }
+    val float = Similarity.bruteForceTopK(
+      e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = int8.select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (float intersect got).size.toDouble / float.size
+    assert(recall >= 0.9, s"int8 recall $recall vs float space — quantization too lossy")
+  }
+
   test("topK plan shape: heap aggregate with map-side combine, no ranking window") {
     val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
     val out = Similarity.bruteForceTopK(
