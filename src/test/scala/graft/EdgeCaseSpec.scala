@@ -56,6 +56,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Dedup.simhashPairs(docs, "doc_id", "text").collect() != null)
   }
 
+  test("round-4 ops on degenerate inputs: empty pairs/batches/vectors, whitespace docs") {
+    // star contraction on empty and self-pair-only inputs terminates empty
+    // (self-loops are dropped by contract, unlike propagation's (7,7))
+    val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.duplicateClustersStars(noPairs).count() == 0)
+    assert(Dedup.duplicateClustersStars(Seq((7L, 7L)).toDF("id_a", "id_b")).count() == 0)
+    // incremental dedup with an empty batch or empty corpus pairs nothing
+    val docs = Seq((1L, "a b c d"), (2L, "a b c d")).toDF("doc_id", "text")
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.minhashPairsAgainst(noDocs, docs, "doc_id", "text", k = 2).count() == 0)
+    assert(Dedup.minhashPairsAgainst(docs, noDocs, "doc_id", "text", k = 2).count() == 0)
+    // chunking: whitespace-only corpus chunks to nothing; bad params throw
+    assert(TextOps.chunkByTokens(Seq((1L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text", 4, 2).count() == 0)
+    assertThrows[IllegalArgumentException] {
+      TextOps.chunkByTokens(docs, "doc_id", "text", 4, 0)
+    }
+    // centroids of an empty frame: empty, correct schema
+    val noVecs = Seq.empty[(Int, Array[Float])].toDF("label", "embedding")
+    assert(Similarity.centroids(noVecs, col("label"), col("embedding")).count() == 0)
+    // quantization of an empty vector: scale 0, zero-length codes
+    val emptyVec = Seq((1L, Array.empty[Float])).toDF("vec_id", "embedding")
+    val qr = Similarity.quantizeInt8(emptyVec, "embedding").collect().head
+    assert(qr.getDouble(2) == 0.0 && qr.getSeq[Int](3).isEmpty)
+    // int8 cosine against a zero-norm code vector is 0.0, not NaN
+    val z = Seq((Array(1, 2, 3), Array(0, 0, 0))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.cosine_int8(col("a"), col("b")).as("c"))
+    assert(z.collect().head.getDouble(0) == 0.0)
+  }
+
   test("round-3 ops on degenerate inputs: empty pair sets, empty benchmark, empty docs") {
     // clustering an empty pair set terminates immediately with no labels
     val noPairs = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
