@@ -317,6 +317,43 @@ object HashKernels {
     else dot.toDouble / (math.sqrt(na.toDouble) * math.sqrt(nb.toDouble))
   }
 
+  /** PQ asymmetric-distance scoring: approximate cosine between a RAW
+    * query vector and a corpus vector known only by its product-
+    * quantization codes. The corpus vector is never reconstructed as a
+    * row — the kernel walks the code array, accumulating the query·
+    * centroid dot and the reconstruction norm straight from the (m·k·sub)
+    * flat codebook. Per pair this is the same flop count as a full
+    * cosine, but the corpus side READS only m bytes of codes instead of
+    * 4·dim bytes of floats — at 100 TB the scan I/O, not the flops, is
+    * the bill. `cents` layout: [(s·k + code)·sub + j]. */
+  def pqScore(codes: ArrayData, qv: ArrayData, cents: Array[Float], k: Int, sub: Int): Double = {
+    val m = codes.numElements()
+    var dot = 0.0
+    var rn = 0.0
+    var qn = 0.0
+    val d = qv.numElements()
+    var i = 0
+    while (i < d) {
+      val x = qv.getFloat(i).toDouble
+      qn += x * x
+      i += 1
+    }
+    var s = 0
+    while (s < m) {
+      val base = (s * k + codes.getInt(s)) * sub
+      var j = 0
+      while (j < sub) {
+        val cv = cents(base + j).toDouble
+        dot += qv.getFloat(s * sub + j).toDouble * cv
+        rn += cv * cv
+        j += 1
+      }
+      s += 1
+    }
+    if (rn == 0.0 || qn == 0.0) 0.0
+    else dot / (math.sqrt(rn) * math.sqrt(qn))
+  }
+
   /** Quantize: floor(e/scale + 0.5) per element — floor(x+0.5), not
     * round(), because e/scale CAN land exactly on .5 and half-way rules
     * differ across engines while floor never does. scale == 0 (zero
@@ -514,8 +551,29 @@ case class CosineInt8(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** PQ asymmetric cosine: (array<int> codes, array<float> query) → double,
+  * with the flat codebook baked in as a reference object. */
+case class PqScore(left: Expression, right: Expression,
+    cents: Array[Float], k: Int, sub: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_score"
+  override protected def nullSafeEval(codes: Any, qv: Any): Any =
+    HashKernels.pqScore(codes.asInstanceOf[ArrayData], qv.asInstanceOf[ArrayData], cents, k, sub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "float[]")
+    defineCodeGen(ctx, ev, (c, q) => s"graft.functions.HashKernels.pqScore($c, $q, $ref, $k, $sub)")
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PqScore =
+    copy(left = l, right = r)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
+  def pq_score(codes: Column, qv: Column, cents: Array[Float], k: Int, sub: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqScore(org.apache.spark.sql.graft.Bridge.expression(codes),
+        org.apache.spark.sql.graft.Bridge.expression(qv), cents, k, sub))
   def cosine_int8(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CosineInt8(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))

@@ -241,6 +241,92 @@ object Similarity {
     df.withColumn("scale", GraftFunctions.quant_scale(col(vecCol)))
       .withColumn("q", GraftFunctions.quant_int8(col(vecCol), col("scale")))
 
+  /** Product-quantization codebook (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): the vector space is split
+    * into `m` orthogonal subspaces of dim/m dims, and each subspace gets
+    * its own `k`-centroid quantizer — so a vector compresses to `m` small
+    * codes (m bytes at k ≤ 256) with k^m effective reconstruction points.
+    * Training reuses the deterministic DataFrame-native Lloyd loop
+    * ([[trainIvfCentroids]]) once per subspace; the codebook
+    * (m × k × dim/m floats) is tiny and, like the IVF index, is trained
+    * once and persisted at production scale. */
+  def trainPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      iters: Int = 3): Array[Array[Array[Float]]] = {
+    val d = corpus.select(size(col(vecCol))).first().getInt(0)
+    require(d % m == 0, s"dim $d not divisible into $m subspaces")
+    val sub = d / m
+    (0 until m).map { s =>
+      val sliced = corpus.select(col(idCol).as("id"),
+        slice(col(vecCol), s * sub + 1, sub).as("v"))
+      trainIvfCentroids(sliced, "id", "v", k, iters)
+    }.toArray
+  }
+
+  /** Encode each vector to its `m` per-subspace nearest-centroid codes
+    * (one array<int> column `codes`) — per-row expression work only. */
+  def pqEncode(df: DataFrame, vecCol: String, cents: Array[Array[Array[Float]]]): DataFrame = {
+    val m = cents.length
+    val sub = cents.head.head.length
+    val codeCols = (0 until m).map { s =>
+      nearestCell(slice(col(vecCol), s * sub + 1, sub), cents(s))
+    }
+    df.withColumn("codes", array(codeCols: _*))
+  }
+
+  /** ANN over the PQ-compressed corpus (asymmetric distance computation):
+    * corpus rows are scored from their codes alone via the
+    * [[graft.functions.PqScore]] kernel — the raw corpus floats are never
+    * read at search time, which is the point: at 100 TB the persisted
+    * index is the m-byte code column (32× smaller than float32 at
+    * m=8/dim=64), and search I/O scales with it. Same broadcast-queries /
+    * corpus-never-shuffled / bounded-heap top-k shape as the other ANN
+    * paths. `rerank > 0` adds the classic second stage: the PQ scan
+    * produces a `rerank`-deep shortlist per query, and only those
+    * candidate rows are re-scored with exact float cosine — the raw
+    * vectors are touched for queries × rerank rows instead of the whole
+    * corpus (the shortlist is broadcast, so the corpus is still never
+    * shuffled). Recall vs exact search is asserted in spec; compose with
+    * [[ivfTopK]]-style cell pruning when scanning even the codes is too
+    * much (classic IVF-PQ). */
+  def pqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      m: Int = 8,
+      codebook: Int = 16,
+      iters: Int = 3,
+      rerank: Int = 0,
+      centroids: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainPq(corpus, corpusId, corpusVec, m, codebook, iters))
+    val sub = cents.head.head.length
+    val flat = cents.flatMap(_.flatMap(identity))
+    val c = pqEncode(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("v")), "v", cents)
+      .select(col("neighbor_id"), col("codes"))
+    val q = broadcast(queries.select(col(queryId).as("query_id"), col(queryVec).as("qv")))
+    val scored = c.crossJoin(q)
+      .withColumn("cosine",
+        GraftFunctions.pq_score(col("codes"), col("qv"), flat, cents.head.length, sub))
+    if (rerank <= 0) topKPerQuery(scored, k)
+    else {
+      val shortlist = topKPerQuery(scored, rerank).select("query_id", "neighbor_id")
+      val cRaw = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      val rescored = cRaw.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(q, Seq("query_id"))
+        .withColumn("cosine", cosine(col("cv"), col("qv")))
+      topKPerQuery(rescored, k)
+    }
+  }
+
   /** Exact top-k search in int8 space: the corpus is [[quantizeInt8]]
     * codes (what you'd actually persist for a 100 TB embedding store —
     * 4× less scan I/O), queries quantize the same way, and scoring is the

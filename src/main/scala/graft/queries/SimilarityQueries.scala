@@ -22,6 +22,10 @@ object SimilarityQueries {
   private val ivfIndex =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
+  /** Trained PQ codebooks, same persisted-index analog as [[ivfIndex]]. */
+  private val pqIndex =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: top-10 cosine neighbors of 5 query vectors.
     "q30_ann_brute" -> ((s, dir) => {
@@ -77,6 +81,23 @@ object SimilarityQueries {
       Similarity.quantizeInt8(table(s, dir, "embeddings"), "embedding")
         .select(col("vec_id"), col("scale"), posexplode(col("q")).as(Seq("pos", "code")))
         .select(col("vec_id"), col("pos"), col("scale"), col("code"))),
+
+    // ANN over the PQ-compressed corpus: the code-column scan shortlists
+    // 50 candidates per query (asymmetric distance against the trained
+    // codebook), then only those rows are re-scored with exact cosine.
+    // Rows-only (iterative float training has no SQL mirror); recall vs
+    // exact search asserted in SimilaritySpec.
+    "q59_ann_pq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      // m=16/k=16 → 4-dim subspaces, 16 bytes/vector (16× compression);
+      // probed recall at sf0.01: 0.52 shortlist-only, 0.90 with rerank
+      val cents = pqIndex.getOrElseUpdate(dir,
+        Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+      Similarity.pqTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K,
+        m = 16, rerank = 50, centroids = Some(cents))
+    }),
 
     // ANN over the quantized corpus: top-10 int8-cosine neighbors of the
     // same 5 queries as q30. Oracle-checked bit-for-bit — integer dot

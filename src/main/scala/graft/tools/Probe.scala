@@ -103,6 +103,18 @@ object Probe {
         println(s"PROBE q40 truth=${brute.size} got=${ivf.size} " +
           s"recall=${(brute intersect ivf).size.toDouble / brute.size}")
 
+        Seq((8, 16), (16, 16), (8, 32)).foreach { case (mm, kk) =>
+          val pqCents = graft.operators.Similarity.trainPq(emb, "vec_id", "embedding", mm, kk)
+          Seq(0, 50).foreach { rr =>
+            val pq = graft.operators.Similarity.pqTopK(
+              emb, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+              m = mm, codebook = kk, rerank = rr, centroids = Some(pqCents))
+              .select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+            println(s"PROBE q59(m=$mm,k=$kk,rerank=$rr) truth=${brute.size} got=${pq.size} " +
+              s"recall=${(brute intersect pq).size.toDouble / brute.size}")
+          }
+        }
+
         val truth32 = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
           .crossJoin(emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b")))
           .filter(col("id_a") < col("id_b"))

@@ -12,7 +12,8 @@ class PlanShapeSpec extends SparkSpec {
   // q30/q58: crossJoin against a broadcast, constant-size query set;
   // q50: crossJoin against a broadcast 1-row global-count scalar — both
   // bounded by design (the "nested loop" side is O(1) rows)
-  private val boundedByDesign = Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8")
+  private val boundedByDesign =
+    Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

@@ -87,6 +87,42 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"int8 recall $recall vs float space — quantization too lossy")
   }
 
+  test("pqTopK: exact when the codebook reconstructs perfectly; real recall on the corpus") {
+    // vectors drawn from 2 distinct values per 2-dim subspace: Lloyd with
+    // k=2 converges to those exact points, reconstruction is lossless,
+    // and PQ scores must equal exact cosine
+    val a = Array(1.0f, 2.0f); val b = Array(-1.0f, 0.5f)
+    val vecs = Seq(
+      (0L, a ++ a), (1L, a ++ b), (2L, b ++ a), (3L, b ++ b),
+      (4L, a ++ a), (5L, b ++ a))
+      .toDF("vec_id", "embedding")
+    val pq = Similarity.pqTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", 6, m = 2, codebook = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Similarity.bruteForceTopK(vecs, "vec_id", "embedding",
+      vecs.filter(col("vec_id") < 2), "vec_id", "embedding", 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    exact.foreach { case (key, cos) =>
+      assert(pq.contains(key) && math.abs(pq(key) - cos) < 1e-12,
+        s"$key: pq=${pq.get(key)} exact=$cos")
+    }
+    // lossy regime: trained codebook on the synthetic corpus with the
+    // q59 config (m=16/k=16 + 50-deep exact rerank); probed recall 0.9
+    // at sf0.01 — assert a robust floor
+    val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val got = Similarity.pqTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10, m = 16, codebook = 16, rerank = 50)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+      q, "vec_id", "embedding", 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (truth intersect got).size.toDouble / truth.size
+    assert(recall >= 0.7, s"pq+rerank recall $recall too low for m=16,k=16,rerank=50")
+  }
+
   test("topK plan shape: heap aggregate with map-side combine, no ranking window") {
     val e = SparkUtil.table(spark, sf("sf0.001"), "embeddings")
     val out = Similarity.bruteForceTopK(
