@@ -68,22 +68,29 @@ object Bench {
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
 
     val Reps = 3
-    val results = names.map { name =>
-      val times = (1 to Reps).map { _ =>
+    // INTERLEAVED reps: full pass over all queries, repeated `Reps`
+    // times, per-query median across passes. Back-to-back reps of one
+    // query let a single machine stall (foreign load, forced GC) poison
+    // 2/3 reps of THAT query and its median with it — observed as a
+    // 19.7 s median on a 1.5 s query. Interleaving spreads a stall
+    // across one rep of many queries, so every median survives.
+    val timesByQuery = names.map(_ -> Array.fill(Reps)(0.0)).toMap
+    (0 until Reps).foreach { rep =>
+      names.foreach { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sfDir).count()
         catch { case e: Throwable =>
           errors(name) = s"${e.getClass.getName}: ${e.getMessage}"
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         }
-        (System.nanoTime() - t0) / 1e9
-      }.sorted
-      // iterative operators (connected components) eagerly localCheckpoint
-      // each round; drop those blocks now instead of letting them ride the
-      // whole session and tax later queries' storage/GC budget
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-      name -> times
+        timesByQuery(name)(rep) = (System.nanoTime() - t0) / 1e9
+        // iterative operators (connected components) eagerly localCheckpoint
+        // each round; drop those blocks now instead of letting them ride the
+        // whole session and tax later queries' storage/GC budget
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      }
     }
+    val results = names.map(name => name -> timesByQuery(name).sorted.toSeq)
     val qs = results.map { case (k, t) => "\"" + k + "\":" + t(Reps / 2) }
       .mkString("{", ",", "}")
     val spread = results.map { case (k, t) =>

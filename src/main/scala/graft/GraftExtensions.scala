@@ -43,7 +43,8 @@ object GraftExtensions {
     "sig_overlap" -> (args => SigOverlap(args(0), args(1))),
     "quant_scale" -> (args => QuantScale(args.head)),
     "quant_int8" -> (args => QuantInt8(args(0), args(1))),
-    "cosine_int8" -> (args => CosineInt8(args(0), args(1)))
+    "cosine_int8" -> (args => CosineInt8(args(0), args(1))),
+    "media_meta" -> (args => MediaMeta(args.head))
   )
 
   /** Register on an already-built session. */

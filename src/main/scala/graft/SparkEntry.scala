@@ -21,11 +21,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ReferenceQueries.queries ++ RelationalQueries.queries ++
-      TextQueries.queries ++ SimilarityQueries.queries
+      TextQueries.queries ++ SimilarityQueries.queries ++
+      TimeSeriesQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ReferenceQueries.oracles ++ RelationalQueries.oracles ++
-      TextQueries.oracles ++ SimilarityQueries.oracles
+      TextQueries.oracles ++ SimilarityQueries.oracles ++
+      TimeSeriesQueries.oracles
 }

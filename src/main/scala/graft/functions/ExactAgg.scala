@@ -64,6 +64,32 @@ object ExactAgg {
     when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd)
   }
 
+  // ---- windowed variants (same decimal op tree over a window frame) ----
+  // Decimal addition is associative, so DuckDB's segment-tree window
+  // aggregation and Spark's incremental frame evaluation produce the
+  // identical exact sum — which is what makes windowed double stats
+  // oracle-checkable when a plain double SUM OVER would drift.
+
+  import org.apache.spark.sql.expressions.WindowSpec
+
+  def wsum(c: Column, w: WindowSpec): Column =
+    sum(c.cast(In)).over(w).cast(DoubleType)
+
+  def wavg(c: Column, w: WindowSpec): Column = wsum(c, w) / count(c).over(w)
+
+  def wsumsq(c: Column, w: WindowSpec): Column =
+    sum((c.cast(In) * c.cast(In)).cast(Sq)).over(w).cast(DoubleType)
+
+  /** Windowed sample stddev with the reference's null/NaN→0.0 coercion;
+    * frame of one row → 0.0 (n−1 = 0 would divide by zero). */
+  def wstddev0(c: Column, w: WindowSpec): Column = {
+    val n = count(c).over(w)
+    val s = wsum(c, w)
+    val ssq = wsumsq(c, w)
+    when(n === 1, lit(0.0))
+      .otherwise(sqrt(greatest((ssq - s * s / n) / (n - lit(1)), lit(0.0))))
+  }
+
   // ---- SQL mirrors (same op tree; DuckDB + ANSI) ----
 
   def sqlSum(e: String): String =
@@ -82,4 +108,20 @@ object ExactAgg {
     val sd = sqlStddev(e)
     s"CASE WHEN ($sd) IS NULL OR isnan($sd) THEN 0.0 ELSE ($sd) END"
   }
+
+  // windowed SQL mirrors; `w` is a named window (SQL `WINDOW w AS (...)`)
+
+  def sqlWSum(e: String, w: String): String =
+    s"CAST(SUM(CAST($e AS DECIMAL(18,6))) OVER $w AS DOUBLE)"
+
+  def sqlWAvg(e: String, w: String): String =
+    s"${sqlWSum(e, w)} / COUNT($e) OVER $w"
+
+  def sqlWSumSq(e: String, w: String): String =
+    s"CAST(SUM(CAST(CAST($e AS DECIMAL(18,6)) * CAST($e AS DECIMAL(18,6)) AS DECIMAL(38,12))) OVER $w AS DOUBLE)"
+
+  def sqlWStddev0(e: String, w: String): String =
+    s"CASE WHEN COUNT($e) OVER $w = 1 THEN 0.0 ELSE " +
+      s"sqrt(greatest((${sqlWSumSq(e, w)} - ${sqlWSum(e, w)} * ${sqlWSum(e, w)} / COUNT($e) OVER $w)" +
+      s" / (COUNT($e) OVER $w - 1), 0.0)) END"
 }

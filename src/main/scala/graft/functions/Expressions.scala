@@ -372,6 +372,93 @@ object HashKernels {
   }
 }
 
+/** Container-header parsers for multimodal binary columns. Headers are
+  * pure byte arithmetic — no codec library — so format sniffing and
+  * dimension extraction are REAL operators (unlike pixel decode, which
+  * stays stubbed in [[graft.operators.Multimodal]]): magic-byte dispatch,
+  * then the format's own header layout (PNG IHDR big-endian dims, JPEG
+  * marker-segment walk to SOF, GIF/BMP little-endian dims, RIFF chunk
+  * walk to `fmt ` for WAV sample rate, MP4 `ftyp` brand). One static
+  * call per row from whole-stage codegen; each parse touches only the
+  * first bytes of the payload.
+  */
+object MediaKernels {
+
+  private def be16(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 8) | (b(i + 1) & 0xff)
+  private def be32(b: Array[Byte], i: Int): Int =
+    ((b(i) & 0xff) << 24) | ((b(i + 1) & 0xff) << 16) | ((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff)
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16) | ((b(i + 3) & 0xff) << 24)
+  private def ascii(b: Array[Byte], i: Int, s: String): Boolean = {
+    if (i + s.length > b.length) return false
+    var j = 0
+    while (j < s.length) {
+      if (b(i + j) != s.charAt(j).toByte) return false
+      j += 1
+    }
+    true
+  }
+
+  private val row = (fmt: String, w: Any, h: Any, sr: Any) =>
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](UTF8String.fromString(fmt), w, h, sr))
+
+  /** Sniff + parse: (format, width, height, sample_rate) with nulls for
+    * fields the format doesn't carry or a truncated header omits. */
+  def parse(b: Array[Byte]): Any = {
+    val n = b.length
+    // PNG: 8-byte signature, IHDR chunk fixed at offset 8 per spec
+    if (n >= 8 && (b(0) & 0xff) == 0x89 && ascii(b, 1, "PNG")) {
+      if (n >= 24 && ascii(b, 12, "IHDR"))
+        return row("png", be32(b, 16), be32(b, 20), null)
+      return row("png", null, null, null)
+    }
+    // JPEG: FF D8, then marker segments; dims live in the first SOF
+    if (n >= 2 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8) {
+      var i = 2
+      while (i + 3 < n) {
+        if ((b(i) & 0xff) != 0xff) return row("jpeg", null, null, null)
+        var m = b(i + 1) & 0xff
+        while (m == 0xff && i + 4 < n) { i += 1; m = b(i + 1) & 0xff } // fill bytes
+        if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) {
+          if (i + 8 < n) return row("jpeg", be16(b, i + 7), be16(b, i + 5), null)
+          return row("jpeg", null, null, null)
+        }
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2 // standalone
+        else i += 2 + be16(b, i + 2)
+      }
+      return row("jpeg", null, null, null)
+    }
+    // GIF87a / GIF89a: logical screen size, little-endian u16
+    if (ascii(b, 0, "GIF8") && n >= 10 &&
+      (b(4) == '7'.toByte || b(4) == '9'.toByte) && b(5) == 'a'.toByte)
+      return row("gif", le16(b, 6), le16(b, 8), null)
+    // BMP: BITMAPINFOHEADER dims at 18/22 (height may be negative = top-down)
+    if (ascii(b, 0, "BM")) {
+      if (n >= 26) return row("bmp", le32(b, 18), math.abs(le32(b, 22)), null)
+      return row("bmp", null, null, null)
+    }
+    // RIFF/WAVE: walk chunks to `fmt `, sample rate at chunk offset +4
+    if (ascii(b, 0, "RIFF") && ascii(b, 8, "WAVE")) {
+      var i = 12
+      while (i + 8 <= n) {
+        val size = le32(b, i + 4)
+        if (ascii(b, i, "fmt ") && i + 16 <= n)
+          return row("wav", null, null, le32(b, i + 12))
+        i += 8 + size + (size & 1) // chunks are word-aligned
+      }
+      return row("wav", null, null, null)
+    }
+    // MP4 family: box size + `ftyp`
+    if (n >= 12 && ascii(b, 4, "ftyp"))
+      return row("mp4", null, null, null)
+    row("unknown", null, null, null)
+  }
+}
+
 /** MinHash signature straight from an array<string> token column. */
 case class MinHashFromTokens(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
@@ -568,8 +655,29 @@ case class PqScore(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Parse a binary media payload's container header →
+  * struct<format:string, width:int, height:int, sample_rate:int>. */
+case class MediaMeta(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("format", StringType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("sample_rate", IntegerType, nullable = true)))
+  override def prettyName: String = "media_meta"
+  override protected def nullSafeEval(input: Any): Any =
+    MediaKernels.parse(input.asInstanceOf[Array[Byte]])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"(InternalRow) graft.functions.MediaKernels.parse($c)")
+  override protected def withNewChildInternal(newChild: Expression): MediaMeta =
+    copy(child = newChild)
+}
+
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
+  def media_meta(c: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      MediaMeta(org.apache.spark.sql.graft.Bridge.expression(c)))
   def pq_score(codes: Column, qv: Column, cents: Array[Float], k: Int, sub: Int): Column =
     org.apache.spark.sql.graft.Bridge.column(
       PqScore(org.apache.spark.sql.graft.Bridge.expression(codes),

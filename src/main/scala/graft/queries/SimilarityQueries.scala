@@ -125,7 +125,15 @@ object SimilarityQueries {
       Multimodal.sampleFrames(media, strideMs = 500L).toDF()
         .groupBy(col("media_id"))
         .agg(count(lit(1)).as("n_frames"), max(col("frame_ts_ms")).as("last_ts"))
-    })
+    }),
+
+    // REAL multimodal metadata: container-header parse (format sniff,
+    // PNG/JPEG/GIF/BMP dims, WAV sample rate) straight off the binary
+    // column — codegen'd byte arithmetic, no codec. Rows-only (the
+    // binary table is synthesized in-memory); parser-vs-declared-dims
+    // equality asserted per format in MediaSpec.
+    "q63_media_meta" -> ((s, dir) =>
+      Multimodal.parseMeta(Multimodal.syntheticMedia(s, 200)))
   )
 
   /** Composed cosine with the exact op tree of HashKernels.cosineFF. */

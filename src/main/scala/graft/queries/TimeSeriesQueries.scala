@@ -1,0 +1,116 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ExactAgg
+import graft.operators.TimeSeriesOps
+import graft.util.SparkUtil
+
+/** Time-series analytics queries over the `events` tick table — the
+  * batch face of [[TimeSeriesOps]], each mirrored bit-exactly in DuckDB.
+  *
+  * The reference engine computes time-windowed moving stats and z-scores;
+  * these extend the same domain with the row-frame/per-tick toolkit a
+  * quant or feature pipeline expects: lagged returns, rolling stats,
+  * drawdown, robust (median/MAD) outliers, and EWMA smoothing.
+  */
+object TimeSeriesQueries {
+
+  private def ticks(s: SparkSession, dir: String): DataFrame =
+    SparkUtil.events(s, dir).select(
+      col("event_type").as("symbol"),
+      col("value").as("price"),
+      col("ts"),
+      col("event_id"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-symbol lag returns + rolling mean/std + running-max drawdown,
+    // all window functions sharing ONE sort-shuffle on symbol.
+    "q60_tick_derivatives" -> ((s, dir) =>
+      TimeSeriesOps.tickDerivatives(ticks(s, dir), "ts", "event_id", rollRows = 10)
+        .select(
+          col("symbol"), col("event_id"),
+          unix_millis(col("ts")).as("ts_ms"),
+          col("price"), col("ret"), col("pct_ret"),
+          col("roll_avg"), col("roll_std"),
+          col("run_max"), col("drawdown"))),
+
+    // Robust per-symbol outlier stats: exact order-statistics median and
+    // MAD (no interpolating percentile built-ins — their interpolation op
+    // trees differ across engines), modified z-score with MAD=0 guard.
+    "q61_mad_outliers" -> ((s, dir) =>
+      TimeSeriesOps.madOutliers(ticks(s, dir), "event_id")),
+
+    // EWMA level per symbol via the secondary-sort streaming fold.
+    "q62_ewma" -> ((s, dir) =>
+      TimeSeriesOps.ewmaBySymbol(
+        ticks(s, dir).select(
+          col("symbol"),
+          unix_micros(col("ts")).as("ts_ms"),
+          col("event_id").as("tie"),
+          col("price")),
+        alpha = 0.25))
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q60_tick_derivatives" ->
+      s"""SELECT event_type AS symbol, event_id,
+         |       epoch_ns(ts) // 1000000 AS ts_ms, value AS price,
+         |       value - lag(value) OVER w AS ret,
+         |       CASE WHEN lag(value) OVER w IS NULL OR lag(value) OVER w = 0.0
+         |            THEN NULL
+         |            ELSE (value - lag(value) OVER w) / lag(value) OVER w END AS pct_ret,
+         |       ${ExactAgg.sqlWAvg("value", "wr")} AS roll_avg,
+         |       ${ExactAgg.sqlWStddev0("value", "wr")} AS roll_std,
+         |       MAX(value) OVER wc AS run_max,
+         |       CASE WHEN MAX(value) OVER wc = 0.0 THEN 0.0
+         |            ELSE (MAX(value) OVER wc - value) / MAX(value) OVER wc END AS drawdown
+         |FROM events
+         |WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id),
+         |       wr AS (PARTITION BY event_type ORDER BY ts, event_id
+         |              ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         |       wc AS (PARTITION BY event_type ORDER BY ts, event_id
+         |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q61_mad_outliers" ->
+      """WITH ranked AS (
+        |  SELECT event_type AS symbol, value, event_id,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |med AS (
+        |  SELECT symbol, MAX(n) AS n, SUM(value) / COUNT(1) AS median
+        |  FROM ranked WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1
+        |  GROUP BY symbol),
+        |dev AS (
+        |  SELECT e.event_type AS symbol, e.value, e.event_id, m.n, m.median,
+        |         abs(e.value - m.median) AS adev
+        |  FROM events e JOIN med m ON e.event_type = m.symbol),
+        |dranked AS (
+        |  SELECT symbol, adev, event_id,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY adev, event_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY symbol) AS dn
+        |  FROM dev),
+        |mad AS (
+        |  SELECT symbol, SUM(adev) / COUNT(1) AS mad
+        |  FROM dranked WHERE rn = (dn + 1) // 2 OR rn = dn // 2 + 1
+        |  GROUP BY symbol)
+        |SELECT d.symbol, MAX(d.n) AS n, MAX(d.median) AS median,
+        |       MAX(mad.mad) AS mad,
+        |       COUNT(CASE WHEN abs(CASE WHEN mad.mad = 0.0 THEN 0.0
+        |                     ELSE 0.6745 * (d.value - d.median) / mad.mad END) > 3.5
+        |                   THEN 1 END) AS n_outliers
+        |FROM dev d JOIN mad ON d.symbol = mad.symbol
+        |GROUP BY d.symbol""".stripMargin,
+
+    // list_reduce folds left with acc = first element — the identical
+    // recurrence (and identical IEEE op tree: α·x + (1−α)·acc) as the
+    // Spark secondary-sort fold. 0.25/0.75 are exact binary doubles.
+    "q62_ewma" ->
+      """SELECT event_type AS symbol, COUNT(1) AS n_ticks,
+        |       list_reduce(list(value ORDER BY ts, event_id),
+        |                   (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma_price
+        |FROM events GROUP BY event_type""".stripMargin
+  )
+}

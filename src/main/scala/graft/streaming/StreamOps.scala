@@ -39,7 +39,12 @@ object StreamOps {
     *
     * Output carries all left columns plus the right's value columns
     * prefixed `r_`. `lower`/`upper` are SQL interval strings (e.g.
-    * "interval 60 seconds"). */
+    * "interval 60 seconds").
+    *
+    * `joinType` "inner" (default) or "left_outer": outer emits the
+    * null-padded left row once the watermark proves no match can still
+    * arrive — the engine holds the row exactly until then, so outer
+    * results are late by the horizon but state stays bounded. */
   def intervalJoin(
       left: DataFrame,
       right: DataFrame,
@@ -48,7 +53,8 @@ object StreamOps {
       rightTs: String,
       lower: String,
       upper: String,
-      horizon: String): DataFrame = {
+      horizon: String,
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark(leftTs, horizon)
     val r0 = right.withWatermark(rightTs, horizon)
     val rCols = r0.columns.filterNot(c => c == key || c == rightTs)
@@ -58,7 +64,8 @@ object StreamOps {
     l.join(r,
       col(key) === col("r_key") &&
         col(s"r_$rightTs") >= expr(s"$leftTs + $lower") &&
-        col(s"r_$rightTs") <= expr(s"$leftTs + $upper"))
+        col(s"r_$rightTs") <= expr(s"$leftTs + $upper"),
+      joinType)
       .drop("r_key")
   }
 

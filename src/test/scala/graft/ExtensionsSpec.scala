@@ -38,6 +38,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]]("sig").length == 8)
   }
 
+  test("media_meta callable from SQL over a binary column") {
+    GraftExtensions.register(spark)
+    Seq(Tuple1(graft.operators.Multimodal.pngBytes(320, 240, 4, 1L)))
+      .toDF("payload").createOrReplaceTempView("ext_media")
+    val r = spark.sql(
+      "SELECT media_meta(payload).format AS f, media_meta(payload).width AS w, " +
+        "media_meta(payload).height AS h FROM ext_media").collect().head
+    assert(r.getAs[String]("f") == "png")
+    assert(r.getAs[Int]("w") == 320)
+    assert(r.getAs[Int]("h") == 240)
+  }
+
   test("streaming dropDuplicates with watermark: exact dedup on a stream") {
     import java.sql.Timestamp
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

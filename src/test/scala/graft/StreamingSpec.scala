@@ -353,6 +353,41 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming left-outer interval join: unmatched left rows emit null-padded after the watermark closes their window") {
+    val lIn = MemoryStream[PriceTick](spark)
+    val rIn = MemoryStream[PriceTick](spark)
+    val left = lIn.toDF().select(
+      col("symbol").as("k"), col("event_time").as("lts"), col("price").as("lv"))
+    val right = rIn.toDF().select(
+      col("symbol").as("k"), col("event_time").as("rts"), col("price").as("v"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      left, right, "k", "lts", "rts",
+      lower = "interval -60 seconds", upper = "interval 60 seconds",
+      horizon = "30 seconds", joinType = "left_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_outer").outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(
+        PriceTick("BTC", 10.0, ts("2024-01-01 00:10:00")), // will match
+        PriceTick("ETH", 20.0, ts("2024-01-01 00:10:00"))) // never matches
+      rIn.addData(PriceTick("BTC", 1.0, ts("2024-01-01 00:10:30")))
+      q.processAllAvailable()
+      // matched row emits immediately; the unmatched one must wait for
+      // the watermark to pass lts + upper + horizon
+      val early = spark.table("ij_outer").collect()
+      assert(early.map(_.getAs[Double]("lv")).toSet == Set(10.0))
+      // advance both watermarks far past the ETH row's match window
+      lIn.addData(PriceTick("ZZZ", 0.0, ts("2024-01-01 00:20:00")))
+      rIn.addData(PriceTick("ZZZ", 0.0, ts("2024-01-01 00:20:00")))
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val eth = spark.table("ij_outer").filter(col("k") === "ETH").collect()
+      assert(eth.length == 1, "unmatched left row should emit exactly once")
+      assert(eth.head.isNullAt(eth.head.fieldIndex("v")),
+        "outer row must be null-padded on the right side")
+    } finally q.stop()
+  }
+
   test("price alerts: successor beyond horizon does not resolve, tick expires at horizon") {
     val in = MemoryStream[PriceTick](spark)
     implicit val s = spark

@@ -1,0 +1,126 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeriesOps
+
+/** Time-series operators: planted-series exactness for derivatives,
+  * order-statistics medians, MAD outliers, and the secondary-sort EWMA
+  * (including partition-layout invariance — the property that makes it a
+  * cluster-safe operator, not a single-threaded script). */
+class TimeSeriesSpec extends SparkSpec {
+
+  private def ticksDf(rows: Seq[(String, Long, Long, Double)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("symbol", "ms", "event_id", "price")
+      .select(col("symbol"), timestamp_millis(col("ms")).as("ts"),
+        col("event_id"), col("price"))
+  }
+
+  test("tickDerivatives: returns, rolling stats, drawdown on a planted series") {
+    val df = ticksDf(Seq(
+      ("A", 1000L, 1L, 10.0),
+      ("A", 2000L, 2L, 12.0),
+      ("A", 3000L, 3L, 9.0),
+      ("A", 4000L, 4L, 9.0),
+      ("B", 1000L, 5L, 100.0)))
+    val out = TimeSeriesOps.tickDerivatives(df, "ts", "event_id", rollRows = 2)
+      .orderBy("symbol", "event_id").collect()
+
+    val a = out.filter(_.getString(0) == "A")
+    // ret: null, +2, -3, 0
+    assert(a(0).isNullAt(a(0).fieldIndex("ret")))
+    assert(a(1).getAs[Double]("ret") === 2.0)
+    assert(a(2).getAs[Double]("ret") === -3.0)
+    assert(a(3).getAs[Double]("ret") === 0.0)
+    // pct_ret: null, 0.2, -0.25, 0
+    assert(a(1).getAs[Double]("pct_ret") === 0.2)
+    assert(a(2).getAs[Double]("pct_ret") === -0.25)
+    // rolling mean over 2 rows: 10, 11, 10.5, 9
+    assert(a(0).getAs[Double]("roll_avg") === 10.0)
+    assert(a(1).getAs[Double]("roll_avg") === 11.0)
+    assert(a(2).getAs[Double]("roll_avg") === 10.5)
+    assert(a(3).getAs[Double]("roll_avg") === 9.0)
+    // rolling std over 2 rows: 0 (single), sqrt(2), ~2.12, 0
+    assert(a(0).getAs[Double]("roll_std") === 0.0)
+    assert(math.abs(a(1).getAs[Double]("roll_std") - math.sqrt(2.0)) < 1e-12)
+    assert(a(3).getAs[Double]("roll_std") === 0.0)
+    // run_max: 10, 12, 12, 12; drawdown: 0, 0, 0.25, 0.25
+    assert(a.map(_.getAs[Double]("run_max")).toSeq === Seq(10.0, 12.0, 12.0, 12.0))
+    assert(a(2).getAs[Double]("drawdown") === 0.25)
+    assert(a(3).getAs[Double]("drawdown") === 0.25)
+    // single-row series: no return, zero drawdown
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length === 1)
+    assert(b(0).isNullAt(b(0).fieldIndex("ret")))
+    assert(b(0).getAs[Double]("drawdown") === 0.0)
+  }
+
+  test("exactMedian: odd and even group sizes, middle-pair averaging") {
+    import spark.implicits._
+    val df = Seq(
+      ("odd", 30.0, 1L), ("odd", 10.0, 2L), ("odd", 20.0, 3L),
+      ("even", 1.0, 4L), ("even", 9.0, 5L), ("even", 3.0, 6L), ("even", 5.0, 7L))
+      .toDF("g", "v", "id")
+    val m = TimeSeriesOps.exactMedian(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(m("odd") === ((3L, 20.0)))
+    assert(m("even") === ((4L, 4.0))) // (3+5)/2
+  }
+
+  test("madOutliers flags a planted outlier and survives a constant series") {
+    val base = (1L to 49L).map(i => ("A", 1000L * i, i, 100.0 + (i % 5)))
+    val out = ("A", 50000L, 50L, 500.0) // wildly off
+    val flat = (1L to 20L).map(i => ("C", 1000L * i, 100L + i, 7.0))
+    val res = TimeSeriesOps.madOutliers(ticksDf(base ++ Seq(out) ++ flat), "event_id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("median"), r.getAs[Double]("mad"),
+          r.getAs[Long]("n_outliers")))).toMap
+    assert(res("A")._1 === 50L)
+    assert(res("A")._4 === 1L) // exactly the planted point
+    // constant series: MAD = 0 → guard yields zero outliers, no NaN/∞
+    assert(res("C") === ((20L, 7.0, 0.0, 0L)))
+  }
+
+  test("ewmaBySymbol matches the closed-form fold and honors time order") {
+    import spark.implicits._
+    val df = Seq(
+      ("A", 1L, 1L, 10.0), ("A", 2L, 2L, 20.0), ("A", 3L, 3L, 40.0),
+      ("B", 1L, 4L, 5.0))
+      .toDF("symbol", "ts_ms", "tie", "price")
+    val out = TimeSeriesOps.ewmaBySymbol(df, alpha = 0.25)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // A: 10 → 0.25·20+0.75·10 = 12.5 → 0.25·40+0.75·12.5 = 19.375
+    assert(out("A") === ((3L, 19.375)))
+    assert(out("B") === ((1L, 5.0)))
+  }
+
+  test("ewmaBySymbol is invariant to input partitioning and row order") {
+    import spark.implicits._
+    val rows = (1L to 500L).flatMap { i =>
+      Seq(("X", i, i, (i % 17).toDouble), ("Y", i, 1000L + i, (i % 7).toDouble))
+    }
+    val base = rows.toDF("symbol", "ts_ms", "tie", "price")
+    val expected = TimeSeriesOps.ewmaBySymbol(base, 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    // scrambled arrival order + different partition layout → same bits
+    val scrambled = base.orderBy(rand(seed = 13)).repartition(7)
+    val got = TimeSeriesOps.ewmaBySymbol(scrambled, 0.1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+  }
+
+  test("q60/q61/q62 run end-to-end on the sf0.001 tables") {
+    val qs = graft.queries.TimeSeriesQueries.queries
+    assert(qs("q60_tick_derivatives")(spark, sf()).count() > 0)
+    val mad = qs("q61_mad_outliers")(spark, sf())
+    assert(mad.count() > 0)
+    assert(mad.columns.sorted ===
+      Array("mad", "median", "n", "n_outliers", "symbol"))
+    val ew = qs("q62_ewma")(spark, sf())
+    assert(ew.count() > 0)
+  }
+}
