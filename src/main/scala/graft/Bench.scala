@@ -28,15 +28,20 @@ object Bench {
   /** The SLIM stdout metric line (no spread maps). Factored out so
     * BenchContractSpec can assert the rendered length of the CURRENT
     * query registry stays under the driver's tail buffer — the gate this
-    * line feeds was unscored for two rounds when it silently outgrew it. */
+    * line feeds was unscored for two rounds when it silently outgrew it.
+    * Keys are the q-number prefix only (`q01`, `q62`, …) — the canonical
+    * query IDs used in every coverage table; full names + full precision
+    * + spreads live in bench_out.json. At 60+ queries the full names
+    * alone would overflow the tail buffer. */
   def renderSlim(
       medians: Seq[(String, Double)],
       total: Double,
       errJson: String,
       streamJson: String,
       sfDir: String): String = {
-    val qsSlim = medians.map { case (k, t) => "\"" + k + "\":" + ms(t) }
-      .mkString("{", ",", "}")
+    val qsSlim = medians.map { case (k, t) =>
+      "\"" + k.takeWhile(_ != '_') + "\":" + ms(t)
+    }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qsSlim,"errors":$errJson,"stream":$streamJson,"sf":"$sfDir"}"""
   }
 

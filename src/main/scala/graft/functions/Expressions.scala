@@ -675,6 +675,14 @@ case class MediaMeta(child: Expression) extends UnaryExpression {
 
 /** Column-level API for the custom expressions. */
 object GraftFunctions {
+  def bloom_build(hash: Column, numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BloomBuild(org.apache.spark.sql.graft.Bridge.expression(hash),
+        numBits, numHashes).toAggregateExpression())
+  def bloom_might_contain(hash: Column, words: Array[Long], numBits: Int, numHashes: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      BloomMightContain(org.apache.spark.sql.graft.Bridge.expression(hash),
+        words, numBits, numHashes))
   def media_meta(c: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       MediaMeta(org.apache.spark.sql.graft.Bridge.expression(c)))

@@ -102,6 +102,39 @@ object Joins {
       .drop("__b")
   }
 
+  /** Bloom-accelerated semi join: exact `left_semi` of `fact` against
+    * `dim`, with a bloom-filter prefilter deleting non-matching fact rows
+    * AT THE SCAN, before the join shuffle. The filter is built by one
+    * distributed aggregate over `dim` (map-side OR-combined words,
+    * `numBits/8` bytes shuffled per task — constant in row count), pulled
+    * to the driver as a single row, and baked into a codegen'd probe
+    * expression on the fact scan — the same lifecycle as a broadcast
+    * variable, sized `numBits/8` bytes regardless of dim's row width.
+    * False positives survive the probe but die in the residual exact
+    * semi join, so results are bit-identical to a plain semi join; false
+    * negatives cannot happen. At 100 TB this is the canonical
+    * star-schema reduction: the fact shuffle carries only rows that
+    * (probably) match, at ~1% FPR for numBits ≈ 10×|dim keys|.
+    *
+    * Both sides hash with the identical `xxhash64(key)` — the build and
+    * probe MUST agree on the hash function. */
+  def bloomSemiJoin(
+      fact: DataFrame,
+      dim: DataFrame,
+      factKey: String,
+      dimKey: String,
+      numBits: Int = 1 << 16,
+      numHashes: Int = 5): DataFrame = {
+    import graft.functions.GraftFunctions
+    val words = dim
+      .select(GraftFunctions.bloom_build(xxhash64(col(dimKey)), numBits, numHashes).as("w"))
+      .head().getSeq[Long](0).toArray
+    fact
+      .filter(GraftFunctions.bloom_might_contain(
+        xxhash64(col(factKey)), words, numBits, numHashes))
+      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+  }
+
   /** Write both sides bucketed by the join key so subsequent joins are
     * exchange-free (co-located). Returns the two table names registered in
     * the session catalog. At 100 TB this converts every fact-fact join on

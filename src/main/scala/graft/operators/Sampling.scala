@@ -56,4 +56,57 @@ object Sampling {
     }
     df.filter(hashBucket(key) < thr)
   }
+
+  /** Deterministic train/val/test split, derived from the first md5 byte
+    * of the key — the dataset-assembly step after curation: val gets
+    * buckets [0, val256), test [val256, val256+test256), train the rest.
+    * Content-keyed, so any engine, cluster size, or rerun deals the same
+    * row to the same split. Pure per-row predicate: shuffle-free. */
+  def splitAssign(
+      df: DataFrame,
+      key: Column,
+      val256: Int,
+      test256: Int): DataFrame = {
+    require(val256 >= 0 && test256 >= 0 && val256 + test256 <= 256,
+      "val + test fractions exceed the whole")
+    val h = md5(key.cast("string"))
+    val split = when(substring(h, 1, 2) < lit(threshold(val256)), "val")
+      .when(substring(h, 1, 2) < lit(threshold(val256 + test256)), "test")
+      .otherwise("train")
+    df.withColumn("split", split)
+  }
+
+  /** Deterministic epoch-shuffle rank: a contiguous 1-based global index
+    * in md5(key) order — the reproducible "shuffled dataset" every
+    * training run needs. `key` must be unique (it breaks md5 ties and
+    * makes the order total).
+    *
+    * NOT a `row_number()` window over the whole table — that plans a
+    * single-partition sort, the classic scale-killer. This is the
+    * two-phase global-index pattern: range-partition + sort on the hash
+    * (uniform key → balanced ranges at any size), count rows per
+    * partition (tiny job), broadcast the running offsets, then assign
+    * rank = partition offset + local position in one streaming pass.
+    * The sorted intermediate is cached between the two passes. */
+  def shuffleRank(df: DataFrame, key: Column): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df
+      .withColumn("__sk", concat(md5(key.cast("string")), key.cast("string")))
+      .repartitionByRange(col("__sk"))
+      .sortWithinPartitions(col("__sk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val rdd = sorted.rdd
+      val counts = rdd
+        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+        .collect().sortBy(_._1).map(_._2.toLong)
+      val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
+      val schema = sorted.schema.add("shuffle_rank", org.apache.spark.sql.types.LongType)
+      val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
+        var r = offsets.value(i)
+        it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
+      }
+      spark.createDataFrame(ranked, schema).drop("__sk")
+    } finally sorted.unpersist(false)
+  }
 }

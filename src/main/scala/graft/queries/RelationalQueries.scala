@@ -221,8 +221,58 @@ object RelationalQueries {
       clicks.join(counts, Seq("event_id"), "left")
         .select(col("event_id"), col("user_id"), col("t_us"),
           coalesce(col("n"), lit(0L)).as("n_errors_1m"))
+    }),
+
+    // PIVOT: hour-of-day × event-type value sums. The value list is
+    // explicit, so the plan is a single pass with no distinct-values
+    // pre-query — the shape that matters when the pivoted scan is 100 TB.
+    "q64_pivot" -> ((s, dir) =>
+      graft.util.SparkUtil.events(s, dir)
+        .withColumn("hr", hour(col("ts")).cast("long"))
+        .groupBy(col("hr"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(dsum(col("value")))),
+
+    // GROUPING SETS (the general form beneath rollup/cube): identical
+    // SQL text runs in both engines, like q35.
+    "q65_grouping_sets" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlGroupingSets)
+    }),
+
+    // Bloom-accelerated semi join: the codegen'd probe deletes
+    // non-matching fact rows at the scan; the residual exact semi join
+    // kills false positives, so the result is bit-identical to the plain
+    // EXISTS the oracle runs. Aggregated so the output stays small.
+    "q67_bloom_semi" -> ((s, dir) => {
+      val dim = table(s, dir, "customer").filter(col("c_acctbal") > 9500.0)
+        .select(col("c_custkey"))
+      val fact = graft.util.SparkUtil.events(s, dir)
+      graft.operators.Joins.bloomSemiJoin(fact, dim, "user_id", "c_custkey")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // FULL OUTER join: high-balance customers ⟗ urgent-order counts —
+    // both null-padded sides must survive.
+    "q66_full_outer" -> ((s, dir) => {
+      val c = table(s, dir, "customer").filter(col("c_acctbal") > 9000.0)
+        .select(col("c_custkey"), col("c_acctbal"))
+      val o = table(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_urgent"))
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+          col("c_acctbal"), col("n_urgent"))
     })
   )
+
+  /** Runs verbatim in both Spark SQL and DuckDB. */
+  private val sqlGroupingSets: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(1) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
   private val sqlQ3: String =
@@ -384,6 +434,29 @@ object RelationalQueries {
         |  quantile_cont(l_extendedprice, 0.99) AS p99,
         |  MIN(l_extendedprice) AS min_price,
         |  MAX(l_extendedprice) AS max_price
-        |FROM lineitem GROUP BY l_returnflag""".stripMargin
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q64_pivot" -> {
+      val arms = Seq("click", "error", "purchase", "signup", "view").map(t =>
+        s"CAST(SUM(CAST(value AS DECIMAL(18,6))) FILTER (event_type = '$t') AS DOUBLE) AS $t")
+      s"""SELECT hour(ts) AS hr, ${arms.mkString(",\n  ")}
+         |FROM events GROUP BY hr""".stripMargin
+    },
+
+    "q65_grouping_sets" -> sqlGroupingSets,
+
+    "q67_bloom_semi" ->
+      """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT user_id) AS n_users
+        |FROM events e
+        |WHERE EXISTS (SELECT 1 FROM customer c
+        |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 9500.0)
+        |GROUP BY event_type""".stripMargin,
+
+    "q66_full_outer" ->
+      """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),
+        |     o AS (SELECT o_custkey, COUNT(1) AS n_urgent FROM orders
+        |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_urgent
+        |FROM c FULL JOIN o ON c_custkey = o_custkey""".stripMargin
   )
 }

@@ -200,6 +200,17 @@ object TextQueries {
         Map("en" -> 128, "es" -> 32), default = 16)
         .select(col("doc_id"), col("lang"))),
 
+    // Dataset assembly: deterministic train/val/test assignment (first
+    // md5 byte) + reproducible epoch-shuffle rank (contiguous global
+    // index in md5 order via the two-phase partition-offset pattern — NO
+    // single-reducer ranking window).
+    "q68_corpus_split" -> ((s, dir) =>
+      graft.operators.Sampling.shuffleRank(
+        graft.operators.Sampling.splitAssign(
+          table(s, dir, "documents"), col("doc_id"), val256 = 8, test256 = 8),
+        col("doc_id"))
+        .select(col("doc_id"), col("split"), col("shuffle_rank"))),
+
     // PII scrub: per-doc email/IPv4 counts and the md5 of the redacted
     // text (the hash keeps the oracle row narrow while still proving the
     // replacement output matches byte-for-byte).
@@ -308,6 +319,15 @@ object TextQueries {
         |  CASE WHEN lang = 'es' THEN '20'
         |       WHEN lang = 'en' THEN '80'
         |       ELSE '10' END""".stripMargin,
+
+    "q68_corpus_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '08' THEN 'val'
+        |       WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '10' THEN 'test'
+        |       ELSE 'train' END AS split,
+        |  ROW_NUMBER() OVER (ORDER BY
+        |    md5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     "q41_contamination" ->
       """WITH toks AS (

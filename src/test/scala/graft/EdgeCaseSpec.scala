@@ -135,4 +135,40 @@ class EdgeCaseSpec extends SparkSpec {
       vecs.limit(1), "vec_id", "embedding", 2)
     assert(topk.count() == 2)
   }
+
+  test("time-series ops on empty and single-row series") {
+    val empty = Seq.empty[(String, java.sql.Timestamp, Long, Double)]
+      .toDF("symbol", "ts", "event_id", "price")
+    assert(TimeSeriesOps.tickDerivatives(empty, "ts", "event_id").count() == 0)
+    assert(TimeSeriesOps.madOutliers(empty, "event_id").count() == 0)
+    val emptyE = Seq.empty[(String, Long, Long, Double)]
+      .toDF("symbol", "ts_ms", "tie", "price")
+    assert(TimeSeriesOps.ewmaBySymbol(emptyE, 0.25).count() == 0)
+    // single row: no return, zero drawdown, MAD 0 with zero outliers,
+    // EWMA = the value itself
+    val one = Seq(("A", new java.sql.Timestamp(1000L), 1L, 5.0))
+      .toDF("symbol", "ts", "event_id", "price")
+    val d = TimeSeriesOps.tickDerivatives(one, "ts", "event_id").collect().head
+    assert(d.isNullAt(d.fieldIndex("ret")) && d.getAs[Double]("drawdown") == 0.0)
+    val m = TimeSeriesOps.madOutliers(one, "event_id").collect().head
+    assert(m.getAs[Double]("mad") == 0.0 && m.getAs[Long]("n_outliers") == 0L)
+    val e1 = TimeSeriesOps.ewmaBySymbol(
+      Seq(("A", 1L, 1L, 5.0)).toDF("symbol", "ts_ms", "tie", "price"), 0.25)
+      .collect().head
+    assert(e1.getDouble(2) == 5.0)
+  }
+
+  test("bloom semi join with an empty dim side rejects every fact row") {
+    val fact = (0L until 100L).map(Tuple1(_)).toDF("k")
+    val dim = Seq.empty[Tuple1[Long]].toDF("dk")
+    assert(Joins.bloomSemiJoin(fact, dim, "k", "dk").count() == 0)
+  }
+
+  test("media header parse on empty payloads via the expression path") {
+    val parsed = Seq(Tuple1(Array.empty[Byte]), Tuple1(Array[Byte](1, 2, 3)))
+      .toDF("payload")
+      .select(graft.functions.GraftFunctions.media_meta(col("payload")).as("m"))
+      .select(col("m.format")).collect().map(_.getString(0))
+    assert(parsed.toSeq == Seq("unknown", "unknown"))
+  }
 }

@@ -100,4 +100,32 @@ class JoinsSpec extends SparkSpec {
     assert(pairs.length == pairs.distinct.length, "duplicate pairs emitted")
     assert(pairs.toSet == Set((1L, 9L), (1L, 29L), (2L, 95L)))
   }
+
+  test("bloomSemiJoin: exact semi-join result, zero false negatives, bounded FPR") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.functions.xxhash64
+    val fact = (0L until 2000L).map(i => (i, s"row$i")).toDF("k", "payload")
+    val dim = (0L until 2000L by 37L).map(Tuple1(_)).toDF("dk") // 55 keys
+    // composed result identical to a plain semi join
+    val got = Joins.bloomSemiJoin(fact, dim, "k", "dk")
+      .select("k").collect().map(_.getLong(0)).toSet
+    val expected = fact.join(dim, col("k") === col("dk"), "left_semi")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(got === expected)
+    // probe alone: every dim key passes (no false negatives possible)...
+    val words = dim.select(
+      GraftFunctions.bloom_build(xxhash64(col("dk")), 1 << 16, 5).as("w"))
+      .head().getSeq[Long](0).toArray
+    val pass = fact.filter(GraftFunctions.bloom_might_contain(
+      xxhash64(col("k")), words, 1 << 16, 5))
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(expected.subsetOf(pass), "bloom probe dropped a true match")
+    // ...and non-members pass at a bounded false-positive rate:
+    // 55 keys × 5 hashes in 65536 bits → theoretical FPR ≈ 1e-11; even
+    // 100× slack keeps the disjoint survivor count at zero here, but
+    // assert a loose 1% so the test never flakes on constants.
+    val fpr = (pass -- expected).size.toDouble / (2000 - expected.size)
+    assert(fpr <= 0.01, s"false-positive rate $fpr exceeds bound")
+  }
 }

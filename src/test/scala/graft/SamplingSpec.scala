@@ -41,4 +41,38 @@ class SamplingSpec extends SparkSpec {
     assert(Sampling.threshold(256) > "ff")
     assert(Sampling.threshold(255) == "ff" && Sampling.threshold(0) == "00")
   }
+
+  test("splitAssign: complete, disjoint, deterministic split with ~requested rates") {
+    import spark.implicits._
+    val df = (0L until 4096L).map(Tuple1(_)).toDF("k")
+    val out = Sampling.splitAssign(df, col("k"), val256 = 16, test256 = 16)
+      .groupBy("split").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.sum == 4096L) // total preserved, splits disjoint
+    // 16/256 = 6.25% each; allow generous slack on 4096 keys
+    assert(out("val") > 150 && out("val") < 400, s"val=${out.get("val")}")
+    assert(out("test") > 150 && out("test") < 400, s"test=${out.get("test")}")
+    // repartitioned rerun deals identical splits
+    val again = Sampling.splitAssign(df.repartition(13), col("k"), 16, 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = Sampling.splitAssign(df, col("k"), 16, 16)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("shuffleRank: contiguous 1..n global rank in md5 order, layout-invariant") {
+    import spark.implicits._
+    val df = (0L until 3000L).map(Tuple1(_)).toDF("k")
+    val ranked = Sampling.shuffleRank(df, col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(ranked.map(_._2).sorted.toSeq == (1L to 3000L)) // contiguous, no gaps
+    // matches a reference sort by the same key
+    val expected = (0L until 3000L)
+      .sortBy(k => org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString) + k.toString)
+      .zipWithIndex.map { case (k, i) => k -> (i + 1L) }.toMap
+    assert(ranked.toMap == expected)
+    // different input layout → identical ranks
+    val scrambled = Sampling.shuffleRank(df.repartition(17), col("k"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scrambled == expected)
+  }
 }

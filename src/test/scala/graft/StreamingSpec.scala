@@ -383,8 +383,33 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val eth = spark.table("ij_outer").filter(col("k") === "ETH").collect()
       assert(eth.length == 1, "unmatched left row should emit exactly once")
-      assert(eth.head.isNullAt(eth.head.fieldIndex("v")),
+      assert(eth.head.isNullAt(eth.head.fieldIndex("r_v")),
         "outer row must be null-padded on the right side")
+    } finally q.stop()
+  }
+
+  test("streaming session windows: gap merges within, splits across, closes on watermark") {
+    val in = MemoryStream[PriceTick](spark)
+    val sessions = in.toDF()
+      .withWatermark("event_time", "10 seconds")
+      .groupBy(col("symbol"), session_window(col("event_time"), "30 seconds"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("symbol"), col("session_window.start").as("s"), col("n"))
+    val q = sessions.writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 1.0, ts("2024-01-01 00:00:00")),
+        PriceTick("BTC", 2.0, ts("2024-01-01 00:00:10")), // merges (gap < 30 s)
+        PriceTick("BTC", 3.0, ts("2024-01-01 00:01:30"))) // new session
+      q.processAllAvailable()
+      in.addData(PriceTick("BTC", 0.0, ts("2024-01-01 00:10:00"))) // advance watermark
+      q.processAllAvailable()
+      val got = spark.table("sess_out")
+        .collect().map(r => r.getTimestamp(1).toString -> r.getLong(2)).toMap
+      // first session covers both early ticks; the 90 s tick is its own
+      assert(got("2024-01-01 00:00:00.0") == 2L)
+      assert(got("2024-01-01 00:01:30.0") == 1L)
     } finally q.stop()
   }
 
