@@ -7,9 +7,13 @@ import org.apache.spark.sql.functions._
 import graft.functions.ExactAgg
 
 /** Time-series analytics over the tick domain the reference engine lives
-  * in (per-symbol price streams): lagged returns, row-frame rolling
-  * statistics, running-max drawdown, robust (median/MAD) outlier
-  * detection, and exponentially-weighted moving averages.
+  * in (per-symbol price streams — `/root/reference/src/Tranforms/
+  * moving_statistic.py:76-87` computes windowed avg/stddev and
+  * `zscore_calculator.py:123-128` a σ-based outlier score with a σ=0
+  * guard; these extend that domain with the row-frame/per-tick toolkit):
+  * lagged returns, row-frame rolling statistics, running-max drawdown,
+  * robust (median/MAD) outlier detection — the MAD=0 guard mirrors the
+  * reference's σ=0 guard — and exponentially-weighted moving averages.
   *
   * Scale design: everything keys and shuffles ONCE per query on the
   * series key (`symbol`); window functions evaluate inside the sorted

@@ -245,12 +245,30 @@ object RelationalQueries {
     // kills false positives, so the result is bit-identical to the plain
     // EXISTS the oracle runs. Aggregated so the output stays small.
     "q67_bloom_semi" -> ((s, dir) => {
-      val dim = table(s, dir, "customer").filter(col("c_acctbal") > 9500.0)
+      val dim = table(s, dir, "customer").filter(col("c_acctbal") > 5000.0)
         .select(col("c_custkey"))
       val fact = graft.util.SparkUtil.events(s, dir)
       graft.operators.Joins.bloomSemiJoin(fact, dim, "user_id", "c_custkey")
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Equal-width histogram: global min/max as a broadcast 1-row scalar,
+    // then a pure per-row bucket expression — two scans, no shuffle
+    // beyond the final tiny aggregation; floor math is engine-portable
+    // where width_bucket built-ins are not.
+    "q70_histogram" -> ((s, dir) => {
+      val ev = graft.util.SparkUtil.events(s, dir)
+      val bounds = ev.agg(min(col("value")).as("lo"), max(col("value")).as("hi"))
+      ev.crossJoin(broadcast(bounds))
+        .withColumn("bucket",
+          when(col("hi") === col("lo"), lit(0L))
+            .otherwise(least(
+              floor((col("value") - col("lo")) / ((col("hi") - col("lo")) / lit(10.0))),
+              lit(9L))))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("lo_v"), max(col("value")).as("hi_v"))
     }),
 
     // FULL OUTER join: high-balance customers ⟗ urgent-order counts —
@@ -449,8 +467,18 @@ object RelationalQueries {
       """SELECT event_type, COUNT(1) AS n, COUNT(DISTINCT user_id) AS n_users
         |FROM events e
         |WHERE EXISTS (SELECT 1 FROM customer c
-        |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 9500.0)
+        |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000.0)
         |GROUP BY event_type""".stripMargin,
+
+    "q70_histogram" ->
+      """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)
+        |SELECT event_type,
+        |  CASE WHEN hi = lo THEN 0
+        |       ELSE least(CAST(floor((value - lo) / ((hi - lo) / 10.0)) AS BIGINT), 9)
+        |       END AS bucket,
+        |  COUNT(1) AS n, MIN(value) AS lo_v, MAX(value) AS hi_v
+        |FROM events CROSS JOIN b
+        |GROUP BY event_type, bucket""".stripMargin,
 
     "q66_full_outer" ->
       """WITH c AS (SELECT c_custkey, c_acctbal FROM customer WHERE c_acctbal > 9000.0),

@@ -200,6 +200,30 @@ object TextQueries {
         Map("en" -> 128, "es" -> 32), default = 16)
         .select(col("doc_id"), col("lang"))),
 
+    // Heavy hitters, candidates-then-verify: a one-pass Misra–Gries
+    // aggregate (k=50 counters/task, map-side mergeable) finds a ≤50-item
+    // candidate SUPERSET of every token with count > n/51; an exact
+    // recount of just the candidates then filters to the true heavy set
+    // — so the composed result is bit-identical to the full
+    // groupBy-HAVING the oracle runs, without ever shuffling the full
+    // distinct-token space. The corpus-frequency analog of the bloom
+    // semi join (q67) and minhash verify (q27) shapes.
+    "q69_heavy_hitters" -> ((s, dir) => {
+      import graft.functions.GraftFunctions
+      val toks = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
+      val total = toks.agg(count(lit(1)).as("n_tokens"))
+      val cands = toks
+        .agg(GraftFunctions.heavy_hitters(col("token"), 50).as("hh"))
+        .select(explode(col("hh")).as("h"))
+        .select(col("h.item").as("token"))
+      toks.join(broadcast(cands), Seq("token"), "left_semi")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(total))
+        .filter(col("cnt") > col("n_tokens") / lit(51.0))
+        .select(col("token"), col("cnt"))
+    }),
+
     // Dataset assembly: deterministic train/val/test assignment (first
     // md5 byte) + reproducible epoch-shuffle rank (contiguous global
     // index in md5 order via the two-phase partition-offset pattern — NO
@@ -319,6 +343,16 @@ object TextQueries {
         |  CASE WHEN lang = 'es' THEN '20'
         |       WHEN lang = 'en' THEN '80'
         |       ELSE '10' END""".stripMargin,
+
+    "q69_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |n AS (SELECT COUNT(1) AS n_tokens FROM toks)
+        |SELECT token, COUNT(1) AS cnt
+        |FROM toks CROSS JOIN n
+        |GROUP BY token, n_tokens
+        |HAVING COUNT(1) > n_tokens / 51.0""".stripMargin,
 
     "q68_corpus_split" ->
       """SELECT doc_id,

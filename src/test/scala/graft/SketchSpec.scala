@@ -29,4 +29,32 @@ class SketchSpec extends SparkSpec {
       .collect().head
     assert(math.abs(r.getDouble(1) - r.getDouble(0)) / r.getDouble(0) < 0.05)
   }
+
+  test("Misra-Gries: every item above n/(k+1) survives; estimates undercount by ≤ n/(k+1)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // skewed synthetic stream: item i repeated (50-i)² times, i in 0..49,
+    // plus 10k distinct singletons as noise — scrambled and repartitioned
+    // so map-side partials exercise the merge rule
+    val heavy = (0 until 50).flatMap(i => Seq.fill((50 - i) * (50 - i))(s"w$i"))
+    val noise = (0 until 10000).map(i => s"noise$i")
+    val n = heavy.size + noise.size
+    val k = 30
+    val df = scala.util.Random.shuffle(heavy ++ noise).toDF("item").repartition(8)
+    val got = df.agg(GraftFunctions.heavy_hitters(col("item"), k).as("hh"))
+      .select(explode(col("hh")).as("h"))
+      .select(col("h.item"), col("h.est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.size <= k)
+    val exact = (heavy ++ noise).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val threshold = n.toDouble / (k + 1)
+    exact.filter(_._2 > threshold).keys.foreach { item =>
+      assert(got.contains(item), s"heavy item $item (count ${exact(item)}) missing")
+    }
+    got.foreach { case (item, est) =>
+      assert(est <= exact(item), s"$item overcounted: $est > ${exact(item)}")
+      assert(est >= exact(item) - threshold.toLong - 1,
+        s"$item undercounted beyond bound: $est vs ${exact(item)}")
+    }
+  }
 }
