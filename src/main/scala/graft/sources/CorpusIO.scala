@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Batch source/sink surface beyond parquet: ORC, JSON-lines, and CSV —
+  * the formats a corpus actually arrives in. The reference ingests JSON
+  * frames from Kafka (`/root/reference/src/Tranforms/
+  * moving_statistic.py:32-43` reads the `value` column and `from_json`s
+  * it); these are the at-rest equivalents.
+  *
+  * Scale rules baked in:
+  *  - reads take an EXPLICIT schema — schema inference is a full extra
+  *    pass over the data (a 100 TB read before the real read) and can
+  *    silently widen types between runs;
+  *  - CSV/JSON parse in PERMISSIVE mode with a `_corrupt_record` column
+  *    so malformed rows are quarantined, not fatal (the F1 null-reject
+  *    discipline of the tick parser, applied to files);
+  *  - writes can partition by low-cardinality columns for partition
+  *    pruning downstream (see PartitionPruningSpec).
+  */
+object CorpusIO {
+
+  val formats: Seq[String] = Seq("parquet", "orc", "json", "csv")
+
+  def write(
+      df: DataFrame,
+      path: String,
+      format: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    require(formats.contains(format), s"unsupported format $format")
+    val w = df.write.mode("overwrite").format(format)
+    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    (if (format == "csv") pw.option("header", "true") else pw).save(path)
+  }
+
+  def read(
+      spark: SparkSession,
+      path: String,
+      format: String,
+      schema: StructType): DataFrame = {
+    require(formats.contains(format), s"unsupported format $format")
+    val r = spark.read.format(format).schema(schema)
+    (format match {
+      case "csv" => r.option("header", "true").option("mode", "PERMISSIVE")
+      case "json" => r.option("mode", "PERMISSIVE")
+      case _ => r
+    }).load(path)
+  }
+}
