@@ -27,4 +27,18 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("no registered query plans an unpartitioned window (single-reducer funnel)") {
+    // a Window with an empty partitionSpec sorts the WHOLE input through
+    // one task — the row_number()-over-everything shape this repo
+    // replaces with heap top-k (q49) and two-phase indexing (q68)
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      f(spark, sf()).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty =>
+          s"$name: unpartitioned Window"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
 }

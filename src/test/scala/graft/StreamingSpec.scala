@@ -388,6 +388,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join is stateless and broadcast") {
+    import spark.implicits._
+    val dim = Seq(("BTC", "crypto"), ("ETH", "crypto"), ("AAPL", "equity"))
+      .toDF("symbol", "asset_class")
+    val in = MemoryStream[PriceTick](spark)
+    val enriched = in.toDF().join(broadcast(dim), Seq("symbol"))
+    val q = enriched.writeStream
+      .format("memory").queryName("enrich_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 1.0, ts("2024-01-01 00:00:00")),
+        PriceTick("DOGE", 2.0, ts("2024-01-01 00:00:01"))) // no dim row → dropped
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .collect().map(r => r.getAs[String]("symbol") -> r.getAs[String]("asset_class"))
+      assert(got.toSeq == Seq("BTC" -> "crypto"))
+      // stateless: a stream-static join keeps NO state store — the dim is
+      // re-broadcast per batch, so state does not grow with the stream
+      assert(q.lastProgress.stateOperators.isEmpty,
+        "stream-static join must not create a state store")
+    } finally q.stop()
+  }
+
   test("streaming session windows: gap merges within, splits across, closes on watermark") {
     val in = MemoryStream[PriceTick](spark)
     val sessions = in.toDF()
