@@ -44,7 +44,9 @@ object GraftExtensions {
     "quant_scale" -> (args => QuantScale(args.head)),
     "quant_int8" -> (args => QuantInt8(args(0), args(1))),
     "cosine_int8" -> (args => CosineInt8(args(0), args(1))),
-    "media_meta" -> (args => MediaMeta(args.head))
+    "media_meta" -> (args => MediaMeta(args.head)),
+    "zorder_key" -> (args =>
+      ZOrderKey(args(0), args(1), intArg(args(2), "bitsPer")))
   )
 
   /** Register on an already-built session. */

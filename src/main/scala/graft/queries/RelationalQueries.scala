@@ -253,6 +253,34 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("n_users"))
     }),
 
+    // Window-function battery: value-offset and distribution functions
+    // over one partitioned sort — lead, ntile, percent_rank, cume_dist,
+    // first/last value. All rank-derived or exact-ratio outputs, so the
+    // oracle matches bit-for-bit.
+    "q71_window_battery" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
+      table(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(
+          col("o_orderpriority"), col("o_orderkey"), col("o_totalprice"),
+          lead(col("o_totalprice"), 1).over(w).as("next_price"),
+          ntile(4).over(w).as("quartile"),
+          percent_rank().over(w).as("pct_rank"),
+          cume_dist().over(w).as("cume"),
+          first(col("o_orderkey")).over(w).as("cheapest_key"))
+    }),
+
+    // Set operations: INTERSECT and EXCEPT (distinct semantics) —
+    // completing §2.8 beyond union.
+    "q72_intersect_except" -> ((s, dir) => {
+      val c = table(s, dir, "customer")
+      val building = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      val rich = c.filter(col("c_acctbal") > 5000.0).select(col("c_custkey"))
+      building.intersect(rich).withColumn("side", lit("both"))
+        .union(building.except(rich).withColumn("side", lit("building_only")))
+    }),
+
     // Equal-width histogram: global min/max as a broadcast 1-row scalar,
     // then a pure per-row bucket expression — two scans, no shuffle
     // beyond the final tiny aggregation; floor math is engine-portable
@@ -469,6 +497,24 @@ object RelationalQueries {
         |WHERE EXISTS (SELECT 1 FROM customer c
         |  WHERE c.c_custkey = e.user_id AND c.c_acctbal > 5000.0)
         |GROUP BY event_type""".stripMargin,
+
+    "q71_window_battery" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |  lead(o_totalprice, 1) OVER w AS next_price,
+        |  CAST(ntile(4) OVER w AS INT) AS quartile,
+        |  percent_rank() OVER w AS pct_rank,
+        |  cume_dist() OVER w AS cume,
+        |  first_value(o_orderkey) OVER w AS cheapest_key
+        |FROM orders WHERE o_orderstatus = 'F'
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice ASC, o_orderkey ASC)""".stripMargin,
+
+    "q72_intersect_except" ->
+      """WITH b AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |     r AS (SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0)
+        |SELECT c_custkey, 'both' AS side FROM (SELECT c_custkey FROM b INTERSECT SELECT c_custkey FROM r)
+        |UNION ALL
+        |SELECT c_custkey, 'building_only' AS side FROM (SELECT c_custkey FROM b EXCEPT SELECT c_custkey FROM r)""".stripMargin,
 
     "q70_histogram" ->
       """WITH b AS (SELECT MIN(value) AS lo, MAX(value) AS hi FROM events)

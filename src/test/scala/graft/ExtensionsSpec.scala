@@ -48,6 +48,7 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getAs[String]("f") == "png")
     assert(r.getAs[Int]("w") == 320)
     assert(r.getAs[Int]("h") == 240)
+    assert(spark.sql("SELECT zorder_key(3L, 3L, 8)").collect().head.getLong(0) == 15L)
   }
 
   test("streaming dropDuplicates with watermark: exact dedup on a stream") {
