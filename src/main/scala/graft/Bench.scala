@@ -110,34 +110,42 @@ object Bench {
     // stream numbers wobble 1.7× on unchanged code. Caps are sized so the
     // 3-rep stream section costs about what the 1-rep section did.
     val stream = try {
-      def one(cfgs: Seq[graft.operators.TickOps.WindowConfig], cap: Int,
-              twoPhase: Boolean = false): (String, String) = {
-        var rows = 0L
-        val times = (1 to Reps).map { _ =>
-          val t0 = System.nanoTime()
-          rows = streamThroughput(spark, sfDir, cfgs, cap, twoPhase)
-          (System.nanoTime() - t0) / 1e9
-        }.sorted
-        val med = times(Reps / 2)
-        val rps = String.format(java.util.Locale.ROOT, "%.1f", Double.box(rows / med))
-        val slim = s"""{"input_rows":$rows,"sec":${ms(med)},"rows_per_sec":$rps}"""
-        val full =
-          s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
-            s""""spread":[${times.head},${times.last}]}"""
-        (slim, full)
-      }
       // Six sliding windows go through Spark's window() Expand (669 total
       // branches; the 360-branch case falls out of codegen) — measured on
       // a capped replay so BENCH stays bounded; see README scale notes.
-      val w30 = one(graft.operators.TickOps.defaultWindows.take(1), 100000)
-      val all6 = one(graft.operators.TickOps.defaultWindows, 6000)
-      // Scale path: tumbling pre-aggregate, then re-window the partials —
-      // the reference's own chained-stateful topology (H1), 2 orders of
-      // magnitude fewer rows through the wide Expand.
-      val all6b = one(graft.operators.TickOps.defaultWindows, 40000, twoPhase = true)
-      def wrap(f: ((String, String)) => String) =
-        s"""{"single_window":${f(w30)},"six_windows_union":${f(all6)},"six_windows_two_phase":${f(all6b)}}"""
-      (wrap(_._1), wrap(_._2))
+      // Scale path (two_phase): tumbling pre-aggregate, then re-window the
+      // partials — the reference's own chained-stateful topology (H1), 2
+      // orders of magnitude fewer rows through the wide Expand.
+      val cfgs = Seq(
+        ("single_window", graft.operators.TickOps.defaultWindows.take(1), 100000, false),
+        ("six_windows_union", graft.operators.TickOps.defaultWindows, 6000, false),
+        ("six_windows_two_phase", graft.operators.TickOps.defaultWindows, 40000, true))
+      // INTERLEAVED like the batch section: a machine stall poisons one
+      // rep of each config, not 2/3 reps of one config's median
+      val rowsBy = scala.collection.mutable.Map[String, Long]()
+      val timesBy = cfgs.map(_._1 -> Array.fill(Reps)(0.0)).toMap
+      (0 until Reps).foreach { rep =>
+        cfgs.foreach { case (name, ws, cap, twoPhase) =>
+          val t0 = System.nanoTime()
+          rowsBy(name) = streamThroughput(spark, sfDir, ws, cap, twoPhase)
+          timesBy(name)(rep) = (System.nanoTime() - t0) / 1e9
+        }
+      }
+      def wrap(render: (Long, Seq[Double]) => String) =
+        cfgs.map { case (name, _, _, _) =>
+          "\"" + name + "\":" + render(rowsBy(name), timesBy(name).sorted.toSeq)
+        }.mkString("{", ",", "}")
+      val slim = wrap { (rows, times) =>
+        val med = times(Reps / 2)
+        val rps = String.format(java.util.Locale.ROOT, "%.1f", Double.box(rows / med))
+        s"""{"input_rows":$rows,"sec":${ms(med)},"rows_per_sec":$rps}"""
+      }
+      val full = wrap { (rows, times) =>
+        val med = times(Reps / 2)
+        s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
+          s""""spread":[${times.head},${times.last}]}"""
+      }
+      (slim, full)
     } catch { case e: Throwable =>
       errors("stream_throughput") = s"${e.getClass.getName}: ${e.getMessage}"
       System.err.println(s"[bench] stream_throughput FAILED: ${e.getClass.getName}: ${e.getMessage}")

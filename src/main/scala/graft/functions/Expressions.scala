@@ -466,7 +466,12 @@ object MediaKernels {
         val size = le32(b, i + 4)
         if (ascii(b, i, "fmt ") && i + 16 <= n)
           return row("wav", null, null, le32(b, i + 12))
-        i += 8 + size + (size & 1) // chunks are word-aligned
+        // the chunk size is attacker-controlled: a negative le32 would
+        // stall (advance by 0) or drive i negative — degrade to null,
+        // never throw or spin, per the media_meta garbage contract
+        val next = i.toLong + 8L + size.toLong + (size & 1) // word-aligned
+        if (next <= i || next > n) return row("wav", null, null, null)
+        i = next.toInt
       }
       return row("wav", null, null, null)
     }

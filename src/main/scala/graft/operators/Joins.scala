@@ -129,10 +129,13 @@ object Joins {
     val words = dim
       .select(GraftFunctions.bloom_build(xxhash64(col(dimKey)), numBits, numHashes).as("w"))
       .head().getSeq[Long](0).toArray
+    // the dim key is aliased so fact and dim may share a key NAME — an
+    // unaliased col(factKey) === col(dimKey) is ambiguous when they match
     fact
       .filter(GraftFunctions.bloom_might_contain(
         xxhash64(col(factKey)), words, numBits, numHashes))
-      .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+      .join(dim.select(col(dimKey).as("__dim_key")),
+        col(factKey) === col("__dim_key"), "left_semi")
   }
 
   /** Write both sides bucketed by the join key so subsequent joins are

@@ -83,30 +83,34 @@ object Sampling {
     *
     * NOT a `row_number()` window over the whole table — that plans a
     * single-partition sort, the classic scale-killer. This is the
-    * two-phase global-index pattern: range-partition + sort on the hash
-    * (uniform key → balanced ranges at any size), count rows per
-    * partition (tiny job), broadcast the running offsets, then assign
-    * rank = partition offset + local position in one streaming pass.
-    * The sorted intermediate is cached between the two passes. */
+    * two-phase global-index pattern with CONTENT-derived buckets: rows
+    * bucket on the first 4 hex chars of md5 (≤ 65,536 buckets, uniform by
+    * avalanche, and prefix-ordered so bucket order == global hash order),
+    * a tiny aggregate counts rows per bucket, the driver turns counts
+    * into running offsets (≤ 65,536 rows — legitimate driver state, like
+    * IVF centroids), and rank = broadcast bucket offset + row_number
+    * within the bucket. Every step is a pure function of row CONTENT —
+    * unlike a cached sampled range partitioning, a recompute after
+    * shuffle loss or an AQE re-plan reproduces the identical ranks, so
+    * nothing needs to be persisted between the two passes. */
   def shuffleRank(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df
+    val keyed = df
       .withColumn("__sk", concat(md5(key.cast("string")), key.cast("string")))
-      .repartitionByRange(col("__sk"))
-      .sortWithinPartitions(col("__sk"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val rdd = sorted.rdd
-      val counts = rdd
-        .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
-        .collect().sortBy(_._1).map(_._2.toLong)
-      val offsets = spark.sparkContext.broadcast(counts.scanLeft(0L)(_ + _))
-      val schema = sorted.schema.add("shuffle_rank", org.apache.spark.sql.types.LongType)
-      val ranked = rdd.mapPartitionsWithIndex { (i, it) =>
-        var r = offsets.value(i)
-        it.map { row => r += 1; org.apache.spark.sql.Row.fromSeq(row.toSeq :+ r) }
-      }
-      spark.createDataFrame(ranked, schema).drop("__sk")
-    } finally sorted.unpersist(false)
+      .withColumn("__bk", substring(col("__sk"), 1, 4))
+    val counts = keyed.groupBy("__bk").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        offsets.toSeq.map { case (b, o) => org.apache.spark.sql.Row(b, o) }, 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__bk", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType))))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__bk")).orderBy(col("__sk"))
+    keyed.join(broadcast(offDf), "__bk")
+      .withColumn("shuffle_rank", col("__off") + row_number().over(w))
+      .select(df.columns.map(col) :+ col("shuffle_rank"): _*)
   }
 }

@@ -40,11 +40,18 @@ object CorpusIO {
       format: String,
       schema: StructType): DataFrame = {
     require(formats.contains(format), s"unsupported format $format")
-    val r = spark.read.format(format).schema(schema)
+    // PERMISSIVE mode only routes malformed rows into the corrupt-record
+    // column if the read schema CONTAINS that column — append it here so
+    // the quarantine promise holds whether or not the caller declared it
+    val quarantined =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     (format match {
-      case "csv" => r.option("header", "true").option("mode", "PERMISSIVE")
-      case "json" => r.option("mode", "PERMISSIVE")
-      case _ => r
+      case "csv" => spark.read.format(format).schema(quarantined)
+        .option("header", "true").option("mode", "PERMISSIVE")
+      case "json" => spark.read.format(format).schema(quarantined)
+        .option("mode", "PERMISSIVE")
+      case _ => spark.read.format(format).schema(schema)
     }).load(path)
   }
 }

@@ -23,6 +23,23 @@ class BenchContractSpec extends AnyFunSuite {
         "— shorten query names or drop per-query detail from the slim line")
   }
 
+  test("slim-line q-number prefixes are unique across the registry") {
+    // renderSlim keys the stdout line by the q-number prefix; two queries
+    // sharing a prefix would emit duplicate JSON keys and one median
+    // would silently vanish in any JSON consumer
+    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
+    val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate q-number prefixes: ${dups.mkString(", ")}")
+    // the registry map itself is merged with ++ across per-file maps — a
+    // full-name collision there is equally silent (later map wins)
+    val perFile = Seq(
+      queries.ReferenceQueries.queries, queries.RelationalQueries.queries,
+      queries.TextQueries.queries, queries.SimilarityQueries.queries,
+      queries.TimeSeriesQueries.queries)
+    assert(SparkEntry.queries.size == perFile.map(_.size).sum,
+      "query-name collision across per-file registries (++ silently dropped one)")
+  }
+
   test("ms renderer emits valid minimal JSON numbers") {
     assert(Bench.ms(0.0) == "0")
     assert(Bench.ms(1.0) == "1")

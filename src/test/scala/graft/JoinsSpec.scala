@@ -113,6 +113,11 @@ class JoinsSpec extends SparkSpec {
     val expected = fact.join(dim, col("k") === col("dk"), "left_semi")
       .select("k").collect().map(_.getLong(0)).toSet
     assert(got === expected)
+    // fact and dim sharing the key NAME must not be ambiguous (the dim
+    // side is aliased internally)
+    val sameName = Joins.bloomSemiJoin(fact, dim.toDF("k"), "k", "k")
+      .select("k").collect().map(_.getLong(0)).toSet
+    assert(sameName === expected)
     // probe alone: every dim key passes (no false negatives possible)...
     val words = dim.select(
       GraftFunctions.bloom_build(xxhash64(col("dk")), 1 << 16, 5).as("w"))

@@ -46,6 +46,23 @@ class MediaSpec extends SparkSpec {
     assert(parse("RIFF1234WAVE".getBytes("US-ASCII")) === (("wav", null, null, null)))
   }
 
+  test("adversarial wav chunk sizes terminate: negative sizes degrade to null") {
+    // size=-8 advances the naive walk by 0 (infinite loop inside a
+    // codegen'd expression = a hung executor task); more-negative sizes
+    // drive the offset negative (AIOOBE). Both must degrade to null.
+    def wavWith(size: Int): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(24).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("junk".getBytes("US-ASCII")).putInt(size)
+      b.array()
+    }
+    assert(parse(wavWith(-8)) === (("wav", null, null, null)))
+    assert(parse(wavWith(-9)) === (("wav", null, null, null)))
+    assert(parse(wavWith(Int.MinValue)) === (("wav", null, null, null)))
+    assert(parse(wavWith(Int.MaxValue)) === (("wav", null, null, null)))
+  }
+
   test("parseMeta recovers the declared dims for every image format") {
     val parsed = Multimodal.parseMeta(Multimodal.syntheticMedia(spark, 120))
       .join(Multimodal.syntheticMedia(spark, 120).toDF()
