@@ -170,12 +170,20 @@ object Dedup {
   /** SimHash near-dup: 64-bit sketch (custom expression), bucketed by the
     * four 16-bit sketch quarters — any pair within Hamming distance ≤ 3
     * shares at least one exact quarter (pigeonhole), so candidate
-    * generation is 4 equi-joins, not an all-pairs scan. */
+    * generation is 4 equi-joins, not an all-pairs scan.
+    *
+    * `maxBucket` caps degenerate quarter-buckets the same way
+    * [[minhashPairs]] caps band buckets: boilerplate corpora collide
+    * whole 16-bit quarters, and an uncapped bucket of m docs puts m²/2
+    * candidate pairs through one task. Capped buckets are dropped
+    * (bounded latency over recall — a pair sharing another, smaller
+    * quarter still surfaces). */
   def simhashPairs(
       docs: DataFrame,
       idCol: String,
       textCol: String,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3,
+      maxBucket: Int = 1000): DataFrame = {
     val sketched = docs.select(
       col(idCol).as("doc_id"),
       GraftFunctions.simhash64(TextOps.tokens(col(textCol))).as("sketch"))
@@ -184,6 +192,8 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), q -> (sketch >> (q * 16)) & 65535)"))
         .as(Seq("q", "qhash")))
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("q", "qhash")))
+      .filter(col("bucket_n") <= maxBucket)
     val a = quartered.select(col("q"), col("qhash"), col("doc_id").as("id_a"), col("sketch").as("sk_a"))
     val b = quartered.select(col("q"), col("qhash"), col("doc_id").as("id_b"), col("sketch").as("sk_b"))
     a.join(b, Seq("q", "qhash"))
@@ -210,6 +220,54 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         (size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b")))).as("jaccard"))
+  }
+
+  /** Exact near-dup edges from a document-frequency-capped shared-shingle
+    * inverted index: pairs sharing at least one "rare" k-shingle
+    * (2 ≤ df ≤ maxDf), verified by exact Jaccard over the full distinct
+    * shingle sets. Output: (id_a, id_b) with id_a < id_b.
+    *
+    * Two properties motivate this beside the sketch-based generators:
+    *  - EXACT and engine-portable: every step is counting arithmetic on
+    *    shingle strings — no hash kernels — so an independent engine
+    *    (the DuckDB oracle) reproduces the edge set bit-for-bit, which
+    *    makes downstream connected components oracle-checkable
+    *    end-to-end (q73/q74).
+    *  - Scale-bounded WITHOUT sketching: the df cap bounds the inverted
+    *    index fan-out at maxDf²/2 candidate pairs per shingle, and drops
+    *    exactly the ubiquitous boilerplate shingles that would connect
+    *    everything (the same degenerate mass minhashPairs' maxBucket
+    *    discards — here the drop is part of the operator's definition,
+    *    so the oracle mirrors it instead of diverging on it).
+    * The verify join ships distinct shingle-string sets for candidate
+    * rows only — candidates, not the corpus, pay the wide-row cost. */
+  def jaccardEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxDf: Int = 20,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), shingles("toks", k).as("sh"))
+    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
+    val rare = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gram"))
+    val cand = inv.join(rare, Seq("gram"))
+    val pairs = cand.select(col("gram"), col("doc_id").as("id_a"))
+      .join(cand.select(col("gram"), col("doc_id").as("id_b")), Seq("gram"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // both counts are exact ints and the one divide is a single IEEE op
+      // — the jaccard value and the ≥ compare reproduce in any engine
+      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+        size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .select(col("id_a"), col("id_b"))
   }
 
   /** Duplicate-cluster assignment: connected components over a pair set
@@ -307,8 +365,11 @@ object Dedup {
         .select(col("n").as("u"), col("m").as("v"))
         .distinct()
         .localCheckpoint(true)
-      // both sides are distinct sets: equal counts + one-sided ⊆ ⇒ equal
-      converged = ss.count() == e.count() && ss.except(e).isEmpty
+      // ONE action per alternation: both sides are materialized
+      // (localCheckpoint) distinct sets, so an empty symmetric difference
+      // — a single job reading both checkpoints — is exact set equality;
+      // the former count() + except() pair cost a second pass per round
+      converged = ss.except(e).union(e.except(ss)).isEmpty
       e = ss
       i += 1
     }

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-safe per-group running sums for sequence packing.
+  *
+  * The naive packer is `sum(tokens) over (partition by lang order by id)`
+  * — correct, but the window partition key is the LANGUAGE: a 100 TB
+  * corpus with 5 languages runs 5 tasks, each sorting most of the corpus
+  * through one reducer. The per-language running sum is inherently
+  * sequential only in its FINAL addition — so split it:
+  *
+  *   1. salt each row into a bucket derived from the leading order
+  *      column (range-scaled, so bucket order == row order);
+  *   2. running-sum WITHIN (group, bucket) — parallelism is now
+  *      groups × buckets, each task sorts ~1/buckets of a language;
+  *   3. aggregate one total per (group, bucket) — a tiny map-side
+  *      combined shuffle;
+  *   4. turn totals into running offsets per group on the driver
+  *      (≤ groups × buckets rows — bounded driver state, like IVF
+  *      centroids) and broadcast them back;
+  *   5. cum = bucket offset + local running sum.
+  *
+  * Every step is a pure function of row content, so retries and AQE
+  * re-plans reproduce identical sums. This is the same two-phase
+  * partition-offset pattern as [[Sampling.shuffleRank]], generalized to
+  * grouped running sums with an arbitrary sort order.
+  */
+object Packing {
+
+  /** Adds `cumName`: the per-`group` running sum of `tokCol` in
+    * `orderCols` order — bit-identical to
+    * `sum(tokCol) over (partition by group order by orderCols)` but with
+    * no single-task-per-group window in the plan.
+    *
+    * `orderCols.head` must be numeric (castable to long) and its order
+    * must be the leading sort key; remaining `orderCols` break ties
+    * within a bucket (rows sharing a leading value never split across
+    * buckets — bucketing is by value, so ties co-locate).
+    */
+  def groupedCumSum(
+      df: DataFrame,
+      group: String,
+      orderCols: Seq[String],
+      tokCol: String,
+      cumName: String,
+      buckets: Int = 1024): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val spark = df.sparkSession
+    val ord = orderCols.head
+    val bounds = df.agg(
+      min(col(ord).cast("long")), max(col(ord).cast("long"))).head()
+    val (mn, span) =
+      if (bounds.isNullAt(0)) (0L, 1L)
+      else (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0) + 1)
+    // integer bucket index, monotone in the leading order column; DIV
+    // keeps the arithmetic in longs (no double rounding near 2^53)
+    val bucketed = df.withColumn("__pb",
+      expr(s"CAST(((CAST(`$ord` AS BIGINT) - ${mn}L) * ${buckets}L) DIV ${span}L AS INT)"))
+    val w = Window.partitionBy(col(group), col("__pb"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = bucketed.withColumn("__lc", sum(col(tokCol)).over(w))
+    // one total per (group, bucket): content-pure, deterministic
+    val totals = bucketed
+      .groupBy(col(group), col("__pb"))
+      .agg(sum(col(tokCol)).cast("long").as("__t"))
+      .collect()
+    val offsets = totals
+      .groupBy(_.get(0))
+      .iterator.flatMap { case (_, rows) =>
+        val sorted = rows.sortBy(_.getInt(1))
+        sorted.zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _))
+          .map { case (r, off) => org.apache.spark.sql.Row(r.get(0), r.getInt(1), off) }
+      }.toSeq
+    val offSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(group).copy(name = group),
+      org.apache.spark.sql.types.StructField("__pb", org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType)))
+    val offDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(offsets, 1), offSchema)
+    local.join(broadcast(offDf), Seq(group, "__pb"))
+      .withColumn(cumName, col("__off") + col("__lc"))
+      .select(df.columns.map(col) :+ col(cumName): _*)
+  }
+}

@@ -65,31 +65,158 @@ object TimeSeriesOps {
           .otherwise((runMax - col("price")) / runMax))
   }
 
-  /** Exact per-group median by explicit order statistics: ranks the
-    * group by (value, tiebreak) and averages the one or two middle rows.
-    * Unlike interpolating percentile built-ins — whose interpolation op
-    * trees differ between engines in the last ulp — the sum of the two
-    * selected doubles divided by their count is a fixed IEEE op sequence
-    * every engine computes identically. One sort-shuffle per call;
-    * output one row per group: (groupCol, n, median). */
+  /** Exact per-group median by iterative range-count selection — NOT a
+    * per-group ranking window, whose parallelism is the group count and
+    * whose cost is a full sort of every group (the low-cardinality
+    * funnel: 5 symbols ⇒ 5 tasks each sorting a whole symbol history).
+    *
+    * Algorithm (the classic distributed order statistic):
+    *   1. one aggregate → (n, min, max) per group; the median ranks are
+    *      k1 = ⌊(n+1)/2⌋ and k2 = ⌊n/2⌋+1;
+    *   2. bucket-count rounds: split each group's candidate value range
+    *      into `buckets` equal sub-ranges, count rows per (group, bucket)
+    *      (a tiny map-side-combined aggregate, ≤ groups × buckets rows to
+    *      the driver), locate the buckets holding k1/k2, and narrow the
+    *      candidate range to them — each round divides the candidate set
+    *      by ~buckets, so a 10¹²-row group resolves in 2-3 scans with
+    *      pushed-down filters and NO sort;
+    *   3. final resolve: rank only the ≤ `resolveLimit` surviving rows
+    *      with a window (partitioned by group, input bounded) offset by
+    *      the count of rows excluded below, and average the one or two
+    *      middle rows.
+    *
+    * Bucket membership IS the predicate (the same floor expression
+    * filters and counts), so float rounding can never make the offset
+    * bookkeeping disagree with the rows a round keeps. The averaging is
+    * the same fixed IEEE op sequence as a rank-and-average median —
+    * engine-portable where interpolating percentile built-ins differ in
+    * the last ulp. Values must be non-null and non-NaN.
+    * Output one row per group: (groupCol, n, median). */
   def exactMedian(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
-      tieCol: String): DataFrame = {
-    val wo = Window.partitionBy(col(groupCol)).orderBy(col(valueCol), col(tieCol))
-    val wp = Window.partitionBy(col(groupCol))
-    df.select(col(groupCol), col(valueCol), col(tieCol))
-      .withColumn("rn", row_number().over(wo))
-      .withColumn("n", count(lit(1)).over(wp))
-      // floor division — Spark's `/` on longs is double division
-      .filter(col("rn") === floor((col("n") + 1) / 2) ||
-        col("rn") === floor(col("n") / 2) + 1)
-      .groupBy(col(groupCol))
-      .agg(
-        max(col("n")).as("n"),
-        (sum(col(valueCol)) / count(lit(1))).as("median"))
+      tieCol: String,
+      buckets: Int = 4096,
+      resolveLimit: Long = 4096): DataFrame = {
+    val spark = df.sparkSession
+    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+    val base = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    val stats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    // per-group driver state: candidate range, rows excluded below it,
+    // rows remaining inside it. groups × a few fields — bounded like the
+    // IVF centroid pull, not proportional to row count.
+    final case class St(g: Any, n: Long, var lo: Double, var hi: Double,
+        var off: Long, var rem: Long) {
+      val k1: Long = (n + 1) / 2
+      val k2: Long = n / 2 + 1
+    }
+    val (trivial, active0) = stats
+      .map(r => St(r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3), 0L, r.getLong(1)))
+      .partition(s => s.lo == s.hi)
+    var active = active0
+    var candidate = base
+    val idx = least(lit(buckets - 1), greatest(lit(0),
+      floor((col("v") - col("lo")) * buckets / (col("hi") - col("lo"))).cast("int")))
+    var rounds = 0
+    while (active.exists(_.rem > resolveLimit) && rounds < 16) {
+      rounds += 1
+      val ranges = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          active.toSeq.map(s => Row(s.g, s.lo, s.hi)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", gType),
+          org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType))))
+      val counts = candidate.join(broadcast(ranges), Seq("g"))
+        .groupBy(col("g"), idx.as("b")).agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.get(0))
+        .map { case (g, rows) => g -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1) }
+      var progressed = false
+      val chosen = active.map { s =>
+        val bs = counts(s.g)
+        // cumulative walk: bucket holding k1, bucket holding k2
+        var cum = s.off
+        var bl = -1; var bh = -1; var below = s.off; var inside = 0L
+        bs.foreach { case (b, c) =>
+          if (bl < 0 && cum + c >= s.k1) { bl = b; below = cum }
+          if (bh < 0 && cum + c >= s.k2) bh = b
+          if (bl >= 0 && (bh < 0 || b <= bh)) inside += (if (b >= bl) c else 0L)
+          cum += c
+        }
+        val w = (s.hi - s.lo) / buckets
+        val nLo = s.lo + bl * w
+        val nHi = if (bh >= buckets - 1) s.hi else s.lo + (bh + 1) * w
+        if (inside < s.rem) progressed = true
+        (s, bl, bh, nLo, nHi, below, inside)
+      }
+      // next round's candidate = rows whose bucket (under THIS round's
+      // ranges) is within [bl, bh] — the exact rows `inside` counted
+      val sel = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          chosen.toSeq.map { case (s, bl, bh, _, _, _, _) => Row(s.g, s.lo, s.hi, bl, bh) }, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", gType),
+          org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType),
+          org.apache.spark.sql.types.StructField("bl", org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.IntegerType))))
+      candidate = candidate.join(broadcast(sel), Seq("g"))
+        .filter(idx.between(col("bl"), col("bh")))
+        .select(col("g"), col("v"), col("t"))
+      chosen.foreach { case (s, _, _, nLo, nHi, below, inside) =>
+        s.lo = nLo; s.hi = nHi; s.off = below; s.rem = inside
+      }
+      if (!progressed) rounds = 16 // width underflow: resolve what remains
+    }
+    val resolved = if (active.isEmpty) None else Some {
+      val ks = spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          active.toSeq.map(s => Row(s.g, s.n, s.off, s.k1, s.k2)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", gType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("off", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.LongType))))
+      val wo = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
+      candidate.join(broadcast(ks), Seq("g"))
+        .withColumn("rn", row_number().over(wo) + col("off"))
+        .filter(col("rn") === col("k1") || col("rn") === col("k2"))
+        .groupBy(col("g"))
+        .agg(max(col("n")).as("n"), (sum(col("v")) / count(lit(1))).as("median"))
+    }
+    val trivialDf = if (trivial.isEmpty) None else Some {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          trivial.toSeq.map(s => Row(s.g, s.n, s.lo)), 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g", gType),
+          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("median", org.apache.spark.sql.types.DoubleType))))
+    }
+    val out = (resolved, trivialDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) => resolvedSchemaEmpty(spark, gType)
+    }
+    out.withColumnRenamed("g", groupCol)
   }
+
+  private def resolvedSchemaEmpty(
+      spark: org.apache.spark.sql.SparkSession,
+      gType: org.apache.spark.sql.types.DataType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("g", gType),
+        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("median", org.apache.spark.sql.types.DoubleType))))
 
   /** Robust outlier detection per symbol: modified z-score
     * 0.6745·(x − median)/MAD (Iglewicz–Hoaglin), with the reference

@@ -129,6 +129,22 @@ object TextQueries {
         Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
           maxHamming = 12))),
 
+    // Connected components, oracle-checked END-TO-END: the exact
+    // df-capped shared-shingle edge set (jaccardEdges — counting
+    // arithmetic only, so DuckDB reproduces it bit-for-bit, unlike the
+    // sketch kernels behind q43/q56) feeds min-label propagation (q73)
+    // and large/small-star contraction (q74). cluster = component-min
+    // doc_id, hash-matched against a DuckDB WITH RECURSIVE reachability
+    // closure — the two iterative graph algorithms get hard correctness
+    // rows, not just planted-graph specs.
+    "q73_components" -> ((s, dir) =>
+      Dedup.duplicateClusters(
+        Dedup.jaccardEdges(table(s, dir, "documents"), "doc_id", "text"))),
+
+    "q74_components_star" -> ((s, dir) =>
+      Dedup.duplicateClustersStars(
+        Dedup.jaccardEdges(table(s, dir, "documents"), "doc_id", "text"))),
+
     // Benchmark-contamination check: per-document fraction of distinct
     // word 5-grams that appear in a holdout "benchmark" set (docs with
     // doc_id % 50 == 0 stand in for the eval set). The benchmark gram set
@@ -146,22 +162,21 @@ object TextQueries {
       TextOps.repetitionStats(table(s, dir, "documents"), "doc_id", "text", k = 3)),
 
     // Sequence packing: assign documents to fixed-token-budget training
-    // bins by running token count within each language partition — the
-    // standard pre-tokenization packing pass. Window runs per lang, so
-    // parallelism is the partition count (a real packer would pre-hash
-    // into finer salts; the shape is the same running-sum window).
-    "q46_sequence_pack" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      table(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
-          TextOps.tokenCount(col("text")).as("n_tokens"))
-        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+    // bins by running token count per language — the standard
+    // pre-tokenization packing pass. The running sum is the salted
+    // two-phase `Packing.groupedCumSum` (running-sum within
+    // (lang, doc_id-range bucket), broadcast per-bucket offsets, add) —
+    // NOT a `partition by lang` window, whose parallelism would be the
+    // language count: a single-task sort of most of a 100 TB corpus.
+    "q46_sequence_pack" -> ((s, dir) =>
+      graft.operators.Packing.groupedCumSum(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+        group = "lang", orderCols = Seq("doc_id"), tokCol = "n_tokens",
+        cumName = "cum_tokens")
         .withColumn("bin",
-          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))
-    }),
+          floor((col("cum_tokens") - col("n_tokens")) / 2048).cast("int"))),
 
     // TF-IDF top term per document: tf × (N/df) with the document-
     // frequency join shuffled on term and the corpus size attached as a
@@ -258,20 +273,21 @@ object TextQueries {
     // The full corpus-to-training-sequences job: keep-filter (q44) →
     // token-window chunking (q54) → per-language bin packing (q46), one
     // composed plan. This is the end-to-end shape a 100 TB pre-training
-    // data build runs; every stage shuffles only on doc_id/lang and the
-    // chunker itself is shuffle-free, so the composition adds no new
-    // scale hazards over its parts. Oracle-checked bit-for-bit.
+    // data build runs; every stage shuffles only on doc_id/lang, the
+    // chunker itself is shuffle-free, and the packing running sum is the
+    // salted two-phase groupedCumSum (no per-language window funnel), so
+    // the composition adds no new scale hazards over its parts.
+    // Oracle-checked bit-for-bit.
     "q55_clean_chunks" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       val kept = filterPipeline(docs).filter(col("keep")).select(col("doc_id"))
       val chunks = TextOps.chunkByTokens(
         docs.join(kept, Seq("doc_id")), "doc_id", "text", width = 32, step = 24)
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("doc_id"), col("chunk_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      graft.operators.Packing.groupedCumSum(
+        chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok")),
+        group = "lang", orderCols = Seq("doc_id", "chunk_id"),
+        tokCol = "n_tok", cumName = "cum_tok")
         .withColumn("bin",
           floor((col("cum_tok") - col("n_tok")) / 2048).cast("int"))
         .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok"),
@@ -430,6 +446,9 @@ object TextQueries {
         |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS redacted_md5
         |FROM documents""".stripMargin,
 
+    "q73_components" -> componentsSql,
+    "q74_components_star" -> componentsSql,
+
     "q44_filter_pipeline" -> filterSql,
 
     "q55_clean_chunks" ->
@@ -451,6 +470,52 @@ object TextQueries {
          |WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
          |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
   ) ++ scalarOracles
+
+  /** q73/q74's shared oracle: jaccardEdges mirrored in counting SQL
+    * (grams → df-capped inverted index → candidate pairs → exact Jaccard
+    * i/(szA+szB−i), one IEEE divide), then connected components as a
+    * recursive reachability closure with MIN over reached ids — the
+    * standard WITH RECURSIVE formulation of min-label components. Both
+    * Spark algorithms (propagation q73, star contraction q74) must
+    * hash-match this single SQL text. */
+  private val componentsSql: String =
+    """WITH RECURSIVE toks AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+      |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |grams AS (
+      |  SELECT DISTINCT doc_id,
+      |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+      |         ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+      |  FROM (SELECT doc_id, toks,
+      |          unnest(range(1, CASE WHEN len(toks) < 3 THEN 2 ELSE len(toks) - 1 END)) AS i
+      |        FROM toks)),
+      |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20),
+      |cand AS (
+      |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM grams a JOIN rare USING (gram) JOIN grams b USING (gram)
+      |  WHERE a.doc_id < b.doc_id),
+      |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+      |inter AS (
+      |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+      |  FROM cand c
+      |  JOIN grams ga ON ga.doc_id = c.id_a
+      |  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+      |  GROUP BY c.id_a, c.id_b),
+      |edges AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = inter.id_a
+      |  JOIN sizes sb ON sb.doc_id = inter.id_b
+      |  WHERE CAST(i AS DOUBLE) / (sa.sz + sb.sz - i) >= 0.5),
+      |nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b AS id FROM edges),
+      |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+      |        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)
+      |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin
 
   /** q44's oracle SQL, shared verbatim by q55's `kept` stage. */
   private val filterSql: String =

@@ -71,6 +71,50 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == 5L && p._2 == 6L))
   }
 
+  test("simhashPairs: degenerate quarter-bucket is capped, normal pairs survive") {
+    // 30 byte-identical docs share every quarter → one 30-doc bucket per
+    // quarter; with maxBucket = 10 all four buckets drop and the clones
+    // contribute no pairs, while the unrelated planted dup pair (ids
+    // 101/102) rides a small bucket and survives
+    val clones = (1L to 30L).map(i => (i, base))
+    val others = Seq(
+      (101L, "quarterly totally different text one two three four five six"),
+      (102L, "quarterly totally different text one two three four five six"))
+    val docs = (clones ++ others).toDF("doc_id", "text")
+    val capped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((101L, 102L)), s"got $capped")
+    // uncapped control: the clone family pairs up quadratically
+    val uncapped = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 6, maxBucket = 1000)
+      .collect().length
+    assert(uncapped == 30 * 29 / 2 + 1)
+  }
+
+  test("jaccardEdges: exact edges from the df-capped inverted index") {
+    // (1,2) identical → jaccard 1; (3,4) differ by one trailing token:
+    // shingle sets share 18 of 20 → 18/22 ≈ 0.82 ≥ 0.5; (5,6) share no
+    // rare shingle → no candidate, no edge
+    val edges = Dedup.jaccardEdges(corpus, "doc_id", "text", k = 3, maxDf = 20, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(edges.contains((1L, 2L)))
+    assert(edges.contains((3L, 4L)))
+    assert(!edges.exists(p => p._1 == 5L || p._2 == 5L || p._1 == 6L || p._2 == 6L))
+    // a shingle shared by MORE than maxDf docs generates no candidates:
+    // 5 identical docs with maxDf = 4 → every shared shingle has df 5 → no edges
+    val five = (1L to 5L).map(i => (i, base)).toDF("doc_id", "text")
+    assert(Dedup.jaccardEdges(five, "doc_id", "text", k = 3, maxDf = 4).count() == 0)
+  }
+
+  test("components over jaccardEdges: propagation and star contraction agree") {
+    val edges = Dedup.jaccardEdges(corpus, "doc_id", "text")
+    val prop = Dedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = Dedup.duplicateClustersStars(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prop == star)
+    assert(prop(1L) == 1L && prop(2L) == 1L)
+  }
+
   test("ngramJaccard: exact metric on candidate pairs") {
     val cand = Seq((1L, 2L), (1L, 5L)).toDF("id_a", "id_b")
     val out = Dedup.ngramJaccard(cand, corpus, "doc_id", "text", k = 3)

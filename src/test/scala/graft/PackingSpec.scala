@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** Packing.groupedCumSum must be BIT-IDENTICAL to the naive
+  * `sum over (partition by group order by ...)` window it replaces —
+  * the salting is an execution detail, never a semantics change. */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(df: org.apache.spark.sql.DataFrame,
+                    order: Seq[String]): Map[(String, Long), Long] = {
+    val w = Window.partitionBy(col("g")).orderBy(order.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum", sum(col("t")).over(w))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) -> r.getAs[Long]("cum"))
+      .toMap
+  }
+
+  test("equivalent to the per-group window on skewed groups, any bucket count") {
+    // 3 groups with very different sizes; ids deliberately non-contiguous
+    val df = ((1L to 900L).map(i => ("en", i * 7 + 3, (i % 13) + 1)) ++
+      (1L to 90L).map(i => ("es", i * 11, (i % 7) + 1)) ++
+      Seq(("fr", 5L, 42L))).toDF("g", "id", "t")
+    val expected = naive(df, Seq("id"))
+    for (buckets <- Seq(1, 4, 64, 4096)) {
+      val got = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum", buckets)
+        .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) -> r.getAs[Long]("cum"))
+        .toMap
+      assert(got == expected, s"mismatch at buckets=$buckets")
+    }
+  }
+
+  test("secondary order columns break ties without splitting a leading value") {
+    // several rows share the leading id (chunked docs): they must stay in
+    // one bucket and order by the secondary column
+    val df = (for (id <- 1L to 50L; c <- 0 to (id % 5).toInt)
+      yield ("en", id, c, id + c)).toDF("g", "id", "c", "t")
+    val w = Window.partitionBy(col("g")).orderBy(col("id"), col("c"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val expected = df.withColumn("cum", sum(col("t")).over(w))
+      .collect().map(r => (r.getLong(1), r.getInt(2)) -> r.getAs[Long]("cum")).toMap
+    val got = Packing.groupedCumSum(df, "g", Seq("id", "c"), "t", "cum", buckets = 16)
+      .collect().map(r => (r.getLong(1), r.getInt(2)) -> r.getAs[Long]("cum")).toMap
+    assert(got == expected)
+  }
+
+  test("result is invariant under input partition layout") {
+    val df = (1L to 500L).map(i => (if (i % 3 == 0) "a" else "b", i, i % 10)).toDF("g", "id", "t")
+    val a = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum", 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cum"))).sorted.toSeq
+    val b = Packing.groupedCumSum(df.repartition(17), "g", Seq("id"), "t", "cum", 32)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cum"))).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("degenerate inputs: empty frame and single row") {
+    val empty = Seq.empty[(String, Long, Long)].toDF("g", "id", "t")
+    assert(Packing.groupedCumSum(empty, "g", Seq("id"), "t", "cum").count() == 0)
+    val one = Seq(("en", 7L, 5L)).toDF("g", "id", "t")
+    val row = Packing.groupedCumSum(one, "g", Seq("id"), "t", "cum").head()
+    assert(row.getAs[Long]("cum") == 5L)
+  }
+
+  test("plan partitions the window by (group, bucket), never group alone") {
+    val df = (1L to 100L).map(i => ("en", i, i)).toDF("g", "id", "t")
+    val plan = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum")
+      .queryExecution.sparkPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val keys = w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet
+      assert(keys == Set("g", "__pb"), s"window keys were $keys")
+    }
+  }
+}

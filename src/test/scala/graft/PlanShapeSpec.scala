@@ -28,6 +28,23 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("no registered query plans a window partitioned only by lang (per-language funnel)") {
+    // `partition by lang` caps a window's parallelism at the language
+    // count — at 100 TB each language is a single-task sort of most of
+    // the corpus. Packing (q46/q55) routes running sums through the
+    // salted two-phase Packing.groupedCumSum instead; this gate keeps
+    // the funnel from coming back.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
+      f(spark, sf()).queryExecution.sparkPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.nonEmpty &&
+              w.partitionSpec.flatMap(_.references.toSeq).map(_.name).toSet == Set("lang") =>
+          s"$name: window partitioned only by lang"
+      }
+    }
+    assert(offenders.isEmpty, offenders.mkString("\n"))
+  }
+
   test("no registered query plans an unpartitioned window (single-reducer funnel)") {
     // a Window with an empty partitionSpec sorts the WHOLE input through
     // one task — the row_number()-over-everything shape this repo

@@ -71,6 +71,42 @@ class TimeSeriesSpec extends SparkSpec {
     assert(m("even") === ((4L, 4.0))) // (3+5)/2
   }
 
+  test("exactMedian: bucket-refinement rounds match the naive ranking window") {
+    import spark.implicits._
+    // group sizes WELL above resolveLimit so the range-count rounds
+    // actually execute; duplicate-heavy + skewed values stress the
+    // bucket walk (a heavy bucket must keep both middle ranks inside)
+    val rnd = new scala.util.Random(7)
+    val rows =
+      (1L to 9001L).map(i => ("dup", math.floor(rnd.nextDouble() * 10) / 10, i)) ++
+      (1L to 9000L).map(i => ("skew", math.exp(rnd.nextGaussian() * 4), i)) ++
+      (1L to 5000L).map(i => ("cst", 42.5, i)) // constant: trivial path
+    val df = rows.toDF("g", "v", "id")
+    val got = TimeSeriesOps.exactMedian(df, "g", "v", "id",
+      buckets = 64, resolveLimit = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // naive reference: rank and average the middle rows
+    val expected = rows.groupBy(_._1).map { case (g, rs) =>
+      val sorted = rs.map(_._2).sorted
+      val n = sorted.length
+      val med =
+        if (n % 2 == 1) sorted(n / 2)
+        else (sorted(n / 2 - 1) + sorted(n / 2)) / 2
+      g -> ((n.toLong, med))
+    }
+    assert(got == expected)
+  }
+
+  test("exactMedian: single-row, two-row, and empty inputs") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0, 1L), ("b", 1.0, 2L), ("b", 2.0, 3L)).toDF("g", "v", "id")
+    val m = TimeSeriesOps.exactMedian(df, "g", "v", "id")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(m == Map("a" -> ((1L, 5.0)), "b" -> ((2L, 1.5))))
+    val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    assert(TimeSeriesOps.exactMedian(empty, "g", "v", "id").count() == 0)
+  }
+
   test("madOutliers flags a planted outlier and survives a constant series") {
     val base = (1L to 49L).map(i => ("A", 1000L * i, i, 100.0 + (i % 5)))
     val out = ("A", 50000L, 50L, 500.0) // wildly off
