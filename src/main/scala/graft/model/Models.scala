@@ -54,4 +54,14 @@ object Models {
     StructField("symbol", StringType, nullable = true),
     StructField("windows", ArrayType(windowStatsSchema), nullable = true)
   ))
+
+  /** JSON reader schema for the z-score topic — what a downstream consumer
+    * of `btc-price-zscore` would declare. */
+  val zscoreSchema: StructType = StructType(Seq(
+    StructField("timestamp", StringType, nullable = true),
+    StructField("symbol", StringType, nullable = true),
+    StructField("zscores", ArrayType(StructType(Seq(
+      StructField("window", StringType, nullable = true),
+      StructField("zscore_price", DoubleType, nullable = true)))), nullable = true)
+  ))
 }

@@ -17,14 +17,18 @@ object KafkaIO {
 
   /** Streaming source for one topic; `startingOffsets=latest` and
     * `failOnDataLoss=false` mirror the reference's tolerance of retention
-    * gaps. */
+    * gaps. `format` defaults to the real connector; pass `"fakekafka"`
+    * ([[graft.streaming.fake.FakeKafkaProvider]]) to execute the identical
+    * plan against the in-JVM broker double — same options, schema, and
+    * offset checkpointing. */
   def source(
       spark: SparkSession,
       brokers: String,
       topic: String,
-      startingOffsets: String = "latest"): DataFrame =
+      startingOffsets: String = "latest",
+      format: String = "kafka"): DataFrame =
     spark.readStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("subscribe", topic)
       .option("startingOffsets", startingOffsets)
@@ -39,9 +43,10 @@ object KafkaIO {
       topic: String,
       checkpointDir: String,
       outputMode: String,
-      triggerInterval: String = "5 seconds"): DataStreamWriter[Row] =
+      triggerInterval: String = "5 seconds",
+      format: String = "kafka"): DataStreamWriter[Row] =
     df.writeStream
-      .format("kafka")
+      .format(format)
       .option("kafka.bootstrap.servers", brokers)
       .option("topic", topic)
       .option("checkpointLocation", checkpointDir)

@@ -44,18 +44,22 @@ object MovingStatsJob {
       inTopic: String = "btc-price",
       outTopic: String = "btc-price-moving",
       checkpointDir: String = "./tmp/moving-stats-checkpoint",
-      mode: H1Mode = H1Mode.ForeachBatch): StreamingQuery = {
-    val raw = KafkaIO.source(spark, brokers, inTopic)
+      mode: H1Mode = H1Mode.ForeachBatch,
+      format: String = "kafka",
+      startingOffsets: String = "latest",
+      triggerInterval: String = "5 seconds"): StreamingQuery = {
+    val raw = KafkaIO.source(spark, brokers, inTopic, startingOffsets, format)
     val flat = statsStream(raw)
     mode match {
       case H1Mode.ForeachBatch =>
         flat.writeStream
           .outputMode("update")
           .option("checkpointLocation", checkpointDir)
-          .trigger(Trigger.ProcessingTime("5 seconds"))
+          .trigger(Trigger.ProcessingTime(triggerInterval))
           .foreachBatch { (batch: DataFrame, _: Long) =>
             nested(batch).write
-              .format("kafka")
+              .mode("append") // DSv2 rejects the default ErrorIfExists
+              .format(format)
               .option("kafka.bootstrap.servers", brokers)
               .option("topic", outTopic)
               .save()
@@ -64,7 +68,8 @@ object MovingStatsJob {
       case H1Mode.Chained =>
         spark.conf.set(
           "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-        KafkaIO.sink(nested(flat), brokers, outTopic, checkpointDir, "update").start()
+        KafkaIO.sink(nested(flat), brokers, outTopic, checkpointDir, "update",
+          triggerInterval, format).start()
     }
   }
 }

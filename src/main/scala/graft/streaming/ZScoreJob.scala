@@ -46,19 +46,25 @@ object ZScoreJob {
       movingTopic: String = "btc-price-moving",
       outTopic: String = "btc-price-zscore",
       checkpointDir: String = "./tmp/zscore-checkpoint",
-      mode: MovingStatsJob.H1Mode = MovingStatsJob.H1Mode.ForeachBatch): StreamingQuery = {
-    val ticks = TickOps.parseTicks(KafkaIO.source(spark, brokers, priceTopic))
-    val moving = parseMoving(KafkaIO.source(spark, brokers, movingTopic))
+      mode: MovingStatsJob.H1Mode = MovingStatsJob.H1Mode.ForeachBatch,
+      format: String = "kafka",
+      startingOffsets: String = "latest",
+      triggerInterval: String = "5 seconds"): StreamingQuery = {
+    val ticks = TickOps.parseTicks(
+      KafkaIO.source(spark, brokers, priceTopic, startingOffsets, format))
+    val moving = parseMoving(
+      KafkaIO.source(spark, brokers, movingTopic, startingOffsets, format))
     val flat = zscores(ticks, moving)
     mode match {
       case MovingStatsJob.H1Mode.ForeachBatch =>
         flat.writeStream
           .outputMode("append")
           .option("checkpointLocation", checkpointDir)
-          .trigger(Trigger.ProcessingTime("5 seconds"))
+          .trigger(Trigger.ProcessingTime(triggerInterval))
           .foreachBatch { (batch: DataFrame, _: Long) =>
             nested(batch).write
-              .format("kafka")
+              .mode("append") // DSv2 rejects the default ErrorIfExists
+              .format(format)
               .option("kafka.bootstrap.servers", brokers)
               .option("topic", outTopic)
               .save()
@@ -67,7 +73,8 @@ object ZScoreJob {
       case MovingStatsJob.H1Mode.Chained =>
         spark.conf.set(
           "spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "false")
-        KafkaIO.sink(nested(flat), brokers, outTopic, checkpointDir, "append").start()
+        KafkaIO.sink(nested(flat), brokers, outTopic, checkpointDir, "append",
+          triggerInterval, format).start()
     }
   }
 }
