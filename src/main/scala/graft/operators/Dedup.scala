@@ -248,25 +248,33 @@ object Dedup {
       k: Int = 3,
       maxDf: Int = 20,
       threshold: Double = 0.5): DataFrame = {
+    // Sorted distinct 64-bit shingle hashes, materialized ONCE
+    // (localCheckpoint): the inverted index, both sides of the candidate
+    // join, and the verify all read the cached blocks instead of
+    // re-tokenizing the corpus. Grams travel as 8-byte longs end to end
+    // — the q41 lesson: shuffling shingle STRINGS was 80× slower. The
+    // DuckDB oracle counts string grams; hashed counts agree exactly
+    // unless two distinct grams of one candidate pair collide in 64 bits
+    // (~n²/2⁶⁵ — the same accepted risk as contamination's gram probe).
     val sh = docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), shingles("toks", k).as("sh"))
-    val inv = sh.select(col("doc_id"), explode(col("sh")).as("gram"))
-    val rare = inv.groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .select(col("doc_id"), GraftFunctions.shingle_hashes(col("toks"), k).as("hs"))
+      .localCheckpoint(true)
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("gh"))
+    val rare = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gram"))
-    val cand = inv.join(rare, Seq("gram"))
-    val pairs = cand.select(col("gram"), col("doc_id").as("id_a"))
-      .join(cand.select(col("gram"), col("doc_id").as("id_b")), Seq("gram"))
+      .select(col("gh"))
+    val cand = inv.join(rare, Seq("gh"))
+    val pairs = cand.select(col("gh"), col("doc_id").as("id_a"))
+      .join(cand.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
     pairs
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-      // both counts are exact ints and the one divide is a single IEEE op
-      // — the jaccard value and the ≥ compare reproduce in any engine
-      .filter((size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-        size(array_union(col("sh_a"), col("sh_b")))) >= threshold)
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      // exact set Jaccard over the sorted hash arrays (linear merge, one
+      // IEEE divide) — reproduces in any engine on the same gram sets
+      .filter(GraftFunctions.jaccard_sorted(col("hs_a"), col("hs_b")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 
@@ -421,5 +429,47 @@ object Dedup {
     // with OR-amplification the same pair can surface from several tables
     // — dedup the (small) post-threshold survivor set, not the candidates
     if (tables == 1) pairs else pairs.distinct()
+  }
+
+  /** Edit-distance near-duplicate pairs via prefix blocking: candidate
+    * pairs share their first `prefixLen` characters and differ in length
+    * by at most `maxDist` (a true Levenshtein bound — each length unit
+    * costs one edit), then exact `levenshtein` confirms. The classic
+    * record-linkage blocking shape: the join key is high-cardinality (a
+    * text prefix), so the shuffle spreads evenly, and the per-block
+    * quadratic is bounded by `maxBlock` — blocks bigger than that are
+    * boilerplate prefixes (license headers, templated openings) whose
+    * pairs a later pass can handle by cluster id instead of pairwise.
+    * Everything here is plain string arithmetic, so DuckDB mirrors it
+    * exactly (q75's oracle) — unlike the hash-based minhash/simhash
+    * candidate generators.
+    *
+    * Catches the small-edit near-dup family (typo fixes, version bumps,
+    * whitespace drift) that shingle-based minhash is least sensitive to;
+    * misses edits inside the first `prefixLen` chars, by design — run
+    * alongside minhash, not instead of it. */
+  def editDistancePairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDist: Int = 3,
+      prefixLen: Int = 16,
+      maxBlock: Int = 64): DataFrame = {
+    val blocked = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("text"),
+        substring(col(textCol), 1, prefixLen).as("blk"),
+        length(col(textCol)).as("len"))
+      .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
+      .filter(col("bn") <= maxBlock)
+    val a = blocked.select(col("blk"), col("doc_id").as("doc_id_a"),
+      col("text").as("text_a"), col("len").as("len_a"))
+    val b = blocked.select(col("blk"), col("doc_id").as("doc_id_b"),
+      col("text").as("text_b"), col("len").as("len_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("doc_id_a") < col("doc_id_b") &&
+        abs(col("len_a") - col("len_b")) <= maxDist)
+      .select(col("doc_id_a"), col("doc_id_b"),
+        levenshtein(col("text_a"), col("text_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

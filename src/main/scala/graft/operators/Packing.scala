@@ -50,14 +50,21 @@ object Packing {
     require(orderCols.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
     val ord = orderCols.head
-    val bounds = df.agg(
+    // Three passes read `df` (bounds, per-bucket totals, the final
+    // plan). If it's the tail of an expensive pipeline (q55: the whole
+    // filter→chunk job), recomputing it per pass triples the query —
+    // materialize once and let every pass read the cached blocks.
+    // Determinism does not depend on the cache (every step is content-
+    // pure); only cost does.
+    val in = df.localCheckpoint(true)
+    val bounds = in.agg(
       min(col(ord).cast("long")), max(col(ord).cast("long"))).head()
     val (mn, span) =
       if (bounds.isNullAt(0)) (0L, 1L)
       else (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0) + 1)
     // integer bucket index, monotone in the leading order column; DIV
     // keeps the arithmetic in longs (no double rounding near 2^53)
-    val bucketed = df.withColumn("__pb",
+    val bucketed = in.withColumn("__pb",
       expr(s"CAST(((CAST(`$ord` AS BIGINT) - ${mn}L) * ${buckets}L) DIV ${span}L AS INT)"))
     val w = Window.partitionBy(col(group), col("__pb"))
       .orderBy(orderCols.map(col): _*)

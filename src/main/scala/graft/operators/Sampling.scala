@@ -57,6 +57,25 @@ object Sampling {
     df.filter(hashBucket(key) < thr)
   }
 
+  /** Quality-weighted deterministic sample: keep a row with probability
+    * ~`weight` (clamped to [0,1]), decided by comparing the first 4 hex
+    * chars of md5(key) against a per-row threshold derived from the
+    * weight — 1/65,536 granularity. The importance-sampling step of a
+    * corpus build ("keep high-quality docs at full rate, tail quality at
+    * their score"), with the same engine-portability contract as
+    * [[hashSample]]: lowercase-hex string comparison only, no hex-parse
+    * builtin, so DuckDB reproduces the exact keep set (q78's oracle).
+    * Pure per-row predicate — pushes to the scan, shuffle-free. */
+  def weightedHashSample(df: DataFrame, key: Column, weight: Column): DataFrame = {
+    // floor(w * 65536) clamped to [0, 65535]: weight >= 1 keeps all but
+    // 1/65536 of rows (threshold "ffff" still excludes bucket "ffff");
+    // exact keep-all would need the 5-char sentinel trick of threshold()
+    val thr = lpad(lower(hex(
+      greatest(lit(0), least(floor(weight * 65536), lit(65535))).cast("long"))),
+      4, "0")
+    df.filter(substring(md5(key.cast("string")), 1, 4) < thr)
+  }
+
   /** Deterministic train/val/test split, derived from the first md5 byte
     * of the key — the dataset-assembly step after curation: val gets
     * buckets [0, val256), test [val256, val256+test256), train the rest.

@@ -101,8 +101,12 @@ object TimeSeriesOps {
       resolveLimit: Long = 4096): DataFrame = {
     val spark = df.sparkSession
     val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+    // the stats pass, every bucket-count round, and the final resolve all
+    // re-read this projection; materialize it once so an expensive
+    // upstream (a derived tick table) isn't recomputed per round
     val base = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+      .localCheckpoint(true)
     val stats = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()

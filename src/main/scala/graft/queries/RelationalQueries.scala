@@ -310,7 +310,36 @@ object RelationalQueries {
         .select(
           coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
           col("c_acctbal"), col("n_urgent"))
-    })
+    }),
+
+    // Change-log compaction: latest event per (user, event_type) —
+    // the merge-on-read snapshot an incremental ingest keeps current.
+    // One shuffle on a high-cardinality key; event_id breaks ts ties.
+    // Timestamps compact to micros (ts_us): DuckDB reads the nano
+    // parquet at micro precision, so the oracle can only mirror micros.
+    "q76_latest_state" -> ((s, dir) =>
+      graft.operators.Compaction.latestSnapshot(
+        graft.util.SparkUtil.events(s, dir)
+          .select(col("user_id"), col("event_type"),
+            expr("ts_ns div 1000").as("ts_us"), col("event_id"), col("value")),
+        keyCols = Seq("user_id", "event_type"),
+        tsCol = "ts_us", tieCol = "event_id")),
+
+    // Skew-safe salted join: lineitem ⋈ supplier on l_suppkey with the
+    // supplier side replicated across 8 salts, then revenue per nation.
+    // The salt spreads any pathological key over 8 reducers; the result
+    // is provably salt-invariant, which the plain-join oracle checks.
+    "q77_salted_join" -> ((s, dir) =>
+      graft.operators.Joins.saltedJoin(
+        table(s, dir, "lineitem")
+          .select(col("l_suppkey").as("s_suppkey"),
+            (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+              .as("rev")),
+        table(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey")),
+        key = "s_suppkey", salts = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(dsum(col("rev")).as("revenue"),
+          count(lit(1)).as("n_items")))
   )
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
@@ -531,6 +560,26 @@ object RelationalQueries {
         |     o AS (SELECT o_custkey, COUNT(1) AS n_urgent FROM orders
         |           WHERE o_orderpriority = '1-URGENT' GROUP BY o_custkey)
         |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_acctbal, n_urgent
-        |FROM c FULL JOIN o ON c_custkey = o_custkey""".stripMargin
+        |FROM c FULL JOIN o ON c_custkey = o_custkey""".stripMargin,
+
+    // Latest-wins per (user_id, event_type), at the micro precision both
+    // engines share for the nano-parquet column.
+    "q76_latest_state" ->
+      """SELECT user_id, event_type, ts_us, event_id, value
+        |FROM (SELECT user_id, event_type, epoch_ns(ts) // 1000 AS ts_us,
+        |        event_id, value,
+        |        row_number() OVER (PARTITION BY user_id, event_type
+        |          ORDER BY epoch_ns(ts) // 1000 DESC, event_id DESC) AS rn
+        |      FROM events)
+        |WHERE rn = 1""".stripMargin,
+
+    // The salt must be invisible in the result: a plain join + group-by
+    // is the whole oracle.
+    "q77_salted_join" ->
+      s"""SELECT s_nationkey,
+         |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
+         |  COUNT(1) AS n_items
+         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+         |GROUP BY s_nationkey""".stripMargin
   )
 }

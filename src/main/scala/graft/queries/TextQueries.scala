@@ -292,7 +292,28 @@ object TextQueries {
           floor((col("cum_tok") - col("n_tok")) / 2048).cast("int"))
         .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok"),
           col("cum_tok"), col("bin"))
-    })
+    }),
+
+    // Edit-distance near-dups: prefix blocking + exact levenshtein —
+    // the typo/version-bump family minhash shingles are least sensitive
+    // to. Driven over part names (the entity-resolution shape: catalog
+    // entries differing by a word swap); the synthetic documents table
+    // has no sub-3-edit pairs at any SF. Blocking key is
+    // high-cardinality, so the self-join shuffles evenly; the per-block
+    // quadratic is capped, and the cap is sized to this catalog's
+    // name-template blocks.
+    "q75_edit_neardups" -> ((s, dir) =>
+      Dedup.editDistancePairs(table(s, dir, "part"), "p_partkey", "p_name",
+        maxDist = 3, prefixLen = 12, maxBlock = 1024)),
+
+    // Quality-weighted deterministic sampling: keep each doc with
+    // probability ~ its quality score — shuffle-free scan predicate.
+    "q78_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedHashSample(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("quality")),
+        col("doc_id"), col("quality")))
   )
 
   /** The composed training-data keep/drop decision (q44): quality,
@@ -468,8 +489,51 @@ object TextQueries {
          |  CAST(floor((SUM(n_tok) OVER w - n_tok) / 2048) AS INT) AS bin
          |FROM kchunks
          |WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // Mirrors Dedup.editDistancePairs: same prefix blocking, same
+    // length-difference bound, same levenshtein (both engines implement
+    // the standard unit-cost edit distance).
+    "q75_edit_neardups" ->
+      """WITH d AS (
+        |  SELECT p_partkey, p_name, substr(p_name, 1, 12) AS blk,
+        |         length(p_name) AS len
+        |  FROM part),
+        |c AS (SELECT *, count(*) OVER (PARTITION BY blk) AS bn FROM d),
+        |f AS (SELECT * FROM c WHERE bn <= 1024)
+        |SELECT a.p_partkey AS doc_id_a, b.p_partkey AS doc_id_b,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+        |FROM f a JOIN f b ON a.blk = b.blk AND a.p_partkey < b.p_partkey
+        |  AND abs(a.len - b.len) <= 3
+        |WHERE levenshtein(a.p_name, b.p_name) <= 3""".stripMargin,
+
+    // Mirrors Sampling.weightedHashSample over TextOps.qualityScore: the
+    // same md5-prefix vs hex-threshold string comparison, the same
+    // floor/clamp arithmetic on the same derived double.
+    "q78_weighted_sample" ->
+      s"""WITH q AS ($qualityLangSql)
+         |SELECT doc_id, lang, quality FROM q
+         |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
+         |  lpad(lower(to_hex(CAST(greatest(0, least(floor(quality * 65536),
+         |    65535)) AS BIGINT))), 4, '0')""".stripMargin
   ) ++ scalarOracles
+
+  /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
+    * q22 formula, plus lang carried through for q78's output). */
+  private def qualityLangSql: String =
+    s"""SELECT doc_id, lang,
+       |  CASE WHEN n = 0 THEN 0.0 ELSE
+       |    0.4 * least(1.0, n / 100.0) +
+       |    0.3 * (nd / CAST(n AS DOUBLE)) +
+       |    0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+       |FROM (
+       |  SELECT doc_id, lang,
+       |    CASE WHEN length(trim(text)) = 0 THEN 0
+       |         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+       |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+       |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+       |        t -> t IN $stopIn)) AS stop
+       |  FROM documents)""".stripMargin
 
   /** q73/q74's shared oracle: jaccardEdges mirrored in counting SQL
     * (grams → df-capped inverted index → candidate pairs → exact Jaccard

@@ -204,4 +204,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs == Set((1L, 2L)))
   }
+
+  test("editDistancePairs: prefix-blocked levenshtein with length bound and block cap") {
+    val base = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      (1L, base),
+      (2L, base.replace("jumps", "jumbs")), // 1 substitution, same prefix
+      (3L, base + " xx"), // 3 appended chars: dist 3, within bound
+      (4L, base + " xxxx"), // dist 5 > 3: length prefilter must drop it
+      (5L, "a completely different document about databases"),
+      (6L, "xhe quick brown fox jumps over the lazy dog again and again")
+      // ^ 1 edit from doc 1 but INSIDE the 16-char prefix → different
+      //   block → missed by design (documented blind spot)
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // (2,3) is dist 4 → over maxDist; pairs with 4 differ by 5 in length
+    // → length prefilter; 6 shares no block with 1 → never compared
+    assert(pairs == Set((1L, 2L, 1), (1L, 3L, 3), (3L, 4L, 2)))
+
+    // degenerate block: 100 docs sharing a prefix blow past maxBlock → no
+    // quadratic, zero pairs from that block
+    val boiler = (100L until 200L).map(i => (i, s"LICENSE HEADER v$i common opening"))
+      .toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(boiler, "doc_id", "text",
+      maxDist = 3, maxBlock = 64).count() == 0)
+  }
 }

@@ -75,4 +75,26 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(scrambled == expected)
   }
+
+  test("weightedHashSample: rate tracks weight, keep-sets nest, extremes behave") {
+    import spark.implicits._
+    val df = (1L to 4000L).toDF("k")
+    def kept(w: Double): Set[Long] =
+      Sampling.weightedHashSample(df, col("k"), lit(w))
+        .collect().map(_.getLong(0)).toSet
+    assert(kept(0.0).isEmpty)
+    assert(kept(-1.0).isEmpty, "negative weight clamps to keep-none")
+    val full = kept(2.0) // clamps to 65535/65536 — keep-(almost)-all
+    assert(full.size >= 3990)
+    val lo = kept(0.3); val hi = kept(0.7)
+    assert(math.abs(lo.size / 4000.0 - 0.3) < 0.03)
+    assert(math.abs(hi.size / 4000.0 - 0.7) < 0.03)
+    // a doc kept at weight w stays kept at any w' > w (threshold grows)
+    assert(lo.subsetOf(hi) && hi.subsetOf(full))
+    // per-row weights: each row judged against its own threshold
+    val perRow = Sampling.weightedHashSample(
+      df.withColumn("w", when(col("k") <= 2000, 0.0).otherwise(1.0)),
+      col("k"), col("w")).collect().map(_.getLong(0)).toSet
+    assert(perRow.forall(_ > 2000) && perRow.size >= 1990)
+  }
 }
