@@ -431,6 +431,41 @@ object Dedup {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  /** Copy-paste detection: document pairs sharing at least one exact
+    * `w`-token window (the "Deduplicating Training Data" exact-substring
+    * family, at token granularity): a copied paragraph inside two
+    * otherwise-unrelated documents — a LOW-Jaccard event that shingle
+    * MinHash misses by design. Windows travel as 64-bit hashes; a df cap
+    * excludes boilerplate windows (df > maxDf) so the per-window
+    * candidate fan-out is bounded and no quadratic blob forms. Output
+    * (id_a, id_b, n_shared): the count of distinct shared rare windows —
+    * downstream policy ranks by it (one shared window of 50 tokens is
+    * already copy evidence). One shuffle on the window hash, one on the
+    * pair — both high-cardinality keys. */
+  def sharedWindowPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      w: Int = 10,
+      maxDf: Int = 10): DataFrame = {
+    val sh = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= w)
+      .select(col("doc_id"), GraftFunctions.shingle_hashes(col("toks"), w).as("hs"))
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("gh"))
+    val rare = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gh"))
+    val cand = inv.join(rare, Seq("gh"))
+    cand.select(col("gh"), col("doc_id").as("id_a"))
+      .join(cand.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      // (doc, window) rows are distinct, so pair×window rows are too:
+      // the count IS the distinct shared-window count, no extra distinct
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Edit-distance near-duplicate pairs via prefix blocking: candidate
     * pairs share their first `prefixLen` characters and differ in length
     * by at most `maxDist` (a true Levenshtein bound — each length unit

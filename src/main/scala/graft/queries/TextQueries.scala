@@ -313,7 +313,29 @@ object TextQueries {
         table(s, dir, "documents")
           .select(col("doc_id"), col("lang"),
             TextOps.qualityScore(col("text")).as("quality")),
-        col("doc_id"), col("quality")))
+        col("doc_id"), col("quality"))),
+
+    // Copy-paste pairs: docs sharing an exact 10-token window — the
+    // low-Jaccard copied-paragraph case minhash misses by design.
+    "q79_shared_windows" -> ((s, dir) =>
+      Dedup.sharedWindowPairs(table(s, dir, "documents"), "doc_id", "text",
+        w = 10, maxDf = 10)),
+
+    // Per-source corpus report card: the curation dashboard every
+    // ingest run publishes. Map-side-combined single aggregation.
+    "q80_source_profile" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          TextOps.tokenCount(col("text")).as("n_tokens"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(col("n_tokens")).as("total_tokens"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality")))
   )
 
   /** The composed training-data keep/drop decision (q44): quality,
@@ -515,7 +537,48 @@ object TextQueries {
          |SELECT doc_id, lang, quality FROM q
          |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) <
          |  lpad(lower(to_hex(CAST(greatest(0, least(floor(quality * 65536),
-         |    65535)) AS BIGINT))), 4, '0')""".stripMargin
+         |    65535)) AS BIGINT))), 4, '0')""".stripMargin,
+
+    // Mirrors Dedup.sharedWindowPairs gram-for-gram with string windows
+    // (Spark travels 64-bit hashes; counts agree absent a collision —
+    // q41's accepted contract).
+    "q79_shared_windows" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |    ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |idx AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 8)) AS i
+        |        FROM toks WHERE len(toks) >= 10),
+        |grams AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+9], ' ') AS g
+        |          FROM idx),
+        |rare AS (SELECT g FROM grams GROUP BY g HAVING count(*) BETWEEN 2 AND 10)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared
+        |FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
+        |WHERE a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q80_source_profile" ->
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+         |  FROM (
+         |    SELECT source, lang, n_chars, text,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN $stopIn)) AS stop
+         |    FROM documents))
+         |SELECT source, COUNT(1) AS n_docs, COUNT(DISTINCT lang) AS n_langs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+         |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
+         |FROM d GROUP BY source""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

@@ -90,7 +90,8 @@ private[fake] class FakeKafkaTable extends Table with SupportsRead with Supports
         val starting = Option(options.get("startingOffsets")).getOrElse("latest")
         // Kafka's default is fail-fast on unretained offsets
         val failOnDataLoss = Option(options.get("failOnDataLoss")).forall(_.toBoolean)
-        new FakeKafkaStream(topic, starting, failOnDataLoss)
+        val maxPerTrigger = Option(options.get("maxOffsetsPerTrigger")).map(_.toLong)
+        new FakeKafkaStream(topic, starting, failOnDataLoss, maxPerTrigger)
       }
     }
 
@@ -115,10 +116,21 @@ private[fake] class FakeKafkaTable extends Table with SupportsRead with Supports
 
 /** One micro-batch stream over a subscribed topic. Partition count is
   * fixed at topic creation (no dynamic partition discovery — the
-  * reference's topics are static 3-partition, setup_transform.py:92). */
+  * reference's topics are static 3-partition, setup_transform.py:92).
+  *
+  * Admission control: `maxOffsetsPerTrigger` (the Kafka source's
+  * backfill-throttling knob) bounds each micro-batch to N records,
+  * split across partitions proportionally to their backlog — a month of
+  * retained history replays as bounded batches instead of one giant
+  * first batch, which is what keeps state-store commits and shuffle
+  * spills flat during catch-up. */
 private[fake] class FakeKafkaStream(
-    topic: String, startingOffsets: String, failOnDataLoss: Boolean)
-  extends MicroBatchStream {
+    topic: String, startingOffsets: String, failOnDataLoss: Boolean,
+    maxPerTrigger: Option[Long] = None)
+  extends MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsAdmissionControl {
+
+  import org.apache.spark.sql.connector.read.streaming.{ReadLimit, ReadMaxRows}
 
   override def initialOffset(): Offset = startingOffsets.toLowerCase match {
     case "earliest" => FakeKafkaOffset(FakeBroker.earliestOffsets(topic))
@@ -128,6 +140,45 @@ private[fake] class FakeKafkaStream(
   }
 
   override def latestOffset(): Offset = FakeKafkaOffset(FakeBroker.latestOffsets(topic))
+
+  override def getDefaultReadLimit: ReadLimit =
+    maxPerTrigger.map(ReadLimit.maxRows).getOrElse(ReadLimit.allAvailable())
+
+  override def reportLatestOffset(): Offset = latestOffset()
+
+  /** Cap the batch end at `start + limit` records, allocating the budget
+    * across partitions proportionally to backlog (largest-remainder),
+    * exactly the real source's rate-limit split. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val avail = FakeBroker.latestOffsets(topic)
+    val s = start.asInstanceOf[FakeKafkaOffset].offsets
+    limit match {
+      case mr: ReadMaxRows =>
+        val backlog = avail.indices.map(p => math.max(0L, avail(p) - math.max(s(p),
+          0L))).toArray
+        val total = backlog.sum
+        if (total <= mr.maxRows) FakeKafkaOffset(avail)
+        else {
+          val take = new Array[Long](backlog.length)
+          var given = 0L
+          backlog.indices.foreach { p =>
+            take(p) = backlog(p) * mr.maxRows / total
+            given += take(p)
+          }
+          // largest-remainder distribution of the integer leftovers,
+          // index-ordered for determinism
+          var left = mr.maxRows - given
+          backlog.indices
+            .sortBy(p => -(backlog(p) * mr.maxRows % total))
+            .foreach { p =>
+              if (left > 0 && take(p) < backlog(p)) { take(p) += 1; left -= 1 }
+            }
+          FakeKafkaOffset(avail.indices.map(p =>
+            math.max(s(p), 0L) + take(p)).toArray)
+        }
+      case _ => FakeKafkaOffset(avail)
+    }
+  }
 
   override def deserializeOffset(json: String): Offset = FakeKafkaOffset.fromJson(json)
 

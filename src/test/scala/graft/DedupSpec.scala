@@ -205,6 +205,22 @@ class DedupSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L)))
   }
 
+  test("sharedWindowPairs: copied paragraph pairs up; boilerplate windows df-capped out") {
+    val para = "one two three four five six seven eight nine ten eleven twelve"
+    val boiler = "standard legal disclaimer applies to all content in this repository today"
+    val docs = (Seq(
+      (1L, s"alpha beta gamma $para delta epsilon zeta eta theta iota kappa"),
+      (2L, s"completely different opening text here $para and a different tail section too"),
+      (3L, "nothing in common with anything else at all in this little document here")
+    ) ++ (10L until 22L).map(i => (i, s"doc $i unique prefix $boiler unique suffix $i")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.sharedWindowPairs(docs, "doc_id", "text", w = 10, maxDf = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // docs 1,2 share the 12-token paragraph → 3 distinct 10-token windows
+    assert(pairs.keySet == Set((1L, 2L)), s"only the copy-paste pair: $pairs")
+    assert(pairs((1L, 2L)) == 3L)
+  }
+
   test("editDistancePairs: prefix-blocked levenshtein with length bound and block cap") {
     val base = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq(

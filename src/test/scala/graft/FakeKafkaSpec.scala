@@ -187,6 +187,24 @@ class FakeKafkaSpec extends SparkSpec {
       s"all six reference windows should be present, got $windowTags")
   }
 
+  test("maxOffsetsPerTrigger: backlog replays as bounded batches, split across partitions") {
+    val in = "fk-throttle-in"
+    FakeBroker.createTopic(in) // 3 partitions, 30 records each round-robin
+    publish(in, (1 to 90).map(i => s"r$i"))
+    val sizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("fakekafka")
+      .option("subscribe", in).option("startingOffsets", "earliest")
+      .option("maxOffsetsPerTrigger", "40").load()
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = batch.count(); if (n > 0) sizes += n; ()
+      }.start()
+    q.processAllAvailable(); q.stop()
+    assert(sizes.sum == 90, s"every record exactly once, got $sizes")
+    assert(sizes.forall(_ <= 40), s"no batch may exceed the cap: $sizes")
+    assert(sizes.size >= 3, s"a 90-row backlog at cap 40 needs >= 3 batches: $sizes")
+  }
+
   test("full reference topology: producer → moving-stats → z-score, Kafka between every stage") {
     // The reference system end-to-end: the producer's stale-republish
     // policy generates the tick stream, moving stats consumes it and
