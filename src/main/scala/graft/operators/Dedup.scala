@@ -490,12 +490,15 @@ object Dedup {
       maxDist: Int = 3,
       prefixLen: Int = 16,
       maxBlock: Int = 64): DataFrame = {
+    // materialized once: both sides of the self-join read the blocked
+    // table, and the block-count window shouldn't run twice
     val blocked = docs
       .select(col(idCol).as("doc_id"), col(textCol).as("text"),
         substring(col(textCol), 1, prefixLen).as("blk"),
         length(col(textCol)).as("len"))
       .withColumn("bn", count(lit(1)).over(Window.partitionBy(col("blk"))))
       .filter(col("bn") <= maxBlock)
+      .localCheckpoint(true)
     val a = blocked.select(col("blk"), col("doc_id").as("doc_id_a"),
       col("text").as("text_a"), col("len").as("len_a"))
     val b = blocked.select(col("blk"), col("doc_id").as("doc_id_b"),

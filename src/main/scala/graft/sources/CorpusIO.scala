@@ -34,6 +34,38 @@ object CorpusIO {
     (if (format == "csv") pw.option("header", "true") else pw).save(path)
   }
 
+  /** Pruning-friendly parquet layout — the write side of a 100 TB corpus
+    * build, with the three knobs that decide read cost forever after:
+    *
+    *  - directory partitioning on low-cardinality `partitionBy` columns
+    *    (partition pruning skips whole directories);
+    *  - rows sorted within files on `sortCols`, so parquet row-group
+    *    min/max stats are tight and predicate pushdown prunes row groups
+    *    INSIDE each file (pair with a z-order key — `functions.ZOrderKey`
+    *    — to make one sort column prune two dimensions);
+    *  - `maxRecordsPerFile` bounds file sizes so a skewed partition
+    *    becomes several well-sized files, not one unsplittable monster.
+    *
+    * The repartition on the partition columns makes each output
+    * directory the work of few tasks — without it every task writes a
+    * sliver of every partition and the job emits tasks × partitions tiny
+    * files, the classic small-file explosion. */
+  def writeLayout(
+      df: DataFrame,
+      path: String,
+      partitionBy: Seq[String],
+      sortCols: Seq[String],
+      maxRecordsPerFile: Long = 5000000L): Unit = {
+    import org.apache.spark.sql.functions.col
+    require(partitionBy.nonEmpty, "writeLayout needs partition columns")
+    df.repartition(partitionBy.map(col): _*)
+      .sortWithinPartitions((partitionBy ++ sortCols).map(col): _*)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", maxRecordsPerFile)
+      .partitionBy(partitionBy: _*)
+      .parquet(path)
+  }
+
   def read(
       spark: SparkSession,
       path: String,

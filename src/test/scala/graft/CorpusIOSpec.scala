@@ -56,4 +56,31 @@ class CorpusIOSpec extends SparkSpec {
     assert(read.filter(col("_corrupt_record").isNotNull).count() == 1)
     read.unpersist()
   }
+
+  test("writeLayout: dir partitioning, bounded file sizes, sorted rows within files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_io_layout").toFile
+    dir.deleteOnExit()
+    val docs = graft.util.SparkUtil.table(spark, sf(), "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    CorpusIO.writeLayout(docs, dir.getAbsolutePath,
+      partitionBy = Seq("lang"), sortCols = Seq("doc_id"), maxRecordsPerFile = 10)
+    val langDirs = dir.listFiles().filter(_.getName.startsWith("lang="))
+    assert(langDirs.nonEmpty, "directory partitioning must appear on disk")
+    // every data file respects the record cap
+    langDirs.foreach { ld =>
+      ld.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+        val n = spark.read.parquet(f.getAbsolutePath).count()
+        assert(n <= 10, s"${f.getName} has $n rows > maxRecordsPerFile")
+      }
+    }
+    // rows inside each file are doc_id-sorted (tight row-group stats)
+    val aFile = langDirs.head.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val ids = spark.read.parquet(aFile.getAbsolutePath)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids == ids.sorted, "rows within a file must be sorted on sortCols")
+    // round trip: nothing lost, partition column recovered
+    val back = spark.read.parquet(dir.getAbsolutePath)
+    assert(back.count() == docs.count())
+    assert(back.columns.toSet == Set("doc_id", "lang", "n_chars"))
+  }
 }
