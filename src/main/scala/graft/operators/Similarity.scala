@@ -327,6 +327,74 @@ object Similarity {
     }
   }
 
+  /** IVF-PQ — the production-scale ANN composition (Jégou et al. TPAMI'11
+    * §IV, IVFADC): the coarse quantizer bounds WHICH rows each query
+    * scores (its `nprobe` of `nlist` cells), the product quantizer bounds
+    * WHAT is read per row (the m-byte code). At 100 TB the persisted
+    * index is the (cell, codes) pair per vector — search I/O is the
+    * probed cells' code bytes; raw floats are touched only for the
+    * `rerank` shortlist. The corpus is never shuffled: queries broadcast
+    * with their probe-cell fan-out and join the cell-keyed codes.
+    *
+    * Direct-coding variant: codes quantize the vectors themselves, not
+    * the per-cell residuals (canonical IVFADC) — one shared codebook, no
+    * per-cell code tables, at some recall cost recovered by `rerank`;
+    * recall floors are pinned in RecallSpec. Both codebooks follow the
+    * train-once / search-many contract: pass them back in to skip
+    * training jobs on repeated searches. */
+  def ivfPqTopK(
+      corpus: DataFrame,
+      corpusId: String,
+      corpusVec: String,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nlist: Int = 16,
+      nprobe: Int = 4,
+      m: Int = 8,
+      codebook: Int = 16,
+      iters: Int = 3,
+      rerank: Int = 0,
+      coarseCentroids: Option[Array[Array[Float]]] = None,
+      pqCentroids: Option[Array[Array[Array[Float]]]] = None): DataFrame = {
+    val ccents = coarseCentroids.getOrElse(
+      trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters))
+    val pcents = pqCentroids.getOrElse(
+      trainPq(corpus, corpusId, corpusVec, m, codebook, iters))
+    val cells = ccents.length
+    val probeN = math.min(nprobe, cells)
+    val sub = pcents.head.head.length
+    val flat = pcents.flatMap(_.flatMap(identity))
+    // the persisted-index shape: (cell, codes) per corpus row
+    val c = pqEncode(
+        corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("v")),
+        "v", pcents)
+      .withColumn("cell", nearestCell(col("v"), ccents))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+    val q = broadcast(
+      queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
+        .withColumn("scores", centroidScores(col("qv"), ccents))
+        .select(col("query_id"), col("qv"),
+          explode(expr(
+            s"transform(slice(array_sort(transform(sequence(0, ${cells - 1}), " +
+              s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $probeN), p -> p.idx)"))
+            .as("cell")))
+    val scored = c.join(q, Seq("cell"))
+      .withColumn("cosine",
+        GraftFunctions.pq_score(col("codes"), col("qv"), flat, pcents.length, sub))
+    if (rerank <= 0) topKPerQuery(scored, k)
+    else {
+      val shortlist = topKPerQuery(scored, rerank).select("query_id", "neighbor_id")
+      val cRaw = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
+      val rescored = cRaw.join(broadcast(shortlist), Seq("neighbor_id"))
+        .join(broadcast(queries.select(col(queryId).as("query_id"),
+          col(queryVec).as("qv"))), Seq("query_id"))
+        .withColumn("cosine", cosine(col("cv"), col("qv")))
+      topKPerQuery(rescored, k)
+    }
+  }
+
   /** Exact top-k search in int8 space: the corpus is [[quantizeInt8]]
     * codes (what you'd actually persist for a 100 TB embedding store —
     * 4× less scan I/O), queries quantize the same way, and scoring is the

@@ -99,6 +99,22 @@ object SimilarityQueries {
         m = 16, rerank = 50, centroids = Some(cents))
     }),
 
+    // The production composition: IVF cells bound WHICH rows are scored,
+    // PQ codes bound WHAT is read per row; exact rerank on the shortlist
+    // (recall floor pinned in RecallSpec).
+    "q81_ann_ivfpq" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cc = ivfIndex.getOrElseUpdate(dir,
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3))
+      val pc = pqIndex.getOrElseUpdate(dir,
+        Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+      Similarity.ivfPqTopK(
+        e, "vec_id", "embedding",
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K,
+        nlist = 16, nprobe = 8, m = 16, rerank = 50,
+        coarseCentroids = Some(cc), pqCentroids = Some(pc))
+    }),
+
     // ANN over the quantized corpus: top-10 int8-cosine neighbors of the
     // same 5 queries as q30. Oracle-checked bit-for-bit — integer dot
     // products are order-exact, so even the scores hash-match.

@@ -171,4 +171,32 @@ class EdgeCaseSpec extends SparkSpec {
       .select(col("m.format")).collect().map(_.getString(0))
     assert(parsed.toSeq == Seq("unknown", "unknown"))
   }
+
+  test("round-5 ops on degenerate inputs: empty tables, short docs, flat groups") {
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.editDistancePairs(emptyDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.sharedWindowPairs(emptyDocs, "doc_id", "text").count() == 0)
+    // docs shorter than the window: filtered, not a slice error
+    val shorts = Seq((1L, "one two"), (2L, "one two")).toDF("doc_id", "text")
+    assert(Dedup.sharedWindowPairs(shorts, "doc_id", "text", w = 10).count() == 0)
+
+    val emptyLog = Seq.empty[(Long, String, Long, Long, Double)]
+      .toDF("user_id", "event_type", "ts", "event_id", "value")
+    assert(Compaction.latestSnapshot(
+      emptyLog, Seq("user_id", "event_type"), "ts", "event_id").count() == 0)
+    assert(Compaction.latestBy(
+      emptyLog, Seq("user_id", "event_type"), "ts", "event_id", Seq("value")).count() == 0)
+
+    val emptyKeyed = Seq.empty[Tuple1[Long]].toDF("k")
+    assert(Sampling.weightedHashSample(emptyKeyed, col("k"), lit(0.5)).count() == 0)
+
+    // groupedCumSum: empty input (null bounds path) and a single-value
+    // order column (span 1 — every row lands in bucket 0)
+    val emptyPack = Seq.empty[(String, Long, Long)].toDF("lang", "id", "tok")
+    assert(Packing.groupedCumSum(emptyPack, "lang", Seq("id"), "tok", "cum").count() == 0)
+    val flat = Seq(("en", 7L, 5L), ("en", 7L, 3L)).toDF("lang", "id", "tok")
+    val cums = Packing.groupedCumSum(flat, "lang", Seq("id"), "tok", "cum")
+      .select("cum").collect().map(_.getLong(0)).sorted
+    assert(cums.last == 8L, "ties co-locate and the running sum still totals")
+  }
 }

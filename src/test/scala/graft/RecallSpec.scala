@@ -83,6 +83,27 @@ class RecallSpec extends SparkSpec {
     assert(ivfAll == brute, "IVF at nprobe=nlist diverged from brute force")
   }
 
+  test("q81 ANN IVF-PQ: rerank recall floor; full-probe+deep-rerank recovers brute force") {
+    val e = SparkUtil.table(spark, sf(), "embeddings")
+    val q = e.filter(col("vec_id") < 5)
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val bruteIds = brute.map(t => (t._1, t._2))
+    val ivfpq = pairSet(
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 8, m = 16, rerank = 50) // q81's parameters
+        .select("query_id", "neighbor_id"))
+    val recall = (bruteIds intersect ivfpq).size.toDouble / bruteIds.size
+    assert(recall >= 0.5, s"q81 recall@10 $recall")
+    // probing every cell + reranking a corpus-deep shortlist = exact
+    // brute force, bit for bit (rerank scores are plain float cosine)
+    val n = e.count().toInt
+    val full = Similarity.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+      nlist = 16, nprobe = 16, m = 16, rerank = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(full == brute, "IVF-PQ at full probe + corpus-deep rerank diverged from brute force")
+  }
+
   test("q32 embedding near-dups: exact containment and recall vs brute-force cosine") {
     val e = SparkUtil.table(spark, sf(), "embeddings")
     val truth = pairSet(
