@@ -21,6 +21,25 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Sentence segmentation with stable positions: split on terminator
+    * runs ([.!?]+), keep the 0-based split index as `sent_id` (so ids
+    * survive the empty-segment filter identically in any engine), trim,
+    * drop empties. Per-row generator work — shuffle-free, the row-count
+    * expansion step before sentence-level chunking/scoring. Terminator
+    * splitting is deliberately regex-simple (no lookbehind): RE2-class
+    * engines (DuckDB) can mirror it exactly. */
+  def sentences(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col(idCol),
+        posexplode(split(col(textCol), "[.!?]+")).as(Seq("sent_id", "raw")))
+      .withColumn("sentence", trim(col("raw")))
+      .filter(length(col("sentence")) > 0)
+      .select(col(idCol), col("sent_id"), col("sentence"),
+        tokenCount(col("sentence")).as("n_tokens"))
+
   /** BPE-style pre-tokenizer count: letter runs, digit runs, and single
     * punctuation each count as one piece — the standard approximation of
     * GPT-2-family pre-tokenization without a vocab. */

@@ -321,6 +321,11 @@ object TextQueries {
       Dedup.sharedWindowPairs(table(s, dir, "documents"), "doc_id", "text",
         w = 10, maxDf = 10)),
 
+    // Sentence segmentation with stable positions (posexplode) — the
+    // per-row generator step before sentence-level scoring/chunking.
+    "q82_sentences" -> ((s, dir) =>
+      TextOps.sentences(table(s, dir, "documents"), "doc_id", "text")),
+
     // Per-source corpus report card: the curation dashboard every
     // ingest run publishes. Map-side-combined single aggregation.
     "q80_source_profile" -> ((s, dir) =>
@@ -556,6 +561,19 @@ object TextQueries {
         |FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors TextOps.sentences: same split regex (RE2-safe), same
+    // 0-based pre-filter index, same trim/empty-drop, same token count.
+    "q82_sentences" ->
+      """WITH s AS (
+        |  SELECT doc_id, string_split_regex(text, '[.!?]+') AS parts
+        |  FROM documents),
+        |i AS (SELECT doc_id, parts, unnest(range(0, len(parts))) AS i FROM s),
+        |x AS (SELECT doc_id, CAST(i AS INT) AS sent_id,
+        |             trim(parts[i + 1]) AS sentence FROM i)
+        |SELECT doc_id, sent_id, sentence,
+        |  CAST(len(string_split_regex(sentence, '\s+')) AS INT) AS n_tokens
+        |FROM x WHERE length(sentence) > 0""".stripMargin,
 
     "q80_source_profile" ->
       s"""WITH d AS (
