@@ -123,16 +123,23 @@ object Bench {
       // INTERLEAVED like the batch section: a machine stall poisons one
       // rep of each config, not 2/3 reps of one config's median
       val rowsBy = scala.collection.mutable.Map[String, Long]()
-      val timesBy = cfgs.map(_._1 -> Array.fill(Reps)(0.0)).toMap
+      val timesBy = (cfgs.map(_._1) :+ "kafka_roundtrip")
+        .map(_ -> Array.fill(Reps)(0.0)).toMap
       (0 until Reps).foreach { rep =>
         cfgs.foreach { case (name, ws, cap, twoPhase) =>
           val t0 = System.nanoTime()
           rowsBy(name) = streamThroughput(spark, sfDir, ws, cap, twoPhase)
           timesBy(name)(rep) = (System.nanoTime() - t0) / 1e9
         }
+        // the executed-Kafka path: source offsets + sink publish through
+        // the fakekafka DSv2 double, single-window stats in between
+        val t0 = System.nanoTime()
+        rowsBy("kafka_roundtrip") = kafkaRoundtrip(spark, sfDir, 20000)
+        timesBy("kafka_roundtrip")(rep) = (System.nanoTime() - t0) / 1e9
       }
+      val allCfgs = cfgs.map(_._1) :+ "kafka_roundtrip"
       def wrap(render: (Long, Seq[Double]) => String) =
-        cfgs.map { case (name, _, _, _) =>
+        allCfgs.map { name =>
           "\"" + name + "\":" + render(rowsBy(name), timesBy(name).sorted.toSeq)
         }.mkString("{", ",", "}")
       val slim = wrap { (rows, times) =>
@@ -177,6 +184,61 @@ object Bench {
       System.out.flush()
     }))
     spark.stop()
+  }
+
+  /** Kafka-to-Kafka throughput through the fakekafka DSv2 double: JSON
+    * frames pre-published to a broker topic, KafkaIO source (earliest) →
+    * parse → single sliding window → KafkaIO sink — the executed form of
+    * the reference's deployment topology, measuring source offset
+    * planning + binary column decode + sink publish on top of the same
+    * windowed aggregation single_window measures from files. */
+  private[graft] def kafkaRoundtrip(spark: SparkSession, sfDir: String, cap: Int): Long = {
+    import org.apache.spark.sql.functions._
+    val inTopic = s"bench-rt-in-${System.nanoTime()}"
+    val outTopic = s"bench-rt-out-${System.nanoTime()}"
+    graft.streaming.fake.FakeBroker.createTopic(inTopic)
+    graft.streaming.fake.FakeBroker.createTopic(outTopic)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-bench-rt").toFile
+    val ev = graft.util.SparkUtil.table(spark, sfDir, "events").limit(cap)
+    val frames = ev.select(
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("ts"), col("event_id"))).as("rn"),
+      col("event_type"), col("value"))
+      .select(to_json(struct(
+        col("event_type").as("symbol"),
+        col("value").as("price"),
+        date_format(timestamp_millis(lit(1704067200000L) + col("rn") * 100L),
+          "yyyy-MM-dd'T'HH:mm:ss.SSSXXX").as("event_time"))).as("value"))
+      .collect()
+    frames.foreach(r => graft.streaming.fake.FakeBroker.publish(
+      inTopic, null, r.getString(0).getBytes("UTF-8")))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      val raw = graft.streaming.KafkaIO.source(
+        spark, "bench:9092", inTopic, "earliest", "fakekafka")
+      val stats = graft.operators.TickOps.movingStatsUnion(
+        graft.operators.TickOps.parseTicks(raw)
+          .withWatermark("event_time", "10 seconds"),
+        graft.operators.TickOps.defaultWindows.take(1))
+      val q = graft.streaming.KafkaIO.sink(
+        graft.operators.TickOps.toKafkaJson(stats,
+          Seq("window_timestamp", "symbol", "window", "avg_price", "std_price")),
+        "bench:9092", outTopic, ckpt.getAbsolutePath, "update",
+        "0 seconds", "fakekafka").start()
+      q.processAllAvailable()
+      q.stop()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      graft.streaming.fake.FakeBroker.deleteTopic(inTopic)
+      graft.streaming.fake.FakeBroker.deleteTopic(outTopic)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      rm(ckpt)
+    }
+    frames.length.toLong
   }
 
   private def streamThroughput(

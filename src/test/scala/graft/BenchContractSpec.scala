@@ -40,6 +40,11 @@ class BenchContractSpec extends AnyFunSuite {
       "query-name collision across per-file registries (++ silently dropped one)")
   }
 
+  test("kafka_roundtrip bench path runs end-to-end and returns the input count") {
+    val n = Bench.kafkaRoundtrip(TestSpark.spark, "/root/testdata/sf0.001", 500)
+    assert(n == 500, s"roundtrip must report the replayed row count, got $n")
+  }
+
   test("ms renderer emits valid minimal JSON numbers") {
     assert(Bench.ms(0.0) == "0")
     assert(Bench.ms(1.0) == "1")
