@@ -92,4 +92,33 @@ object Packing {
       .withColumn(cumName, col("__off") + col("__lc"))
       .select(df.columns.map(col) :+ col(cumName): _*)
   }
+
+  /** Data-mixture curation: per `group`, keep the best rows (by
+    * `qualityCol` descending, `tieCol` breaking ties) until the group's
+    * token budget is spent — "give me the top-quality 10 M tokens per
+    * language", the selection step of every mixture recipe. A row is
+    * kept while the running token sum BEFORE it is under the budget, so
+    * the output slightly overshoots by at most one document — the
+    * greedy-prefix convention, deterministic and SQL-mirrorable.
+    *
+    * The quality-ordered running sum routes through [[groupedCumSum]]
+    * (quality scaled to an integer leading sort key, descending via
+    * negation) — no per-group window, so the selection scales past the
+    * group-count ceiling like the packer does. */
+  def budgetTake(
+      df: DataFrame,
+      group: String,
+      qualityCol: String,
+      tieCol: String,
+      tokCol: String,
+      budget: Long): DataFrame = {
+    // -round(q * 1e6): integer, ascending == quality descending; 1e-6
+    // quality granularity is far below any meaningful score difference,
+    // and remaining ties are broken by tieCol inside the bucket
+    val ordered = df.withColumn("__negq",
+      -floor(col(qualityCol) * 1e6).cast("long"))
+    groupedCumSum(ordered, group, Seq("__negq", tieCol), tokCol, "__cum")
+      .filter(col("__cum") - col(tokCol) < budget)
+      .drop("__negq", "__cum")
+  }
 }

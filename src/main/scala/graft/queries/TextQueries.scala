@@ -326,6 +326,18 @@ object TextQueries {
     "q82_sentences" -> ((s, dir) =>
       TextOps.sentences(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Mixture selection: per language, the highest-quality documents
+    // until a 5,000-token budget — greedy-prefix, scale-safe running
+    // sum (no per-language window).
+    "q83_budget_take" -> ((s, dir) =>
+      graft.operators.Packing.budgetTake(
+        table(s, dir, "documents")
+          .select(col("doc_id"), col("lang"),
+            TextOps.qualityScore(col("text")).as("quality"),
+            TextOps.tokenCount(col("text")).as("n_tokens")),
+        group = "lang", qualityCol = "quality", tieCol = "doc_id",
+        tokCol = "n_tokens", budget = 5000L)),
+
     // Per-source corpus report card: the curation dashboard every
     // ingest run publishes. Map-side-combined single aggregation.
     "q80_source_profile" -> ((s, dir) =>
@@ -561,6 +573,33 @@ object TextQueries {
         |FROM grams a JOIN rare USING (g) JOIN grams b USING (g)
         |WHERE a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Packing.budgetTake: same quality/token arithmetic, the
+    // same greedy-prefix rule — the oracle may use the plain per-lang
+    // window (it doesn't need to scale; the Spark side must not).
+    "q83_budget_take" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality,
+         |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS INT) AS n_tokens
+         |  FROM (
+         |    SELECT doc_id, lang, text,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN $stopIn)) AS stop
+         |    FROM documents))
+         |SELECT doc_id, lang, quality, n_tokens FROM (
+         |  SELECT *, SUM(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY -floor(quality * 1e6), doc_id
+         |    ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM base)
+         |WHERE cum - n_tokens < 5000""".stripMargin,
 
     // Mirrors TextOps.sentences: same split regex (RE2-safe), same
     // 0-based pre-filter index, same trim/empty-drop, same token count.

@@ -78,4 +78,28 @@ class PackingSpec extends SparkSpec {
       assert(keys == Set("g", "__pb"), s"window keys were $keys")
     }
   }
+
+  test("budgetTake: greedy quality-descending prefix per group, overshoot ≤ 1 doc") {
+    import spark.implicits._
+    // en: quality 0.9 (3 tok), 0.8 (4 tok), 0.7 (5 tok), 0.1 (100 tok)
+    // budget 8 → keep 0.9 (cum-before 0), 0.8 (cum-before 3), 0.7
+    // (cum-before 7 < 8 — overshoot row), drop 0.1 (cum-before 12)
+    val df = Seq(
+      ("en", 1L, 0.9, 3L), ("en", 2L, 0.8, 4L),
+      ("en", 3L, 0.7, 5L), ("en", 4L, 0.1, 100L),
+      ("fr", 5L, 0.5, 2L) // under budget: everything kept
+    ).toDF("lang", "doc_id", "quality", "n_tok")
+    val kept = Packing.budgetTake(df, "lang", "quality", "doc_id", "n_tok", 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 3L, 5L))
+    assert(Packing.budgetTake(df, "lang", "quality", "doc_id", "n_tok", 8L)
+      .columns.toSeq == Seq("lang", "doc_id", "quality", "n_tok"),
+      "helper columns must not leak")
+    // equal qualities: tie column decides, deterministically
+    val ties = Seq(("en", 1L, 0.5, 4L), ("en", 2L, 0.5, 4L), ("en", 3L, 0.5, 4L))
+      .toDF("lang", "doc_id", "quality", "n_tok")
+    val keptTies = Packing.budgetTake(ties, "lang", "quality", "doc_id", "n_tok", 8L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(keptTies == Set(1L, 2L), s"lowest tie ids win: $keptTies")
+  }
 }
