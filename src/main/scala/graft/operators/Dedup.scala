@@ -248,23 +248,7 @@ object Dedup {
       k: Int = 3,
       maxDf: Int = 20,
       threshold: Double = 0.5): DataFrame = {
-    // Sorted distinct 64-bit shingle hashes, materialized ONCE
-    // (localCheckpoint): the inverted index, both sides of the candidate
-    // join, and the verify all read the cached blocks instead of
-    // re-tokenizing the corpus. Grams travel as 8-byte longs end to end
-    // — the q41 lesson: shuffling shingle STRINGS was 80× slower. The
-    // DuckDB oracle counts string grams; hashed counts agree exactly
-    // unless two distinct grams of one candidate pair collide in 64 bits
-    // (~n²/2⁶⁵ — the same accepted risk as contamination's gram probe).
-    val sh = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), GraftFunctions.shingle_hashes(col("toks"), k).as("hs"))
-      .localCheckpoint(true)
-    val inv = sh.select(col("doc_id"), explode(col("hs")).as("gh"))
-    val rare = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gh"))
-    val cand = inv.join(rare, Seq("gh"))
+    val (sh, cand) = hashedGramCandidates(docs, idCol, textCol, k, maxDf, minTokens = 0)
     val pairs = cand.select(col("gh"), col("doc_id").as("id_a"))
       .join(cand.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))
@@ -431,6 +415,38 @@ object Dedup {
     if (tables == 1) pairs else pairs.distinct()
   }
 
+  /** Shared candidate generator for [[jaccardEdges]] and
+    * [[sharedWindowPairs]]: sorted distinct 64-bit k-shingle hashes per
+    * doc, materialized ONCE (localCheckpoint) — the inverted index, both
+    * sides of the candidate self-join, and any verify stage read the
+    * cached blocks instead of re-tokenizing the corpus. Grams travel as
+    * 8-byte longs end to end — the q41 lesson: shuffling shingle STRINGS
+    * was 80× slower. DuckDB oracles count string grams; hashed counts
+    * agree exactly unless two distinct grams of one candidate pair
+    * collide in 64 bits (~n²/2⁶⁵ — the same accepted risk as
+    * contamination's gram probe). Returns (sh = (doc_id, hs),
+    * cand = (gh, doc_id) restricted to grams with df in [2, maxDf]). */
+  private def hashedGramCandidates(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      maxDf: Int,
+      minTokens: Int): (DataFrame, DataFrame) = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
+    val filtered =
+      if (minTokens > 0) base.filter(size(col("toks")) >= minTokens) else base
+    val sh = filtered
+      .select(col("doc_id"), GraftFunctions.shingle_hashes(col("toks"), k).as("hs"))
+      .localCheckpoint(true)
+    val inv = sh.select(col("doc_id"), explode(col("hs")).as("gh"))
+    val rare = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2 && col("df") <= maxDf)
+      .select(col("gh"))
+    (sh, inv.join(rare, Seq("gh")))
+  }
+
   /** Copy-paste detection: document pairs sharing at least one exact
     * `w`-token window (the "Deduplicating Training Data" exact-substring
     * family, at token granularity): a copied paragraph inside two
@@ -448,15 +464,7 @@ object Dedup {
       textCol: String,
       w: Int = 10,
       maxDf: Int = 10): DataFrame = {
-    val sh = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= w)
-      .select(col("doc_id"), GraftFunctions.shingle_hashes(col("toks"), w).as("hs"))
-    val inv = sh.select(col("doc_id"), explode(col("hs")).as("gh"))
-    val rare = inv.groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= maxDf)
-      .select(col("gh"))
-    val cand = inv.join(rare, Seq("gh"))
+    val (_, cand) = hashedGramCandidates(docs, idCol, textCol, w, maxDf, minTokens = w)
     cand.select(col("gh"), col("doc_id").as("id_a"))
       .join(cand.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
       .filter(col("id_a") < col("id_b"))

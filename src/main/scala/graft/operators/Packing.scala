@@ -59,13 +59,22 @@ object Packing {
     val in = df.localCheckpoint(true)
     val bounds = in.agg(
       min(col(ord).cast("long")), max(col(ord).cast("long"))).head()
-    val (mn, span) =
+    val (mn, width) =
       if (bounds.isNullAt(0)) (0L, 1L)
-      else (bounds.getLong(0), bounds.getLong(1) - bounds.getLong(0) + 1)
-    // integer bucket index, monotone in the leading order column; DIV
-    // keeps the arithmetic in longs (no double rounding near 2^53)
+      else {
+        // span/width in BigInt: a full-range order column (epoch nanos,
+        // hashes) overflows (max-min+1) and (ord-mn)*buckets in Long
+        val span = BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0)) + 1
+        (bounds.getLong(0), ((span + buckets - 1) / buckets).max(1).toLong)
+      }
+    // integer bucket index, monotone in the leading order column; the
+    // subtraction runs in DECIMAL(38,0) so extreme ranges can't wrap,
+    // and a null order value buckets to -1 — sorted before everything,
+    // the same nulls-first order the window form would use
     val bucketed = in.withColumn("__pb",
-      expr(s"CAST(((CAST(`$ord` AS BIGINT) - ${mn}L) * ${buckets}L) DIV ${span}L AS INT)"))
+      expr(s"CASE WHEN `$ord` IS NULL THEN -1 ELSE CAST(" +
+        s"(CAST(`$ord` AS DECIMAL(38,0)) - CAST('$mn' AS DECIMAL(38,0))) DIV ${width}L" +
+        s" AS INT) END"))
     val w = Window.partitionBy(col(group), col("__pb"))
       .orderBy(orderCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -88,7 +97,11 @@ object Packing {
       org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType)))
     val offDf = spark.createDataFrame(
       spark.sparkContext.parallelize(offsets, 1), offSchema)
-    local.join(broadcast(offDf), Seq(group, "__pb"))
+    // <=> on the group: a null group is a legal window partition in the
+    // form this replaces — plain equality would silently drop its rows
+    local.join(broadcast(offDf),
+        local(group) <=> offDf(group) && local("__pb") === offDf("__pb"))
+      .drop(offDf(group)).drop(offDf("__pb"))
       .withColumn(cumName, col("__off") + col("__lc"))
       .select(df.columns.map(col) :+ col(cumName): _*)
   }

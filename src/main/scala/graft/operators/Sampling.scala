@@ -114,8 +114,11 @@ object Sampling {
     * nothing needs to be persisted between the two passes. */
   def shuffleRank(df: DataFrame, key: Column): DataFrame = {
     val spark = df.sparkSession
+    // null keys hash to "" (sorts before every hex bucket — the nulls-
+    // first convention) instead of poisoning the driver sort with a null
     val keyed = df
-      .withColumn("__sk", concat(md5(key.cast("string")), key.cast("string")))
+      .withColumn("__sk", coalesce(
+        concat(md5(key.cast("string")), key.cast("string")), lit("")))
       .withColumn("__bk", substring(col("__sk"), 1, 4))
     val counts = keyed.groupBy("__bk").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)

@@ -381,8 +381,10 @@ object Similarity {
               s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $probeN), p -> p.idx)"))
             .as("cell")))
     val scored = c.join(q, Seq("cell"))
+      // 4th arg is k (centroids PER SUBSPACE — the flat-codebook stride),
+      // not m; they only coincide when m == codebook
       .withColumn("cosine",
-        GraftFunctions.pq_score(col("codes"), col("qv"), flat, pcents.length, sub))
+        GraftFunctions.pq_score(col("codes"), col("qv"), flat, pcents.head.length, sub))
     if (rerank <= 0) topKPerQuery(scored, k)
     else {
       val shortlist = topKPerQuery(scored, rerank).select("query_id", "neighbor_id")

@@ -135,14 +135,18 @@ object TimeSeriesOps {
           org.apache.spark.sql.types.StructField("g", gType),
           org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType))))
-      val counts = candidate.join(broadcast(ranges), Seq("g"))
+      // <=> join: a null group is a legal partition (the window form it
+      // replaced kept it); Seq("g") equality would silently drop it
+      val counts = candidate.join(broadcast(ranges),
+          candidate("g") <=> ranges("g")).drop(ranges("g"))
         .groupBy(col("g"), idx.as("b")).agg(count(lit(1)).as("c"))
         .collect()
         .groupBy(_.get(0))
-        .map { case (g, rows) => g -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1) }
+        .map { case (g, rows) =>
+          g -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
       var progressed = false
       val chosen = active.map { s =>
-        val bs = counts(s.g)
+        val bs = counts.getOrElse(s.g, Seq.empty[(Int, Long)])
         // cumulative walk: bucket holding k1, bucket holding k2
         var cum = s.off
         var bl = -1; var bh = -1; var below = s.off; var inside = 0L
@@ -152,11 +156,17 @@ object TimeSeriesOps {
           if (bl >= 0 && (bh < 0 || b <= bh)) inside += (if (b >= bl) c else 0L)
           cum += c
         }
-        val w = (s.hi - s.lo) / buckets
-        val nLo = s.lo + bl * w
-        val nHi = if (bh >= buckets - 1) s.hi else s.lo + (bh + 1) * w
-        if (inside < s.rem) progressed = true
-        (s, bl, bh, nLo, nHi, below, inside)
+        if (bl < 0) {
+          // no counts came back for this group (defensive: should be
+          // unreachable while rem > 0) — keep its state, make no progress
+          (s, 0, buckets - 1, s.lo, s.hi, s.off, s.rem)
+        } else {
+          val w = (s.hi - s.lo) / buckets
+          val nLo = s.lo + bl * w
+          val nHi = if (bh >= buckets - 1) s.hi else s.lo + (bh + 1) * w
+          if (inside < s.rem) progressed = true
+          (s, bl, bh, nLo, nHi, below, inside)
+        }
       }
       // next round's candidate = rows whose bucket (under THIS round's
       // ranges) is within [bl, bh] — the exact rows `inside` counted
@@ -169,7 +179,8 @@ object TimeSeriesOps {
           org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType),
           org.apache.spark.sql.types.StructField("bl", org.apache.spark.sql.types.IntegerType),
           org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.IntegerType))))
-      candidate = candidate.join(broadcast(sel), Seq("g"))
+      candidate = candidate.join(broadcast(sel), candidate("g") <=> sel("g"))
+        .drop(sel("g"))
         .filter(idx.between(col("bl"), col("bh")))
         .select(col("g"), col("v"), col("t"))
       chosen.foreach { case (s, _, _, nLo, nHi, below, inside) =>
@@ -188,7 +199,7 @@ object TimeSeriesOps {
           org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
           org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.LongType))))
       val wo = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
-      candidate.join(broadcast(ks), Seq("g"))
+      candidate.join(broadcast(ks), candidate("g") <=> ks("g")).drop(ks("g"))
         .withColumn("rn", row_number().over(wo) + col("off"))
         .filter(col("rn") === col("k1") || col("rn") === col("k2"))
         .groupBy(col("g"))

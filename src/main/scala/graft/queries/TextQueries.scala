@@ -672,9 +672,11 @@ object TextQueries {
       |  SELECT DISTINCT doc_id,
       |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
       |         ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+      |  -- len(toks) >= 1: a zero-token doc has NO shingles (the kernel's
+      |  -- n=0 case), not one '' gram — two empty docs must not edge-pair
       |  FROM (SELECT doc_id, toks,
       |          unnest(range(1, CASE WHEN len(toks) < 3 THEN 2 ELSE len(toks) - 1 END)) AS i
-      |        FROM toks)),
+      |        FROM toks WHERE len(toks) >= 1)),
       |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20),
       |cand AS (
       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

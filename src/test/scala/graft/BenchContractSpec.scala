@@ -41,8 +41,9 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("kafka_roundtrip bench path runs end-to-end and returns the input count") {
-    val n = Bench.kafkaRoundtrip(TestSpark.spark, "/root/testdata/sf0.001", 500)
+    val (n, sec) = Bench.kafkaRoundtrip(TestSpark.spark, "/root/testdata/sf0.001", 500)
     assert(n == 500, s"roundtrip must report the replayed row count, got $n")
+    assert(sec > 0.0, "streaming section must be timed")
   }
 
   test("ms renderer emits valid minimal JSON numbers") {

@@ -199,4 +199,42 @@ class EdgeCaseSpec extends SparkSpec {
       .select("cum").collect().map(_.getLong(0)).sorted
     assert(cums.last == 8L, "ties co-locate and the running sum still totals")
   }
+
+  test("round-5 null robustness: null groups/keys survive like the window forms they replace") {
+    // groupedCumSum: null group is a legal partition; null order value
+    // sorts first (nulls-first, the window convention) — neither drops
+    val withNulls = Seq(
+      (Some("en"), Some(2L), 10L), (Some("en"), Some(5L), 20L),
+      (None: Option[String], Some(1L), 7L), (None: Option[String], Some(3L), 9L),
+      (Some("en"), None: Option[Long], 1L) // null order → before id 2
+    ).toDF("lang", "id", "tok")
+    val out = Packing.groupedCumSum(withNulls, "lang", Seq("id"), "tok", "cum")
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(3))).toSet
+    assert(out.size == 5, s"no row may vanish: $out")
+    assert(out.contains((Some("en"), None, 1L)), "null order value ranks first")
+    assert(out.contains((Some("en"), Some(2L), 11L)) && out.contains((Some("en"), Some(5L), 31L)))
+    assert(out.contains((None, Some(1L), 7L)) && out.contains((None, Some(3L), 16L)))
+
+    // groupedCumSum: full-range long order column must not overflow
+    val extremes = Seq(("g", Long.MinValue + 1, 1L), ("g", 0L, 2L), ("g", Long.MaxValue - 1, 3L))
+      .toDF("lang", "id", "tok")
+    val ecums = Packing.groupedCumSum(extremes, "lang", Seq("id"), "tok", "cum")
+      .orderBy("id").collect().map(_.getLong(3)).toSeq
+    assert(ecums == Seq(1L, 3L, 6L), s"extreme-range buckets stayed monotone: $ecums")
+
+    // exactMedian: a null symbol group gets a median, not an exception
+    val series = (1 to 50).flatMap(i =>
+      Seq((Some("a"), i.toDouble, i.toLong), (None: Option[String], (i * 2).toDouble, i.toLong)))
+      .toDF("sym", "v", "t")
+    val med = TimeSeriesOps.exactMedian(series, "sym", "v", "t",
+        buckets = 8, resolveLimit = 8)
+      .collect().map(r => Option(r.get(0)) -> r.getDouble(2)).toMap
+    assert(med(Some("a")) == 25.5 && med(None) == 51.0, s"got $med")
+
+    // shuffleRank: a null key ranks first instead of a driver NPE
+    val keys = Seq(Some("b"), Some("a"), None).toDF("k")
+    val ranks = Sampling.shuffleRank(keys, col("k"))
+      .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
+    assert(ranks.values.toSet == Set(1L, 2L, 3L) && ranks(None) == 1L, s"got $ranks")
+  }
 }

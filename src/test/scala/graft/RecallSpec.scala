@@ -102,6 +102,15 @@ class RecallSpec extends SparkSpec {
       nlist = 16, nprobe = 16, m = 16, rerank = n)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
     assert(full == brute, "IVF-PQ at full probe + corpus-deep rerank diverged from brute force")
+    // m ≠ codebook with NO rerank: pure ADC scores must still rank sanely
+    // (regression: pq_score's stride arg is k-per-subspace, not m — the
+    // two coincide at m=16/k=16, so only this shape can catch a mix-up)
+    val adc = pairSet(
+      Similarity.ivfPqTopK(e, "vec_id", "embedding", q, "vec_id", "embedding", 10,
+        nlist = 16, nprobe = 16, m = 8, codebook = 16, rerank = 0)
+        .select("query_id", "neighbor_id"))
+    val adcRecall = (bruteIds intersect adc).size.toDouble / bruteIds.size
+    assert(adcRecall >= 0.3, s"m!=k ADC recall collapsed to $adcRecall — codebook stride bug")
   }
 
   test("q32 embedding near-dups: exact containment and recall vs brute-force cosine") {
