@@ -132,6 +132,14 @@ object RelationalQueries {
       s.sql(sqlQ3)
     }),
 
+    // Subquery battery: correlated scalar + correlated EXISTS +
+    // uncorrelated scalar, one shared SQL string in both engines.
+    "q84_sql_subqueries" -> ((s, dir) => {
+      Seq("customer", "orders").foreach(t =>
+        table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sqlSubqueries)
+    }),
+
     // CUBE over order status × priority.
     "q36_cube" -> ((s, dir) =>
       table(s, dir, "orders")
@@ -350,6 +358,20 @@ object RelationalQueries {
       |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
+  /** Correlated scalar subquery + EXISTS + uncorrelated scalar in one
+    * query — the Catalyst subquery-rewrite surface (RewriteCorrelated
+    * ScalarSubquery → left outer aggregate join; EXISTS → left semi).
+    * Identical SQL text runs in DuckDB. The uncorrelated scalar is
+    * max-based (exact) rather than avg-based: an avg boundary predicate
+    * could flip rows on last-ulp summation-order differences. */
+  private val sqlSubqueries: String =
+    s"""SELECT c_custkey, c_acctbal,
+       |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+       |FROM customer c
+       |WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.9
+       |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+       |              AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
   private val sqlQ3: String =
     s"""SELECT l_orderkey, o_orderdate,
        |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(18,6))) AS DOUBLE) AS revenue
@@ -364,6 +386,8 @@ object RelationalQueries {
        |LIMIT 10""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q84_sql_subqueries" -> sqlSubqueries,
+
     "q47_asof_join" ->
       """WITH c AS (
         |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us
