@@ -347,8 +347,93 @@ object RelationalQueries {
         key = "s_suppkey", salts = 8)
         .groupBy(col("s_nationkey"))
         .agg(dsum(col("rev")).as("revenue"),
-          count(lit(1)).as("n_items")))
+          count(lit(1)).as("n_items"))),
+
+    // Recursive CTE (Spark 4's WITH RECURSIVE, executed as an iterative
+    // UnionLoop): generate the full day calendar spanning the event log,
+    // then gap-fill per-type daily counts with explicit zeros — calendar
+    // densification, the standard prep before any time-series model.
+    // The recursion iterates over INT day numbers (a DATE recursion
+    // column trips the loop's row decoder in 4.1) and its working set is
+    // one row per day — driver-bounded like a broadcast scalar. The
+    // calendar × event-type cross join is two tiny derived sides
+    // (whitelisted in PlanShapeSpec); the count join stays a hash join.
+    "q85_gap_fill" -> ((s, dir) => {
+      graft.util.SparkUtil.events(s, dir).createOrReplaceTempView("ev")
+      s.sql(sqlGapFill)
+    }),
+
+    // LATERAL correlated subquery with ORDER BY + LIMIT (per-nation
+    // top-2 customers): Catalyst decorrelates the limit into a ranked
+    // join — the remaining relational join form q49's heap aggregate
+    // does not cover. Identical SQL text runs in DuckDB.
+    "q87_lateral_topn" -> ((s, dir) => {
+      Seq("customer", "nation").foreach(t =>
+        table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sqlLateralTopN)
+    }),
+
+    // Semi-structured extraction: pull a typed field out of the JSON
+    // `props` payload column (get_json_object path probe → long) and
+    // aggregate per type. Per-row codegen'd parsing, no shuffle before
+    // the final small aggregation; malformed/missing keys degrade to
+    // null and are counted, never thrown (the quarantine contract).
+    "q88_json_extract" -> ((s, dir) =>
+      table(s, dir, "events")
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(when(col("k").isNull, 1)).as("n_bad"))),
+
+    // UNPIVOT (wide → long relational reshape, the inverse of q64's
+    // pivot): per-status metrics melted into (metric, val) rows. One
+    // aggregation then a per-row Expand — no extra shuffle. Identical
+    // SQL text runs in DuckDB.
+    "q89_unpivot" -> ((s, dir) => {
+      table(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlUnpivot)
+    })
   )
+
+  /** q85: Spark-side text. The DuckDB oracle mirrors it with its own
+    * date arithmetic (epoch-day ints are the engine-neutral currency,
+    * exactly like the t_us micros convention elsewhere). */
+  private val sqlGapFill: String =
+    """WITH RECURSIVE cal AS (
+      |  SELECT (SELECT MIN(unix_date(to_date(ts))) FROM ev) AS d
+      |  UNION ALL
+      |  SELECT d + 1 AS d FROM cal WHERE d < (SELECT MAX(unix_date(to_date(ts))) FROM ev)
+      |)
+      |SELECT t.event_type, date_format(date_from_unix_date(c.d), 'yyyy-MM-dd') AS day,
+      |       COALESCE(x.n, CAST(0 AS BIGINT)) AS n
+      |FROM cal c
+      |CROSS JOIN (SELECT DISTINCT event_type FROM ev) t
+      |LEFT JOIN (SELECT event_type, unix_date(to_date(ts)) AS d, COUNT(1) AS n
+      |           FROM ev GROUP BY event_type, unix_date(to_date(ts))) x
+      |  ON x.event_type = t.event_type AND x.d = c.d""".stripMargin
+
+  /** Runs verbatim in both Spark SQL and DuckDB. */
+  private val sqlLateralTopN: String =
+    """SELECT n_name, c_name, c_acctbal
+      |FROM nation n, LATERAL (
+      |  SELECT c_name, c_acctbal FROM customer
+      |  WHERE c_nationkey = n.n_nationkey
+      |  ORDER BY c_acctbal DESC, c_name ASC LIMIT 2) c""".stripMargin
+
+  /** Runs verbatim in both Spark SQL and DuckDB. */
+  private val sqlUnpivot: String =
+    """SELECT o_orderstatus, metric, val FROM (
+      |  SELECT o_orderstatus,
+      |    CAST(COUNT(1) AS DOUBLE) AS n_orders,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+      |    MIN(o_totalprice) AS min_price,
+      |    MAX(o_totalprice) AS max_price
+      |  FROM orders GROUP BY o_orderstatus) w
+      |UNPIVOT (val FOR metric IN (n_orders, sum_price, min_price, max_price))""".stripMargin
 
   /** Runs verbatim in both Spark SQL and DuckDB. */
   private val sqlGroupingSets: String =
@@ -387,6 +472,33 @@ object RelationalQueries {
 
   def oracles: Map[String, String] = Map(
     "q84_sql_subqueries" -> sqlSubqueries,
+
+    "q85_gap_fill" ->
+      """WITH RECURSIVE cal AS (
+        |  SELECT (SELECT MIN(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)) FROM events) AS d
+        |  UNION ALL
+        |  SELECT d + 1 AS d FROM cal
+        |  WHERE d < (SELECT MAX(CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)) FROM events)
+        |)
+        |SELECT t.event_type, strftime(DATE '1970-01-01' + c.d, '%Y-%m-%d') AS day,
+        |       CAST(COALESCE(x.n, 0) AS BIGINT) AS n
+        |FROM cal c
+        |CROSS JOIN (SELECT DISTINCT event_type FROM events) t
+        |LEFT JOIN (SELECT event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT) AS d, COUNT(1) AS n
+        |           FROM events GROUP BY event_type, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS INT)) x
+        |  ON x.event_type = t.event_type AND x.d = c.d""".stripMargin,
+
+    "q87_lateral_topn" -> sqlLateralTopN,
+
+    "q88_json_extract" ->
+      """SELECT event_type, COUNT(1) AS n,
+        |  CAST(SUM(CAST(json_extract_string(props, 'k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, 'k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, 'k') AS BIGINT)) AS max_k,
+        |  COUNT(1) FILTER (json_extract_string(props, 'k') IS NULL) AS n_bad
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q89_unpivot" -> sqlUnpivot,
 
     "q47_asof_join" ->
       """WITH c AS (

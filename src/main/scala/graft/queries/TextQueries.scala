@@ -352,7 +352,45 @@ object TextQueries {
           sum(col("n_chars")).as("total_chars"),
           sum(col("n_tokens")).as("total_tokens"),
           min(col("quality")).as("min_quality"),
-          max(col("quality")).as("max_quality")))
+          max(col("quality")).as("max_quality"))),
+
+    // Canonical-document selection — the step a dedup pass actually
+    // ships: label every doc with its duplicate-cluster id (component
+    // min over the exact Jaccard edge set; singletons label themselves)
+    // and keep the best-quality representative per cluster. Survivor
+    // choice uses the bounded-heap top-k aggregate, NOT a ranking
+    // window: shuffled rows are clusters × 1, and the tie order
+    // (quality DESC, doc_id ASC) matches ROW_NUMBER exactly, which the
+    // window-form oracle checks bit-for-bit.
+    "q86_canonical_docs" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardEdges(docs, "doc_id", "text"))
+      docs.select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .join(clusters, col("doc_id") === clusters("id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("cluster"),
+          col("doc_id"), col("quality"))
+        .groupBy(col("cluster"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("quality"), col("doc_id"), 1).as("topk"))
+        .select(col("cluster"), col("topk")(0).getField("id").as("doc_id"),
+          col("topk")(0).getField("score").as("quality"))
+    }),
+
+    // Higher-order array-function battery (transform/filter/aggregate/
+    // exists over the token array): integer-only outputs so both
+    // engines' lambda pipelines hash identically. Pure per-row codegen'd
+    // expressions — shuffle-free at any scale.
+    "q90_array_hof" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        size(filter(toks, t => length(t) > 4)).cast("long").as("n_long"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("total_len"),
+        array_max(transform(toks, t => length(t).cast("long"))).as("max_len"),
+        exists(toks, t => t.rlike("[0-9]")).as("has_digit"))
+    })
   )
 
   /** The composed training-data keep/drop decision (q44): quality,
@@ -383,6 +421,21 @@ object TextQueries {
   }
 
   def oracles: Map[String, String] = Map(
+    "q86_canonical_docs" -> canonicalSql,
+
+    "q90_array_hof" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(list_filter(toks, t -> length(t) > 4)) AS BIGINT) AS n_long,
+        |  CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS total_len,
+        |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_len,
+        |  len(list_filter(toks, t -> regexp_matches(t, '[0-9]'))) > 0 AS has_digit
+        |FROM t""".stripMargin,
+
     "q54_chunks" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
@@ -662,7 +715,7 @@ object TextQueries {
     * standard WITH RECURSIVE formulation of min-label components. Both
     * Spark algorithms (propagation q73, star contraction q74) must
     * hash-match this single SQL text. */
-  private val componentsSql: String =
+  private val componentsCtes: String =
     """WITH RECURSIVE toks AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -700,8 +753,31 @@ object TextQueries {
       |reach(id, r) AS (
       |  SELECT id, id FROM nodes
       |  UNION
-      |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)
-      |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin
+      |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)""".stripMargin
+
+  private val componentsSql: String =
+    s"""$componentsCtes
+       |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  /** q86's oracle: the same reachability closure, extended to the keep
+    * decision — every document labeled (cluster = component min for
+    * edge-connected docs, own id for singletons), then one survivor per
+    * cluster by (quality DESC, doc_id ASC). The window form here is the
+    * oracle's prerogative; the Spark side uses the heap top-k aggregate. */
+  private def canonicalSql: String =
+    s"""$componentsCtes,
+       |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+       |qual AS (SELECT doc_id, quality FROM ($qualityLangSql)),
+       |lab AS (
+       |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster, q.quality
+       |  FROM documents d
+       |  LEFT JOIN labels l ON l.id = d.doc_id
+       |  JOIN qual q ON q.doc_id = d.doc_id)
+       |SELECT cluster, doc_id, quality FROM (
+       |  SELECT cluster, doc_id, quality,
+       |    row_number() OVER (PARTITION BY cluster
+       |      ORDER BY quality DESC, doc_id ASC) AS rn
+       |  FROM lab) WHERE rn = 1""".stripMargin
 
   /** q44's oracle SQL, shared verbatim by q55's `kept` stage. */
   private val filterSql: String =
