@@ -91,6 +91,14 @@ object TimeSeriesOps {
     * the same fixed IEEE op sequence as a rank-and-average median —
     * engine-portable where interpolating percentile built-ins differ in
     * the last ulp. Values must be non-null and non-NaN.
+    *
+    * `materializeInput` controls whether the projected input is
+    * localCheckpointed before the multi-pass selection. Keep the default
+    * (true) when the upstream is expensive or nondeterministic — every
+    * pass must see identical rows. Pass false when the upstream is a
+    * deterministic bare scan or broadcast-join projection: re-reading a
+    * column-pruned parquet scan 2-3 times is cheaper than writing the
+    * whole projection to block storage first, at any scale.
     * Output one row per group: (groupCol, n, median). */
   def exactMedian(
       df: DataFrame,
@@ -98,15 +106,17 @@ object TimeSeriesOps {
       valueCol: String,
       tieCol: String,
       buckets: Int = 4096,
-      resolveLimit: Long = 4096): DataFrame = {
+      resolveLimit: Long = 4096,
+      materializeInput: Boolean = true): DataFrame = {
     val spark = df.sparkSession
     val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
     // the stats pass, every bucket-count round, and the final resolve all
-    // re-read this projection; materialize it once so an expensive
+    // re-read this projection; materialize it once (unless the caller
+    // says the upstream is a cheap deterministic scan) so an expensive
     // upstream (a derived tick table) isn't recomputed per round
-    val base = df.select(col(groupCol).as("g"),
+    val proj = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-      .localCheckpoint(true)
+    val base = if (materializeInput) proj.localCheckpoint(true) else proj
     val stats = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
       .collect()
@@ -243,13 +253,22 @@ object TimeSeriesOps {
   def madOutliers(
       ticks: DataFrame,
       tieCol: String,
-      zCut: Double = 3.5): DataFrame = {
-    val med = exactMedian(ticks, "symbol", "price", tieCol)
+      zCut: Double = 3.5,
+      materializeInput: Boolean = true): DataFrame = {
+    // med/mad are one row per symbol — checkpoint them so the broadcast
+    // joins below never re-run the selection's resolve chain (each
+    // re-evaluation would otherwise replay a filter + bounded window
+    // over the candidate set)
+    val med = exactMedian(ticks, "symbol", "price", tieCol,
+        materializeInput = materializeInput)
       .select(col("symbol"), col("n"), col("median"))
+      .localCheckpoint(true)
     val dev = ticks.join(broadcast(med), Seq("symbol"))
       .withColumn("adev", abs(col("price") - col("median")))
-    val mad = exactMedian(dev, "symbol", "adev", tieCol)
+    val mad = exactMedian(dev, "symbol", "adev", tieCol,
+        materializeInput = materializeInput)
       .select(col("symbol"), col("median").as("mad"))
+      .localCheckpoint(true)
     dev.join(broadcast(mad), Seq("symbol"))
       .withColumn("rz",
         when(col("mad") === 0.0, lit(0.0))

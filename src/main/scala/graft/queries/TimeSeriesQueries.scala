@@ -39,8 +39,12 @@ object TimeSeriesQueries {
     // Robust per-symbol outlier stats: exact order-statistics median and
     // MAD (no interpolating percentile built-ins — their interpolation op
     // trees differ across engines), modified z-score with MAD=0 guard.
+    // materializeInput=false: the input is a deterministic bare parquet
+    // projection, so the selection's 2-3 passes re-read the pruned scan
+    // instead of checkpointing every tick to block storage first.
     "q61_mad_outliers" -> ((s, dir) =>
-      TimeSeriesOps.madOutliers(ticks(s, dir), "event_id")),
+      TimeSeriesOps.madOutliers(ticks(s, dir), "event_id",
+        materializeInput = false)),
 
     // EWMA level per symbol via the secondary-sort streaming fold.
     "q62_ewma" -> ((s, dir) =>
