@@ -390,6 +390,64 @@ object TextQueries {
           lit(0L), (a, x) => a + x).as("total_len"),
         array_max(transform(toks, t => length(t).cast("long"))).as("max_len"),
         exists(toks, t => t.rlike("[0-9]")).as("has_digit"))
+    }),
+
+    // Corpus snapshot diff — the reconciliation step of an incremental
+    // ingest: old vs new snapshot full-outer-joined on doc_id, rows
+    // classified added / removed / changed / unchanged by content hash.
+    // One shuffle on the id; hashes travel instead of text bodies, so
+    // shuffle bytes are 32/doc regardless of document size. Snapshots
+    // are derived deterministically from the documents table (id mod
+    // membership; every id%3==0 doc "edited" in the new snapshot).
+    "q91_snapshot_diff" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val old = docs.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("old_id"), md5(col("text")).as("h_old"))
+      val neu = docs.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id").as("new_id"),
+          md5(when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text"))).as("h_new"))
+      old.join(neu, col("old_id") === col("new_id"), "full_outer")
+        .select(
+          coalesce(col("old_id"), col("new_id")).as("doc_id"),
+          when(col("h_old").isNull, "added")
+            .when(col("h_new").isNull, "removed")
+            .when(col("h_old") =!= col("h_new"), "changed")
+            .otherwise("unchanged").as("status"))
+    }),
+
+    // Per-source z-score normalization of document length — the
+    // reference's zscore (P9, σ=0 guard included) as a batch group
+    // operation: one decimal-exact aggregate per source, stats broadcast
+    // back, per-row normalize. Two passes, no window — group count never
+    // caps parallelism. n_chars (a stored integer) is the normalized
+    // column: derived-double inputs would risk last-ulp decimal ties.
+    "q92_source_znorm" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val stats = docs.groupBy(col("source"))
+        .agg(davg(col("n_chars")).as("mu"), dstddev0(col("n_chars")).as("sigma"))
+      docs.join(broadcast(stats), Seq("source"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          when(col("sigma") === 0.0, lit(0.0))
+            .otherwise((col("n_chars") - col("mu")) / col("sigma")).as("z"))
+    }),
+
+    // Deterministic k-per-group sample: 10 docs per language in md5
+    // order — layout- and engine-invariant "random" selection via the
+    // bounded-heap top-k (shuffled rows = langs × 10, never a
+    // per-language window sort). Score is the negated first-8-hex-chars
+    // value (exact in a double); hash ties break by doc_id, mirroring
+    // ROW_NUMBER order exactly.
+    "q93_group_sample_k" -> ((s, dir) => {
+      val hexv = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      table(s, dir, "documents")
+        .select(col("lang"), col("doc_id"), (-hexv).cast("double").as("nscore"))
+        .groupBy(col("lang"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("nscore"), col("doc_id"), 10).as("topk"))
+        .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("lang"), col("t.id").as("doc_id"), (col("pos") + 1).as("rnk"))
     })
   )
 
@@ -422,6 +480,35 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q86_canonical_docs" -> canonicalSql,
+
+    "q91_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT doc_id, md5(text) AS h_old FROM documents WHERE doc_id % 7 <> 0),
+        |neu AS (
+        |  SELECT doc_id, md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h_new
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT COALESCE(old.doc_id, neu.doc_id) AS doc_id,
+        |  CASE WHEN h_old IS NULL THEN 'added'
+        |       WHEN h_new IS NULL THEN 'removed'
+        |       WHEN h_old <> h_new THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM old FULL JOIN neu ON old.doc_id = neu.doc_id""".stripMargin,
+
+    "q92_source_znorm" ->
+      s"""WITH stats AS (
+         |  SELECT source, ${sqlAvg("n_chars")} AS mu, ${sqlStddev0("n_chars")} AS sigma
+         |  FROM documents GROUP BY source)
+         |SELECT d.source, d.doc_id, d.n_chars,
+         |  CASE WHEN sigma = 0.0 THEN 0.0 ELSE (d.n_chars - mu) / sigma END AS z
+         |FROM documents d JOIN stats USING (source)""".stripMargin,
+
+    "q93_group_sample_k" ->
+      """SELECT lang, doc_id, CAST(rn AS INT) AS rnk FROM (
+        |  SELECT lang, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) ASC,
+        |               doc_id ASC) AS rn
+        |  FROM documents) WHERE rn <= 10""".stripMargin,
 
     "q90_array_hof" ->
       """WITH t AS (
