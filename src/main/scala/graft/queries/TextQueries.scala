@@ -432,6 +432,22 @@ object TextQueries {
             .otherwise((col("n_chars") - col("mu")) / col("sigma")).as("z"))
     }),
 
+    // String-function battery (regexp extract/replace-all, translate,
+    // case, search, edit distance): per-row codegen'd, shuffle-free.
+    // Outputs are lengths/positions/short heads so hashes stay cheap;
+    // the oracle passes DuckDB's 'g' flag where Spark's regexp_replace
+    // is replace-all by default.
+    "q95_string_funcs" -> ((s, dir) =>
+      table(s, dir, "documents").select(
+        col("doc_id"),
+        upper(substring(col("text"), 1, 20)).as("head_upper"),
+        regexp_extract(col("text"), "([A-Za-z]+)", 1).as("first_word"),
+        length(regexp_replace(col("text"), "[aeiou]", "")).cast("long").as("n_novowel"),
+        length(translate(col("text"), "aeiou", "AEIOU")).cast("long").as("n_translated"),
+        instr(col("text"), "the").cast("long").as("pos_the"),
+        levenshtein(substring(col("text"), 1, 10),
+          reverse(substring(col("text"), 1, 10))).cast("long").as("lev_rev"))),
+
     // Deterministic k-per-group sample: 10 docs per language in md5
     // order — layout- and engine-invariant "random" selection via the
     // bounded-heap top-k (shuffled rows = langs × 10, never a
@@ -501,6 +517,16 @@ object TextQueries {
          |SELECT d.source, d.doc_id, d.n_chars,
          |  CASE WHEN sigma = 0.0 THEN 0.0 ELSE (d.n_chars - mu) / sigma END AS z
          |FROM documents d JOIN stats USING (source)""".stripMargin,
+
+    "q95_string_funcs" ->
+      """SELECT doc_id,
+        |  upper(substr(text, 1, 20)) AS head_upper,
+        |  regexp_extract(text, '([A-Za-z]+)', 1) AS first_word,
+        |  CAST(length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_novowel,
+        |  CAST(length(translate(text, 'aeiou', 'AEIOU')) AS BIGINT) AS n_translated,
+        |  CAST(instr(text, 'the') AS BIGINT) AS pos_the,
+        |  CAST(levenshtein(substr(text, 1, 10), reverse(substr(text, 1, 10))) AS BIGINT) AS lev_rev
+        |FROM documents""".stripMargin,
 
     "q93_group_sample_k" ->
       """SELECT lang, doc_id, CAST(rn AS INT) AS rnk FROM (

@@ -54,10 +54,37 @@ object TimeSeriesQueries {
           unix_micros(col("ts")).as("ts_ms"),
           col("event_id").as("tie"),
           col("price")),
-        alpha = 0.25))
+        alpha = 0.25)),
+
+    // Time-RANGE window frame (vs q60's ROWS frames): trailing-1-hour
+    // count/avg/max per tick, frame bounds in epoch micros. RANGE
+    // includes order-value peers, so ties need no tiebreak column —
+    // both engines share that semantic; the windowed average is the
+    // decimal-exact wavg, order-invariant within any frame.
+    "q94_range_frame" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("t_us"))
+        .rangeBetween(-3600000000L, 0L)
+      ticks(s, dir)
+        .select(col("symbol"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"), col("price"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("avg_1h", ExactAgg.wavg(col("price"), w))
+        .withColumn("max_1h", max(col("price")).over(w))
+    })
   )
 
   def oracles: Map[String, String] = Map(
+    "q94_range_frame" ->
+      s"""SELECT symbol, event_id, t_us, price,
+         |  COUNT(1) OVER w AS n_1h,
+         |  ${ExactAgg.sqlWAvg("price", "w")} AS avg_1h,
+         |  MAX(price) OVER w AS max_1h
+         |FROM (SELECT event_type AS symbol, event_id,
+         |        epoch_ns(ts) // 1000 AS t_us, value AS price FROM events)
+         |WINDOW w AS (PARTITION BY symbol ORDER BY t_us
+         |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     "q60_tick_derivatives" ->
       s"""SELECT event_type AS symbol, event_id,
          |       epoch_ns(ts) // 1000000 AS ts_ms, value AS price,
