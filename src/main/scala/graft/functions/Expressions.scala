@@ -777,4 +777,9 @@ object GraftFunctions {
       TopKByScore(
         org.apache.spark.sql.graft.Bridge.expression(score),
         org.apache.spark.sql.graft.Bridge.expression(id), k).toAggregateExpression())
+  def count_min_build(buckets: Column, depth: Int, width: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      CountMinBuild(
+        org.apache.spark.sql.graft.Bridge.expression(buckets),
+        depth, width).toAggregateExpression())
 }

@@ -17,6 +17,17 @@ object TextQueries {
 
   private val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  // q96 Count-Min parameters: the bucket family is the md5-hex-prefix
+  // value mod width, seeded by appending "#<row>" — pure string/hash
+  // expressions DuckDB replays verbatim (same trick as q93's sample
+  // order), so sketch counters and estimates hash-match cross-engine.
+  private val cmDepth = 4
+  private val cmWidth = 512
+  private val cmProbes = TextOps.stopwords.take(8)
+  private def cmBucket(term: org.apache.spark.sql.Column, i: Int) =
+    conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
+      .cast("long") % cmWidth
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: rank within identical-content groups.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -432,6 +443,28 @@ object TextQueries {
             .otherwise((col("n_chars") - col("mu")) / col("sigma")).as("z"))
     }),
 
+    // Count-Min sketch frequency estimates, oracle-checked BIT-EXACT:
+    // the bucket family is md5-prefix mod width — ordinary codegen'd
+    // expressions both engines compute identically — so unlike HLL the
+    // sketch itself is reproducible. One pass over token occurrences
+    // builds the depth×width counter matrix (map-side merged; shuffled
+    // bytes constant in row count), the probe set reads estimates off
+    // the broadcast sketch. est ≥ true always; ≤ true + εN w.h.p.
+    "q96_countmin" -> ((s, dir) => {
+      val sk = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("term"))
+        .select(array((0 until cmDepth).map(i => cmBucket(col("term"), i)): _*).as("bux"))
+        .agg(graft.functions.GraftFunctions
+          .count_min_build(col("bux"), cmDepth, cmWidth).as("sk"))
+      s.range(1).select(explode(array(cmProbes.map(lit): _*)).as("term"))
+        .crossJoin(broadcast(sk))
+        .select(col("term"),
+          least((0 until cmDepth).map(i =>
+            element_at(col("sk"),
+              (lit(i * cmWidth) + cmBucket(col("term"), i) + 1).cast("int"))): _*)
+            .as("est"))
+    }),
+
     // String-function battery (regexp extract/replace-all, translate,
     // case, search, edit distance): per-row codegen'd, shuffle-free.
     // Outputs are lengths/positions/short heads so hashes stay cheap;
@@ -517,6 +550,28 @@ object TextQueries {
          |SELECT d.source, d.doc_id, d.n_chars,
          |  CASE WHEN sigma = 0.0 THEN 0.0 ELSE (d.n_chars - mu) / sigma END AS z
          |FROM documents d JOIN stats USING (source)""".stripMargin,
+
+    "q96_countmin" -> {
+      val probeList = cmProbes.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |occ AS (SELECT unnest(toks) AS term FROM toks),
+         |seeds AS (SELECT unnest(range(0, $cmDepth)) AS i),
+         |counts AS (
+         |  SELECT i,
+         |    CAST(concat('0x', substr(md5(term || '#' || CAST(i AS VARCHAR)), 1, 8)) AS BIGINT) % $cmWidth AS b,
+         |    COUNT(1) AS c
+         |  FROM occ CROSS JOIN seeds GROUP BY i, b),
+         |pb AS (
+         |  SELECT p.term, s.i,
+         |    CAST(concat('0x', substr(md5(p.term || '#' || CAST(s.i AS VARCHAR)), 1, 8)) AS BIGINT) % $cmWidth AS b
+         |  FROM (SELECT unnest($probeList) AS term) p CROSS JOIN seeds s)
+         |SELECT pb.term, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS est
+         |FROM pb LEFT JOIN counts c ON c.i = pb.i AND c.b = pb.b
+         |GROUP BY pb.term""".stripMargin
+    },
 
     "q95_string_funcs" ->
       """SELECT doc_id,

@@ -13,10 +13,11 @@ class PlanShapeSpec extends SparkSpec {
   // q50/q69/q70: crossJoin against a broadcast 1-row scalar (global
   // count / min-max bounds) — bounded by design (the "nested loop" side
   // is O(1) rows); q85: day-calendar × distinct event types, both tiny
-  // derived dimensions (days since corpus start × type count)
+  // derived dimensions (days since corpus start × type count); q96:
+  // fixed probe list × broadcast 1-row sketch
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
-      "q69_heavy_hitters", "q70_histogram", "q85_gap_fill")
+      "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

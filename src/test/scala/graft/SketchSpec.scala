@@ -57,4 +57,46 @@ class SketchSpec extends SparkSpec {
         s"$item undercounted beyond bound: $est vs ${exact(item)}")
     }
   }
+
+  test("Count-Min: est ≥ true always; exact when a row's bucket is collision-free") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    val depth = 4
+    val width = 256
+    // deterministic skewed stream across 8 partitions (merge exercised)
+    val items = (0 until 40).flatMap(i => Seq.fill((40 - i) * 3)(s"tok$i"))
+    val exact = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    // the same md5-prefix bucket family the q96 pairing uses
+    def bucketCol(term: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
+        .cast("long") % width
+    val df = items.toDF("term").repartition(8)
+    val sk = df
+      .select(array((0 until depth).map(i => bucketCol(col("term"), i)): _*).as("bux"))
+      .agg(GraftFunctions.count_min_build(col("bux"), depth, width).as("sk"))
+      .collect().head.getSeq[Long](0)
+    assert(sk.length == depth * width)
+    // total mass per sketch row = stream length (no item ever dropped)
+    (0 until depth).foreach { i =>
+      assert(sk.slice(i * width, (i + 1) * width).sum == items.size.toLong)
+    }
+    // replay the bucket math on the driver (java md5 = Spark md5)
+    def bucket(term: String, i: Int): Int = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$term#$i".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      (java.lang.Long.parseLong(hex, 16) % width).toInt
+    }
+    val distinct = exact.keys.toSeq
+    distinct.foreach { t =>
+      val est = (0 until depth).map(i => sk(i * width + bucket(t, i))).min
+      assert(est >= exact(t), s"$t underestimated: $est < ${exact(t)}")
+      // a row where no OTHER distinct item shares the bucket gives the
+      // exact count; est = min over rows, so exactness follows
+      val collisionFree = (0 until depth).exists(i =>
+        !distinct.exists(u => u != t && bucket(u, i) == bucket(t, i)))
+      if (collisionFree)
+        assert(est == exact(t), s"$t inexact despite clean row: $est vs ${exact(t)}")
+    }
+  }
 }
