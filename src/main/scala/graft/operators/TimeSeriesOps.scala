@@ -327,4 +327,149 @@ object TimeSeriesOps {
       out.iterator
     }.toDF("symbol", "n_ticks", "ewma_price")
   }
+
+  /** Exact per-group MULTI-quantile by the same iterative range-count
+    * selection as [[exactMedian]], generalized to one virtual group per
+    * (group, quantile): each requested quantile q resolves the single
+    * type-1 order statistic at rank k = ⌈q·n⌉ (no interpolation — the
+    * returned value is a row that EXISTS, and interpolating definitions
+    * differ across engines). All quantiles narrow simultaneously: every
+    * bucket-count round joins the (shrinking, (g,q)-tagged) candidate set
+    * against the broadcast per-(g,q) range table and counts (g,q,bucket)
+    * cells, so the scan cost is shared and the driver state stays
+    * groups × quantiles × a few fields. NO per-group sort ever happens —
+    * the final resolve ranks ≤ resolveLimit surviving rows per (g,q).
+    *
+    * Use dyadic quantiles (0.25, 0.5, 0.75, …) where bit-exact
+    * cross-engine ranks matter: q·n is then an exact IEEE product, so
+    * ⌈q·n⌉ cannot straddle engines. Values must be non-null/non-NaN.
+    * Output one row per (group, quantile): (groupCol, q, n, value). */
+  def exactQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      tieCol: String,
+      qs: Seq[Double],
+      buckets: Int = 4096,
+      resolveLimit: Long = 4096,
+      materializeInput: Boolean = true): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
+      s"quantiles must lie in (0, 1]: $qs")
+    val spark = df.sparkSession
+    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+    import org.apache.spark.sql.types._
+    val proj = df.select(col(groupCol).as("g"),
+      col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
+    val base = if (materializeInput) proj.localCheckpoint(true) else proj
+    val stats = base.groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .collect()
+    // one selection state per (group, quantile); k = ceil(q*n) is exact
+    // for dyadic q (and deterministic either way — computed once, here)
+    final case class St(g: Any, q: Double, n: Long, k: Long,
+        var lo: Double, var hi: Double, var off: Long, var rem: Long)
+    val all = stats.flatMap { r =>
+      val (g, n, lo, hi) = (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+      qs.map(q => St(g, q, n, math.ceil(q * n).toLong max 1L, lo, hi, 0L, n))
+    }
+    val (trivial, active) = all.partition(s => s.lo == s.hi)
+    val stSchema = StructType(Seq(
+      StructField("sg", gType), StructField("sq", DoubleType),
+      StructField("lo", DoubleType), StructField("hi", DoubleType),
+      StructField("bl", IntegerType), StructField("bh", IntegerType)))
+    def selDf(rows: Seq[Row]) = broadcast(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), stSchema))
+    val idx = least(lit(buckets - 1), greatest(lit(0),
+      floor((col("v") - col("lo")) * buckets / (col("hi") - col("lo"))).cast("int")))
+    // candidate carries its (g, q) tag from round 1 on; round 0 joins the
+    // untagged base on g alone (fanning each row out to its quantiles)
+    var candidate = base
+    var tagged = false
+    var rounds = 0
+    while (active.exists(_.rem > resolveLimit) && rounds < 16) {
+      rounds += 1
+      val sel = selDf(active.toSeq.map(s =>
+        Row(s.g, s.q, s.lo, s.hi, 0, buckets - 1)))
+      val joined =
+        if (tagged)
+          candidate.join(sel,
+            candidate("g") <=> sel("sg") && candidate("q") === sel("sq"))
+        else candidate.join(sel, candidate("g") <=> sel("sg"))
+      val counts = joined
+        .groupBy(col("g"), col("sq").as("q"), idx.as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(r => (r.get(0), r.getDouble(1)))
+        .map { case (k, rows) =>
+          k -> rows.map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq }
+      var progressed = false
+      val chosen = active.map { s =>
+        val bs = counts.getOrElse((s.g, s.q), Seq.empty[(Int, Long)])
+        var cum = s.off
+        var b0 = -1; var below = s.off; var inside = 0L
+        bs.foreach { case (b, c) =>
+          if (b0 < 0 && cum + c >= s.k) { b0 = b; below = cum; inside = c }
+          cum += c
+        }
+        if (b0 < 0) (s, 0, buckets - 1, s.lo, s.hi, s.off, s.rem)
+        else {
+          val w = (s.hi - s.lo) / buckets
+          val nLo = s.lo + b0 * w
+          val nHi = if (b0 >= buckets - 1) s.hi else s.lo + (b0 + 1) * w
+          if (inside < s.rem) progressed = true
+          (s, b0, b0, nLo, nHi, below, inside)
+        }
+      }
+      val sel2 = selDf(chosen.toSeq.map { case (s, bl, bh, _, _, _, _) =>
+        Row(s.g, s.q, s.lo, s.hi, bl, bh) })
+      val joined2 =
+        if (tagged)
+          candidate.join(sel2,
+            candidate("g") <=> sel2("sg") && candidate("q") === sel2("sq"))
+        else candidate.join(sel2, candidate("g") <=> sel2("sg"))
+      candidate = joined2
+        .filter(idx.between(col("bl"), col("bh")))
+        .select(col("g"), col("sq").as("q"), col("v"), col("t"))
+      tagged = true
+      chosen.foreach { case (s, _, _, nLo, nHi, below, inside) =>
+        s.lo = nLo; s.hi = nHi; s.off = below; s.rem = inside
+      }
+      if (!progressed) rounds = 16
+    }
+    val outSchema = StructType(Seq(
+      StructField("g", gType), StructField("q", DoubleType),
+      StructField("n", LongType), StructField("value", DoubleType)))
+    val resolved = if (active.isEmpty) None else Some {
+      val ks = broadcast(spark.createDataFrame(
+        spark.sparkContext.parallelize(active.toSeq.map(s =>
+          Row(s.g, s.q, s.n, s.off, s.k)), 1),
+        StructType(Seq(
+          StructField("sg", gType), StructField("sq", DoubleType),
+          StructField("n", LongType), StructField("off", LongType),
+          StructField("k", LongType)))))
+      val joined =
+        if (tagged)
+          candidate.join(ks,
+            candidate("g") <=> ks("sg") && candidate("q") === ks("sq"))
+        else candidate.join(ks, candidate("g") <=> ks("sg"))
+      val wo = Window.partitionBy(col("g"), col("sq")).orderBy(col("v"), col("t"))
+      joined
+        .withColumn("rn", row_number().over(wo) + col("off"))
+        .filter(col("rn") === col("k"))
+        .select(col("g"), col("sq").as("q"), col("n"), col("v").as("value"))
+    }
+    val trivialDf = if (trivial.isEmpty) None else Some {
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(
+          trivial.toSeq.map(s => Row(s.g, s.q, s.n, s.lo)), 1), outSchema)
+    }
+    val out = (resolved, trivialDf) match {
+      case (Some(a), Some(b)) => a.unionByName(b)
+      case (Some(a), None) => a
+      case (None, Some(b)) => b
+      case (None, None) =>
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
+    }
+    out.withColumnRenamed("g", groupCol)
+  }
 }

@@ -396,8 +396,144 @@ object RelationalQueries {
     "q89_unpivot" -> ((s, dir) => {
       table(s, dir, "orders").createOrReplaceTempView("orders")
       s.sql(sqlUnpivot)
+    }),
+
+    // HyperLogLog distinct-count estimate, oracle-checked BIT-EXACT —
+    // the approx-distinct sibling of q96's Count-Min. Engine built-ins
+    // (approx_count_distinct / DuckDB's HLL) carry opaque state that can
+    // never hash-match; this one derives every register from md5, which
+    // both engines compute identically: bucket = first 8 hash bits
+    // (256 registers), rank = position of the first 1-bit in the next
+    // 52. Registers aggregate with MAX (map-side combined; shuffled rows
+    // ≤ groups × 256 regardless of input size), and the harmonic-mean
+    // denominator Σ 2^(-M_b) is kept EXACT as the integer Σ 2^(52-M_b)
+    // (≤ 256·2^52 < 2^61), so the only float ops are one cast and one
+    // division — deterministic IEEE in both engines. Raw HLL estimate
+    // only: the small/large-range corrections need ln(), whose last ulp
+    // is libm-dependent. Exact distinct joins in for the error audit.
+    "q97_hll_distinct" -> ((s, dir) => {
+      val hex = md5(col("user_id").cast("string"))
+      val regs = table(s, dir, "events")
+        .select(col("event_type"),
+          conv(substring(hex, 1, 2), 16, 10).cast("long").as("b"),
+          (lit(53) - length(bin(conv(substring(hex, 3, 13), 16, 10)
+            .cast("long")))).as("r"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("r")).as("m"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("nregs"),
+          sum(expr("shiftleft(1L, cast(52 - m as int))")).as("sp"))
+      val exact = table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      val regSum = col("sp") + (lit(256L) - col("nregs")) * lit(4503599627370496L)
+      regs.join(exact, "event_type")
+        .select(col("event_type"),
+          col("nregs").cast("long").as("n_regs"),
+          regSum.cast("long").as("reg_sum"),
+          (lit(hllConst) / regSum.cast("double")).as("hll_est"),
+          col("n_exact"))
+    }),
+
+    // Fixed-iteration PageRank over the user↔event-type interaction
+    // graph (both directions, so no dangling mass), oracle-checked
+    // BIT-EXACT: the mass-passing recurrence runs in scaled INTEGER
+    // arithmetic — pr₀ = 10⁶, contribution = pr div outdeg, update =
+    // 150000 + (85 · Σ contribs) div 100, i.e. d = 0.85 with floor
+    // division — so three Spark join-aggregate rounds equal the same
+    // three rounds unrolled as CTEs in DuckDB, digit for digit (float
+    // PageRank could never hash-match: Σ over in-neighbors is
+    // order-sensitive). Per round: one hash join on src (degree table
+    // broadcast-sized here, shuffle-partitioned at scale) + one
+    // aggregate on dst — the standard distributed PR shape, O(log·E)
+    // total. Headroom: total mass = N·10⁶, times 85 — int64 holds past
+    // 10¹¹ nodes.
+    "q99_pagerank" -> ((s, dir) => {
+      val pairs = table(s, dir, "events")
+        .select(concat(lit("u"), col("user_id").cast("string")).as("u"),
+          concat(lit("t"), col("event_type")).as("t"))
+        .distinct()
+      // edge list + out-degrees materialize once; three rounds re-read
+      val edges = pairs.select(col("u").as("src"), col("t").as("dst"))
+        .unionAll(pairs.select(col("t").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+      val wd = edges.join(deg, "src").localCheckpoint(true)
+      var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+      (1 to 3).foreach { _ =>
+        pr = wd.join(pr, col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("pr div outdeg")).as("mass"))
+          .select(col("dst").as("node"),
+            expr("150000L + (85 * mass) div 100").as("pr"))
+      }
+      pr
+    }),
+
+    // Gap-based sessionization (1 h inactivity splits): the batch analog
+    // of the streaming session window (q37/StreamOps). One window over
+    // the HIGH-cardinality user key (no funnel — parallelism is the user
+    // count), integer epoch-micro arithmetic end to end: a null lag
+    // (first event) falls through the CASE to 0, the running sum of
+    // session starts IS the 0-based session index — both engines share
+    // those semantics exactly.
+    "q101_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_id"),
+          expr("ts_ns div 1000").as("t_us"))
+        .withColumn("new_s",
+          when(col("t_us") - lag(col("t_us"), 1).over(w) > 3600000000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_idx", sum(col("new_s")).over(w))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("t_us")).as("start_us"), max(col("t_us")).as("end_us"))
+    }),
+
+    // Cohort retention: users bucketed by their first-seen epoch day,
+    // activity counted per (cohort day, day offset) — distinct users,
+    // so revisits within a day collapse. Two shuffles on user_id (first
+    // agg + the distinct), one on the cohort cell; pure integer day
+    // arithmetic (ts_ns div 86.4e12), no calendar functions to disagree
+    // over.
+    "q102_retention" -> ((s, dir) => {
+      val days = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 86400000000000").as("day"))
+      val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("c_day"))
+      days.join(cohort, "user_id")
+        .groupBy(col("c_day"), (col("day") - col("c_day")).as("offset_day"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Ordered conversion funnel view → click → purchase: each stage's
+    // time is the MIN event time STRICTLY AFTER the previous stage —
+    // three per-user aggregates chained by equi joins (user_id is high
+    // cardinality; AQE coalesces), left joins preserve drop-off (null =
+    // never converted). Epoch-micro integers only → hash-exact.
+    "q103_funnel" -> ((s, dir) => {
+      val ev = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"))
+      val t1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t1_us"))
+      val t2 = ev.filter(col("event_type") === "click")
+        .join(t1, "user_id").filter(col("t_us") > col("t1_us"))
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t2_us"))
+      val t3 = ev.filter(col("event_type") === "purchase")
+        .join(t2, "user_id").filter(col("t_us") > col("t2_us"))
+        .groupBy(col("user_id")).agg(min(col("t_us")).as("t3_us"))
+      t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
     })
   )
+
+  /** q97's leading constant α₂₅₆·m²·2⁵², m = 256: folded to ONE double
+    * here and embedded verbatim (exact decimal form) in the oracle SQL,
+    * so both engines divide by the identical IEEE value — computing
+    * α = 0.7213/(1 + 1.079/m) separately in each engine could
+    * re-associate and flip the last ulp. */
+  private val hllConst: Double =
+    0.7213 / (1 + 1.079 / 256) * 65536.0 * 4503599627370496.0
 
   /** q85: Spark-side text. The DuckDB oracle mirrors it with its own
     * date arithmetic (epoch-day ints are the engine-neutral currency,
@@ -716,6 +852,90 @@ object RelationalQueries {
          |  ${sqlSum("l_extendedprice * (1.0 - l_discount)")} AS revenue,
          |  COUNT(1) AS n_items
          |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
-         |GROUP BY s_nationkey""".stripMargin
+         |GROUP BY s_nationkey""".stripMargin,
+
+    // md5-derived registers are engine-portable; the integer register
+    // sum makes everything up to the single final division exact.
+    "q97_hll_distinct" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b,
+         |    53 - length(bin(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT))) AS r
+         |  FROM events),
+         |regs AS (SELECT event_type, b, MAX(r) AS m FROM h GROUP BY event_type, b),
+         |agg AS (SELECT event_type, COUNT(1) AS nregs,
+         |          SUM(1::BIGINT << CAST(52 - m AS INT)) AS sp
+         |        FROM regs GROUP BY event_type),
+         |ex AS (SELECT event_type, COUNT(DISTINCT user_id) AS nd FROM events GROUP BY event_type)
+         |SELECT a.event_type,
+         |  CAST(nregs AS BIGINT) AS n_regs,
+         |  CAST(sp + (256 - nregs) * 4503599627370496 AS BIGINT) AS reg_sum,
+         |  ${new java.math.BigDecimal(hllConst).toPlainString}
+         |    / CAST(sp + (256 - nregs) * 4503599627370496 AS DOUBLE) AS hll_est,
+         |  CAST(nd AS BIGINT) AS n_exact
+         |FROM agg a JOIN ex USING (event_type)""".stripMargin,
+
+    // The three integer mass-passing rounds, unrolled (standard SQL
+    // forbids aggregates in a recursive term); // is integer division
+    // on BIGINT operands, matching Spark's `div` on positive values.
+    "q99_pagerank" ->
+      """WITH pairs AS (
+        |  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS u,
+        |                  't' || event_type AS t FROM events),
+        |edges AS (SELECT u AS src, t AS dst FROM pairs
+        |          UNION ALL SELECT t AS src, u AS dst FROM pairs),
+        |deg AS (SELECT src, COUNT(1) AS outdeg FROM edges GROUP BY src),
+        |wd AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d USING (src)),
+        |p0 AS (SELECT src AS node, 1000000::BIGINT AS pr FROM deg),
+        |p1 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+        |       FROM wd JOIN p0 ON src = node GROUP BY dst),
+        |p2 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+        |       FROM wd JOIN p1 ON src = node GROUP BY dst),
+        |p3 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+        |       FROM wd JOIN p2 ON src = node GROUP BY dst)
+        |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3""".stripMargin,
+
+    // Identical lag/CASE/running-sum semantics; a null lag falls to 0.
+    "q101_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, t_us,
+        |    CASE WHEN t_us - lag(t_us) OVER (PARTITION BY user_id
+        |           ORDER BY t_us, event_id) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |x AS (
+        |  SELECT user_id, t_us,
+        |    SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) AS session_idx
+        |  FROM s)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |  COUNT(1) AS n_events, MIN(t_us) AS start_us, MAX(t_us) AS end_us
+        |FROM x GROUP BY user_id, session_idx""".stripMargin,
+
+    "q102_retention" ->
+      """WITH d AS (
+        |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, MIN(day) AS c_day FROM d GROUP BY user_id)
+        |SELECT c.c_day, d.day - c.c_day AS offset_day,
+        |  COUNT(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY c.c_day, d.day - c.c_day""".stripMargin,
+
+    "q103_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us FROM events),
+        |t1 AS (SELECT user_id, MIN(t_us) AS t1_us FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |t2 AS (SELECT e.user_id, MIN(e.t_us) AS t2_us
+        |       FROM e JOIN t1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.t_us > t1.t1_us
+        |       GROUP BY e.user_id),
+        |t3 AS (SELECT e.user_id, MIN(e.t_us) AS t3_us
+        |       FROM e JOIN t2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.t_us > t2.t2_us
+        |       GROUP BY e.user_id)
+        |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin
   )
 }

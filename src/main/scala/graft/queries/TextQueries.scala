@@ -497,8 +497,52 @@ object TextQueries {
           .top_k_by_score(col("nscore"), col("doc_id"), 10).as("topk"))
         .select(col("lang"), posexplode(col("topk")).as(Seq("pos", "t")))
         .select(col("lang"), col("t.id").as("doc_id"), (col("pos") + 1).as("rnk"))
+    }),
+
+    // BM25-scored retrieval (Robertson k1 = 1.2, b = 0.75) for a fixed
+    // query-term set, oracle-checked BIT-EXACT: tf and dl come from
+    // per-row HOFs (shuffle-free scan), corpus stats (N, avgdl, df per
+    // term) from ONE map-side-combined aggregate whose sums stay integer
+    // (Σdl as BIGINT — a double Σ would be order-sensitive), broadcast
+    // back as a 1-row scalar. The idf uses the log-free rational form
+    // (N−df+0.5)/(df+0.5): ln()'s last ulp is libm-dependent, division
+    // is IEEE-exact, and it preserves BM25's ranking on any fixed df.
+    // Every float op then runs in the SAME left-assoc expression tree in
+    // both engines, so scores — and the (score desc, id) top-10 via the
+    // bounded heap, no global sort window — match digit for digit.
+    "q98_bm25" -> ((s, dir) => {
+      val f = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
+          bmTerms.map(t =>
+            size(filter(col("toks"), x => x === lit(t))).cast("double")
+              .as(s"tf_$t")): _*)
+      val statCols =
+        count(lit(1)).cast("double").as("n") +:
+          (sum(col("dl").cast("long")).cast("double") /
+            count(lit(1)).cast("double")).as("avgdl") +:
+          bmTerms.map(t =>
+            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+              .as(s"df_$t"))
+      val st = f.agg(statCols.head, statCols.tail: _*)
+      def sTerm(t: String) =
+        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) *
+          (col(s"tf_$t") * lit(2.2)) /
+          (col(s"tf_$t") +
+            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      f.crossJoin(broadcast(st))
+        .select(col("doc_id"), bmTerms.map(sTerm).reduce(_ + _).as("score"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("score"), col("doc_id"), 10).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("t.id").as("doc_id"), col("t.score").as("score"),
+          (col("pos") + 1).as("rnk"))
     })
   )
+
+  /** q98 query terms: mid-frequency corpus vocabulary — enough df spread
+    * to exercise the idf, present in most shards at any SF. */
+  private val bmTerms = Seq("spark", "join", "window")
 
   /** The composed training-data keep/drop decision (q44): quality,
     * repetition, contamination, and exact-dup rank joined per document.
@@ -856,7 +900,42 @@ object TextQueries {
          |  CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
          |  MIN(quality) AS min_quality, MAX(quality) AS max_quality
-         |FROM d GROUP BY source""".stripMargin
+         |FROM d GROUP BY source""".stripMargin,
+
+    // Same left-assoc float expression tree as the Spark side; integer
+    // corpus sums; ROW_NUMBER mirrors the heap's (score desc, id) order.
+    "q98_bm25" -> {
+      val tf = bmTerms.map(t =>
+        s"    CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+        .mkString(",\n")
+      val df = bmTerms.map(t =>
+        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+        .mkString(",\n")
+      val score = bmTerms.map(t =>
+        s"(n - df_$t + 0.5) / (df_$t + 0.5) * (tf_$t * 2.2) / " +
+          s"(tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+        .mkString(" + ")
+      s"""WITH t AS (
+         |  SELECT doc_id,
+         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+         |$tf
+         |  FROM t),
+         |st AS (
+         |  SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl,
+         |$df
+         |  FROM f),
+         |sc AS (SELECT doc_id, $score AS score FROM f CROSS JOIN st)
+         |SELECT doc_id, score, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT doc_id, score,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM sc)
+         |WHERE rn <= 10""".stripMargin
+    }
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

@@ -71,7 +71,17 @@ object TimeSeriesQueries {
         .withColumn("n_1h", count(lit(1)).over(w))
         .withColumn("avg_1h", ExactAgg.wavg(col("price"), w))
         .withColumn("max_1h", max(col("price")).over(w))
-    })
+    }),
+
+    // Exact per-symbol quartiles (p25/p50/p75) via the multi-rank
+    // range-count selection — all three order statistics narrow in the
+    // same shared scans, no per-symbol sort anywhere (the ranking-window
+    // form is a 5-task funnel at any scale). Dyadic quantiles keep
+    // k = ⌈q·n⌉ an exact IEEE product in both engines; type-1 (no
+    // interpolation) keeps the answer a row that exists.
+    "q100_quartiles" -> ((s, dir) =>
+      TimeSeriesOps.exactQuantiles(ticks(s, dir), "symbol", "price",
+        "event_id", Seq(0.25, 0.5, 0.75), materializeInput = false))
   )
 
   def oracles: Map[String, String] = Map(
@@ -142,6 +152,20 @@ object TimeSeriesQueries {
       """SELECT event_type AS symbol, COUNT(1) AS n_ticks,
         |       list_reduce(list(value ORDER BY ts, event_id),
         |                   (acc, x) -> 0.25 * x + 0.75 * acc) AS ewma_price
-        |FROM events GROUP BY event_type""".stripMargin
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Type-1 order statistic at rank ⌈q·n⌉ over the (value, event_id)
+    // total order — the ranking-window form the selection operator
+    // replaces; dyadic q makes q·n (and so the rank) engine-exact.
+    "q100_quartiles" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, value AS v, event_id AS t,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
   )
 }

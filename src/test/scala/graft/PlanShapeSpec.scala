@@ -15,9 +15,11 @@ class PlanShapeSpec extends SparkSpec {
   // is O(1) rows); q85: day-calendar × distinct event types, both tiny
   // derived dimensions (days since corpus start × type count); q96:
   // fixed probe list × broadcast 1-row sketch
+  // q98: crossJoin against the broadcast 1-row BM25 corpus-stats scalar
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
-      "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin")
+      "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
+      "q98_bm25")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

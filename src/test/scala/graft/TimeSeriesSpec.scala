@@ -159,4 +159,55 @@ class TimeSeriesSpec extends SparkSpec {
     val ew = qs("q62_ewma")(spark, sf())
     assert(ew.count() > 0)
   }
+
+  test("exactQuantiles: type-1 order statistics on a tiny planted set") {
+    import spark.implicits._
+    // a: 1..4 → k(.25)=1, k(.5)=2, k(.75)=3 → 10, 20, 30
+    // b: single row → every quantile is that row
+    val df = Seq(
+      ("a", 10.0, 1L), ("a", 20.0, 2L), ("a", 30.0, 3L), ("a", 40.0, 4L),
+      ("b", 7.0, 5L)).toDF("g", "v", "id")
+    val got = TimeSeriesOps.exactQuantiles(df, "g", "v", "id",
+        Seq(0.25, 0.5, 0.75))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3))
+      .toMap
+    assert(got === Map(
+      ("a", 0.25) -> 10.0, ("a", 0.5) -> 20.0, ("a", 0.75) -> 30.0,
+      ("b", 0.25) -> 7.0, ("b", 0.5) -> 7.0, ("b", 0.75) -> 7.0))
+  }
+
+  test("exactQuantiles: refinement rounds match the naive ranking window") {
+    import spark.implicits._
+    // sizes well above resolveLimit so the shared-scan rounds execute;
+    // duplicate-heavy, skewed, and constant groups — same stress set as
+    // the median spec, now with three ranks narrowing simultaneously
+    val rnd = new scala.util.Random(11)
+    val rows =
+      (1L to 9001L).map(i => ("dup", math.floor(rnd.nextDouble() * 10) / 10, i)) ++
+      (1L to 9000L).map(i => ("skew", math.exp(rnd.nextGaussian() * 4), i)) ++
+      (1L to 5000L).map(i => ("cst", 42.5, i))
+    val qs = Seq(0.25, 0.5, 0.75, 1.0)
+    val got = TimeSeriesOps.exactQuantiles(rows.toDF("g", "v", "id"),
+        "g", "v", "id", qs, buckets = 64, resolveLimit = 100)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    val expected = (for {
+      (g, rs) <- rows.groupBy(_._1).toSeq
+      sorted = rs.sortBy(t => (t._2, t._3)).map(_._2)
+      q <- qs
+    } yield (g, q) -> ((sorted.length.toLong,
+      sorted(math.ceil(q * sorted.length).toInt - 1)))).toMap
+    assert(got === expected)
+  }
+
+  test("exactQuantiles: empty input and q validation") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
+    assert(TimeSeriesOps.exactQuantiles(empty, "g", "v", "id", Seq(0.5))
+      .count() == 0)
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.exactQuantiles(empty, "g", "v", "id", Seq(0.0))
+    }
+  }
 }
