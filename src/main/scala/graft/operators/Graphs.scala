@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed graph analytics beyond the dedup clustering family
+  * ([[Dedup.duplicateClusters]] / `duplicateClustersStars`): ranking
+  * iterations expressed as join + aggregate rounds.
+  *
+  * Everything here is INTEGER arithmetic by design — a float PageRank sums
+  * contributions in shuffle order and can never reproduce bit-for-bit
+  * across partitionings or engines, while scaled-integer mass passing is
+  * exact: the same rounds produce the same digits on 32 threads, 1000
+  * executors, or unrolled as SQL CTEs (the q99 oracle).
+  */
+object Graphs {
+
+  /** Fixed-iteration PageRank with damping d = 0.85 in scaled integer
+    * arithmetic over a directed edge list (`src`, `dst` string columns).
+    *
+    * Recurrence (all int64): pr₀ = 10⁶ per node;
+    * prᵢ₊₁(v) = 150000 + (85 · Σ_{(u,v)∈E} (prᵢ(u) div outdeg(u))) div 100.
+    * Nodes are the edge sources (callers wanting sink nodes ranked must
+    * add reverse or self edges — the q99 interaction graph adds both
+    * directions, which also removes dangling-mass loss).
+    *
+    * Scale shape: out-degrees join once and the joined edge table is
+    * localCheckpointed — each round is then ONE hash join on `src` + ONE
+    * aggregate on `dst`, shuffling |E| rows; driver holds nothing.
+    * Headroom: total mass N·10⁶ times 85 stays in int64 past 10¹¹ nodes.
+    * Output: (node, pr) for every node with an incoming edge. */
+  def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1: $iters")
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
+    val wd = edges.join(deg, "src").localCheckpoint(true)
+    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    (1 to iters).foreach { _ =>
+      pr = wd.join(pr, col("src") === col("node"))
+        .groupBy(col("dst"))
+        .agg(sum(expr("pr div outdeg")).as("mass"))
+        .select(col("dst").as("node"),
+          expr("150000L + (85 * mass) div 100").as("pr"))
+    }
+    pr
+  }
+}

@@ -453,20 +453,9 @@ object RelationalQueries {
         .select(concat(lit("u"), col("user_id").cast("string")).as("u"),
           concat(lit("t"), col("event_type")).as("t"))
         .distinct()
-      // edge list + out-degrees materialize once; three rounds re-read
       val edges = pairs.select(col("u").as("src"), col("t").as("dst"))
         .unionAll(pairs.select(col("t").as("src"), col("u").as("dst")))
-      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
-      val wd = edges.join(deg, "src").localCheckpoint(true)
-      var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
-      (1 to 3).foreach { _ =>
-        pr = wd.join(pr, col("src") === col("node"))
-          .groupBy(col("dst"))
-          .agg(sum(expr("pr div outdeg")).as("mass"))
-          .select(col("dst").as("node"),
-            expr("150000L + (85 * mass) div 100").as("pr"))
-      }
-      pr
+      graft.operators.Graphs.integerPageRank(edges, iters = 3)
     }),
 
     // Gap-based sessionization (1 h inactivity splits): the batch analog

@@ -99,4 +99,77 @@ class SketchSpec extends SparkSpec {
         assert(est == exact(t), s"$t inexact despite clean row: $est vs ${exact(t)}")
     }
   }
+
+  test("q97 HLL registers estimate within the m=256 error envelope per group") {
+    // The query ships the RAW estimate (range corrections need libm ln,
+    // which can't cross-engine hash-match); the spec applies the standard
+    // small-range linear-counting switch DRIVER-side from the shipped
+    // register stats — the full HLL algorithm's accuracy contract.
+    val m = 256.0
+    val out = graft.queries.RelationalQueries
+      .queries("q97_hll_distinct")(spark, sf("sf0.01")).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val raw = r.getAs[Double]("hll_est")
+      val empty = m - r.getAs[Long]("n_regs")
+      val est =
+        if (raw < 2.5 * m && empty > 0) m * math.log(m / empty) // linear counting
+        else raw
+      val exact = r.getAs[Long]("n_exact").toDouble
+      // theoretical σ ≈ 1.04/√m ≈ 6.5% raw, tighter for linear counting
+      assert(math.abs(est - exact) / exact < 0.20,
+        s"${r.get(0)}: corrected $est (raw $raw) vs exact $exact")
+    }
+  }
+
+  test("sketch aggregates maintain streaming state: windowed Count-Min equals its batch sketch") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val depth = 2
+    val width = 64
+    def bucketCol(term: org.apache.spark.sql.Column, i: Int) =
+      conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
+        .cast("long") % width
+    // time-ordered so the two triggers never feed data behind the
+    // watermark (which would be legitimately dropped, not merged)
+    val rows = (0 until 200).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-01-01 00:00:${i % 50}%02d"), s"tok${i % 13}"))
+      .sortBy(_._1.getTime)
+    // streaming: per-10s-window sketches under a watermark — the
+    // TypedImperativeAggregate buffer IS the state-store value, so the
+    // sketch accumulates incrementally across triggers; append mode
+    // emits each window exactly once, when the watermark closes it
+    val in = MemoryStream[(java.sql.Timestamp, String)](spark)
+    val agg = in.toDF().toDF("ts", "term")
+      .withWatermark("ts", "10 seconds")
+      .groupBy(window(col("ts"), "10 seconds"))
+      .agg(GraftFunctions.count_min_build(
+        array((0 until depth).map(i => bucketCol(col("term"), i)): _*),
+        depth, width).as("sk"))
+    val q = agg.writeStream.format("memory").queryName("cm_stream")
+      .outputMode("append").start()
+    try {
+      // two in-order triggers: state must carry bucket counts across
+      // them; a far-future sentinel then closes every data window
+      in.addData(rows.take(120))
+      q.processAllAvailable()
+      in.addData(rows.drop(120))
+      q.processAllAvailable()
+      in.addData(Seq((java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), "late")))
+      q.processAllAvailable()
+      val streamed = spark.table("cm_stream")
+        .collect().map(r => r.get(0).toString -> r.getSeq[Long](1)).toMap
+      val batch = rows.toDF("ts", "term")
+        .groupBy(window(col("ts"), "10 seconds"))
+        .agg(GraftFunctions.count_min_build(
+          array((0 until depth).map(i => bucketCol(col("term"), i)): _*),
+          depth, width).as("sk"))
+        .collect().map(r => r.get(0).toString -> r.getSeq[Long](1)).toMap
+      assert(streamed.keySet == batch.keySet) // sentinel's window stays open
+      batch.foreach { case (w, sk) =>
+        assert(streamed(w) == sk, s"window $w: streamed sketch != batch sketch")
+      }
+    } finally q.stop()
+  }
 }
