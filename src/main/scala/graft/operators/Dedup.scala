@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -262,6 +262,62 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Size-adaptive fast path shared by both connected-components
+    * operators: when the materialized edge set fits comfortably on the
+    * driver, a local union-find replaces 5–10 distributed join rounds
+    * whose cost on a small graph is pure job-scheduling overhead
+    * (measured: ~5 s of rounds vs milliseconds of union-find on a
+    * 1,600-edge near-dup graph). This is the AQE philosophy applied to an
+    * iterative operator — the plan's SHAPE adapts to the runtime size,
+    * and a 100 TB pair set (over the limit) takes the distributed rounds
+    * unchanged. The probe is `limit(n+1)` on an already-checkpointed
+    * edge table, so it never collects more than the budget + 1 rows and
+    * never adds a separate count job.
+    *
+    * Semantics are identical to the distributed rounds by construction:
+    * cluster = min node id of the component, every edge endpoint
+    * labelled. Applies only to integral id columns (every caller in this
+    * repo; anything else returns None and runs distributed). */
+  private def driverComponents(edges: DataFrame, limit: Long): Option[DataFrame] = {
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    if (limit <= 0) return None
+    // long ids only, so the fast path's output schema (id/cluster LONG)
+    // is indistinguishable from the distributed rounds'
+    if (!edges.schema.fields.forall(_.dataType == LongType)) return None
+    val cap = math.min(limit, Int.MaxValue - 2L).toInt
+    val probe = edges.limit(cap + 1).collect()
+    if (probe.length > cap) return None
+    def asLong(v: Any): Long = v.asInstanceOf[Long]
+    // union-find with path halving; roots resolve to component minima in
+    // a final sweep, which is what min-label propagation converges to
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x))
+        x = parent(x)
+      }
+      x
+    }
+    probe.foreach { r =>
+      val (a, b) = (asLong(r.get(0)), asLong(r.get(1)))
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      // attach the larger root under the smaller: the root IS the min
+      if (ra < rb) parent(rb) = ra
+      else if (rb < ra) parent(ra) = rb
+    }
+    val spark = edges.sparkSession
+    val rows = parent.keys.toSeq.map(id => Row(id, find(id)))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(rows,
+        math.max(1, math.min(spark.sparkContext.defaultParallelism, rows.size / 5000 + 1))),
+      StructType(Seq(
+        StructField("id", LongType, nullable = false),
+        StructField("cluster", LongType, nullable = false)))))
+  }
+
   /** Duplicate-cluster assignment: connected components over a pair set
     * (id_a, id_b), by iterative min-label propagation with pointer
     * doubling — every node adopts the smallest label among its neighbors,
@@ -276,10 +332,17 @@ object Dedup {
     * partially-propagated labels.
     * Output: (id, cluster) for every id present in `pairs`, cluster = min
     * member id — join back to the corpus to pick canonical keepers. */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverLimit: Long = 2000000L): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
+    // size-adaptive fast path: the edge set is now materialized, so a
+    // bounded limit-probe is cheap — see [[driverComponents]]
+    val fast = driverComponents(sym, driverLimit)
+    if (fast.isDefined) return fast.get
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("cluster", col("id"))
       .localCheckpoint(true)
@@ -331,12 +394,20 @@ object Dedup {
     * to that minimum. The fixpoint of the pair is a union of stars whose
     * centers are component minima. Self-loops are dropped throughout, so
     * degenerate `(a,a)` input pairs contribute nothing. */
-  def duplicateClustersStars(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def duplicateClustersStars(
+      pairs: DataFrame,
+      maxIter: Int = 20,
+      driverLimit: Long = 2000000L): DataFrame = {
     var e = pairs.select(
         greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
       .localCheckpoint(true)
+    // same size-adaptive fast path as [[duplicateClusters]]; the oriented
+    // deduped edge set carries this op's exact node semantics (self-loop
+    // inputs contribute nothing), so results match the alternation's
+    val fastPath = driverComponents(e, driverLimit)
+    if (fastPath.isDefined) return fastPath.get
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {

@@ -105,13 +105,21 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardEdges(five, "doc_id", "text", k = 3, maxDf = 4).count() == 0)
   }
 
-  test("components over jaccardEdges: propagation and star contraction agree") {
+  test("components over jaccardEdges: propagation, star contraction, and the driver fast path all agree") {
     val edges = Dedup.jaccardEdges(corpus, "doc_id", "text")
-    val prop = Dedup.duplicateClusters(edges)
+    // driverLimit = 0 forces the distributed rounds; default takes the
+    // size-adaptive union-find — all four must produce identical labels
+    val prop = Dedup.duplicateClusters(edges, driverLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    val star = Dedup.duplicateClustersStars(edges)
+    val star = Dedup.duplicateClustersStars(edges, driverLimit = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val propFast = Dedup.duplicateClusters(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val starFast = Dedup.duplicateClustersStars(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(prop == star)
+    assert(propFast == prop)
+    assert(starFast == star)
     assert(prop(1L) == 1L && prop(2L) == 1L)
   }
 
@@ -145,13 +153,19 @@ class DedupSpec extends SparkSpec {
     // (O(diameter) rounds); pointer doubling must close a 40-node chain in
     // ~log2(40) ≈ 6 rounds. A 2-round budget must fail LOUDLY, not return
     // partially-propagated labels.
+    // driverLimit = 0: this test is ABOUT the distributed rounds — the
+    // default would route a 39-edge chain through the union-find
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val got = Dedup.duplicateClusters(chain, maxIter = 8)
+    val got = Dedup.duplicateClusters(chain, maxIter = 8, driverLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got.size == 40 && got.values.forall(_ == 1L))
     assertThrows[IllegalStateException] {
-      Dedup.duplicateClusters(chain, maxIter = 2).count()
+      Dedup.duplicateClusters(chain, maxIter = 2, driverLimit = 0).count()
     }
+    // the fast path resolves the same chain without any round budget
+    val fastGot = Dedup.duplicateClusters(chain, maxIter = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fastGot == got)
   }
 
   test("duplicateClustersStars: matches label propagation on chains, blobs, and the minhash graph") {
@@ -167,12 +181,13 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 12L -> 10L,
       20L -> 20L, 21L -> 20L))
     // 40-node chain: log-round convergence; tiny budget throws loudly
+    // (driverLimit = 0 keeps these on the distributed alternations)
     val chain = (1L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val chainGot = Dedup.duplicateClustersStars(chain, maxIter = 10)
+    val chainGot = Dedup.duplicateClustersStars(chain, maxIter = 10, driverLimit = 0)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(chainGot.size == 40 && chainGot.values.forall(_ == 1L))
     assertThrows[IllegalStateException] {
-      Dedup.duplicateClustersStars(chain, maxIter = 1).count()
+      Dedup.duplicateClustersStars(chain, maxIter = 1, driverLimit = 0).count()
     }
     // equivalence with the propagation path on a real LSH-derived graph
     val g = Dedup.minhashPairs(corpus, "doc_id", "text",
