@@ -355,6 +355,9 @@ object TimeSeriesOps {
       materializeInput: Boolean = true): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1]: $qs")
+    // a duplicated q would duplicate its (g, q) range row and double
+    // every bucket count through the tag join — reject loudly
+    require(qs.distinct.size == qs.size, s"duplicate quantiles: $qs")
     val spark = df.sparkSession
     val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
     import org.apache.spark.sql.types._

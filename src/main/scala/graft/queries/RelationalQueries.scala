@@ -513,6 +513,45 @@ object RelationalQueries {
         .join(t2, "user_id").filter(col("t_us") > col("t2_us"))
         .groupBy(col("user_id")).agg(min(col("t_us")).as("t3_us"))
       t1.join(t2, Seq("user_id"), "left").join(t3, Seq("user_id"), "left")
+    }),
+
+    // MERGE INTO semantics (the lakehouse upsert Spark OSS itself lacks
+    // without a table format): one full-outer join on the key, then the
+    // four-way decision — matched+delete drops, matched updates (source
+    // wins), source-only inserts, target-only survives, and a
+    // not-matched delete is a no-op. The update/insert/delete batch is
+    // derived deterministically from the snapshot (mod-7 updates, mod-11
+    // inserts under shifted keys, mod-13 deletes) so both engines build
+    // the identical source. One shuffle on the key; source rows are the
+    // only wide traffic.
+    "q105_merge_upsert" -> ((s, dir) => {
+      val tgt = table(s, dir, "documents")
+        .select(col("doc_id"), col("lang").as("t_lang"), col("n_chars").as("t_n"))
+      val src = table(s, dir, "documents")
+        .filter(col("doc_id") % 7 === 0 || col("doc_id") % 11 === 0 ||
+          col("doc_id") % 13 === 0)
+        .select(
+          when(col("doc_id") % 11 === 0, col("doc_id") + 1000000L)
+            .otherwise(col("doc_id")).as("doc_id"),
+          col("lang").as("s_lang"),
+          (col("n_chars") + 1000L).as("s_n"),
+          (col("doc_id") % 13 === 0).as("del"))
+      tgt.join(src, Seq("doc_id"), "full_outer")
+        .filter(col("del").isNull || !col("del"))
+        .select(col("doc_id"),
+          coalesce(col("s_lang"), col("t_lang")).as("lang"),
+          coalesce(col("s_n"), col("t_n")).as("n_chars"))
+    }),
+
+    // TPC-H Q7 shape (cross-nation shipping volume by year): the 6-way
+    // join + conditional-pair filter + year rollup, as verbatim SQL text
+    // executed by BOTH engines — Catalyst picks broadcast joins for the
+    // nation dims and shuffles the fact once; the decimal-cast SUM keeps
+    // the revenue order-invariant.
+    "q106_tpch7" -> ((s, dir) => {
+      Seq("supplier", "lineitem", "orders", "customer", "nation")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sqlQ7)
     })
   )
 
@@ -581,6 +620,25 @@ object RelationalQueries {
        |WHERE c_acctbal > (SELECT MAX(c_acctbal) FROM customer) * 0.9
        |  AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
        |              AND o.o_orderpriority = '1-URGENT')""".stripMargin
+
+  /** q106: identical text in Spark and DuckDB (the q35 pattern). */
+  private val sqlQ7: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(18,6))) AS DOUBLE) AS revenue,
+      |  COUNT(1) AS n_items
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |         CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |         l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier
+      |  JOIN lineitem ON s_suppkey = l_suppkey
+      |  JOIN orders ON o_orderkey = l_orderkey
+      |  JOIN customer ON c_custkey = o_custkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |  WHERE n1.n_name <> n2.n_name
+      |) AS shipping
+      |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
 
   private val sqlQ3: String =
     s"""SELECT l_orderkey, o_orderdate,
@@ -925,6 +983,25 @@ object RelationalQueries {
         |       WHERE e.event_type = 'purchase' AND e.t_us > t2.t2_us
         |       GROUP BY e.user_id)
         |SELECT t1.user_id, t1.t1_us, t2.t2_us, t3.t3_us
-        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin
+        |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    // The identical derived source batch and four-way merge decision.
+    "q105_merge_upsert" ->
+      """WITH tgt AS (
+        |  SELECT doc_id, lang AS t_lang, n_chars AS t_n FROM documents),
+        |src AS (
+        |  SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
+        |              ELSE doc_id END AS doc_id,
+        |         lang AS s_lang, n_chars + 1000 AS s_n,
+        |         doc_id % 13 = 0 AS del
+        |  FROM documents
+        |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0)
+        |SELECT doc_id,
+        |  COALESCE(s_lang, t_lang) AS lang,
+        |  COALESCE(s_n, t_n) AS n_chars
+        |FROM tgt FULL JOIN src USING (doc_id)
+        |WHERE del IS NULL OR NOT del""".stripMargin,
+
+    "q106_tpch7" -> sqlQ7
   )
 }

@@ -81,7 +81,24 @@ object TimeSeriesQueries {
     // interpolation) keeps the answer a row that exists.
     "q100_quartiles" -> ((s, dir) =>
       TimeSeriesOps.exactQuantiles(ticks(s, dir), "symbol", "price",
-        "event_id", Seq(0.25, 0.5, 0.75), materializeInput = false))
+        "event_id", Seq(0.25, 0.5, 0.75), materializeInput = false)),
+
+    // Forward fill (last observation carried forward) — THE sparse-sensor
+    // / irregular-tick densification op. A deterministic 1-in-5 sparsity
+    // mask simulates the gaps; `last(_, ignoreNulls)` over the running
+    // frame carries the previous reading, per symbol, one sort-shuffle.
+    // Both engines define IGNORE NULLS identically; values are copied,
+    // never computed, so the fill is trivially engine-exact.
+    "q104_locf" -> ((s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val w = W.partitionBy(col("symbol")).orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      ticks(s, dir)
+        .select(col("symbol"), col("event_id"),
+          unix_micros(col("ts")).as("t_us"),
+          when(col("event_id") % 5 === 0, col("price")).as("sparse"))
+        .withColumn("filled", last(col("sparse"), ignoreNulls = true).over(w))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -166,6 +183,17 @@ object TimeSeriesQueries {
         |  FROM events),
         |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
         |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
-        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
+
+    // The same deterministic sparsity mask and IGNORE NULLS running
+    // last-value; fill values are copied inputs, so parity is exact.
+    "q104_locf" ->
+      """SELECT event_type AS symbol, event_id,
+        |  epoch_ns(ts) // 1000 AS t_us,
+        |  CASE WHEN event_id % 5 = 0 THEN value END AS sparse,
+        |  last_value(CASE WHEN event_id % 5 = 0 THEN value END IGNORE NULLS)
+        |    OVER (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+        |FROM events""".stripMargin
   )
 }

@@ -209,5 +209,8 @@ class TimeSeriesSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TimeSeriesOps.exactQuantiles(empty, "g", "v", "id", Seq(0.0))
     }
+    intercept[IllegalArgumentException] {
+      TimeSeriesOps.exactQuantiles(empty, "g", "v", "id", Seq(0.5, 0.5))
+    }
   }
 }
