@@ -98,7 +98,16 @@ object TimeSeriesQueries {
           unix_micros(col("ts")).as("t_us"),
           when(col("event_id") % 5 === 0, col("price")).as("sparse"))
         .withColumn("filled", last(col("sparse"), ignoreNulls = true).over(w))
-    })
+    }),
+
+    // The selection operator on the OTHER domain: document-length
+    // quartiles per source — integer-valued doubles, heavy ties, the
+    // text table's skew; proves exactQuantiles isn't tick-shaped.
+    "q107_len_quartiles" -> ((s, dir) =>
+      TimeSeriesOps.exactQuantiles(
+        graft.util.SparkUtil.table(s, dir, "documents"),
+        "source", "n_chars", "doc_id",
+        Seq(0.25, 0.5, 0.75), materializeInput = false))
   )
 
   def oracles: Map[String, String] = Map(
@@ -194,6 +203,17 @@ object TimeSeriesQueries {
         |  last_value(CASE WHEN event_id % 5 = 0 THEN value END IGNORE NULLS)
         |    OVER (PARTITION BY event_type ORDER BY epoch_ns(ts) // 1000, event_id
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
-        |FROM events""".stripMargin
+        |FROM events""".stripMargin,
+
+    "q107_len_quartiles" ->
+      """WITH r AS (
+        |  SELECT source, CAST(n_chars AS DOUBLE) AS v, doc_id AS t,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY CAST(n_chars AS DOUBLE), doc_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        |SELECT source, q, CAST(n AS BIGINT) AS n, v AS value
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
   )
 }

@@ -11,8 +11,8 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // 999.9999 is the widest value ms() can emit for a sane runtime
-    val medians = names.map(_ -> 999.9999)
+    // 999.99 is the widest value ms() can emit for a sane runtime
+    val medians = names.map(_ -> 999.99)
     val stream =
       """{"single_window":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
         """"six_windows_union":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
@@ -50,7 +50,8 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.ms(0.0) == "0")
     assert(Bench.ms(1.0) == "1")
     assert(Bench.ms(0.31003) == "0.31")
-    assert(Bench.ms(12.00005) == "12.0001" || Bench.ms(12.00005) == "12") // %.4f rounding
-    assert(Bench.ms(3.14159) == "3.1416")
+    assert(Bench.ms(12.004) == "12")   // %.2f rounding
+    assert(Bench.ms(3.14159) == "3.14")
+    assert(Bench.ms(999.999) == "1000") // carries, still a valid number
   }
 }
