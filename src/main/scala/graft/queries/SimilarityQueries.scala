@@ -149,7 +149,25 @@ object SimilarityQueries {
     // binary table is synthesized in-memory); parser-vs-declared-dims
     // equality asserted per format in MediaSpec.
     "q63_media_meta" -> ((s, dir) =>
-      Multimodal.parseMeta(Multimodal.syntheticMedia(s, 200)))
+      Multimodal.parseMeta(Multimodal.syntheticMedia(s, 200))),
+
+    // Embedding L2 norms + unit-scaled first component, oracle-checked
+    // BIT-EXACT: the HOF fold accumulates x² in index order from 0.0 —
+    // the identical chain DuckDB's list_inner_product(v,v) walks (the
+    // q30 parity already pins that) — and IEEE sqrt is CORRECTLY ROUNDED
+    // by the standard (unlike ln/pow), so even the square root crosses
+    // engines exactly. Shuffle-free per-row scan; the norm is the
+    // prerequisite every cosine/IP index build computes first at scale.
+    "q108_l2norm" -> ((s, dir) => {
+      val ss = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      table(s, dir, "embeddings")
+        .select(col("vec_id"), size(col("embedding")).as("dim"),
+          sqrt(ss).as("l2_norm"),
+          when(sqrt(ss) === 0.0, lit(0.0))
+            .otherwise(element_at(col("embedding"), 1).cast("double") / sqrt(ss))
+            .as("first_unit"))
+    })
   )
 
   /** Composed cosine with the exact op tree of HashKernels.cosineFF. */
@@ -213,6 +231,18 @@ object SimilarityQueries {
          |    ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY ${cosSql("cv", "qv")} DESC, neighbor_id ASC) AS rank
          |  FROM c CROSS JOIN q)
-         |WHERE rank <= $K""".stripMargin
+         |WHERE rank <= $K""".stripMargin,
+
+    // Same index-order Σx² chain and the correctly-rounded IEEE sqrt.
+    "q108_l2norm" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding, CAST(embedding AS DOUBLE[]) AS dv
+        |  FROM embeddings)
+        |SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  sqrt(list_inner_product(dv, dv)) AS l2_norm,
+        |  CASE WHEN sqrt(list_inner_product(dv, dv)) = 0.0 THEN 0.0
+        |       ELSE CAST(embedding[1] AS DOUBLE)
+        |            / sqrt(list_inner_product(dv, dv)) END AS first_unit
+        |FROM v""".stripMargin
   )
 }
