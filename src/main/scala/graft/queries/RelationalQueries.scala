@@ -552,8 +552,51 @@ object RelationalQueries {
       Seq("supplier", "lineitem", "orders", "customer", "nation")
         .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
       s.sql(sqlQ7)
+    }),
+
+    // Calendar battery: the per-event date derivations every partitioned
+    // lake layout keys on — epoch day and day-of-week via pure integer
+    // arithmetic (engine-proof by construction; 1970-01-01 is a
+    // Thursday), year/month/day-of-month via EXTRACT and the month
+    // bucket via date_trunc, both UTC proleptic-Gregorian in the two
+    // engines. Per-row codegen, shuffle-free.
+    "q109_calendar" -> ((s, dir) =>
+      graft.util.SparkUtil.events(s, dir)
+        .select(col("event_id"), col("ts"),
+          expr("ts_ns div 86400000000000").as("epoch_day"))
+        .select(col("event_id"), col("epoch_day"),
+          ((col("epoch_day") + 4) % 7).as("dow"),
+          (col("epoch_day") - ((col("epoch_day") + 3) % 7)).as("week_start_day"),
+          expr("CAST(EXTRACT(year FROM ts) AS BIGINT)").as("y"),
+          expr("CAST(EXTRACT(month FROM ts) AS BIGINT)").as("m"),
+          expr("CAST(EXTRACT(day FROM ts) AS BIGINT)").as("dom"),
+          date_trunc("month", col("ts")).cast("date").as("month_start"))),
+
+    // Bag-semantics set ops (INTERSECT ALL / EXCEPT ALL, §2.8's
+    // multiset completion beyond q72's DISTINCT forms): duplicates
+    // survive by multiplicity — the multiset difference of per-type
+    // user activity. Verbatim SQL text in both engines; Spark plans
+    // the ALL variants as aggregate+generate (count-and-replicate), no
+    // join explosion.
+    "q110_bag_setops" -> ((s, dir) => {
+      graft.util.SparkUtil.events(s, dir).createOrReplaceTempView("events")
+      s.sql(sqlBagSetOps)
     })
   )
+
+  /** q110: identical text in Spark and DuckDB. `clicks EXCEPT ALL views`
+    * keeps each user once per surplus click; INTERSECT ALL keeps the
+    * overlap multiplicity. A constant tag separates the two branches. */
+  private val sqlBagSetOps: String =
+    """SELECT 'surplus' AS part, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  EXCEPT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'view')
+      |UNION ALL
+      |SELECT 'overlap' AS part, user_id FROM (
+      |  SELECT user_id FROM events WHERE event_type = 'click'
+      |  INTERSECT ALL
+      |  SELECT user_id FROM events WHERE event_type = 'view')""".stripMargin
 
   /** q97's leading constant α₂₅₆·m²·2⁵², m = 256: folded to ONE double
     * here and embedded verbatim (exact decimal form) in the oracle SQL,
@@ -1002,6 +1045,24 @@ object RelationalQueries {
         |FROM tgt FULL JOIN src USING (doc_id)
         |WHERE del IS NULL OR NOT del""".stripMargin,
 
-    "q106_tpch7" -> sqlQ7
+    "q106_tpch7" -> sqlQ7,
+
+    // Integer day/dow arithmetic plus EXTRACT/date_trunc — the oracle
+    // mirrors the micro-precision view of the nano timestamps.
+    "q109_calendar" ->
+      """WITH e AS (
+        |  SELECT event_id, make_timestamp(epoch_ns(ts) // 1000) AS ts,
+        |         epoch_ns(ts) // 86400000000000 AS epoch_day
+        |  FROM events)
+        |SELECT event_id, epoch_day,
+        |  (epoch_day + 4) % 7 AS dow,
+        |  epoch_day - ((epoch_day + 3) % 7) AS week_start_day,
+        |  CAST(EXTRACT(year FROM ts) AS BIGINT) AS y,
+        |  CAST(EXTRACT(month FROM ts) AS BIGINT) AS m,
+        |  CAST(EXTRACT(day FROM ts) AS BIGINT) AS dom,
+        |  CAST(date_trunc('month', ts) AS DATE) AS month_start
+        |FROM e""".stripMargin,
+
+    "q110_bag_setops" -> sqlBagSetOps
   )
 }
