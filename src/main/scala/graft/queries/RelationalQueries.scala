@@ -581,8 +581,41 @@ object RelationalQueries {
     "q110_bag_setops" -> ((s, dir) => {
       graft.util.SparkUtil.events(s, dir).createOrReplaceTempView("events")
       s.sql(sqlBagSetOps)
+    }),
+
+    // Grouped mode / argmax without a ranking window: the most active
+    // user per event type through the bounded-heap top-k (k = 1) over
+    // per-(type, user) counts — count descending, user_id ascending on
+    // ties, exactly ROW_NUMBER's order (counts < 2⁵³ are exact doubles).
+    // Shuffled rows after the count: groups × 1.
+    "q111_top_user" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("event_type"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("n").cast("double"), col("user_id"), 1).as("t"))
+        .select(col("event_type"),
+          col("t")(0)("id").as("top_user"),
+          col("t")(0)("score").cast("long").as("n_events"))),
+
+    // Conditional aggregation via the SQL FILTER clause (verbatim text
+    // in both engines) — the idiomatic one-pass multi-predicate rollup;
+    // integer counts and sums only, so parity is exact.
+    "q112_filter_agg" -> ((s, dir) => {
+      graft.util.SparkUtil.events(s, dir).createOrReplaceTempView("events")
+      s.sql(sqlFilterAgg)
     })
   )
+
+  /** q112: identical text in Spark and DuckDB. */
+  private val sqlFilterAgg: String =
+    """SELECT event_type,
+      |  COUNT(*) AS n_all,
+      |  COUNT(*) FILTER (WHERE value > 50.0) AS n_hi,
+      |  COUNT(DISTINCT user_id) FILTER (WHERE value > 50.0) AS n_hi_users,
+      |  CAST(SUM(CASE WHEN value > 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_hi_case
+      |FROM events GROUP BY event_type""".stripMargin
 
   /** q110: identical text in Spark and DuckDB. `clicks EXCEPT ALL views`
     * keeps each user once per surplus click; INTERSECT ALL keeps the
@@ -1063,6 +1096,19 @@ object RelationalQueries {
         |  CAST(date_trunc('month', ts) AS DATE) AS month_start
         |FROM e""".stripMargin,
 
-    "q110_bag_setops" -> sqlBagSetOps
+    "q110_bag_setops" -> sqlBagSetOps,
+
+    // ROW_NUMBER mirrors the heap's (count desc, user asc) order.
+    "q111_top_user" ->
+      """SELECT event_type, user_id AS top_user, CAST(n AS BIGINT) AS n_events
+        |FROM (
+        |  SELECT event_type, user_id, n,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type
+        |                       ORDER BY n DESC, user_id ASC) AS rn
+        |  FROM (SELECT event_type, user_id, COUNT(1) AS n
+        |        FROM events GROUP BY event_type, user_id))
+        |WHERE rn = 1""".stripMargin,
+
+    "q112_filter_agg" -> sqlFilterAgg
   )
 }
