@@ -537,6 +537,30 @@ object TextQueries {
         .select(posexplode(col("topk")).as(Seq("pos", "t")))
         .select(col("t.id").as("doc_id"), col("t.score").as("score"),
           (col("pos") + 1).as("rnk"))
+    }),
+
+    // WEIGHTED median (the byte-budget split point): per source, the
+    // document length at which half the corpus CHARACTERS sit at or
+    // below — the order statistic that sizes a storage/compute split,
+    // where the plain median answers a different question. The running
+    // weight comes from the salted two-phase Packing.groupedCumSum (no
+    // per-source window anywhere); the split row is the minimum
+    // (n_chars, doc_id) in the qualifying suffix — one struct-min
+    // aggregate, integer arithmetic end to end.
+    "q113_weighted_median" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("n_chars"), col("doc_id"))
+      val cum = graft.operators.Packing.groupedCumSum(
+        docs, "source", Seq("n_chars", "doc_id"), "n_chars", "cum")
+      val tot = docs.groupBy(col("source"))
+        .agg(sum(col("n_chars")).as("total"))
+      cum.join(broadcast(tot), "source")
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy(col("source"))
+        .agg(max(col("total")).as("total_chars"),
+          min(struct(col("n_chars"), col("doc_id"))).as("m"))
+        .select(col("source"), col("total_chars"),
+          col("m.n_chars").as("split_len"), col("m.doc_id").as("split_doc"))
     })
   )
 
@@ -935,7 +959,25 @@ object TextQueries {
          |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
          |  FROM sc)
          |WHERE rn <= 10""".stripMargin
-    }
+    },
+
+    // The oracle's per-source window is fine single-node; the Spark
+    // side's running weight is the salted two-phase cumsum.
+    "q113_weighted_median" ->
+      """WITH c AS (
+        |  SELECT source, n_chars, doc_id,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY n_chars, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(n_chars) OVER (PARTITION BY source) AS total
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, n_chars, doc_id, total,
+        |    ROW_NUMBER() OVER (PARTITION BY source
+        |                       ORDER BY n_chars, doc_id) AS rn
+        |  FROM c WHERE cum * 2 >= total)
+        |SELECT source, CAST(total AS BIGINT) AS total_chars,
+        |  n_chars AS split_len, doc_id AS split_doc
+        |FROM q WHERE rn = 1""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
