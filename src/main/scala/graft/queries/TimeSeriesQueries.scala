@@ -107,7 +107,57 @@ object TimeSeriesQueries {
       TimeSeriesOps.exactQuantiles(
         graft.util.SparkUtil.table(s, dir, "documents"),
         "source", "n_chars", "doc_id",
-        Seq(0.25, 0.5, 0.75), materializeInput = false))
+        Seq(0.25, 0.5, 0.75), materializeInput = false)),
+
+    // Exact Pearson correlation of a metric against time (per-stream
+    // drift detection): the five sums are exact — built-in corr()
+    // accumulates doubles in shuffle order and can't cross-engine-match
+    // — then one fixed IEEE op sequence (± × ÷ and the correctly-
+    // rounded sqrt) derives covariance and r. Pearson r is invariant to
+    // affine transforms of either axis, so the time operand is HOURS
+    // SINCE THE STREAM'S FIRST EVENT — rebasing keeps every sum (Σh,
+    // Σh², Σxh) small enough that its decimal/int → double cast is
+    // value-exact in BOTH engines. Raw epoch seconds would not be:
+    // Σt² ≈ 6·10²⁰ needs an int128→double conversion that DuckDB gets
+    // wrong by 1 ulp (measured; Spark's BigDecimal path rounds
+    // correctly), and a 1-ulp input flips the cancellation-heavy
+    // variance. Zero-variance guard to 0.0, the reference's σ=0 policy.
+    "q114_time_corr" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      val HI = org.apache.spark.sql.types.DecimalType(9, 0)
+      val SQ = org.apache.spark.sql.types.DecimalType(38, 12)
+      // deterministic decimal→double: integer and fractional parts are
+      // each value-exact as doubles (raw < 2⁵³), and the one IEEE add is
+      // the same op in both engines — DuckDB's native int128-decimal
+      // cast is 1-ulp wrong for some large-raw values (measured on Σx²),
+      // while Spark's BigDecimal path rounds correctly; splitting makes
+      // the conversion engine-independent instead of betting on either
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val ev = graft.util.SparkUtil.events(s, dir)
+        .select(col("event_type"), col("value").as("x"),
+          expr("ts_ns div 1000000000").as("t"))
+      val t0 = ev.groupBy(col("event_type")).agg(min(col("t")).as("t0"))
+      val agg = ev.join(t0, "event_type")
+        .select(col("event_type"), col("x"),
+          expr("(t - t0) div 3600").as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d2(sum(col("x").cast(XI))).as("sx"),
+          sum(col("h")).cast("double").as("sh"),
+          d2(sum(col("x").cast(XI) * col("h").cast(HI))).as("sxh"),
+          d2(sum((col("x").cast(XI) * col("x").cast(XI)).cast(SQ))).as("sxx"),
+          sum(col("h") * col("h")).cast("double").as("shh"))
+      val num = col("sxh") - col("sx") * col("sh") / col("n")
+      val vx = col("sxx") - col("sx") * col("sx") / col("n")
+      val vh = col("shh") - col("sh") * col("sh") / col("n")
+      agg.select(col("event_type"), col("n").cast("long").as("n"),
+        (num / col("n")).as("cov_per_hour"),
+        when(vx <= 0.0 || vh <= 0.0, lit(0.0))
+          .otherwise(num / (sqrt(vx) * sqrt(vh))).as("corr"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -214,6 +264,39 @@ object TimeSeriesQueries {
         |  FROM documents),
         |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
         |SELECT source, q, CAST(n AS BIGINT) AS n, v AS value
-        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
+
+    // Hours since the stream's first event + split-cast decimal sums
+    // (floor part + fraction part, one IEEE add) keep every →double
+    // conversion engine-independent; the same final IEEE op sequence.
+    "q114_time_corr" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sx = "SUM(CAST(x AS DECIMAL(18,6)))"
+      val sxh = "SUM(CAST(x AS DECIMAL(18,6)) * CAST(h AS DECIMAL(9,0)))"
+      val sxx = "SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      s"""WITH e0 AS (
+         |  SELECT event_type, value AS x, epoch_ns(ts) // 1000000000 AS t
+         |  FROM events),
+         |m AS (SELECT event_type, MIN(t) AS t0 FROM e0 GROUP BY event_type),
+         |e AS (
+         |  SELECT e0.event_type, x, (t - t0) // 3600 AS h
+         |  FROM e0 JOIN m ON e0.event_type = m.event_type),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(1) AS DOUBLE) AS n,
+         |    ${d2(sx)} AS sx,
+         |    CAST(SUM(h) AS DOUBLE) AS sh,
+         |    ${d2(sxh)} AS sxh,
+         |    ${d2(sxx)} AS sxx,
+         |    CAST(SUM(h * h) AS DOUBLE) AS shh
+         |  FROM e GROUP BY event_type)
+         |SELECT event_type, CAST(n AS BIGINT) AS n,
+         |  (sxh - sx * sh / n) / n AS cov_per_hour,
+         |  CASE WHEN sxx - sx * sx / n <= 0.0 OR shh - sh * sh / n <= 0.0
+         |       THEN 0.0
+         |       ELSE (sxh - sx * sh / n)
+         |            / (sqrt(sxx - sx * sx / n) * sqrt(shh - sh * sh / n)) END AS corr
+         |FROM a""".stripMargin
+    }
   )
 }
