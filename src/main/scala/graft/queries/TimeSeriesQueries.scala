@@ -157,7 +157,21 @@ object TimeSeriesQueries {
         (num / col("n")).as("cov_per_hour"),
         when(vx <= 0.0 || vh <= 0.0, lit(0.0))
           .otherwise(num / (sqrt(vx) * sqrt(vh))).as("corr"))
-    })
+    }),
+
+    // Approximate quantiles as EXACT-ON-A-DETERMINISTIC-SAMPLE: the
+    // md5-bucket sample (layout/retry/engine-invariant, unlike
+    // df.sample's per-partition RNG) bounds the selection's cost at any
+    // corpus size, and the quartiles OF THE SAMPLE are then computed
+    // exactly — so the estimator itself is reproducible bit-for-bit,
+    // which no RNG-seeded or sketch-state estimator can claim. 64/256
+    // ≈ 25% here; at 100 TB the fraction is the accuracy/cost dial.
+    "q115_sampled_quartiles" -> ((s, dir) =>
+      TimeSeriesOps.exactQuantiles(
+        graft.operators.Sampling.hashSample(
+          ticks(s, dir), col("event_id"), 64),
+        "symbol", "price", "event_id",
+        Seq(0.25, 0.5, 0.75), materializeInput = false))
   )
 
   def oracles: Map[String, String] = Map(
@@ -297,6 +311,20 @@ object TimeSeriesQueries {
          |       ELSE (sxh - sx * sh / n)
          |            / (sqrt(sxx - sx * sx / n) * sqrt(shh - sh * sh / n)) END AS corr
          |FROM a""".stripMargin
-    }
+    },
+
+    // The identical md5-bucket keep predicate, then q100's rank oracle
+    // over the surviving rows.
+    "q115_sampled_quartiles" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, value AS v, event_id AS t,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events
+        |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'),
+        |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
   )
 }

@@ -166,6 +166,15 @@ class DedupSpec extends SparkSpec {
     val fastGot = Dedup.duplicateClusters(chain, maxIter = 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(fastGot == got)
+    // probe boundary: the symmetric edge table holds 2×39 rows; a limit
+    // exactly at that size stays on the driver, one below must fall back
+    // to the distributed rounds (and, with the tiny budget, throw)
+    val atLimit = Dedup.duplicateClusters(chain, maxIter = 2, driverLimit = 78)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(atLimit == got)
+    assertThrows[IllegalStateException] {
+      Dedup.duplicateClusters(chain, maxIter = 2, driverLimit = 77).count()
+    }
   }
 
   test("duplicateClustersStars: matches label propagation on chains, blobs, and the minhash graph") {
