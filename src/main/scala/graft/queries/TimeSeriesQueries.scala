@@ -159,6 +159,43 @@ object TimeSeriesQueries {
           .otherwise(num / (sqrt(vx) * sqrt(vh))).as("corr"))
     }),
 
+    // Per-stream OLS trend line (slope per hour + intercept): the SQL
+    // standard's regr_slope/regr_intercept, which both engines implement
+    // as order-dependent double accumulation — re-derived here from the
+    // q114 exact-sum discipline (same rebased-hours operand, same split
+    // decimal→double casts) so the fitted line reproduces bit-for-bit.
+    // Constant-time streams guard to slope 0 through the mean.
+    "q116_trend_line" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      val HI = org.apache.spark.sql.types.DecimalType(9, 0)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val ev = graft.util.SparkUtil.events(s, dir)
+        .select(col("event_type"), col("value").as("x"),
+          expr("ts_ns div 1000000000").as("t"))
+      val t0 = ev.groupBy(col("event_type")).agg(min(col("t")).as("t0"))
+      val agg = ev.join(t0, "event_type")
+        .select(col("event_type"), col("x"),
+          expr("(t - t0) div 3600").as("h"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d2(sum(col("x").cast(XI))).as("sx"),
+          sum(col("h")).cast("double").as("sh"),
+          d2(sum(col("x").cast(XI) * col("h").cast(HI))).as("sxh"),
+          sum(col("h") * col("h")).cast("double").as("shh"))
+      val num = col("sxh") - col("sx") * col("sh") / col("n")
+      val vh = col("shh") - col("sh") * col("sh") / col("n")
+      agg
+        .withColumn("slope",
+          when(vh <= 0.0, lit(0.0)).otherwise(num / vh))
+        .select(col("event_type"), col("n").cast("long").as("n"),
+          col("slope"),
+          (col("sx") / col("n") - col("slope") * (col("sh") / col("n")))
+            .as("intercept"))
+    }),
+
     // Approximate quantiles as EXACT-ON-A-DETERMINISTIC-SAMPLE: the
     // md5-bucket sample (layout/retry/engine-invariant, unlike
     // df.sample's per-partition RNG) bounds the selection's cost at any
@@ -311,6 +348,37 @@ object TimeSeriesQueries {
          |       ELSE (sxh - sx * sh / n)
          |            / (sqrt(sxx - sx * sx / n) * sqrt(shh - sh * sh / n)) END AS corr
          |FROM a""".stripMargin
+    },
+
+    // The q114 sum discipline; slope resolved in a nested select so the
+    // intercept reads the identical rounded value.
+    "q116_trend_line" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sx = "SUM(CAST(x AS DECIMAL(18,6)))"
+      val sxh = "SUM(CAST(x AS DECIMAL(18,6)) * CAST(h AS DECIMAL(9,0)))"
+      s"""WITH e0 AS (
+         |  SELECT event_type, value AS x, epoch_ns(ts) // 1000000000 AS t
+         |  FROM events),
+         |m AS (SELECT event_type, MIN(t) AS t0 FROM e0 GROUP BY event_type),
+         |e AS (
+         |  SELECT e0.event_type, x, (t - t0) // 3600 AS h
+         |  FROM e0 JOIN m ON e0.event_type = m.event_type),
+         |a AS (
+         |  SELECT event_type, CAST(COUNT(1) AS DOUBLE) AS n,
+         |    ${d2(sx)} AS sx,
+         |    CAST(SUM(h) AS DOUBLE) AS sh,
+         |    ${d2(sxh)} AS sxh,
+         |    CAST(SUM(h * h) AS DOUBLE) AS shh
+         |  FROM e GROUP BY event_type),
+         |b AS (
+         |  SELECT event_type, n, sx, sh,
+         |    CASE WHEN shh - sh * sh / n <= 0.0 THEN 0.0
+         |         ELSE (sxh - sx * sh / n) / (shh - sh * sh / n) END AS slope
+         |  FROM a)
+         |SELECT event_type, CAST(n AS BIGINT) AS n, slope,
+         |  sx / n - slope * (sh / n) AS intercept
+         |FROM b""".stripMargin
     },
 
     // The identical md5-bucket keep predicate, then q100's rank oracle
