@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Scale-safe per-group running sums for sequence packing.
   *
@@ -18,10 +19,18 @@ import org.apache.spark.sql.functions._
   *      groups × buckets, each task sorts ~1/buckets of a language;
   *   3. aggregate one total per (group, bucket) — a tiny map-side
   *      combined shuffle;
-  *   4. turn totals into running offsets per group on the driver
-  *      (≤ groups × buckets rows — bounded driver state, like IVF
-  *      centroids) and broadcast them back;
-  *   5. cum = bucket offset + local running sum.
+  *   4. turn totals into running offsets per group WITHOUT the driver
+  *      ever seeing them: collect_list the ≤ `buckets` (bucket, total)
+  *      pairs of each group into one array (bounded executor-side state,
+  *      ~16 KB) and fold it into exclusive prefix sums with a single
+  *      `aggregate()` higher-order function — no window (a window here
+  *      would be partitioned by the group alone, the exact funnel shape
+  *      this operator exists to avoid, even if harmless on ≤1024 rows),
+  *      and no `.collect()` (a per-user or per-doc group domain at
+  *      100 TB would OOM the driver);
+  *   5. join the offsets back on (group, bucket) — AQE broadcasts the
+  *      offset table when small and shuffle-joins it at high group
+  *      cardinality — and cum = bucket offset + local running sum.
   *
   * Every step is a pure function of row content, so retries and AQE
   * re-plans reproduce identical sums. This is the same two-phase
@@ -46,7 +55,8 @@ object Packing {
       orderCols: Seq[String],
       tokCol: String,
       cumName: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024,
+      storage: Option[StorageLevel] = None): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
     val spark = df.sparkSession
     val ord = orderCols.head
@@ -56,7 +66,16 @@ object Packing {
     // materialize once and let every pass read the cached blocks.
     // Determinism does not depend on the cache (every step is content-
     // pure); only cost does.
-    val in = df.localCheckpoint(true)
+    // `storage`: the default (None → Spark's MEMORY_AND_DISK local
+    // checkpoint) pins blocks in executor memory first — right up to the
+    // point the multi-pass input no longer fits the cluster's RAM. Pass
+    // Some(StorageLevel.DISK_ONLY) for inputs at that scale: same
+    // bit-identical result (spec-pinned), blocks stream from local disk
+    // instead of competing with the shuffle for memory.
+    val in = storage match {
+      case Some(level) => df.localCheckpoint(true, level)
+      case None => df.localCheckpoint(true)
+    }
     val bounds = in.agg(
       min(col(ord).cast("long")), max(col(ord).cast("long"))).head()
     val (mn, width) =
@@ -83,25 +102,31 @@ object Packing {
     val totals = bucketed
       .groupBy(col(group), col("__pb"))
       .agg(sum(col(tokCol)).cast("long").as("__t"))
-      .collect()
-    val offsets = totals
-      .groupBy(_.get(0))
-      .iterator.flatMap { case (_, rows) =>
-        val sorted = rows.sortBy(_.getInt(1))
-        sorted.zip(sorted.map(_.getLong(2)).scanLeft(0L)(_ + _))
-          .map { case (r, off) => org.apache.spark.sql.Row(r.get(0), r.getInt(1), off) }
-      }.toSeq
-    val offSchema = org.apache.spark.sql.types.StructType(Seq(
-      df.schema(group).copy(name = group),
-      org.apache.spark.sql.types.StructField("__pb", org.apache.spark.sql.types.IntegerType),
-      org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType)))
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(offsets, 1), offSchema)
+    // exclusive per-group prefix sums over the ≤ `buckets` totals of each
+    // group, folded inside ONE aggregate call: sort_array orders the
+    // (bucket, total) structs by bucket index, aggregate() walks them with
+    // a (running sum, emitted offsets) accumulator. Distributed end to
+    // end — the driver never materializes a row of this table.
+    val offDf = totals
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(struct(col("__pb"), col("__t")))).as("__bt"))
+      .select(col(group).as("__og"), explode(expr(
+        """aggregate(
+             __bt,
+             struct(cast(0 as bigint) as acc,
+                    cast(array() as array<struct<b:int, off:bigint>>) as out),
+             (s, x) -> named_struct(
+               'acc', s.acc + x.__t,
+               'out', array_append(s.out, named_struct('b', x.__pb, 'off', s.acc))),
+             s -> s.out)""")).as("__o"))
+      .select(col("__og"), col("__o.b").as("__opb"), col("__o.off").as("__off"))
     // <=> on the group: a null group is a legal window partition in the
-    // form this replaces — plain equality would silently drop its rows
-    local.join(broadcast(offDf),
-        local(group) <=> offDf(group) && local("__pb") === offDf("__pb"))
-      .drop(offDf(group)).drop(offDf("__pb"))
+    // form this replaces — plain equality would silently drop its rows.
+    // The offset side's keys are renamed (__og/__opb) so the self-join
+    // can never resolve both sides to one attribute.
+    local.join(offDf,
+        local(group) <=> offDf("__og") && local("__pb") === offDf("__opb"))
+      .drop("__og", "__opb")
       .withColumn(cumName, col("__off") + col("__lc"))
       .select(df.columns.map(col) :+ col(cumName): _*)
   }
@@ -124,13 +149,15 @@ object Packing {
       qualityCol: String,
       tieCol: String,
       tokCol: String,
-      budget: Long): DataFrame = {
+      budget: Long,
+      storage: Option[StorageLevel] = None): DataFrame = {
     // -round(q * 1e6): integer, ascending == quality descending; 1e-6
     // quality granularity is far below any meaningful score difference,
     // and remaining ties are broken by tieCol inside the bucket
     val ordered = df.withColumn("__negq",
       -floor(col(qualityCol) * 1e6).cast("long"))
-    groupedCumSum(ordered, group, Seq("__negq", tieCol), tokCol, "__cum")
+    groupedCumSum(ordered, group, Seq("__negq", tieCol), tokCol, "__cum",
+        storage = storage)
       .filter(col("__cum") - col(tokCol) < budget)
       .drop("__negq", "__cum")
   }

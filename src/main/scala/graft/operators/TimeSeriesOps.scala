@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import graft.functions.ExactAgg
 
@@ -75,15 +76,26 @@ object TimeSeriesOps {
     *      k1 = ⌊(n+1)/2⌋ and k2 = ⌊n/2⌋+1;
     *   2. bucket-count rounds: split each group's candidate value range
     *      into `buckets` equal sub-ranges, count rows per (group, bucket)
-    *      (a tiny map-side-combined aggregate, ≤ groups × buckets rows to
-    *      the driver), locate the buckets holding k1/k2, and narrow the
-    *      candidate range to them — each round divides the candidate set
-    *      by ~buckets, so a 10¹²-row group resolves in 2-3 scans with
-    *      pushed-down filters and NO sort;
+    *      (a tiny map-side-combined aggregate), locate the buckets
+    *      holding k1/k2, and narrow the candidate range to them — each
+    *      round divides the candidate set by ~buckets, so a 10¹²-row
+    *      group resolves in 2-3 scans with pushed-down filters and NO
+    *      sort;
     *   3. final resolve: rank only the ≤ `resolveLimit` surviving rows
     *      with a window (partitioned by group, input bounded) offset by
     *      the count of rows excluded below, and average the one or two
     *      middle rows.
+    *
+    * ALL per-group selection state (range, offset, remaining count) lives
+    * in a distributed state table joined against the data each round —
+    * the driver never materializes a per-group row, so group cardinality
+    * is unbounded (a per-user or per-doc grouping at 100 TB works). The
+    * bucket walk that locates k1/k2 folds each group's ≤ `buckets`
+    * (bucket, count) cells inside one `aggregate()` higher-order function
+    * (bounded executor-side state, no window, no sort); the driver reads
+    * exactly ONE aggregate row per round to decide loop termination. AQE
+    * broadcasts the state-table joins when the group domain is small and
+    * shuffle-joins them when it is huge.
     *
     * Bucket membership IS the predicate (the same floor expression
     * filters and counts), so float rounding can never make the offset
@@ -98,7 +110,9 @@ object TimeSeriesOps {
     * pass must see identical rows. Pass false when the upstream is a
     * deterministic bare scan or broadcast-join projection: re-reading a
     * column-pruned parquet scan 2-3 times is cheaper than writing the
-    * whole projection to block storage first, at any scale.
+    * whole projection to block storage first, at any scale. `storage`
+    * picks the materialization level — Some(DISK_ONLY) for inputs
+    * bigger than cluster RAM (identical results, spec-pinned).
     * Output one row per group: (groupCol, n, median). */
   def exactMedian(
       df: DataFrame,
@@ -107,141 +121,120 @@ object TimeSeriesOps {
       tieCol: String,
       buckets: Int = 4096,
       resolveLimit: Long = 4096,
-      materializeInput: Boolean = true): DataFrame = {
-    val spark = df.sparkSession
-    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
+      materializeInput: Boolean = true,
+      storage: Option[StorageLevel] = None): DataFrame = {
     // the stats pass, every bucket-count round, and the final resolve all
     // re-read this projection; materialize it once (unless the caller
     // says the upstream is a cheap deterministic scan) so an expensive
     // upstream (a derived tick table) isn't recomputed per round
     val proj = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    val base = if (materializeInput) proj.localCheckpoint(true) else proj
-    val stats = base.groupBy(col("g"))
+    val base =
+      if (!materializeInput) proj
+      else storage match {
+        case Some(level) => proj.localCheckpoint(true, level)
+        case None => proj.localCheckpoint(true)
+      }
+    // per-group selection state — DISTRIBUTED: candidate range [lo, hi],
+    // rows excluded below it (off), rows remaining inside it (rem), and
+    // the two median ranks. One row per group; checkpointed each round
+    // (tiny) so lineage stays bounded and joins read materialized blocks.
+    val stats0 = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .collect()
-    // per-group driver state: candidate range, rows excluded below it,
-    // rows remaining inside it. groups × a few fields — bounded like the
-    // IVF centroid pull, not proportional to row count.
-    final case class St(g: Any, n: Long, var lo: Double, var hi: Double,
-        var off: Long, var rem: Long) {
-      val k1: Long = (n + 1) / 2
-      val k2: Long = n / 2 + 1
-    }
-    val (trivial, active0) = stats
-      .map(r => St(r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3), 0L, r.getLong(1)))
-      .partition(s => s.lo == s.hi)
-    var active = active0
+      .withColumn("k1", expr("(n + 1) div 2"))
+      .withColumn("k2", expr("(n div 2) + 1"))
+      .withColumn("off", lit(0L))
+      .withColumn("rem", col("n"))
+      .localCheckpoint(true)
+    // single-valued groups need no selection at all
+    val trivial = stats0.filter(col("lo") === col("hi"))
+      .select(col("g"), col("n"), col("lo").as("median"))
+    var state = stats0.filter(col("lo") =!= col("hi"))
     var candidate = base
     val idx = least(lit(buckets - 1), greatest(lit(0),
       floor((col("v") - col("lo")) * buckets / (col("hi") - col("lo"))).cast("int")))
+    // the walk over a group's ≤ `buckets` (bucket, count) cells, folded
+    // executor-side: bucket holding k1 (bl) with the cumulative count
+    // before it (below), bucket holding k2 (bh) with the cumulative count
+    // through it (ie) — so the narrowed remainder is ie - below
+    val walkExpr = expr(
+      """aggregate(
+           cells,
+           named_struct('cum', off, 'bl', -1, 'below', off,
+                        'bh', -1, 'ie', cast(0 as bigint)),
+           (s, x) -> named_struct(
+             'cum', s.cum + x.c,
+             'bl', if(s.bl >= 0, s.bl, if(s.cum + x.c >= k1, x.b, -1)),
+             'below', if(s.bl >= 0, s.below, if(s.cum + x.c >= k1, s.cum, s.below)),
+             'bh', if(s.bh >= 0, s.bh, if(s.cum + x.c >= k2, x.b, -1)),
+             'ie', if(s.bh >= 0, s.ie, if(s.cum + x.c >= k2, s.cum + x.c, s.ie))))""")
+    // ok := the walk located both ranks (always true when counts cover the
+    // group; the guard keeps a group's state unchanged — no progress — in
+    // the defensive can't-happen case, exactly like the driver loop did)
+    val ok = col("bl").isNotNull && col("bl") >= 0 && col("bh") >= 0
     var rounds = 0
-    while (active.exists(_.rem > resolveLimit) && rounds < 16) {
+    var cont = {
+      val m = state.agg(max(col("rem"))).head()
+      !m.isNullAt(0) && m.getLong(0) > resolveLimit
+    }
+    while (cont && rounds < 16) {
       rounds += 1
-      val ranges = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          active.toSeq.map(s => Row(s.g, s.lo, s.hi)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("g", gType),
-          org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType))))
+      val stateR = state.withColumnRenamed("g", "sg")
       // <=> join: a null group is a legal partition (the window form it
-      // replaced kept it); Seq("g") equality would silently drop it
-      val counts = candidate.join(broadcast(ranges),
-          candidate("g") <=> ranges("g")).drop(ranges("g"))
+      // replaced kept it); plain equality would silently drop it
+      val counts = candidate.join(stateR, candidate("g") <=> stateR("sg"))
         .groupBy(col("g"), idx.as("b")).agg(count(lit(1)).as("c"))
-        .collect()
-        .groupBy(_.get(0))
-        .map { case (g, rows) =>
-          g -> rows.map(r => (r.getInt(1), r.getLong(2))).sortBy(_._1).toSeq }
-      var progressed = false
-      val chosen = active.map { s =>
-        val bs = counts.getOrElse(s.g, Seq.empty[(Int, Long)])
-        // cumulative walk: bucket holding k1, bucket holding k2
-        var cum = s.off
-        var bl = -1; var bh = -1; var below = s.off; var inside = 0L
-        bs.foreach { case (b, c) =>
-          if (bl < 0 && cum + c >= s.k1) { bl = b; below = cum }
-          if (bh < 0 && cum + c >= s.k2) bh = b
-          if (bl >= 0 && (bh < 0 || b <= bh)) inside += (if (b >= bl) c else 0L)
-          cum += c
-        }
-        if (bl < 0) {
-          // no counts came back for this group (defensive: should be
-          // unreachable while rem > 0) — keep its state, make no progress
-          (s, 0, buckets - 1, s.lo, s.hi, s.off, s.rem)
-        } else {
-          val w = (s.hi - s.lo) / buckets
-          val nLo = s.lo + bl * w
-          val nHi = if (bh >= buckets - 1) s.hi else s.lo + (bh + 1) * w
-          if (inside < s.rem) progressed = true
-          (s, bl, bh, nLo, nHi, below, inside)
-        }
-      }
+      val cells = counts.groupBy(col("g"))
+        .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("cells"))
+        .withColumnRenamed("g", "cg")
+      // one candidate scan per round happens HERE (eager checkpoint of the
+      // tiny per-group round table); everything below reads its blocks
+      val round = stateR.join(cells, stateR("sg") <=> cells("cg"), "left")
+        .withColumn("wk", walkExpr)
+        .select(col("sg").as("g"), col("n"), col("k1"), col("k2"),
+          col("lo"), col("hi"), col("off"), col("rem"),
+          col("wk.bl").as("bl"), col("wk.bh").as("bh"),
+          col("wk.below").as("below"), col("wk.ie").as("ie"))
+        .localCheckpoint(true)
       // next round's candidate = rows whose bucket (under THIS round's
-      // ranges) is within [bl, bh] — the exact rows `inside` counted
-      val sel = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          chosen.toSeq.map { case (s, bl, bh, _, _, _, _) => Row(s.g, s.lo, s.hi, bl, bh) }, 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("g", gType),
-          org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.DoubleType),
-          org.apache.spark.sql.types.StructField("bl", org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("bh", org.apache.spark.sql.types.IntegerType))))
-      candidate = candidate.join(broadcast(sel), candidate("g") <=> sel("g"))
-        .drop(sel("g"))
+      // ranges) is within [bl, bh] — the exact rows `ie - below` counted
+      val sel = round.select(col("g").as("sg"), col("lo"), col("hi"),
+        when(ok, col("bl")).otherwise(lit(0)).as("bl"),
+        when(ok, col("bh")).otherwise(lit(buckets - 1)).as("bh"))
+      candidate = candidate.join(sel, candidate("g") <=> sel("sg"))
         .filter(idx.between(col("bl"), col("bh")))
         .select(col("g"), col("v"), col("t"))
-      chosen.foreach { case (s, _, _, nLo, nHi, below, inside) =>
-        s.lo = nLo; s.hi = nHi; s.off = below; s.rem = inside
-      }
-      if (!progressed) rounds = 16 // width underflow: resolve what remains
+      // narrow each group's range to the located buckets (same IEEE op
+      // sequence the driver version used: w = (hi-lo)/buckets etc. —
+      // though the final answer never depends on range rounding, because
+      // the count and the filter share the one bucket-index expression)
+      val bw = (col("hi") - col("lo")) / buckets
+      state = round.select(col("g"), col("n"), col("k1"), col("k2"),
+        when(ok, col("lo") + col("bl") * bw).otherwise(col("lo")).as("lo"),
+        when(ok && col("bh") >= buckets - 1, col("hi"))
+          .when(ok, col("lo") + (col("bh") + 1) * bw)
+          .otherwise(col("hi")).as("hi"),
+        when(ok, col("below")).otherwise(col("off")).as("off"),
+        when(ok, col("ie") - col("below")).otherwise(col("rem")).as("rem"))
+      // ONE row to the driver per round: largest remainder + any-progress
+      val a = round.agg(
+        max(when(ok, col("ie") - col("below")).otherwise(col("rem"))).as("mx"),
+        max(when(ok && (col("ie") - col("below")) < col("rem"), 1)
+          .otherwise(0)).as("prog")).head()
+      cont = !a.isNullAt(0) && a.getLong(0) > resolveLimit && a.getInt(1) == 1
     }
-    val resolved = if (active.isEmpty) None else Some {
-      val ks = spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          active.toSeq.map(s => Row(s.g, s.n, s.off, s.k1, s.k2)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("g", gType),
-          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("off", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("k1", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("k2", org.apache.spark.sql.types.LongType))))
-      val wo = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
-      candidate.join(broadcast(ks), candidate("g") <=> ks("g")).drop(ks("g"))
-        .withColumn("rn", row_number().over(wo) + col("off"))
-        .filter(col("rn") === col("k1") || col("rn") === col("k2"))
-        .groupBy(col("g"))
-        .agg(max(col("n")).as("n"), (sum(col("v")) / count(lit(1))).as("median"))
-    }
-    val trivialDf = if (trivial.isEmpty) None else Some {
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          trivial.toSeq.map(s => Row(s.g, s.n, s.lo)), 1),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("g", gType),
-          org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("median", org.apache.spark.sql.types.DoubleType))))
-    }
-    val out = (resolved, trivialDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) => resolvedSchemaEmpty(spark, gType)
-    }
-    out.withColumnRenamed("g", groupCol)
+    // final resolve: rank the ≤ resolveLimit survivors per group, offset
+    // by the exact excluded-below count, pick ranks k1/k2 and average
+    val ks = state.select(col("g").as("sg"), col("n"),
+      col("off"), col("k1"), col("k2"))
+    val wo = Window.partitionBy(col("g")).orderBy(col("v"), col("t"))
+    val resolved = candidate.join(ks, candidate("g") <=> ks("sg"))
+      .withColumn("rn", row_number().over(wo) + col("off"))
+      .filter(col("rn") === col("k1") || col("rn") === col("k2"))
+      .groupBy(col("g"))
+      .agg(max(col("n")).as("n"), (sum(col("v")) / count(lit(1))).as("median"))
+    resolved.unionByName(trivial).withColumnRenamed("g", groupCol)
   }
-
-  private def resolvedSchemaEmpty(
-      spark: org.apache.spark.sql.SparkSession,
-      gType: org.apache.spark.sql.types.DataType): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[Row],
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("g", gType),
-        org.apache.spark.sql.types.StructField("n", org.apache.spark.sql.types.LongType),
-        org.apache.spark.sql.types.StructField("median", org.apache.spark.sql.types.DoubleType))))
 
   /** Robust outlier detection per symbol: modified z-score
     * 0.6745·(x − median)/MAD (Iglewicz–Hoaglin), with the reference
@@ -335,10 +328,13 @@ object TimeSeriesOps {
     * returned value is a row that EXISTS, and interpolating definitions
     * differ across engines). All quantiles narrow simultaneously: every
     * bucket-count round joins the (shrinking, (g,q)-tagged) candidate set
-    * against the broadcast per-(g,q) range table and counts (g,q,bucket)
-    * cells, so the scan cost is shared and the driver state stays
-    * groups × quantiles × a few fields. NO per-group sort ever happens —
-    * the final resolve ranks ≤ resolveLimit surviving rows per (g,q).
+    * against the per-(g,q) state table and counts (g,q,bucket) cells, so
+    * the scan cost is shared. Like [[exactMedian]], ALL per-(g,q) state
+    * is a distributed DataFrame (AQE broadcasts it when small); the
+    * bucket walk folds each (g,q)'s cells in one `aggregate()` call and
+    * the driver reads ONE aggregate row per round — group cardinality is
+    * unbounded. NO per-group sort ever happens — the final resolve ranks
+    * ≤ resolveLimit surviving rows per (g,q).
     *
     * Use dyadic quantiles (0.25, 0.5, 0.75, …) where bit-exact
     * cross-engine ranks matter: q·n is then an exact IEEE product, so
@@ -352,127 +348,111 @@ object TimeSeriesOps {
       qs: Seq[Double],
       buckets: Int = 4096,
       resolveLimit: Long = 4096,
-      materializeInput: Boolean = true): DataFrame = {
+      materializeInput: Boolean = true,
+      storage: Option[StorageLevel] = None): DataFrame = {
     require(qs.nonEmpty && qs.forall(q => q > 0.0 && q <= 1.0),
       s"quantiles must lie in (0, 1]: $qs")
     // a duplicated q would duplicate its (g, q) range row and double
     // every bucket count through the tag join — reject loudly
     require(qs.distinct.size == qs.size, s"duplicate quantiles: $qs")
-    val spark = df.sparkSession
-    val gType = df.schema(df.schema.fieldIndex(groupCol)).dataType
-    import org.apache.spark.sql.types._
     val proj = df.select(col(groupCol).as("g"),
       col(valueCol).cast("double").as("v"), col(tieCol).as("t"))
-    val base = if (materializeInput) proj.localCheckpoint(true) else proj
-    val stats = base.groupBy(col("g"))
+    val base =
+      if (!materializeInput) proj
+      else storage match {
+        case Some(level) => proj.localCheckpoint(true, level)
+        case None => proj.localCheckpoint(true)
+      }
+    // one distributed state row per (group, quantile): the group stats
+    // fan out to the requested quantiles in-plan (explode over a constant
+    // array); k = ceil(q*n) is exact for dyadic q (and deterministic
+    // either way — the product and ceil are single IEEE ops)
+    val stats0 = base.groupBy(col("g"))
       .agg(count(lit(1)).as("n"), min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .collect()
-    // one selection state per (group, quantile); k = ceil(q*n) is exact
-    // for dyadic q (and deterministic either way — computed once, here)
-    final case class St(g: Any, q: Double, n: Long, k: Long,
-        var lo: Double, var hi: Double, var off: Long, var rem: Long)
-    val all = stats.flatMap { r =>
-      val (g, n, lo, hi) = (r.get(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
-      qs.map(q => St(g, q, n, math.ceil(q * n).toLong max 1L, lo, hi, 0L, n))
-    }
-    val (trivial, active) = all.partition(s => s.lo == s.hi)
-    val stSchema = StructType(Seq(
-      StructField("sg", gType), StructField("sq", DoubleType),
-      StructField("lo", DoubleType), StructField("hi", DoubleType),
-      StructField("bl", IntegerType), StructField("bh", IntegerType)))
-    def selDf(rows: Seq[Row]) = broadcast(spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 1), stSchema))
+      .withColumn("q", explode(array(qs.map(lit(_)): _*)))
+      .withColumn("k", greatest(ceil(col("q") * col("n")), lit(1L)))
+      .withColumn("off", lit(0L))
+      .withColumn("rem", col("n"))
+      .localCheckpoint(true)
+    val trivial = stats0.filter(col("lo") === col("hi"))
+      .select(col("g"), col("q"), col("n"), col("lo").as("value"))
+    var state = stats0.filter(col("lo") =!= col("hi"))
     val idx = least(lit(buckets - 1), greatest(lit(0),
       floor((col("v") - col("lo")) * buckets / (col("hi") - col("lo"))).cast("int")))
+    // the per-(g,q) walk: bucket b0 holding rank k, cumulative count
+    // before it (below) and through it (ie); the narrowed remainder is
+    // ie - below = the count of that one bucket
+    val walkExpr = expr(
+      """aggregate(
+           cells,
+           named_struct('cum', off, 'b0', -1, 'below', off,
+                        'ie', cast(0 as bigint)),
+           (s, x) -> named_struct(
+             'cum', s.cum + x.c,
+             'b0', if(s.b0 >= 0, s.b0, if(s.cum + x.c >= k, x.b, -1)),
+             'below', if(s.b0 >= 0, s.below, if(s.cum + x.c >= k, s.cum, s.below)),
+             'ie', if(s.b0 >= 0, s.ie, if(s.cum + x.c >= k, s.cum + x.c, s.ie))))""")
+    val ok = col("b0").isNotNull && col("b0") >= 0
     // candidate carries its (g, q) tag from round 1 on; round 0 joins the
     // untagged base on g alone (fanning each row out to its quantiles)
     var candidate = base
     var tagged = false
+    def joinState(c: DataFrame, st: DataFrame): DataFrame =
+      if (tagged) c.join(st, c("g") <=> st("sg") && c("q") === st("sq"))
+      else c.join(st, c("g") <=> st("sg"))
     var rounds = 0
-    while (active.exists(_.rem > resolveLimit) && rounds < 16) {
+    var cont = {
+      val m = state.agg(max(col("rem"))).head()
+      !m.isNullAt(0) && m.getLong(0) > resolveLimit
+    }
+    while (cont && rounds < 16) {
       rounds += 1
-      val sel = selDf(active.toSeq.map(s =>
-        Row(s.g, s.q, s.lo, s.hi, 0, buckets - 1)))
-      val joined =
-        if (tagged)
-          candidate.join(sel,
-            candidate("g") <=> sel("sg") && candidate("q") === sel("sq"))
-        else candidate.join(sel, candidate("g") <=> sel("sg"))
-      val counts = joined
-        .groupBy(col("g"), col("sq").as("q"), idx.as("b"))
+      val stateR = state
+        .withColumnRenamed("g", "sg").withColumnRenamed("q", "sq")
+      val counts = joinState(candidate, stateR)
+        .groupBy(col("g"), col("sq").as("cq"), idx.as("b"))
         .agg(count(lit(1)).as("c"))
-        .collect()
-        .groupBy(r => (r.get(0), r.getDouble(1)))
-        .map { case (k, rows) =>
-          k -> rows.map(r => (r.getInt(2), r.getLong(3))).sortBy(_._1).toSeq }
-      var progressed = false
-      val chosen = active.map { s =>
-        val bs = counts.getOrElse((s.g, s.q), Seq.empty[(Int, Long)])
-        var cum = s.off
-        var b0 = -1; var below = s.off; var inside = 0L
-        bs.foreach { case (b, c) =>
-          if (b0 < 0 && cum + c >= s.k) { b0 = b; below = cum; inside = c }
-          cum += c
-        }
-        if (b0 < 0) (s, 0, buckets - 1, s.lo, s.hi, s.off, s.rem)
-        else {
-          val w = (s.hi - s.lo) / buckets
-          val nLo = s.lo + b0 * w
-          val nHi = if (b0 >= buckets - 1) s.hi else s.lo + (b0 + 1) * w
-          if (inside < s.rem) progressed = true
-          (s, b0, b0, nLo, nHi, below, inside)
-        }
-      }
-      val sel2 = selDf(chosen.toSeq.map { case (s, bl, bh, _, _, _, _) =>
-        Row(s.g, s.q, s.lo, s.hi, bl, bh) })
-      val joined2 =
-        if (tagged)
-          candidate.join(sel2,
-            candidate("g") <=> sel2("sg") && candidate("q") === sel2("sq"))
-        else candidate.join(sel2, candidate("g") <=> sel2("sg"))
-      candidate = joined2
+      val cells = counts.groupBy(col("g"), col("cq"))
+        .agg(sort_array(collect_list(struct(col("b"), col("c")))).as("cells"))
+        .withColumnRenamed("g", "cg")
+      // the one candidate scan of the round materializes here
+      val round = stateR.join(cells,
+          stateR("sg") <=> cells("cg") && stateR("sq") === cells("cq"), "left")
+        .withColumn("wk", walkExpr)
+        .select(col("sg").as("g"), col("sq").as("q"), col("n"), col("k"),
+          col("lo"), col("hi"), col("off"), col("rem"),
+          col("wk.b0").as("b0"), col("wk.below").as("below"),
+          col("wk.ie").as("ie"))
+        .localCheckpoint(true)
+      val sel = round.select(col("g").as("sg"), col("q").as("sq"),
+        col("lo"), col("hi"),
+        when(ok, col("b0")).otherwise(lit(0)).as("bl"),
+        when(ok, col("b0")).otherwise(lit(buckets - 1)).as("bh"))
+      candidate = joinState(candidate, sel)
         .filter(idx.between(col("bl"), col("bh")))
         .select(col("g"), col("sq").as("q"), col("v"), col("t"))
       tagged = true
-      chosen.foreach { case (s, _, _, nLo, nHi, below, inside) =>
-        s.lo = nLo; s.hi = nHi; s.off = below; s.rem = inside
-      }
-      if (!progressed) rounds = 16
+      val bw = (col("hi") - col("lo")) / buckets
+      state = round.select(col("g"), col("q"), col("n"), col("k"),
+        when(ok, col("lo") + col("b0") * bw).otherwise(col("lo")).as("lo"),
+        when(ok && col("b0") >= buckets - 1, col("hi"))
+          .when(ok, col("lo") + (col("b0") + 1) * bw)
+          .otherwise(col("hi")).as("hi"),
+        when(ok, col("below")).otherwise(col("off")).as("off"),
+        when(ok, col("ie") - col("below")).otherwise(col("rem")).as("rem"))
+      val a = round.agg(
+        max(when(ok, col("ie") - col("below")).otherwise(col("rem"))).as("mx"),
+        max(when(ok && (col("ie") - col("below")) < col("rem"), 1)
+          .otherwise(0)).as("prog")).head()
+      cont = !a.isNullAt(0) && a.getLong(0) > resolveLimit && a.getInt(1) == 1
     }
-    val outSchema = StructType(Seq(
-      StructField("g", gType), StructField("q", DoubleType),
-      StructField("n", LongType), StructField("value", DoubleType)))
-    val resolved = if (active.isEmpty) None else Some {
-      val ks = broadcast(spark.createDataFrame(
-        spark.sparkContext.parallelize(active.toSeq.map(s =>
-          Row(s.g, s.q, s.n, s.off, s.k)), 1),
-        StructType(Seq(
-          StructField("sg", gType), StructField("sq", DoubleType),
-          StructField("n", LongType), StructField("off", LongType),
-          StructField("k", LongType)))))
-      val joined =
-        if (tagged)
-          candidate.join(ks,
-            candidate("g") <=> ks("sg") && candidate("q") === ks("sq"))
-        else candidate.join(ks, candidate("g") <=> ks("sg"))
-      val wo = Window.partitionBy(col("g"), col("sq")).orderBy(col("v"), col("t"))
-      joined
-        .withColumn("rn", row_number().over(wo) + col("off"))
-        .filter(col("rn") === col("k"))
-        .select(col("g"), col("sq").as("q"), col("n"), col("v").as("value"))
-    }
-    val trivialDf = if (trivial.isEmpty) None else Some {
-      spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          trivial.toSeq.map(s => Row(s.g, s.q, s.n, s.lo)), 1), outSchema)
-    }
-    val out = (resolved, trivialDf) match {
-      case (Some(a), Some(b)) => a.unionByName(b)
-      case (Some(a), None) => a
-      case (None, Some(b)) => b
-      case (None, None) =>
-        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], outSchema)
-    }
-    out.withColumnRenamed("g", groupCol)
+    val ks = state.select(col("g").as("sg"), col("q").as("sq"),
+      col("n"), col("off"), col("k"))
+    val wo = Window.partitionBy(col("g"), col("sq")).orderBy(col("v"), col("t"))
+    val resolved = joinState(candidate, ks)
+      .withColumn("rn", row_number().over(wo) + col("off"))
+      .filter(col("rn") === col("k"))
+      .select(col("g"), col("sq").as("q"), col("n"), col("v").as("value"))
+    resolved.unionByName(trivial).withColumnRenamed("g", groupCol)
   }
 }

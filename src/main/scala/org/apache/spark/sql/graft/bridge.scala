@@ -20,4 +20,10 @@ object Bridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry
       .createOrReplaceTempFunction(name, builder, "built-in")
+
+  /** Drain the listener bus (private[spark]) — lets tests that meter
+    * driver-bound task-result bytes observe every event of the jobs they
+    * just ran before asserting. */
+  def drainListenerBus(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty(30000)
 }

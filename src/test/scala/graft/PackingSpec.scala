@@ -79,6 +79,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("offsets derive from the data plan, never a driver-built table") {
+    // the pre-round-6 form collected (group × bucket) totals to the
+    // driver and parallelized the offsets back — that table appeared in
+    // the plan as a second, unrelated RDD leaf. The distributed form's
+    // every leaf is the ONE checkpointed input; at per-doc group
+    // cardinality nothing driver-sided remains to OOM.
+    val df = (1L to 5000L).map(i => (s"g${i % 500}", i, i % 7)).toDF("g", "id", "t")
+    val out = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum", 64)
+    val leaves = out.queryExecution.analyzed.collectLeaves()
+    val rddIds = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddIds.size == leaves.size,
+      s"unexpected non-checkpoint leaf among:\n${leaves.mkString("\n")}")
+    assert(rddIds.distinct.size == 1,
+      s"offsets must derive from the checkpointed input; saw RDD ids $rddIds")
+    // and 500 groups still reproduce the window semantics bit-for-bit
+    val expected = naive(df, Seq("id"))
+    val got = out.collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("id")) -> r.getAs[Long]("cum")).toMap
+    assert(got == expected)
+  }
+
+  test("DISK_ONLY materialization is bit-identical to the in-memory path") {
+    // the 100 TB knob: inputs too big for executor RAM stream the
+    // multi-pass materialization from local disk; the cache level is an
+    // execution detail and must never change a single sum
+    import org.apache.spark.storage.StorageLevel
+    val df = (1L to 3000L).map(i => (s"g${i % 7}", i * 3 + 1, i % 11)).toDF("g", "id", "t")
+    val mem = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum", 64)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cum"))).sorted.toSeq
+    val disk = Packing.groupedCumSum(df, "g", Seq("id"), "t", "cum", 64,
+        storage = Some(StorageLevel.DISK_ONLY))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("cum"))).sorted.toSeq
+    assert(disk == mem)
+  }
+
   test("budgetTake: greedy quality-descending prefix per group, overshoot ≤ 1 doc") {
     import spark.implicits._
     // en: quality 0.9 (3 tok), 0.8 (4 tok), 0.7 (5 tok), 0.1 (100 tok)

@@ -201,6 +201,69 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("exactMedian: no per-group state collects to the driver at high group cardinality") {
+    import spark.implicits._
+    // 5,000 groups × 40 rows: the pre-round-6 implementation collected
+    // (group × bucket) count cells to the driver every round — several MB
+    // here, an OOM at per-doc cardinality. The distributed-state form
+    // ships only 1-row progress aggregates; total driver-bound task-result
+    // bytes must stay far below what a per-group collect would move.
+    val df = (1 to 200000)
+      .map(i => (s"g${i % 5000}", (i * 37 % 1000).toDouble, i.toLong))
+      .toDF("g", "v", "id")
+    val sc = spark.sparkContext
+    val bytes = new java.util.concurrent.atomic.AtomicLong
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskMetrics != null) bytes.addAndGet(e.taskMetrics.resultSize)
+    }
+    org.apache.spark.sql.graft.Bridge.drainListenerBus(sc)
+    sc.addSparkListener(listener)
+    val out = try {
+      // small resolveLimit forces at least one bucket-count round
+      val r = TimeSeriesOps.exactMedian(df, "g", "v", "id",
+        buckets = 64, resolveLimit = 8, materializeInput = true)
+      org.apache.spark.sql.graft.Bridge.drainListenerBus(sc)
+      assert(bytes.get() < (1L << 20),
+        s"selection rounds moved ${bytes.get()} bytes of task results to " +
+          "the driver — a per-group collect is back")
+      r
+    } finally sc.removeSparkListener(listener)
+    // spot-check exactness against a locally computed median
+    val got = out.filter(col("g").isin("g1", "g77", "g4999"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val expected = Seq("g1", "g77", "g4999").map { gn =>
+      val j = gn.drop(1).toInt
+      val vs = (1 to 200000).filter(_ % 5000 == j)
+        .map(i => (i * 37 % 1000).toDouble).sorted
+      gn -> ((vs.length.toLong, (vs(vs.length / 2 - 1) + vs(vs.length / 2)) / 2))
+    }.toMap
+    assert(got == expected)
+  }
+
+  test("exactMedian/exactQuantiles: DISK_ONLY materialization is bit-identical") {
+    import spark.implicits._
+    import org.apache.spark.storage.StorageLevel
+    val rnd = new scala.util.Random(23)
+    val rows = (1L to 9000L).map(i =>
+      (s"s${i % 4}", math.exp(rnd.nextGaussian() * 3), i))
+    val df = rows.toDF("g", "v", "id")
+    val memM = TimeSeriesOps.exactMedian(df, "g", "v", "id",
+        buckets = 64, resolveLimit = 100)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    val diskM = TimeSeriesOps.exactMedian(df, "g", "v", "id",
+        buckets = 64, resolveLimit = 100, storage = Some(StorageLevel.DISK_ONLY))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(diskM == memM)
+    val memQ = TimeSeriesOps.exactQuantiles(df, "g", "v", "id", Seq(0.25, 0.75),
+        buckets = 64, resolveLimit = 100)
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    val diskQ = TimeSeriesOps.exactQuantiles(df, "g", "v", "id", Seq(0.25, 0.75),
+        buckets = 64, resolveLimit = 100, storage = Some(StorageLevel.DISK_ONLY))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(3)).toMap
+    assert(diskQ == memQ)
+  }
+
   test("exactQuantiles: empty input and q validation") {
     import spark.implicits._
     val empty = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
