@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for the trained ANN index artifacts — the train-once /
+  * search-many lifecycle made durable.
+  *
+  * At production scale the IVF centroid matrix and the PQ codebook are
+  * built ONCE per corpus snapshot (a training job over a sample), written
+  * as tiny parquet tables next to the corpus, and every subsequent search
+  * job loads them instead of re-running Lloyd iterations — re-training
+  * per query would put k-means scans in every search's latency and,
+  * worse, let two concurrent searches disagree about cell assignment.
+  * The tables are small enough to load onto the driver (nlist × dim and
+  * m × k × dim/m floats — kilobytes), which is exactly how they are
+  * consumed: as broadcast literals inside the probe expressions of
+  * [[Similarity.ivfTopK]] / [[Similarity.pqTopK]] / [[Similarity.ivfPqTopK]].
+  *
+  * Layouts (explicit, engine-portable — any parquet reader can audit an
+  * index):
+  *  - IVF centroids: one row per (cell:int, vec:array<float>)
+  *  - PQ codebook: one row per (subspace:int, code:int, vec:array<float>)
+  */
+object AnnIndexStore {
+
+  /** Train the IVF coarse quantizer and write it as a parquet table.
+    * Returns the trained matrix so the caller can search immediately. */
+  def buildIvf(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      nlist: Int,
+      path: String,
+      iters: Int = 3): Array[Array[Float]] = {
+    val cents = Similarity.trainIvfCentroids(corpus, idCol, vecCol, nlist, iters)
+    saveIvf(corpus.sparkSession, cents, path)
+    cents
+  }
+
+  def saveIvf(spark: SparkSession, cents: Array[Array[Float]], path: String): Unit = {
+    import spark.implicits._
+    cents.zipWithIndex.map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadIvf(spark: SparkSession, path: String): Array[Array[Float]] =
+    spark.read.parquet(path)
+      .orderBy(col("cell"))
+      .collect()
+      .map(_.getSeq[Float](1).toArray)
+
+  /** Train the PQ codebook and write it as a parquet table. */
+  def buildPq(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      m: Int,
+      k: Int,
+      path: String,
+      iters: Int = 3): Array[Array[Array[Float]]] = {
+    val cents = Similarity.trainPq(corpus, idCol, vecCol, m, k, iters)
+    savePq(corpus.sparkSession, cents, path)
+    cents
+  }
+
+  def savePq(spark: SparkSession, cents: Array[Array[Array[Float]]], path: String): Unit = {
+    import spark.implicits._
+    (for {
+      (codes, s) <- cents.zipWithIndex
+      (v, c) <- codes.zipWithIndex
+    } yield (s, c, v.toSeq)).toSeq
+      .toDF("subspace", "code", "vec")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  def loadPq(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    spark.read.parquet(path)
+      .orderBy(col("subspace"), col("code"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](2).toArray))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map(_._2.map(_._2).toArray)
+      .toArray
+}

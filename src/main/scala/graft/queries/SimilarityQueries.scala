@@ -26,6 +26,22 @@ object SimilarityQueries {
   private val pqIndex =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
 
+  /** The explicit production lifecycle for the ANN queries: ONE build job
+    * trains both codebooks for `dir`, persists them as parquet artifacts
+    * under `artifactDir` ([[graft.operators.AnnIndexStore]]), loads them
+    * back, and seeds the in-JVM cache q40/q59/q81 consult — after this,
+    * every search is probe-only (no Lloyd jobs in search latency), which
+    * is how Bench measures them: `ann_build` is reported as its own
+    * metric, the per-query reps time search alone. */
+  def buildAnnIndexes(s: SparkSession, dir: String, artifactDir: String): Unit = {
+    import graft.operators.AnnIndexStore
+    val e = table(s, dir, "embeddings")
+    AnnIndexStore.buildIvf(e, "vec_id", "embedding", nlist = 16, s"$artifactDir/ivf")
+    AnnIndexStore.buildPq(e, "vec_id", "embedding", m = 16, k = 16, s"$artifactDir/pq")
+    ivfIndex(dir) = AnnIndexStore.loadIvf(s, s"$artifactDir/ivf")
+    pqIndex(dir) = AnnIndexStore.loadPq(s, s"$artifactDir/pq")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact ANN baseline: top-10 cosine neighbors of 5 query vectors.
     "q30_ann_brute" -> ((s, dir) => {

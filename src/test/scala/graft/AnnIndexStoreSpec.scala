@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{AnnIndexStore, Similarity}
+
+/** The train-once / search-many ANN lifecycle: codebooks persist to
+  * parquet bit-for-bit, and a probe-only search from the loaded artifacts
+  * returns exactly what an inline-trained search returns (training is
+  * deterministic, so the artifact IS the index — no retrain drift). */
+class AnnIndexStoreSpec extends SparkSpec {
+
+  private def rmrf(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rmrf)
+    f.delete()
+  }
+
+  test("IVF centroids roundtrip parquet bit-for-bit; loaded-artifact search == inline-trained") {
+    val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-store-ivf").toFile
+    try {
+      val path = s"${dir.getAbsolutePath}/ivf"
+      val built = AnnIndexStore.buildIvf(e, "vec_id", "embedding", nlist = 8, path)
+      val loaded = AnnIndexStore.loadIvf(spark, path)
+      assert(built.length == loaded.length)
+      assert(built.zip(loaded).forall { case (a, b) => a.sameElements(b) })
+      val q = e.filter(col("vec_id") < 3)
+      val probeOnly = Similarity.ivfTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 5, nlist = 8, centroids = Some(loaded))
+        .collect().map(_.toSeq).toSet
+      val inline = Similarity.ivfTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 5, nlist = 8)
+        .collect().map(_.toSeq).toSet
+      assert(probeOnly == inline,
+        "search from the persisted index must equal an inline-trained search")
+    } finally rmrf(dir)
+  }
+
+  test("PQ codebook roundtrips parquet bit-for-bit; loaded-artifact IVF-PQ search == inline") {
+    val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-store-pq").toFile
+    try {
+      val ivfPath = s"${dir.getAbsolutePath}/ivf"
+      val pqPath = s"${dir.getAbsolutePath}/pq"
+      val builtIvf = AnnIndexStore.buildIvf(e, "vec_id", "embedding", nlist = 8, ivfPath)
+      val builtPq = AnnIndexStore.buildPq(e, "vec_id", "embedding", m = 8, k = 8, pqPath)
+      val loadedPq = AnnIndexStore.loadPq(spark, pqPath)
+      assert(builtPq.length == loadedPq.length)
+      assert(builtPq.zip(loadedPq).forall { case (s1, s2) =>
+        s1.length == s2.length &&
+          s1.zip(s2).forall { case (a, b) => a.sameElements(b) }
+      })
+      val q = e.filter(col("vec_id") < 3)
+      val probeOnly = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 5, nlist = 8, nprobe = 4, m = 8, codebook = 8,
+          rerank = 20, coarseCentroids = Some(AnnIndexStore.loadIvf(spark, ivfPath)),
+          pqCentroids = Some(loadedPq))
+        .collect().map(_.toSeq).toSet
+      val inline = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+          q, "vec_id", "embedding", 5, nlist = 8, nprobe = 4, m = 8, codebook = 8,
+          rerank = 20, coarseCentroids = Some(builtIvf), pqCentroids = Some(builtPq))
+        .collect().map(_.toSeq).toSet
+      assert(probeOnly == inline)
+    } finally rmrf(dir)
+  }
+}
