@@ -99,7 +99,7 @@ object HashKernels {
   /** Hamming distance between two 64-bit sketches. */
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  private def splitmix64(x0: Long): Long = {
+  private[graft] def splitmix64(x0: Long): Long = {
     var x = x0 + -7046029254386353131L // golden gamma
     x = (x ^ (x >>> 30)) * -4658895280553007687L
     x = (x ^ (x >>> 27)) * -7723592293110705685L

@@ -158,17 +158,40 @@ object RelationalQueries {
           max(col("cnt")).as("max_session_events"))
     }),
 
-    // Approximate sketches: HLL distinct counts + approx quantiles per
-    // segment — the constant-memory path for 100 TB cardinalities
-    // (rows-only: sketch estimates are engine-specific by design;
-    // SketchSpec bounds the error against exact counts).
-    "q39_approx_sketches" -> ((s, dir) =>
-      table(s, dir, "orders")
+    // Approximate sketches: HLL distinct counts + a sampled median per
+    // segment — the constant-memory path for 100 TB cardinalities.
+    // Restated (round 6) over this repo's DETERMINISTIC sketch forms so
+    // the estimates themselves oracle-check bit-for-bit: the md5-derived
+    // 256-register HLL (q97's recipe — integer register sums, one final
+    // IEEE divide) and a content-derived 1/4 sample resolved to its
+    // exact type-1 median by the multi-rank selection operator. Same
+    // sketch quality class as the engine-opaque built-ins, none of their
+    // engine-specific randomness; SketchSpec still bounds the error.
+    "q39_approx_sketches" -> ((s, dir) => {
+      val o = table(s, dir, "orders")
+      val hex = md5(col("o_custkey").cast("string"))
+      val regs = o.select(col("o_orderpriority"),
+          conv(substring(hex, 1, 2), 16, 10).cast("long").as("b"),
+          (lit(53) - length(bin(conv(substring(hex, 3, 13), 16, 10)
+            .cast("long")))).as("r"))
+        .groupBy(col("o_orderpriority"), col("b"))
+        .agg(max(col("r")).as("m"))
         .groupBy(col("o_orderpriority"))
-        .agg(
-          approx_count_distinct(col("o_custkey"), 0.02).as("approx_custs"),
-          expr("approx_percentile(o_totalprice, 0.5, 1000)").as("approx_p50"),
-          count(lit(1)).as("n"))),
+        .agg(count(lit(1)).as("nregs"),
+          sum(expr("shiftleft(1L, cast(52 - m as int))")).as("sp"))
+      val regSum = col("sp") + (lit(256L) - col("nregs")) * lit(4503599627370496L)
+      val hll = regs.select(col("o_orderpriority"),
+        (lit(hllConst) / regSum.cast("double")).as("sketch_custs"))
+      val sample = o.filter(
+        substring(md5(col("o_orderkey").cast("string")), 1, 2) < "40")
+      val med = graft.operators.TimeSeriesOps.exactQuantiles(
+          sample, "o_orderpriority", "o_totalprice", "o_orderkey",
+          Seq(0.5), materializeInput = false)
+        .select(col("o_orderpriority"),
+          col("value").as("sample_p50"), col("n").as("n_sampled"))
+      val n = o.groupBy(col("o_orderpriority")).agg(count(lit(1)).as("n"))
+      hll.join(med, "o_orderpriority").join(n, "o_orderpriority")
+    }),
 
     // Exact percentiles (Spark percentile ≡ DuckDB quantile_cont).
     "q38_percentiles" -> ((s, dir) =>
@@ -989,6 +1012,34 @@ object RelationalQueries {
 
     // md5-derived registers are engine-portable; the integer register
     // sum makes everything up to the single final division exact.
+    // Same md5-HLL recipe as q97 + the q115-style sampled type-1 median.
+    "q39_approx_sketches" ->
+      s"""WITH h AS (
+         |  SELECT o_orderpriority,
+         |    CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 1, 2)) AS BIGINT) AS b,
+         |    53 - length(bin(CAST(concat('0x', substr(md5(CAST(o_custkey AS VARCHAR)), 3, 13)) AS BIGINT))) AS r
+         |  FROM orders),
+         |regs AS (SELECT o_orderpriority, b, MAX(r) AS m FROM h GROUP BY o_orderpriority, b),
+         |agg AS (SELECT o_orderpriority, COUNT(1) AS nregs,
+         |          SUM(1::BIGINT << CAST(52 - m AS INT)) AS sp
+         |        FROM regs GROUP BY o_orderpriority),
+         |hll AS (SELECT o_orderpriority,
+         |          ${new java.math.BigDecimal(hllConst).toPlainString}
+         |            / CAST(sp + (256 - nregs) * 4503599627370496 AS DOUBLE) AS sketch_custs
+         |        FROM agg),
+         |samp AS (
+         |  SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS v,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |                       ORDER BY CAST(o_totalprice AS DOUBLE), o_orderkey) AS rn,
+         |    COUNT(1) OVER (PARTITION BY o_orderpriority) AS ns
+         |  FROM orders
+         |  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '40'),
+         |med AS (SELECT o_orderpriority, v AS sample_p50, CAST(ns AS BIGINT) AS n_sampled
+         |        FROM samp WHERE rn = greatest(CAST(ceil(0.5 * ns) AS BIGINT), 1)),
+         |cnt AS (SELECT o_orderpriority, COUNT(1) AS n FROM orders GROUP BY o_orderpriority)
+         |SELECT o_orderpriority, sketch_custs, sample_p50, n_sampled, n
+         |FROM hll JOIN med USING (o_orderpriority) JOIN cnt USING (o_orderpriority)""".stripMargin,
+
     "q97_hll_distinct" ->
       s"""WITH h AS (
          |  SELECT event_type,
@@ -1072,16 +1123,23 @@ object RelationalQueries {
         |FROM t1 LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
 
     // The identical derived source batch and four-way merge decision.
+    // The shifted key gets its own name (new_doc_id) and is re-aliased in
+    // an outer layer: computing `doc_id % 13` in the SAME select list
+    // that re-aliases doc_id relied on DuckDB resolving the BASE column
+    // under the shadowing alias — an ambiguity a resolver change would
+    // silently flip (ADVICE r5).
     "q105_merge_upsert" ->
       """WITH tgt AS (
         |  SELECT doc_id, lang AS t_lang, n_chars AS t_n FROM documents),
-        |src AS (
+        |src0 AS (
         |  SELECT CASE WHEN doc_id % 11 = 0 THEN doc_id + 1000000
-        |              ELSE doc_id END AS doc_id,
+        |              ELSE doc_id END AS new_doc_id,
         |         lang AS s_lang, n_chars + 1000 AS s_n,
         |         doc_id % 13 = 0 AS del
         |  FROM documents
-        |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0)
+        |  WHERE doc_id % 7 = 0 OR doc_id % 11 = 0 OR doc_id % 13 = 0),
+        |src AS (
+        |  SELECT new_doc_id AS doc_id, s_lang, s_n, del FROM src0)
         |SELECT doc_id,
         |  COALESCE(s_lang, t_lang) AS lang,
         |  COALESCE(s_n, t_n) AS n_chars

@@ -64,7 +64,8 @@ object TextQueries {
           min(col("quality")).as("min_quality"),
           max(col("quality")).as("max_quality"))),
 
-    // Document fingerprint (custom codegen'd expression) — rows-only.
+    // Document fingerprint (custom codegen'd expression) — oracle-checked
+    // bit-for-bit: the FNV-1a byte fold replays in DuckDB (HashOracleSql).
     "q24_fingerprint" -> ((s, dir) =>
       table(s, dir, "documents").select(
         col("doc_id"),
@@ -78,7 +79,8 @@ object TextQueries {
         .agg(count(lit(1)).as("n"))),
 
     // MinHash signatures (per-doc; pair generation exercised in DedupSpec
-    // and in q27 below) — rows-only.
+    // and in q27 below) — oracle-checked bit-for-bit: the signature
+    // lanes replay in DuckDB from the same splitmix64 constants.
     "q26_minhash_sigs" -> ((s, dir) =>
       table(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
@@ -91,7 +93,9 @@ object TextQueries {
           element_at(col("sig"), 4).as("sig3"))),
 
     // MinHash+LSH near-dup pairs at a low threshold (same-vocab corpus
-    // yields genuine mid-Jaccard pairs) — rows-only.
+    // yields genuine mid-Jaccard pairs) — oracle-checked bit-for-bit:
+    // banding, bucket cap, overlap prefilter and exact Jaccard all
+    // replay in DuckDB (band buckets join on the signature slice itself).
     "q27_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(table(s, dir, "documents"), "doc_id", "text",
         k = 2, numHashes = 32, bands = 16, threshold = 0.2)),
@@ -99,8 +103,8 @@ object TextQueries {
     // Incremental dedup: near-dup pairs of a simulated daily batch
     // (doc_id % 10 == 0) against the standing corpus (the rest) —
     // cost proportional to the batch, never re-pairing the corpus
-    // against itself. Rows-only (hash-based); cross-pair equivalence to
-    // the full pairing asserted in DedupSpec.
+    // against itself. Oracle-checked bit-for-bit (HashOracleSql);
+    // cross-pair equivalence to the full pairing asserted in DedupSpec.
     "q52_incremental_dedup" -> ((s, dir) => {
       val docs = table(s, dir, "documents")
       Dedup.minhashPairsAgainst(
@@ -116,15 +120,17 @@ object TextQueries {
       TextOps.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
         width = 32, step = 24)),
 
-    // SimHash near-dup pairs — rows-only.
+    // SimHash near-dup pairs — oracle-checked bit-for-bit: the 64-bit
+    // bit-vote sketch, quarter blocking and Hamming filter replay in
+    // DuckDB (HashOracleSql).
     "q28_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
         maxHamming = 12)),
 
     // Duplicate clusters: connected components over the SimHash pair set
-    // → canonical cluster id per involved doc. Rows-only (iterative
-    // LSH-derived graph has no SQL mirror); exact cluster structure
-    // asserted on planted graphs in DedupSpec.
+    // → canonical cluster id per involved doc. Oracle-checked end-to-end:
+    // the sketch pipeline replays in DuckDB and the clustering is checked
+    // against a WITH RECURSIVE reachability closure (like q73/q74).
     "q43_dup_clusters" -> ((s, dir) =>
       Dedup.duplicateClusters(
         Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -132,9 +138,10 @@ object TextQueries {
 
     // Same cluster graph via large-star/small-star contraction — the
     // edge-rewriting alternative whose per-round state is the shrinking
-    // edge set, not a per-node labels table. Rows-only; exact equivalence
-    // to q43's propagation asserted in DedupSpec. Side-by-side in the
-    // bench with q43 to compare the two shapes' fixed overhead.
+    // edge set, not a per-node labels table. Oracle-checked against the
+    // same reachability closure as q43 (exact equivalence of the two
+    // algorithms also asserted in DedupSpec). Side-by-side in the bench
+    // with q43 to compare the two shapes' fixed overhead.
     "q56_clusters_star" -> ((s, dir) =>
       Dedup.duplicateClustersStars(
         Dedup.simhashPairs(table(s, dir, "documents"), "doc_id", "text",
@@ -797,6 +804,17 @@ object TextQueries {
 
     "q73_components" -> componentsSql,
     "q74_components_star" -> componentsSql,
+
+    // The hash-kernel replay family (HashOracleSql): FNV-1a / MinHash /
+    // SimHash reproduced in DuckDB with HUGEINT mod-2⁶⁴ arithmetic —
+    // previously rows-only, now fully hash-matched.
+    "q24_fingerprint" -> HashOracleSql.fingerprintSql,
+    "q26_minhash_sigs" -> HashOracleSql.minhashSigsSql,
+    "q27_minhash_pairs" -> HashOracleSql.minhashPairsSql,
+    "q28_simhash_pairs" -> HashOracleSql.simhashPairsSql,
+    "q43_dup_clusters" -> HashOracleSql.simhashComponentsSql,
+    "q52_incremental_dedup" -> HashOracleSql.minhashPairsAgainstSql,
+    "q56_clusters_star" -> HashOracleSql.simhashComponentsSql,
 
     "q44_filter_pipeline" -> filterSql,
 
