@@ -263,14 +263,23 @@ object Dedup {
   }
 
   /** Size-adaptive fast path shared by both connected-components
-    * operators: when the materialized edge set fits comfortably on the
-    * driver, a local union-find replaces 5–10 distributed join rounds
-    * whose cost on a small graph is pure job-scheduling overhead
-    * (measured: ~5 s of rounds vs milliseconds of union-find on a
-    * 1,600-edge near-dup graph). This is the AQE philosophy applied to an
-    * iterative operator — the plan's SHAPE adapts to the runtime size,
-    * and a 100 TB pair set (over the limit) takes the distributed rounds
-    * unchanged. The probe is `limit(n+1)` on an already-checkpointed
+    * operators: when the materialized edge set fits on the driver, a
+    * local union-find replaces 5–10 distributed join rounds whose cost on
+    * a small graph is pure job-scheduling overhead (measured: ~5 s of
+    * rounds vs milliseconds of union-find on a 1,600-edge near-dup
+    * graph). This is the AQE philosophy applied to an iterative operator
+    * — the plan's SHAPE adapts to the runtime size, and a 100 TB pair set
+    * (over the limit) takes the distributed rounds unchanged.
+    *
+    * Driver memory cost at the limit: one collected GenericRow (~80 B)
+    * per edge plus up to two boxed HashMap entries (~100 B) per distinct
+    * endpoint — ~150–250 MB at the 500k-edge default, safe for a 1g
+    * driver with headroom; callers that KNOW their driver heap can raise
+    * `driverLimit` (the probe never collects more than limit+1 rows
+    * either way). A null endpoint in the probe aborts the fast path
+    * (returns None → distributed rounds): unboxing null to 0L would
+    * silently merge unrelated components through a phantom node 0,
+    * whereas the distributed form's equality joins never match null. The probe is `limit(n+1)` on an already-checkpointed
     * edge table, so it never collects more than the budget + 1 rows and
     * never adds a separate count job.
     *
@@ -287,6 +296,9 @@ object Dedup {
     val cap = math.min(limit, Int.MaxValue - 2L).toInt
     val probe = edges.limit(cap + 1).collect()
     if (probe.length > cap) return None
+    // a null endpoint would unbox to 0L and phantom-merge components —
+    // bail to the distributed rounds, whose joins drop nulls natively
+    if (probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
     def asLong(v: Any): Long = v.asInstanceOf[Long]
     // union-find with path halving; roots resolve to component minima in
     // a final sweep, which is what min-label propagation converges to
@@ -335,7 +347,7 @@ object Dedup {
   def duplicateClusters(
       pairs: DataFrame,
       maxIter: Int = 20,
-      driverLimit: Long = 2000000L): DataFrame = {
+      driverLimit: Long = 500000L): DataFrame = {
     val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
@@ -397,7 +409,7 @@ object Dedup {
   def duplicateClustersStars(
       pairs: DataFrame,
       maxIter: Int = 20,
-      driverLimit: Long = 2000000L): DataFrame = {
+      driverLimit: Long = 500000L): DataFrame = {
     var e = pairs.select(
         greatest(col("id_a"), col("id_b")).as("u"),
         least(col("id_a"), col("id_b")).as("v"))

@@ -20,27 +20,39 @@ object Graphs {
     *
     * Recurrence (all int64): pr₀ = 10⁶ per node;
     * prᵢ₊₁(v) = 150000 + (85 · Σ_{(u,v)∈E} (prᵢ(u) div outdeg(u))) div 100.
-    * Nodes are the edge sources (callers wanting sink nodes ranked must
-    * add reverse or self edges — the q99 interaction graph adds both
-    * directions, which also removes dangling-mass loss).
+    * The recurrence holds for EVERY source node, including one with no
+    * in-edges: its pr is the 150000 damping floor from round 1 on (the
+    * per-round left join below pins that — without it a source-only node
+    * would silently contribute 0 from round 2, ADVICE r5). Nodes are the
+    * edge sources (callers wanting sink nodes ranked must add reverse or
+    * self edges — the q99 interaction graph adds both directions, which
+    * also removes dangling-mass loss).
     *
     * Scale shape: out-degrees join once and the joined edge table is
     * localCheckpointed — each round is then ONE hash join on `src` + ONE
-    * aggregate on `dst`, shuffling |E| rows; driver holds nothing.
+    * aggregate on `dst` (plus a node-table left join, |V| rows) shuffling
+    * |E| rows; driver holds nothing.
     * Headroom: total mass N·10⁶ times 85 stays in int64 past 10¹¹ nodes.
     * Output: (node, pr) for every node with an incoming edge. */
   def integerPageRank(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1: $iters")
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
     val wd = edges.join(deg, "src").localCheckpoint(true)
-    var pr = deg.select(col("src").as("node"), lit(1000000L).as("pr"))
+    val srcNodes = deg.select(col("src").as("node"))
+    // prFull covers every SOURCE node each round, so round i+1 always
+    // sees a contribution from every node with out-edges; `out` is the
+    // in-edge-node view the operator returns
+    var prFull = srcNodes.withColumn("pr", lit(1000000L))
+    var out = prFull
     (1 to iters).foreach { _ =>
-      pr = wd.join(pr, col("src") === col("node"))
+      out = wd.join(prFull, col("src") === col("node"))
         .groupBy(col("dst"))
         .agg(sum(expr("pr div outdeg")).as("mass"))
         .select(col("dst").as("node"),
           expr("150000L + (85 * mass) div 100").as("pr"))
+      prFull = srcNodes.join(out, Seq("node"), "left")
+        .select(col("node"), coalesce(col("pr"), lit(150000L)).as("pr"))
     }
-    pr
+    out
   }
 }

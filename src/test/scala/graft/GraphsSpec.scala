@@ -9,20 +9,26 @@ import graft.operators.Graphs
 class GraphsSpec extends SparkSpec {
   import spark.implicits._
 
-  /** Naive reference: the same scaled-integer recurrence, sequentially. */
+  /** Naive reference: the same scaled-integer recurrence, sequentially.
+    * `prAll` stays total over source nodes — one with no in-edges holds
+    * the 150000 damping floor from round 1 on, never 0 (the divergence
+    * ADVICE r5 flagged as untested). Returns the in-edge-node view the
+    * operator returns. */
   private def naive(edges: Seq[(String, String)], iters: Int): Map[String, Long] = {
     val outdeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
     val inEdges = edges.groupBy(_._2)
-    var pr: Map[String, Long] = outdeg.keys.map(_ -> 1000000L).toMap
+    var prAll: Map[String, Long] = outdeg.keys.map(_ -> 1000000L).toMap
+    var out: Map[String, Long] = prAll
     (1 to iters).foreach { _ =>
-      pr = inEdges.view.mapValues { es =>
+      out = inEdges.view.mapValues { es =>
         val mass = es.map { case (u, _) =>
-          pr.getOrElse(u, 0L) / outdeg(u)
+          prAll(u) / outdeg(u)
         }.sum
         150000L + (85L * mass) / 100L
       }.toMap
+      prAll = outdeg.keys.map(u => u -> out.getOrElse(u, 150000L)).toMap
     }
-    pr
+    out
   }
 
   test("integerPageRank equals the sequential recurrence on a hub-and-chain graph") {
@@ -38,6 +44,25 @@ class GraphsSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(got === naive(edges, iters), s"iters=$iters")
     }
+  }
+
+  test("integerPageRank: a source-only node contributes the damping floor every round") {
+    // "s" has out-edges but no in-edges: after round 1 its pr is the
+    // 150000 floor, and rounds 2+ must keep feeding s's floor mass into
+    // "a" — not drop s from the pr table and feed 0 (ADVICE r5)
+    val edges = Seq("s" -> "a", "a" -> "b", "b" -> "a")
+    (1 to 3).foreach { iters =>
+      val got = Graphs.integerPageRank(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === naive(edges, iters), s"iters=$iters")
+    }
+    // round 2, node a: mass = pr₁(s)/1 + pr₁(b)/1 where pr₁(s) = 150000
+    // (the floor), pr₁(b) = 150000 + 85·1000000/100 = 1000000
+    // → pr₂(a) = 150000 + 85·1150000/100 = 1127500
+    val two = Graphs.integerPageRank(edges.toDF("src", "dst"), 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(two("a") == 1127500L,
+      "source-only node s must contribute its 150000 floor in round 2")
   }
 
   test("integerPageRank: mass stays bounded and hub ranks highest") {
