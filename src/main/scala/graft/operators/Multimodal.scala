@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages as
   * `mapPartitions` over typed rows.
   *
-  * The *codec* is STUBBED — no image/audio libraries exist in this
-  * environment — with a deterministic fake (content-hash-seeded features)
-  * clearly marked below; everything Spark-side is real and tested: the
+  * Codec status: 24-bit uncompressed BMP decodes FOR REAL — a pure-JVM
+  * pixel walk ([[bmpPixelFeatures]]) whose channel/luminance statistics
+  * are spec-pinned against hand-computed pixels (MediaSpec). The other
+  * codecs (PNG/JPEG inflate+DCT, audio, video) would need external
+  * libraries this environment doesn't have and remain STUBBED with a
+  * deterministic fake (content-hash-seeded features), clearly marked
+  * below. Everything Spark-side is real and tested either way: the
   * schema, binary-column handling, partition-batched processing shape
   * (one decoder init per partition, streamed iterator, no
   * collect-to-driver), and the downstream join-ability of the extracted
@@ -70,8 +74,13 @@ object Multimodal {
     asciiB("GIF89a") ++ le16(w) ++ le16(h) ++ filler(pad, seed)
 
   private[graft] def bmpBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] =
+    // full 54-byte header (14 file + 40 DIB incl. compression = 0), so a
+    // payload whose filler is a complete padded pixel array is a VALID
+    // uncompressed 24-bit BMP the real decoder accepts
     asciiB("BM") ++ le32(54 + pad) ++ le32(0) ++ le32(54) ++
-      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++ filler(pad, seed)
+      le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(pad) ++ le32(2835) ++ le32(2835) ++ le32(0) ++ le32(0) ++
+      filler(pad, seed)
 
   private[graft] def wavBytes(rate: Int, pad: Int, seed: Long): Array[Byte] =
     asciiB("RIFF") ++ le32(36 + pad) ++ asciiB("WAVE") ++
@@ -99,7 +108,10 @@ object Multimodal {
           case 0 => pngBytes(w, h, pad, i)
           case 1 => jpegBytes(w, h, pad, i)
           case 2 => gifBytes(w, h, pad, i)
-          case _ => bmpBytes(w, h, pad, i)
+          // BMP rows are COMPLETE files: the deterministic filler is a
+          // full padded 24-bit pixel array, so the real decoder below
+          // runs against spec-conformant pixel data end to end
+          case _ => bmpBytes(w, h, ((w * 3 + 3) / 4) * 4 * h, i)
         }
         case "audio" => wavBytes(16000, pad, i)
         case _ => mp4Bytes(pad, i)
@@ -125,12 +137,94 @@ object Multimodal {
         col("meta.height").as("height"),
         col("meta.sample_rate").as("sample_rate"))
 
-  /** ===== STUB ===== A real implementation decodes payload with an image/
-    * audio codec and runs a vision/audio encoder. Here: a deterministic
-    * hash-seeded projection of the bytes so tests can assert exact values.
-    * The *shape* (dim-`dim` float vector per row, computed inside a
-    * partition iterator with per-partition "model" init) is the real
-    * contract. */
+  /** REAL 24-bit BMP pixel decode + feature extraction, pure JVM: walks
+    * the padded bottom-up (or top-down, negative height) pixel rows from
+    * the header-declared data offset and reduces them to 16 image
+    * statistics. Returns None — caller falls back to the simulated
+    * decoder — for anything that is not a complete uncompressed 24-bit
+    * BMP (wrong magic, compressed, truncated pixel array): a decoder
+    * must refuse bytes it cannot decode, not hallucinate features.
+    *
+    * Feature layout (first 16 lanes; rest zero):
+    *   0-2  mean   B, G, R
+    *   3-5  population std B, G, R
+    *   6-8  min    B, G, R
+    *   9-11 max    B, G, R
+    *   12   mean luminance (0.114·B + 0.587·G + 0.299·R)
+    *   13   fraction of pixels with luminance > 127.5
+    *   14   mean |∂luminance/∂x| (within-row gradient)
+    *   15   aspect ratio w/h */
+  private[graft] def bmpPixelFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 16 || payload.length < 54 ||
+      payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
+    def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    val off = le32(10)
+    val w = le32(18)
+    val hRaw = le32(22)
+    val bpp = le16(28)
+    val comp = if (le32(14) >= 40) le32(30) else 0
+    if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
+    val h = math.abs(hRaw)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    if (off < 54 || off.toLong + rowSize.toLong * h > payload.length) return None
+    val sum = new Array[Double](3)
+    val sq = new Array[Double](3)
+    val mn = Array.fill(3)(255.0)
+    val mx = Array.fill(3)(0.0)
+    var lumSum = 0.0
+    var bright = 0L
+    var gradSum = 0.0
+    var gradN = 0L
+    var y = 0
+    while (y < h) {
+      // logical row y: bottom-up files store row h-1-y first
+      val srcRow = if (hRaw > 0) h - 1 - y else y
+      val base = off + srcRow * rowSize
+      var x = 0
+      var prevLum = 0.0
+      while (x < w) {
+        val b = payload(base + x * 3) & 0xff
+        val g = payload(base + x * 3 + 1) & 0xff
+        val r = payload(base + x * 3 + 2) & 0xff
+        sum(0) += b; sum(1) += g; sum(2) += r
+        sq(0) += b.toDouble * b; sq(1) += g.toDouble * g; sq(2) += r.toDouble * r
+        if (b < mn(0)) mn(0) = b; if (g < mn(1)) mn(1) = g; if (r < mn(2)) mn(2) = r
+        if (b > mx(0)) mx(0) = b; if (g > mx(1)) mx(1) = g; if (r > mx(2)) mx(2) = r
+        val lum = 0.114 * b + 0.587 * g + 0.299 * r
+        lumSum += lum
+        if (lum > 127.5) bright += 1
+        if (x > 0) { gradSum += math.abs(lum - prevLum); gradN += 1 }
+        prevLum = lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val out = new Array[Float](dim)
+    var c = 0
+    while (c < 3) {
+      val mean = sum(c) / n
+      out(c) = mean.toFloat
+      out(3 + c) = math.sqrt(math.max(sq(c) / n - mean * mean, 0.0)).toFloat
+      out(6 + c) = mn(c).toFloat
+      out(9 + c) = mx(c).toFloat
+      c += 1
+    }
+    out(12) = (lumSum / n).toFloat
+    out(13) = (bright / n).toFloat
+    out(14) = (if (gradN == 0) 0.0 else gradSum / gradN).toFloat
+    out(15) = w.toFloat / h
+    Some(out)
+  }
+
+  /** ===== STUB ===== (non-BMP formats) A real implementation decodes
+    * payload with an image/audio codec and runs a vision/audio encoder.
+    * Here: a deterministic hash-seeded projection of the bytes so tests
+    * can assert exact values. The *shape* (dim-`dim` float vector per
+    * row, computed inside a partition iterator with per-partition
+    * "model" init) is the real contract. */
   private def fakeDecodeFeatures(payload: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = -3750763034362895579L
@@ -145,14 +239,17 @@ object Multimodal {
 
   /** Decode + feature-extract, partition-batched: the per-partition block
     * is where a real codec/encoder would be initialized once and reused —
-    * the expensive-init-amortized shape that matters at scale. */
+    * the expensive-init-amortized shape that matters at scale. BMP rows
+    * take the REAL pixel decoder; everything else falls back to the
+    * simulated one. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init site (real impl: load codec + model weights once)
       rows.map { r =>
-        MediaFeatures(r.media_id, r.kind, r.payload.length,
-          fakeDecodeFeatures(r.payload, dim))
+        val features = bmpPixelFeatures(r.payload, dim)
+          .getOrElse(fakeDecodeFeatures(r.payload, dim))
+        MediaFeatures(r.media_id, r.kind, r.payload.length, features)
       }
     }
   }

@@ -63,6 +63,63 @@ class MediaSpec extends SparkSpec {
     assert(parse(wavWith(Int.MaxValue)) === (("wav", null, null, null)))
   }
 
+  test("BMP pixel decoder: features equal hand-computed statistics of explicit pixels") {
+    // a 2×2 bottom-up 24-bit BMP with EXPLICIT pixels, rows padded to 4n:
+    //   logical top row:    (B,G,R) = (10,20,30), (40,50,60)
+    //   logical bottom row: (B,G,R) = (0,0,0),    (255,255,255)
+    // bottom-up file order stores the bottom row first. rowSize = 8.
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val pixels =
+      Array[Byte](0, 0, 0, -1, -1, -1, 0, 0) ++ // bottom row + 2 pad bytes
+        Array[Byte](10, 20, 30, 40, 50, 60, 0, 0) // top row + pad
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ Array.fill[Byte](54 - 34)(0) ++ pixels
+    val f = Multimodal.bmpPixelFeatures(bmp, 16).get
+    // channel means over {10,40,0,255}B {20,50,0,255}G {30,60,0,255}R
+    assert(f(0) == ((10 + 40 + 0 + 255) / 4.0).toFloat)
+    assert(f(1) == ((20 + 50 + 0 + 255) / 4.0).toFloat)
+    assert(f(2) == ((30 + 60 + 0 + 255) / 4.0).toFloat)
+    // population std of B channel
+    val bVals = Seq(10.0, 40.0, 0.0, 255.0)
+    val bMean = bVals.sum / 4
+    assert(math.abs(f(3) - math.sqrt(bVals.map(v => v * v).sum / 4 - bMean * bMean)) < 1e-4)
+    assert(f(6) == 0f && f(9) == 255f) // min/max B
+    // luminance of the four pixels (0.114B + 0.587G + 0.299R)
+    def lum(b: Int, g: Int, r: Int) = 0.114 * b + 0.587 * g + 0.299 * r
+    val lums = Seq(lum(10, 20, 30), lum(40, 50, 60), lum(0, 0, 0), lum(255, 255, 255))
+    assert(math.abs(f(12) - lums.sum / 4) < 1e-4)
+    assert(f(13) == 0.25f) // only the white pixel exceeds 127.5
+    // within-row gradient: |l(40,50,60)-l(10,20,30)| and |l(white)-l(black)|
+    val g1 = math.abs(lums(1) - lums(0))
+    val g2 = math.abs(lums(3) - lums(2))
+    assert(math.abs(f(14) - (g1 + g2) / 2) < 1e-4)
+    assert(f(15) == 1.0f) // square
+  }
+
+  test("BMP pixel decoder refuses what it cannot decode (falls back, never lies)") {
+    // truncated pixel array → None
+    val full = Multimodal.bmpBytes(8, 8, ((8 * 3 + 3) / 4) * 4 * 8, 1L)
+    assert(Multimodal.bmpPixelFeatures(full, 16).isDefined)
+    assert(Multimodal.bmpPixelFeatures(full.dropRight(1), 16).isEmpty)
+    // non-BMP magic → None
+    assert(Multimodal.bmpPixelFeatures(Multimodal.pngBytes(8, 8, 64, 1L), 16).isEmpty)
+    // synthetic table: every BMP row decodes for real (complete files)
+    val feats = Multimodal.featureFrame(Multimodal.syntheticMedia(spark, 48))
+      .filter(col("kind") === "image").collect()
+    assert(feats.nonEmpty)
+    // BMP media ids: kind==image (i%3==0) and (i/3)%4==3 → i ∈ {9, 21, 33, 45}
+    val bmpIds = Seq(9L, 21L, 33L, 45L)
+    val byId = feats.map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    bmpIds.foreach { id =>
+      val v = byId(id)
+      // real pixel statistics live in [0, 255]; min ≤ mean ≤ max per channel
+      assert(v(6) <= v(0) && v(0) <= v(9), s"media $id")
+      assert(v(0) >= 0f && v(9) <= 255f, s"media $id")
+    }
+  }
+
   test("parseMeta recovers the declared dims for every image format") {
     val parsed = Multimodal.parseMeta(Multimodal.syntheticMedia(spark, 120))
       .join(Multimodal.syntheticMedia(spark, 120).toDF()
