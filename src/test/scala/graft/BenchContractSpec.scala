@@ -11,13 +11,18 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // 999.99 is the widest value ms() can emit for a sane runtime
-    val medians = names.map(_ -> 999.99)
+    // worst-case per-median width under msSlim(): 99.99 (5 chars) for
+    // fast queries, and a pathological 99999 s renders the SAME 5 chars
+    // — assert both regimes so the budget holds for any runtime
+    val medians = names.zipWithIndex.map { case (n, i) =>
+      n -> (if (i % 2 == 0) 99.99 else 99999.0)
+    }
     val stream =
       """{"single_window":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
         """"six_windows_union":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
         """"six_windows_two_phase":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9}}"""
-    val line = Bench.renderSlim(medians, 9999.9999, "{}", stream, "/root/testdata/sf0.1")
+    val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1",
+      annBuildSec = 9999.99)
     assert(line.length <= 1900,
       s"metric line ${line.length} chars leaves <100 headroom under the 2000-char driver tail " +
         "— shorten query names or drop per-query detail from the slim line")

@@ -48,6 +48,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   } }
 
+  test("six-window explode topology streams the exact union-topology rows") {
+    // the bench's six_windows_union runs slidingStatsMulti as ONE
+    // update-mode stateful aggregation (codegen'd explode, no 669-branch
+    // Expand); its final streamed rows must equal the reference-fidelity
+    // 6-agg union computed in batch on the same ticks
+    val in = MemoryStream[PriceTick](spark)
+    val cfgs = TickOps.defaultWindows
+    // exact=true on both sides: the decimal-exact stats are accumulation-
+    // order-invariant, so streaming-vs-batch equality is bit-for-bit
+    // (float stddev differs in the last ulp across the two partitionings)
+    val stats = TickOps.slidingStatsMulti(
+      in.toDF().withWatermark("event_time", "10 seconds"), cfgs, exact = true)
+    val q = stats.writeStream
+      .format("memory").queryName("mw_out").outputMode(OutputMode.Update).start()
+    val ticksSeq = (0 until 50).map(i =>
+      PriceTick(if (i % 2 == 0) "BTC" else "ETH", 100.0 + i,
+        ts(f"2024-01-01 00:${i / 6}%02d:${(i * 7) % 60}%02d")))
+    try {
+      // one batch → update mode emits each (end, window, symbol) group
+      // exactly once, so the sink table IS the final answer (cross-batch
+      // update re-emission is pinned by the MemoryStream test above)
+      in.addData(ticksSeq)
+      q.processAllAvailable()
+      val rows = spark.table("mw_out").collect()
+        .map(r => (r.getTimestamp(0), r.getString(2), r.getString(1))
+          -> ((r.getAs[Double]("avg_price"), r.getAs[Double]("std_price"))))
+      assert(rows.map(_._1).distinct.length == rows.length, "duplicate emissions")
+      val streamed = rows.toMap
+      val batch = noWideExpandCodegen {
+        TickOps.movingStatsUnion(
+          spark.createDataFrame(ticksSeq), cfgs, exact = true)
+          .collect()
+          .map(r => (r.getTimestamp(0), r.getString(2), r.getString(1))
+            -> ((r.getAs[Double]("avg_price"), r.getAs[Double]("std_price")))).toMap
+      }
+      assert(streamed.keySet == batch.keySet,
+        s"group sets differ: ${streamed.keySet.size} vs ${batch.keySet.size}")
+      streamed.foreach { case (k, v) => assert(v == batch(k), s"at $k") }
+    } finally q.stop()
+  }
+
   test("watermark: late data beyond 10s is dropped from append-mode windows") {
     val in = MemoryStream[PriceTick](spark)
     val agg = TickOps.slidingStats(
