@@ -221,4 +221,25 @@ object HashOracleSql {
        |  UNION
        |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id)
        |SELECT id, MIN(r) AS cluster FROM reach GROUP BY id""".stripMargin
+
+  /** q120: the same closure labels every document with its near-dup
+    * cluster (singletons label themselves) and the md5 split thresholds
+    * key on the CLUSTER — the leakage-safe split's oracle. */
+  val leakageSafeSplitSql: String =
+    s"""$simhashPairCtes,
+       |nodes AS (SELECT id_a AS id FROM pairs UNION SELECT id_b AS id FROM pairs),
+       |sym AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |        UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs),
+       |reach(id, r) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id),
+       |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+       |SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster,
+       |  CASE WHEN substring(md5(CAST(COALESCE(l.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '08'
+       |         THEN 'val'
+       |       WHEN substring(md5(CAST(COALESCE(l.cluster, d.doc_id) AS VARCHAR)), 1, 2) < '10'
+       |         THEN 'test'
+       |       ELSE 'train' END AS split
+       |FROM documents d LEFT JOIN labels l ON l.id = d.doc_id""".stripMargin
 }

@@ -333,6 +333,48 @@ object TextQueries {
             TextOps.qualityScore(col("text")).as("quality")),
         col("doc_id"), col("quality"))),
 
+    // Alpha-sampling data mixture (the GPT-3/PaLM recipe at α = 0.5):
+    // per-language keep rate √(n_min/n_l), so kept counts ∝ √n_l — big
+    // sources down-weighted, the smallest kept whole. Deterministic
+    // md5-prefix-vs-hex-threshold membership (weightedHashSample's
+    // discipline): a pure scan predicate, shuffle-free over the corpus;
+    // the per-group rate table is a tiny broadcast. √ and ÷ are
+    // correctly-rounded IEEE ops, so even the thresholds oracle-check.
+    "q119_alpha_mixture" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+      val rates = counts.crossJoin(broadcast(nmin))
+        .withColumn("rate", sqrt(col("n_min").cast("double") / col("n_docs")))
+        .withColumn("thr", lpad(lower(hex(
+          greatest(lit(0), least(floor(col("rate") * 65536), lit(65535)))
+            .cast("long"))), 4, "0"))
+        .select(col("lang"), col("n_docs"), col("thr"))
+      docs.join(broadcast(rates), Seq("lang"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < col("thr"))
+        .select(col("doc_id"), col("lang"), col("n_docs"), col("thr"))
+    }),
+
+    // Leakage-safe train/val/test split: the md5 split key is the
+    // near-dup CLUSTER id (SimHash components; singletons key on their
+    // own doc_id), so every member of a duplicate cluster lands in the
+    // SAME split — the step that keeps eval sets uncontaminated by
+    // near-copies of training docs. Composes the components operator
+    // with the deterministic splitAssign; oracle replays the sketch
+    // pipeline + reachability closure + the same md5 thresholds.
+    "q120_leakage_safe_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 12))
+        .withColumnRenamed("id", "doc_id")
+      val labeled = docs.select(col("doc_id"))
+        .join(clusters, Seq("doc_id"), "left")
+        .withColumn("cluster", coalesce(col("cluster"), col("doc_id")))
+      graft.operators.Sampling.splitAssign(
+          labeled, col("cluster"), val256 = 8, test256 = 8)
+        .select(col("doc_id"), col("cluster"), col("split"))
+    }),
+
     // Copy-paste pairs: docs sharing an exact 10-token window — the
     // low-Jaccard copied-paragraph case minhash misses by design.
     "q79_shared_windows" -> ((s, dir) =>
@@ -343,6 +385,53 @@ object TextQueries {
     // per-row generator step before sentence-level scoring/chunking.
     "q82_sentences" -> ((s, dir) =>
       TextOps.sentences(table(s, dir, "documents"), "doc_id", "text")),
+
+    // Per-document n-gram-LM "surprise": for every token bigram, the
+    // integer branching ratio prefix_count div bigram_count (≥ 1; rare
+    // continuations score high), summed and averaged per doc — the
+    // log-free novelty/typicality signal an LLM-data pipeline uses to
+    // rank docs against the corpus language model. All-integer until one
+    // final divide, so it oracle-checks bit-for-bit. Scale shape: bigram
+    // explode → two vocabulary-sized count aggregates (map-side
+    // combined) → one shuffle join on the bigram key; no windows, no
+    // driver state.
+    "q117_bigram_surprise" -> ((s, dir) => {
+      val bigrams = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(tk) - 2), i -> struct(tk[i] AS w1, tk[i+1] AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
+      val pf = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("pc"))
+      bigrams.join(bg, Seq("w1", "w2")).join(pf, Seq("w1"))
+        .withColumn("surprise", expr("pc div bc"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("surprise")).as("sum_surprise"))
+        .withColumn("avg_surprise",
+          col("sum_surprise").cast("double") / col("n_bigrams"))
+    }),
+
+    // Per-document trigram novelty: the fraction of a doc's DISTINCT
+    // word 3-shingles that appear in no other document — cross-doc
+    // redundancy from the other side (a near-0 novelty doc is template
+    // output; near-1 is fresh text). Grams travel as 8-byte FNV-1a
+    // fingerprints, never strings (the 100 TB shuffle discipline), and
+    // the fingerprint replays in DuckDB, so the whole query
+    // oracle-checks. One gram-keyed shuffle + one per-doc aggregate.
+    "q118_trigram_novelty" -> ((s, dir) => {
+      val grams = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(Dedup.shingles("toks", 3)).as("g"))
+        .select(col("doc_id"), TextOps.fingerprint(col("g")).as("gh"))
+      val docFreq = grams.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      grams.join(docFreq, Seq("gh"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_grams"),
+          count(when(col("df") === 1, 1)).as("n_unique"))
+        .withColumn("novelty",
+          col("n_unique").cast("double") / col("n_grams"))
+    }),
 
     // Mixture selection: per language, the highest-quality documents
     // until a 5,000-token budget — greedy-prefix, scale-safe running
@@ -804,6 +893,54 @@ object TextQueries {
 
     "q73_components" -> componentsSql,
     "q74_components_star" -> componentsSql,
+
+    // Integer branching ratios mirror Spark's `div` with DuckDB's `//`
+    // (both positive operands); the single final divide is one IEEE op.
+    "q117_bigram_surprise" ->
+      s"""WITH toks AS (SELECT doc_id, ${HashOracleSql.tokSql} AS tk FROM documents),
+         |bg AS (
+         |  SELECT doc_id, tk[i] AS w1, tk[i+1] AS w2
+         |  FROM (SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |        FROM toks WHERE len(tk) >= 2)),
+         |bc AS (SELECT w1, w2, COUNT(1) AS bc FROM bg GROUP BY w1, w2),
+         |pc AS (SELECT w1, COUNT(1) AS pc FROM bg GROUP BY w1)
+         |SELECT doc_id, COUNT(1) AS n_bigrams,
+         |  CAST(SUM(pc // bc) AS BIGINT) AS sum_surprise,
+         |  CAST(SUM(pc // bc) AS DOUBLE) / COUNT(1) AS avg_surprise
+         |FROM bg JOIN bc USING (w1, w2) JOIN pc USING (w1)
+         |GROUP BY doc_id""".stripMargin,
+
+    "q118_trigram_novelty" ->
+      s"""WITH toks AS (SELECT doc_id, ${HashOracleSql.tokSql} AS tk FROM documents),
+         |shs AS (
+         |  SELECT doc_id, list_distinct(
+         |    CASE WHEN len(tk) < 3 THEN [array_to_string(tk, ' ')]
+         |         ELSE list_transform(range(0, len(tk) - 2),
+         |                i -> array_to_string(tk[i+1:i+3], ' ')) END) AS sh
+         |  FROM toks),
+         |g AS (SELECT doc_id, ${HashOracleSql.fnvSql("s")} AS gh
+         |      FROM (SELECT doc_id, unnest(sh) AS s FROM shs)),
+         |d AS (SELECT gh, COUNT(1) AS df FROM g GROUP BY gh)
+         |SELECT doc_id, COUNT(1) AS n_grams,
+         |  COUNT(1) FILTER (WHERE df = 1) AS n_unique,
+         |  CAST(COUNT(1) FILTER (WHERE df = 1) AS DOUBLE) / COUNT(1) AS novelty
+         |FROM g JOIN d USING (gh) GROUP BY doc_id""".stripMargin,
+
+    // √ and ÷ are correctly-rounded IEEE ops (unlike ln/pow), so the
+    // alpha-mixture thresholds mirror exactly; to_hex/lpad as in q78.
+    "q119_alpha_mixture" ->
+      """WITH c AS (SELECT lang, COUNT(1) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |        lpad(lower(to_hex(CAST(greatest(0, least(floor(
+        |          sqrt(CAST(n_min AS DOUBLE) / n_docs) * 65536), 65535)) AS BIGINT))),
+        |          4, '0') AS thr
+        |      FROM c, m)
+        |SELECT d.doc_id, d.lang, r.n_docs, r.thr
+        |FROM documents d JOIN r USING (lang)
+        |WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) < r.thr""".stripMargin,
+
+    "q120_leakage_safe_split" -> HashOracleSql.leakageSafeSplitSql,
 
     // The hash-kernel replay family (HashOracleSql): FNV-1a / MinHash /
     // SimHash reproduced in DuckDB with HUGEINT mod-2⁶⁴ arithmetic —

@@ -16,10 +16,11 @@ class PlanShapeSpec extends SparkSpec {
   // derived dimensions (days since corpus start × type count); q96:
   // fixed probe list × broadcast 1-row sketch
   // q98: crossJoin against the broadcast 1-row BM25 corpus-stats scalar
+  // q119: crossJoin against the broadcast 1-row global n_min scalar
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
       "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
-      "q98_bm25")
+      "q98_bm25", "q119_alpha_mixture")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
