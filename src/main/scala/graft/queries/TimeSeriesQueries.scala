@@ -208,7 +208,30 @@ object TimeSeriesQueries {
         graft.operators.Sampling.hashSample(
           ticks(s, dir), col("event_id"), 64),
         "symbol", "price", "event_id",
-        Seq(0.25, 0.5, 0.75), materializeInput = false))
+        Seq(0.25, 0.5, 0.75), materializeInput = false)),
+
+    // Tukey-fence winsorization: per-symbol exact quartiles (the
+    // distributed selection — dyadic ranks, engine-exact) → IQR fences
+    // p25 − 1.5·IQR / p75 + 1.5·IQR → every tick clipped into the fences
+    // with a flag. The robust-scaling step of a feature pipeline:
+    // outliers bounded, not dropped. Two scans + a broadcast fence join;
+    // the fence arithmetic and greatest/least clip are single IEEE ops,
+    // so clipped values hash-match.
+    "q121_winsorize" -> ((s, dir) => {
+      val t = ticks(s, dir)
+      val fences = TimeSeriesOps.exactQuantiles(t, "symbol", "price",
+          "event_id", Seq(0.25, 0.75), materializeInput = false)
+        .groupBy(col("symbol"))
+        .agg(min(when(col("q") === 0.25, col("value"))).as("p25"),
+          min(when(col("q") === 0.75, col("value"))).as("p75"))
+        .withColumn("lo", col("p25") - (col("p75") - col("p25")) * 1.5)
+        .withColumn("hi", col("p75") + (col("p75") - col("p25")) * 1.5)
+        .select(col("symbol"), col("lo"), col("hi"))
+      t.join(broadcast(fences), Seq("symbol"))
+        .select(col("symbol"), col("event_id"), col("price"),
+          greatest(col("lo"), least(col("hi"), col("price"))).as("winsorized"),
+          (col("price") < col("lo") || col("price") > col("hi")).as("clipped"))
+    })
   )
 
   def oracles: Map[String, String] = Map(
@@ -383,6 +406,28 @@ object TimeSeriesQueries {
 
     // The identical md5-bucket keep predicate, then q100's rank oracle
     // over the surviving rows.
+    // Rank-based quartiles (type-1, dyadic — same as the q100 oracle),
+    // then the identical fence arithmetic and greatest/least clip.
+    "q121_winsorize" ->
+      """WITH r AS (
+        |  SELECT event_type AS symbol, value AS v,
+        |         row_number() OVER (PARTITION BY event_type
+        |                            ORDER BY value, event_id) AS rn,
+        |         COUNT(1) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |f AS (
+        |  SELECT symbol,
+        |    MIN(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN v END) AS p25,
+        |    MIN(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN v END) AS p75
+        |  FROM r GROUP BY symbol),
+        |fe AS (
+        |  SELECT symbol, p25 - (p75 - p25) * 1.5 AS lo, p75 + (p75 - p25) * 1.5 AS hi
+        |  FROM f)
+        |SELECT e.event_type AS symbol, e.event_id, e.value AS price,
+        |  greatest(fe.lo, least(fe.hi, e.value)) AS winsorized,
+        |  (e.value < fe.lo OR e.value > fe.hi) AS clipped
+        |FROM events e JOIN fe ON fe.symbol = e.event_type""".stripMargin,
+
     "q115_sampled_quartiles" ->
       """WITH r AS (
         |  SELECT event_type AS symbol, value AS v, event_id AS t,

@@ -36,6 +36,18 @@ class AnnIndexStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("buildAnnIndexes writes both artifacts and the registered ANN queries run probe-only") {
+    val dir = java.nio.file.Files.createTempDirectory("ann-build").toFile
+    try {
+      graft.queries.SimilarityQueries.buildAnnIndexes(spark, sf(), dir.getAbsolutePath)
+      assert(new java.io.File(dir, "ivf").exists, "ivf artifact missing")
+      assert(new java.io.File(dir, "pq").exists, "pq artifact missing")
+      // cache seeded → the registered queries search without retraining
+      assert(graft.queries.SimilarityQueries.queries("q81_ann_ivfpq")(spark, sf()).count() > 0)
+      assert(graft.queries.SimilarityQueries.queries("q40_ann_ivf")(spark, sf()).count() > 0)
+    } finally rmrf(dir)
+  }
+
   test("PQ codebook roundtrips parquet bit-for-bit; loaded-artifact IVF-PQ search == inline") {
     val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ann-store-pq").toFile
