@@ -105,33 +105,39 @@ object Sampling {
     * two-phase global-index pattern with CONTENT-derived buckets: rows
     * bucket on the first 4 hex chars of md5 (≤ 65,536 buckets, uniform by
     * avalanche, and prefix-ordered so bucket order == global hash order),
-    * a tiny aggregate counts rows per bucket, the driver turns counts
-    * into running offsets (≤ 65,536 rows — legitimate driver state, like
-    * IVF centroids), and rank = broadcast bucket offset + row_number
-    * within the bucket. Every step is a pure function of row CONTENT —
-    * unlike a cached sampled range partitioning, a recompute after
-    * shuffle loss or an AQE re-plan reproduces the identical ranks, so
-    * nothing needs to be persisted between the two passes. */
+    * a tiny aggregate counts rows per bucket, an executor-side fold over
+    * the one sorted (bucket, count) array turns counts into exclusive
+    * running offsets (≤ 65,536 structs, ~1 MB in a single bounded task —
+    * the driver never materializes a row of it), and rank = bucket
+    * offset + row_number within the bucket. Every step is a pure
+    * function of row CONTENT — unlike a cached sampled range
+    * partitioning, a recompute after shuffle loss or an AQE re-plan
+    * reproduces the identical ranks, so nothing needs to be persisted
+    * between the two passes. */
   def shuffleRank(df: DataFrame, key: Column): DataFrame = {
-    val spark = df.sparkSession
     // null keys hash to "" (sorts before every hex bucket — the nulls-
-    // first convention) instead of poisoning the driver sort with a null
+    // first convention) instead of poisoning the offset order with a null
     val keyed = df
       .withColumn("__sk", coalesce(
         concat(md5(key.cast("string")), key.cast("string")), lit("")))
       .withColumn("__bk", substring(col("__sk"), 1, 4))
-    val counts = keyed.groupBy("__bk").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.map(_._1).zip(counts.map(_._2).scanLeft(0L)(_ + _))
-    val offDf = spark.createDataFrame(
-      spark.sparkContext.parallelize(
-        offsets.toSeq.map { case (b, o) => org.apache.spark.sql.Row(b, o) }, 1),
-      org.apache.spark.sql.types.StructType(Seq(
-        org.apache.spark.sql.types.StructField("__bk", org.apache.spark.sql.types.StringType),
-        org.apache.spark.sql.types.StructField("__off", org.apache.spark.sql.types.LongType))))
+    // exclusive prefix sums over the sorted bucket counts, distributed
+    // end to end (same fold as Packing.groupedCumSum's offset pass)
+    val offDf = keyed.groupBy(col("__bk")).count()
+      .agg(sort_array(collect_list(struct(col("__bk"), col("count")))).as("__bc"))
+      .select(explode(expr(
+        """aggregate(
+             __bc,
+             struct(cast(0 as bigint) as acc,
+                    cast(array() as array<struct<b:string, off:bigint>>) as out),
+             (s, x) -> named_struct(
+               'acc', s.acc + x.count,
+               'out', array_append(s.out, named_struct('b', x.__bk, 'off', s.acc))),
+             s -> s.out)""")).as("__o"))
+      .select(col("__o.b").as("__obk"), col("__o.off").as("__off"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__bk")).orderBy(col("__sk"))
-    keyed.join(broadcast(offDf), "__bk")
+    keyed.join(offDf, keyed("__bk") === offDf("__obk"))
       .withColumn("shuffle_rank", col("__off") + row_number().over(w))
       .select(df.columns.map(col) :+ col("shuffle_rank"): _*)
   }

@@ -59,6 +59,20 @@ class SamplingSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("shuffleRank: offsets derive from the data plan, never a driver-built table") {
+    // pre-round-6 the bucket counts collected to the driver and the
+    // offsets parallelized back as a second RDD leaf; the distributed
+    // fold leaves nothing driver-sided in the plan
+    val df = (1L to 5000L).map(i => (s"d$i", i)).toDF("k", "v")
+    val leaves = Sampling.shuffleRank(df, col("k"))
+      .queryExecution.analyzed.collectLeaves()
+    val rddIds = leaves.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }
+    assert(rddIds.isEmpty,
+      s"driver-built side table leaked into the plan: RDD ids $rddIds")
+  }
+
   test("shuffleRank: contiguous 1..n global rank in md5 order, layout-invariant") {
     import spark.implicits._
     val df = (0L until 3000L).map(Tuple1(_)).toDF("k")
