@@ -210,6 +210,55 @@ object TimeSeriesQueries {
         "symbol", "price", "event_id",
         Seq(0.25, 0.5, 0.75), materializeInput = false)),
 
+    // Time-weighted average price over irregular ticks: each price
+    // weighted by how long it held (gap to the next tick, integer
+    // seconds), per symbol — the TWAP every execution/analytics stack
+    // computes, and the canonical irregular-series resample. Weights are
+    // integer seconds and the weighted sum runs in decimal (split
+    // decimal→double cast, the q114 discipline), so the mark
+    // reproduces bit-for-bit. One sort-shuffle on symbol for the lead();
+    // the aggregation is map-side combined.
+    "q122_twap" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      val WI = org.apache.spark.sql.types.DecimalType(9, 0)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val ev = ticks(s, dir)
+        .select(col("symbol"), col("price").as("x"),
+          unix_micros(col("ts")).as("t_us"), col("event_id"))
+        .withColumn("dt_s",
+          expr("(lead(t_us) over (partition by symbol order by t_us, event_id) - t_us) div 1000000"))
+        .filter(col("dt_s").isNotNull)
+      ev.groupBy(col("symbol"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("dt_s")).as("weight_s"),
+          d2(sum(col("x").cast(XI) * col("dt_s").cast(WI))).as("wsum"))
+        .select(col("symbol"), col("n_intervals"), col("weight_s"),
+          when(col("weight_s") === 0, lit(0.0))
+            .otherwise(col("wsum") / col("weight_s").cast("double")).as("twap"))
+    }),
+
+    // Hourly OHLC bars: the classic tick→bar resample. Open/close are
+    // deterministic arg-min/arg-max via struct ordering on the unique
+    // (t_us, event_id) key — no ranking window, one shuffle keyed by
+    // (symbol, hour); high/low/count ride the same aggregate. Copied
+    // values, never computed — trivially engine-exact.
+    "q123_ohlc_bars" -> ((s, dir) =>
+      ticks(s, dir)
+        .select(col("symbol"), col("price").as("x"),
+          unix_micros(col("ts")).as("t_us"), col("event_id"))
+        .withColumn("hour_bucket", expr("t_us div 3600000000"))
+        .groupBy(col("symbol"), col("hour_bucket"))
+        .agg(count(lit(1)).as("n_ticks"),
+          min(struct(col("t_us"), col("event_id"), col("x")))
+            .getField("x").as("open"),
+          max(col("x")).as("high"),
+          min(col("x")).as("low"),
+          max(struct(col("t_us"), col("event_id"), col("x")))
+            .getField("x").as("close"))),
+
     // Tukey-fence winsorization: per-symbol exact quartiles (the
     // distributed selection — dyadic ranks, engine-exact) → IQR fences
     // p25 − 1.5·IQR / p75 + 1.5·IQR → every tick clipped into the fences
@@ -406,6 +455,52 @@ object TimeSeriesQueries {
 
     // The identical md5-bucket keep predicate, then q100's rank oracle
     // over the surviving rows.
+    // Integer-second weights, decimal weighted sum, split decimal→double
+    // cast (q114 discipline), one final divide.
+    "q122_twap" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val wsum = "SUM(CAST(x AS DECIMAL(18,6)) * CAST(dt_s AS DECIMAL(9,0)))"
+      s"""WITH e AS (
+         |  SELECT event_type AS symbol, value AS x,
+         |         epoch_ns(ts) // 1000 AS t_us, event_id
+         |  FROM events),
+         |d AS (
+         |  SELECT symbol, x,
+         |    (lead(t_us) OVER (PARTITION BY symbol ORDER BY t_us, event_id)
+         |      - t_us) // 1000000 AS dt_s
+         |  FROM e),
+         |a AS (
+         |  SELECT symbol, COUNT(1) AS n_intervals, SUM(dt_s) AS weight_s,
+         |    ${d2(wsum)} AS wsum
+         |  FROM d WHERE dt_s IS NOT NULL GROUP BY symbol)
+         |SELECT symbol, CAST(n_intervals AS BIGINT) AS n_intervals,
+         |  CAST(weight_s AS BIGINT) AS weight_s,
+         |  CASE WHEN weight_s = 0 THEN 0.0
+         |       ELSE wsum / CAST(weight_s AS DOUBLE) END AS twap
+         |FROM a""".stripMargin
+    },
+
+    // Deterministic open/close via asc/desc row_number on the unique
+    // (t_us, event_id) order — the same rows Spark's struct min/max pick.
+    "q123_ohlc_bars" ->
+      """WITH e AS (
+        |  SELECT event_type AS symbol, value AS x,
+        |         epoch_ns(ts) // 1000 AS t_us, event_id
+        |  FROM events),
+        |r AS (
+        |  SELECT symbol, x, t_us // 3600000000 AS hour_bucket,
+        |    row_number() OVER (PARTITION BY symbol, t_us // 3600000000
+        |                       ORDER BY t_us, event_id) AS ra,
+        |    row_number() OVER (PARTITION BY symbol, t_us // 3600000000
+        |                       ORDER BY t_us DESC, event_id DESC) AS rd
+        |  FROM e)
+        |SELECT symbol, hour_bucket, COUNT(1) AS n_ticks,
+        |  MIN(CASE WHEN ra = 1 THEN x END) AS open,
+        |  MAX(x) AS high, MIN(x) AS low,
+        |  MIN(CASE WHEN rd = 1 THEN x END) AS close
+        |FROM r GROUP BY symbol, hour_bucket""".stripMargin,
+
     // Rank-based quartiles (type-1, dyadic — same as the q100 oracle),
     // then the identical fence arithmetic and greatest/least clip.
     "q121_winsorize" ->
