@@ -321,6 +321,53 @@ object TimeSeriesOps {
     }.toDF("symbol", "n_ticks", "ewma_price")
   }
 
+  /** Time-weighted average price per symbol over irregular ticks: each
+    * price weighted by its hold time — the integer-second gap to the
+    * next tick (the last tick of a series holds nothing and carries no
+    * weight). The weighted sum runs in DECIMAL with the split
+    * decimal→double cast, so the mark is bit-reproducible across
+    * partitionings and engines (q122 oracle). One sort-shuffle on
+    * symbol for the lead(); the aggregate map-side combines.
+    * Input columns: (symbol, x double, t_us long, event_id).
+    * Output: (symbol, n_intervals, weight_s, twap). */
+  def twapBySymbol(ticks: DataFrame): DataFrame = {
+    val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+    val WI = org.apache.spark.sql.types.DecimalType(9, 0)
+    def d2(c: org.apache.spark.sql.Column) = {
+      val f = floor(c)
+      f.cast("double") + (c - f).cast("double")
+    }
+    ticks
+      .withColumn("dt_s",
+        expr("(lead(t_us) over (partition by symbol order by t_us, event_id) - t_us) div 1000000"))
+      .filter(col("dt_s").isNotNull)
+      .groupBy(col("symbol"))
+      .agg(count(lit(1)).as("n_intervals"),
+        sum(col("dt_s")).as("weight_s"),
+        d2(sum(col("x").cast(XI) * col("dt_s").cast(WI))).as("wsum"))
+      .select(col("symbol"), col("n_intervals"), col("weight_s"),
+        when(col("weight_s") === 0, lit(0.0))
+          .otherwise(col("wsum") / col("weight_s").cast("double")).as("twap"))
+  }
+
+  /** Tick→bar resample: open/high/low/close + count per (symbol, time
+    * bucket). Open and close are deterministic arg-min/arg-max through
+    * struct ordering on the unique (t_us, event_id) key — no ranking
+    * window, ONE shuffle keyed by (symbol, bucket); values are copied
+    * inputs, trivially engine-exact (q123 oracle).
+    * Input columns: (symbol, x double, t_us long, event_id). */
+  def ohlcBars(ticks: DataFrame, bucketUs: Long): DataFrame =
+    ticks
+      .withColumn("hour_bucket", expr(s"t_us div ${bucketUs}L"))
+      .groupBy(col("symbol"), col("hour_bucket"))
+      .agg(count(lit(1)).as("n_ticks"),
+        min(struct(col("t_us"), col("event_id"), col("x")))
+          .getField("x").as("open"),
+        max(col("x")).as("high"),
+        min(col("x")).as("low"),
+        max(struct(col("t_us"), col("event_id"), col("x")))
+          .getField("x").as("close"))
+
   /** Exact per-group MULTI-quantile by the same iterative range-count
     * selection as [[exactMedian]], generalized to one virtual group per
     * (group, quantile): each requested quantile q resolves the single

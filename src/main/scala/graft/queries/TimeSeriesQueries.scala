@@ -218,27 +218,10 @@ object TimeSeriesQueries {
     // decimal→double cast, the q114 discipline), so the mark
     // reproduces bit-for-bit. One sort-shuffle on symbol for the lead();
     // the aggregation is map-side combined.
-    "q122_twap" -> ((s, dir) => {
-      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
-      val WI = org.apache.spark.sql.types.DecimalType(9, 0)
-      def d2(c: org.apache.spark.sql.Column) = {
-        val f = floor(c)
-        f.cast("double") + (c - f).cast("double")
-      }
-      val ev = ticks(s, dir)
-        .select(col("symbol"), col("price").as("x"),
-          unix_micros(col("ts")).as("t_us"), col("event_id"))
-        .withColumn("dt_s",
-          expr("(lead(t_us) over (partition by symbol order by t_us, event_id) - t_us) div 1000000"))
-        .filter(col("dt_s").isNotNull)
-      ev.groupBy(col("symbol"))
-        .agg(count(lit(1)).as("n_intervals"),
-          sum(col("dt_s")).as("weight_s"),
-          d2(sum(col("x").cast(XI) * col("dt_s").cast(WI))).as("wsum"))
-        .select(col("symbol"), col("n_intervals"), col("weight_s"),
-          when(col("weight_s") === 0, lit(0.0))
-            .otherwise(col("wsum") / col("weight_s").cast("double")).as("twap"))
-    }),
+    "q122_twap" -> ((s, dir) =>
+      TimeSeriesOps.twapBySymbol(
+        ticks(s, dir).select(col("symbol"), col("price").as("x"),
+          unix_micros(col("ts")).as("t_us"), col("event_id")))),
 
     // Hourly OHLC bars: the classic tick→bar resample. Open/close are
     // deterministic arg-min/arg-max via struct ordering on the unique
@@ -246,18 +229,10 @@ object TimeSeriesQueries {
     // (symbol, hour); high/low/count ride the same aggregate. Copied
     // values, never computed — trivially engine-exact.
     "q123_ohlc_bars" -> ((s, dir) =>
-      ticks(s, dir)
-        .select(col("symbol"), col("price").as("x"),
-          unix_micros(col("ts")).as("t_us"), col("event_id"))
-        .withColumn("hour_bucket", expr("t_us div 3600000000"))
-        .groupBy(col("symbol"), col("hour_bucket"))
-        .agg(count(lit(1)).as("n_ticks"),
-          min(struct(col("t_us"), col("event_id"), col("x")))
-            .getField("x").as("open"),
-          max(col("x")).as("high"),
-          min(col("x")).as("low"),
-          max(struct(col("t_us"), col("event_id"), col("x")))
-            .getField("x").as("close"))),
+      TimeSeriesOps.ohlcBars(
+        ticks(s, dir).select(col("symbol"), col("price").as("x"),
+          unix_micros(col("ts")).as("t_us"), col("event_id")),
+        bucketUs = 3600000000L)),
 
     // Tukey-fence winsorization: per-symbol exact quartiles (the
     // distributed selection — dyadic ranks, engine-exact) → IQR fences
