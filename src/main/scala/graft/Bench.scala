@@ -214,16 +214,23 @@ object Bench {
       "q62_ewma", "q94_range_frame", "q100_quartiles", "q101_sessionize",
       "q104_locf", "q75_edit_neardups")
     val stressJson = try {
-      import org.apache.spark.sql.functions.{col, max, min}
+      import org.apache.spark.sql.functions.{col, expr, max, min, timestamp_micros}
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
-      val ev = graft.util.SparkUtil.table(spark, sfDir, "events")
-      val b = ev.agg(min(col("ts")), max(col("ts")), max(col("event_id"))).head()
+      // SparkUtil.events normalizes whatever physical type events.ts has
+      // this testdata generation into a ts_ns Long — shift copies with
+      // integer math, then write back as TIMESTAMP_MICROS (the current
+      // testdata shape, so the stressed run reads what production reads).
+      val ev = graft.util.SparkUtil.events(spark, sfDir)
+      val b = ev.agg(min(col("ts_ns")), max(col("ts_ns")), max(col("event_id"))).head()
       val span = b.getLong(1) - b.getLong(0) + 86400L * 1000000000L
       val idSpan = b.getLong(2) + 1
-      ev.crossJoin(spark.range(10).toDF("__k"))
-        .withColumn("ts", col("ts") + col("__k") * span)
+      ev.drop("ts")
+        .crossJoin(spark.range(10).toDF("__k"))
+        .withColumn("ts_ns", col("ts_ns") + col("__k") * span)
         .withColumn("event_id", col("event_id") + col("__k") * idSpan)
         .drop("__k")
+        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+        .drop("ts_ns")
         .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/events.parquet")
       val pt = graft.util.SparkUtil.table(spark, sfDir, "part")
       val pSpan = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1

@@ -2,17 +2,20 @@ package graft.util
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Session + table helpers shared by queries, Verify, Bench and tests. */
 object SparkUtil {
 
   /** Confs every session needs, safe to set at runtime.
     *
-    * `events.parquet` carries TIMESTAMP(NANOS) which Spark refuses by
-    * default; `nanosAsLong` reads it as a Long of epoch-nanos, which we
-    * convert explicitly (see [[events]]). Keeping the raw long is also the
-    * cheapest representation for bucket arithmetic at scale — integer math
-    * instead of timestamp math in the hot path.
+    * `nanosAsLong` is kept for backward compatibility with testdata
+    * generations that write `events.ts` as parquet TIMESTAMP(NANOS):
+    * Spark refuses that type by default, and with the flag reads it as a
+    * Long of epoch-nanos which [[events]] converts explicitly. Current
+    * testdata writes TIMESTAMP_MICROS, which arrives as a timestamp type
+    * directly — [[events]] branches on whichever shape it finds. The
+    * session TZ is pinned UTC so NTZ↔TZ casts are identities.
     */
   def configure(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -25,14 +28,35 @@ object SparkUtil {
     spark.read.parquet(s"$sfDir/$name.parquet")
   }
 
-  /** The `events` table with both the raw epoch-nano long (`ts_ns`) and a
+  /** The `events` table with both a raw epoch-nano long (`ts_ns`) and a
     * proper TimestampType column (`ts`, microsecond precision) so callers
     * can pick integer bucket math or Spark's `window()` as appropriate.
+    *
+    * Schema-agnostic on purpose: the physical type of `events.ts` has
+    * drifted between testdata generations (TIMESTAMP(NANOS) → read as a
+    * Long via `nanosAsLong`, vs TIMESTAMP_MICROS → TimestampNTZType), so
+    * we branch on whatever the scan reports rather than assuming either.
     */
-  def events(spark: SparkSession, sfDir: String): DataFrame =
-    table(spark, sfDir, "events")
-      .withColumnRenamed("ts", "ts_ns")
-      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // epoch-nanos read via nanosAsLong
+        raw
+          .withColumnRenamed("ts", "ts_ns")
+          .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      case TimestampType | TimestampNTZType => // micros precision
+        val both = raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_ns", unix_micros(col("ts")) * lit(1000L))
+        // Same column order as the Long branch: ts_ns in ts's slot, ts last.
+        val order = raw.columns.map(c => if (c == "ts") "ts_ns" else c) :+ "ts"
+        both.select(order.map(col).toIndexedSeq: _*)
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — expected a Long of " +
+            "epoch-nanos or a timestamp type; testdata schema drifted again?")
+    }
+  }
 
   def newLocalSession(appName: String, cores: String): SparkSession = {
     val spark = SparkSession
