@@ -133,10 +133,13 @@ object Similarity {
   /** Coarse quantizer for [[ivfTopK]]: k-means by Lloyd iteration, written
     * as plain DataFrame aggregations so the training scan distributes like
     * any other query (no driver-side loops over rows — only the k×dim
-    * centroid matrix is ever collected). Initialization picks exemplar
-    * vectors by hashed id — deterministic, no RNG state. Cosine is the
-    * assignment metric, so member means are the (unnormalized) spherical
-    * k-means update. At production scale: train on a sample (`sampleN`),
+    * centroid matrix is ever collected). Initialization picks the
+    * `nlist` smallest-id exemplar vectors — deterministic, no RNG state,
+    * and SQL-replayable. Cosine is the assignment metric, so member means
+    * are the (unnormalized) spherical k-means update; means go through
+    * [[graft.functions.ExactAgg]]'s decimal path, so the trained matrix
+    * is order- AND engine-invariant (the q40 oracle replays the full
+    * training in DuckDB). At production scale: train on a sample (`sampleN`),
     * persist the centroid matrix, and reuse it across queries; here it is
     * recomputed per call because the corpora are small. */
   def trainIvfCentroids(
@@ -148,13 +151,19 @@ object Similarity {
       sampleN: Int = 100000): Array[Array[Float]] = {
     val sample = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
       .orderBy(xxhash64(col("id"))).limit(sampleN)
-    var cents = sample.orderBy(xxhash64(col("id") + 1)).limit(nlist)
+    // Exemplar init by SMALLEST id and EXACT-decimal member means make the
+    // whole training run engine-invariant: every step (first-max-wins
+    // cosine argmax, decimal-quantized mean, float round) is a pinned
+    // deterministic op, so the q40 oracle can unroll these same Lloyd
+    // rounds as DuckDB CTEs and hash-match the search results bit-for-bit.
+    var cents = sample.orderBy(col("id")).limit(nlist)
       .select("v").collect().map(_.getSeq[Float](0).toArray)
     for (_ <- 1 to iters) {
       val updated = sample
         .withColumn("cell", nearestCell(col("v"), cents))
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos").agg(avg(col("x")).as("m"))
+        .groupBy("cell", "pos")
+        .agg(graft.functions.ExactAgg.davg(col("x")).as("m"))
         .groupBy("cell")
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cell"), expr("transform(ps, p -> cast(p.m as float))").as("c"))

@@ -9,9 +9,12 @@ import graft.util.SparkUtil.table
 /** Similarity-search + embedding near-dup + multimodal queries over the
   * `embeddings` table. The brute-force top-k is oracle-checked bit-for-bit
   * (DuckDB `list_inner_product` composes to the identical IEEE op
-  * sequence as our codegen'd cosine kernel); the LSH variants are
-  * rows-only here with recall asserted against brute force in
-  * SimilaritySpec. */
+  * sequence as our codegen'd cosine kernel), and so are the sign-LSH and
+  * IVF paths — their deterministic index builds (splitmix64 planes;
+  * engine-invariant Lloyd rounds) replay fully in DuckDB SQL. The
+  * remaining approximate variants (PQ/IVF-PQ, multi-table near-dup) are
+  * rows-only with recall floored against brute force in
+  * SimilaritySpec/RecallSpec. */
 object SimilarityQueries {
 
   private val K = 10
@@ -51,7 +54,10 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQ), "vec_id", "embedding", K)
     }),
 
-    // Scale path: sign-LSH bucketed ANN (recall vs brute force in spec).
+    // Scale path: sign-LSH bucketed ANN. Oracle-checked BIT-EXACT (the
+    // deterministic splitmix64 Rademacher planes, bucket bits, radius-2
+    // probes, and cosine rerank all replay in DuckDB — see lshOracleSql);
+    // recall vs brute force additionally floored in RecallSpec.
     "q31_ann_lsh" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       Similarity.lshTopK(
@@ -60,9 +66,11 @@ object SimilarityQueries {
     }),
 
     // Second ANN scale path: IVF — data-adaptive coarse quantizer (Lloyd
-    // k-means over DataFrame aggs), nprobe-cell search. Rows-only (the
-    // iterative float centroid training has no DuckDB mirror); recall vs
-    // brute force asserted in RecallSpec.
+    // k-means over DataFrame aggs), nprobe-cell search. Oracle-checked
+    // BIT-EXACT: the training is engine-invariant by construction, so the
+    // oracle unrolls all three Lloyd rounds as DuckDB CTEs and replays
+    // index build + search end to end (ivfOracleSql); recall vs brute
+    // force additionally floored in RecallSpec.
     "q40_ann_ivf" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       // train-once cache: the deterministic centroid matrix is the
@@ -152,6 +160,7 @@ object SimilarityQueries {
     }),
 
     // Frame sampling of video payloads — metadata fan-out shape.
+    // Oracle-checked: the closed-form frame count/last-ts per video.
     "q34_frame_samples" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.sampleFrames(media, strideMs = 500L).toDF()
@@ -161,9 +170,11 @@ object SimilarityQueries {
 
     // REAL multimodal metadata: container-header parse (format sniff,
     // PNG/JPEG/GIF/BMP dims, WAV sample rate) straight off the binary
-    // column — codegen'd byte arithmetic, no codec. Rows-only (the
-    // binary table is synthesized in-memory); parser-vs-declared-dims
-    // equality asserted per format in MediaSpec.
+    // column — codegen'd byte arithmetic, no codec. Oracle-checked: the
+    // synthetic table is a pure function of media_id, so DuckDB
+    // recomputes the expected metadata closed-form and any parser bug
+    // (offset, endianness, format sniff) breaks the match; per-format
+    // parser equality additionally pinned in MediaSpec.
     "q63_media_meta" -> ((s, dir) =>
       Multimodal.parseMeta(Multimodal.syntheticMedia(s, 200))),
 
@@ -259,6 +270,158 @@ object SimilarityQueries {
         |  CASE WHEN sqrt(list_inner_product(dv, dv)) = 0.0 THEN 0.0
         |       ELSE CAST(embedding[1] AS DOUBLE)
         |            / sqrt(list_inner_product(dv, dv)) END AS first_unit
-        |FROM v""".stripMargin
+        |FROM v""".stripMargin,
+
+    "q31_ann_lsh" -> lshOracleSql,
+    "q40_ann_ivf" -> ivfOracleSql,
+
+    // The synthetic media table is a pure function of media_id (kind
+    // rotation, pad = 200 + id, dims from the id, format rotation every
+    // third image), so the oracle recomputes the EXPECTED container
+    // metadata closed-form and the check exercises the whole loop:
+    // header synthesis → binary column → byte-walking parser. A parser
+    // bug (wrong offset, endianness, missing format) breaks the match.
+    "q63_media_meta" ->
+      """WITH m AS (SELECT CAST(t.i AS BIGINT) AS media_id FROM range(0, 200) t(i)),
+        |d AS (SELECT media_id,
+        |        CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |        200 + (media_id % 512) AS pad,
+        |        CAST(64 + (media_id % 8) * 16 AS INT) AS w,
+        |        (media_id // 3) % 4 AS sub
+        |      FROM m)
+        |SELECT media_id, kind,
+        |  CAST(CASE WHEN kind = 'audio' THEN 44 + pad
+        |            WHEN kind = 'video' THEN 16 + pad
+        |            WHEN sub = 0 THEN 33 + pad
+        |            WHEN sub = 1 THEN 39 + pad
+        |            WHEN sub = 2 THEN 10 + pad
+        |            ELSE 54 + ((w * 3 + 3) // 4) * 4 * 64 END AS INT) AS n_bytes,
+        |  CASE WHEN kind = 'audio' THEN 'wav' WHEN kind = 'video' THEN 'mp4'
+        |       WHEN sub = 0 THEN 'png' WHEN sub = 1 THEN 'jpeg'
+        |       WHEN sub = 2 THEN 'gif' ELSE 'bmp' END AS format,
+        |  CASE WHEN kind = 'image' THEN w END AS width,
+        |  CASE WHEN kind = 'image' THEN CAST(64 AS INT) END AS height,
+        |  CASE WHEN kind = 'audio' THEN CAST(16000 AS INT) END AS sample_rate
+        |FROM d""".stripMargin,
+
+    // Frame sampling is metadata math: frames at 0, 500, … < duration_ms
+    // where duration_ms = 1000 + media_id (video ids ≡ 2 mod 3) — so the
+    // per-media frame count and last timestamp are closed-form.
+    "q34_frame_samples" ->
+      """WITH m AS (SELECT CAST(t.i AS BIGINT) AS media_id, 1000 + t.i % 5000 AS dur
+        |           FROM range(0, 200) t(i) WHERE t.i % 3 = 2)
+        |SELECT media_id, (dur + 499) // 500 AS n_frames,
+        |       ((dur + 499) // 500 - 1) * 500 AS last_ts
+        |FROM m""".stripMargin
   )
+
+  // ---- q31: full sign-LSH replay ------------------------------------
+  // The hyperplanes are Rademacher (±1) vectors whose signs come from the
+  // SAME splitmix64 the SignLshBucket kernel runs — embedded as literal
+  // DOUBLE[] lists, so there is no second plane implementation to drift.
+  // dot(vec, plane) is then an in-order double accumulation of ±vec[d],
+  // exactly DuckDB's list_inner_product chain (pinned by the q30 parity),
+  // so bucket bits, radius-2 multi-probe (22 XOR masks), the bucket
+  // equi-join, the exact-cosine rerank, and the (score DESC, id ASC)
+  // top-k ALL hash-match bit-for-bit.
+  private val LshPlanes = 6
+
+  private def lshOracleSql: String = {
+    import graft.functions.HashKernels.splitmix64
+    val dim = 64 // fixed property of the synthetic table (see q53 note)
+    val planeRows = (0 until LshPlanes).map { p =>
+      val comps = (0 until dim).map { d =>
+        if ((splitmix64(p.toLong * 1024L + d) & 1L) == 0L) "1.0" else "-1.0"
+      }
+      s"($p, ${comps.mkString("[", ",", "]")}::DOUBLE[])"
+    }.mkString(",\n    ")
+    // probe masks: bucket0, all 1-bit flips, all 2-bit flips (radius 2)
+    val masks = Seq(0L) ++
+      (0 until LshPlanes).map(i => 1L << i) ++
+      (for {
+        i <- 0 until (LshPlanes - 1); j <- (i + 1) until LshPlanes
+      } yield (1L << i) | (1L << j))
+    s"""WITH planes(p, pl) AS (VALUES
+       |    $planeRows),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |b AS (SELECT vec_id, any_value(e) AS e,
+       |        CAST(sum(CASE WHEN list_inner_product(e, pl) > 0.0
+       |                      THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |      FROM v CROSS JOIN planes GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, e AS qv,
+       |        unnest(list_transform(${masks.mkString("[", ",", "]")},
+       |                              m -> xor(bucket, m))) AS bucket
+       |      FROM b WHERE vec_id < $NQ),
+       |j AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |        ${cosSql("c.e", "q.qv")} AS cosine
+       |      FROM b c JOIN q ON c.bucket = q.bucket)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM j)
+       |WHERE rank <= $K""".stripMargin
+  }
+
+  // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------
+  // trainIvfCentroids is engine-invariant by construction (smallest-id
+  // exemplar init, first-max-wins cosine argmax, ExactAgg decimal means
+  // rounded to float), so the oracle replays the ENTIRE index build —
+  // three k-means rounds as chained CTEs, empty cells carrying their
+  // previous centroid — then the corpus assignment, the nprobe-cell
+  // probe, and the exact-cosine rerank, all on ops already pinned
+  // bit-exact by q30/q53. Assumes corpus ≤ the trainer's sampleN
+  // (holds at every verification SF; at production scale the persisted
+  // index path is the contract, not this replay).
+  private def ivfOracleSql: String = {
+    val (nlist, iters, nprobe, dim) = (16, 3, 4, 64)
+    def cellAssign(cents: String, out: String, extra: String, rnCap: String): String =
+      s"""$out AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM v CROSS JOIN $cents c $extra)
+         |  WHERE rn $rnCap)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      val prev = s"c${r - 1}"
+      cellAssign(prev, s"a$r", "", "= 1") + ",\n" +
+        s"""m$r AS (
+           |  SELECT cell, g.i AS pos,
+           |    CAST(CAST(${graft.functions.ExactAgg.sqlAvg("e[g.i]")} AS FLOAT) AS DOUBLE) AS m
+           |  FROM a$r, generate_series(1, $dim) AS g(i) GROUP BY cell, g.i),
+           |c$r AS (
+           |  SELECT p.cell, COALESCE(n.c, p.c) AS c
+           |  FROM $prev p LEFT JOIN
+           |    (SELECT cell, list(m ORDER BY pos) AS c FROM m$r GROUP BY cell) n
+           |  ON p.cell = n.cell)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
+       |       FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist)),
+       |$rounds,
+       |corp AS (
+       |  SELECT vec_id AS neighbor_id, e AS cv, cell FROM (
+       |    SELECT v.vec_id, v.e, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM v CROSS JOIN c$iters c)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, qv, cell FROM (
+       |    SELECT v.vec_id AS query_id, v.e AS qv, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM v CROSS JOIN c$iters c WHERE v.vec_id < $NQ)
+       |  WHERE rn <= $nprobe),
+       |j AS (SELECT probe.query_id, corp.neighbor_id,
+       |        ${cosSql("corp.cv", "probe.qv")} AS cosine
+       |      FROM corp JOIN probe ON corp.cell = probe.cell)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM j)
+       |WHERE rank <= $K""".stripMargin
+  }
 }
