@@ -11,9 +11,10 @@ import graft.util.SparkUtil.table
   * (DuckDB `list_inner_product` composes to the identical IEEE op
   * sequence as our codegen'd cosine kernel), and so are the sign-LSH and
   * IVF paths — their deterministic index builds (splitmix64 planes;
-  * engine-invariant Lloyd rounds) replay fully in DuckDB SQL. The
-  * remaining approximate variants (PQ/IVF-PQ, multi-table near-dup) are
-  * rows-only with recall floored against brute force in
+  * engine-invariant Lloyd rounds) replay fully in DuckDB SQL — as are the
+  * PQ and IVF-PQ compositions (per-subspace Lloyd + ADC + rerank) and
+  * the multi-table near-dup candidates. Every ANN family member is
+  * hash-exact; recall floors vs brute force are additionally asserted in
   * SimilaritySpec/RecallSpec. */
 object SimilarityQueries {
 
@@ -86,7 +87,8 @@ object SimilarityQueries {
     // Embedding near-duplicate candidates via LSH buckets + exact cosine.
     // τ=0.4 suits this synthetic corpus (max pairwise cosine ≈ 0.48);
     // production near-dup τ≈0.95 is exercised on planted vectors in
-    // DedupSpec.
+    // DedupSpec. Oracle-checked BIT-EXACT (multi-table bucket replay —
+    // see the q32 oracle below).
     "q32_embedding_neardups" -> ((s, dir) =>
       Dedup.embeddingNearDups(table(s, dir, "embeddings"), "vec_id", "embedding",
         planes = 4, threshold = 0.4, tables = 3)),
@@ -109,8 +111,10 @@ object SimilarityQueries {
     // ANN over the PQ-compressed corpus: the code-column scan shortlists
     // 50 candidates per query (asymmetric distance against the trained
     // codebook), then only those rows are re-scored with exact cosine.
-    // Rows-only (iterative float training has no SQL mirror); recall vs
-    // exact search asserted in SimilaritySpec.
+    // Oracle-checked BIT-EXACT: the per-subspace Lloyd training is
+    // engine-invariant, so the oracle replays codebook build, encoding,
+    // ADC scoring and rerank end to end (pqOracleSql); recall vs exact
+    // search additionally asserted in SimilaritySpec.
     "q59_ann_pq" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       // m=16/k=16 → 4-dim subspaces, 16 bytes/vector (16× compression);
@@ -125,7 +129,9 @@ object SimilarityQueries {
 
     // The production composition: IVF cells bound WHICH rows are scored,
     // PQ codes bound WHAT is read per row; exact rerank on the shortlist
-    // (recall floor pinned in RecallSpec).
+    // (recall floor pinned in RecallSpec). Oracle-checked BIT-EXACT —
+    // both deterministic trainings compose in one DuckDB WITH
+    // (ivfPqOracleSql).
     "q81_ann_ivfpq" -> ((s, dir) => {
       val e = table(s, dir, "embeddings")
       val cc = ivfIndex.getOrElseUpdate(dir,
@@ -274,6 +280,8 @@ object SimilarityQueries {
 
     "q31_ann_lsh" -> lshOracleSql,
     "q40_ann_ivf" -> ivfOracleSql,
+    "q59_ann_pq" -> pqOracleSql,
+    "q81_ann_ivfpq" -> ivfPqOracleSql,
 
     // The synthetic media table is a pure function of media_id (kind
     // rotation, pad = 200 + id, dims from the id, format rotation every
@@ -304,6 +312,29 @@ object SimilarityQueries {
         |  CASE WHEN kind = 'audio' THEN CAST(16000 AS INT) END AS sample_rate
         |FROM d""".stripMargin,
 
+    // q32: multi-table sign-LSH near-dup candidates replay whole: the 12
+    // Rademacher planes (3 tables × 4 planes, one fused bucket_all) are
+    // literals, table buckets are bit-slices, and the exact-cosine
+    // threshold filter plus post-threshold DISTINCT mirror the operator
+    // one-to-one.
+    "q32_embedding_neardups" -> {
+      val (planes, tables, thresh) = (4, 3, 0.4)
+      s"""WITH planes(p, pl) AS (VALUES
+         |    ${planeValuesSql(planes * tables)}),
+         |v AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT doc_id, any_value(e) AS e,
+         |        CAST(sum(CASE WHEN list_inner_product(e, pl) > 0.0
+         |                      THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket_all
+         |      FROM v CROSS JOIN planes GROUP BY doc_id),
+         |sk AS (SELECT doc_id, e, t.i AS tbl,
+         |         (bucket_all >> (t.i * $planes)) & ${(1 << planes) - 1} AS bucket
+         |       FROM b, range(0, $tables) t(i))
+         |SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b,
+         |  ${cosSql("a.e", "x.e")} AS cosine
+         |FROM sk a JOIN sk x ON a.tbl = x.tbl AND a.bucket = x.bucket
+         |WHERE a.doc_id < x.doc_id AND ${cosSql("a.e", "x.e")} >= $thresh""".stripMargin
+    },
+
     // Frame sampling is metadata math: frames at 0, 500, … < duration_ms
     // where duration_ms = 1000 + media_id (video ids ≡ 2 mod 3) — so the
     // per-media frame count and last timestamp are closed-form.
@@ -326,15 +357,20 @@ object SimilarityQueries {
   // top-k ALL hash-match bit-for-bit.
   private val LshPlanes = 6
 
-  private def lshOracleSql: String = {
-    import graft.functions.HashKernels.splitmix64
-    val dim = 64 // fixed property of the synthetic table (see q53 note)
-    val planeRows = (0 until LshPlanes).map { p =>
+  /** The kernel's Rademacher hyperplanes as DuckDB VALUES rows — signs
+    * from the SAME splitmix64 the SignLshBucket expression runs. */
+  private def planeValuesSql(planes: Int, dim: Int = 64): String =
+    (0 until planes).map { p =>
       val comps = (0 until dim).map { d =>
-        if ((splitmix64(p.toLong * 1024L + d) & 1L) == 0L) "1.0" else "-1.0"
+        if ((graft.functions.HashKernels.splitmix64(p.toLong * 1024L + d) & 1L) == 0L)
+          "1.0"
+        else "-1.0"
       }
       s"($p, ${comps.mkString("[", ",", "]")}::DOUBLE[])"
     }.mkString(",\n    ")
+
+  private def lshOracleSql: String = {
+    val planeRows = planeValuesSql(LshPlanes)
     // probe masks: bucket0, all 1-bit flips, all 2-bit flips (radius 2)
     val masks = Seq(0L) ++
       (0 until LshPlanes).map(i => 1L << i) ++
@@ -361,6 +397,159 @@ object SimilarityQueries {
        |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
        |  FROM j)
        |WHERE rank <= $K""".stripMargin
+  }
+
+  // ---- shared Lloyd-unroll CTE builders (q40/q59/q81) ----------------
+  // trainIvfCentroids/trainPq are engine-invariant by construction, so a
+  // fixed-iteration k-means replays as chained CTEs: assignment is the
+  // first-max-wins cosine argmax (ROW_NUMBER over score DESC, cell ASC),
+  // the update is the ExactAgg decimal mean rounded to float, and empty
+  // cells carry their previous centroid.
+
+  /** Three full-dim Lloyd rounds over CTE `v(vec_id, e)`, starting from
+    * `${p}c0`, producing `${p}c3`. `p` prefixes every CTE name so coarse
+    * and PQ trainings compose in one WITH. */
+  private def lloydRoundsSql(p: String, dim: Int, iters: Int): String =
+    (1 to iters).map { r =>
+      val prev = s"${p}c${r - 1}"
+      s"""${p}a$r AS (
+         |  SELECT vec_id, e, cell FROM (
+         |    SELECT v.vec_id, v.e, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM v CROSS JOIN $prev c)
+         |  WHERE rn = 1),
+         |${p}m$r AS (
+         |  SELECT cell, g.i AS pos,
+         |    CAST(CAST(${graft.functions.ExactAgg.sqlAvg("e[g.i]")} AS FLOAT) AS DOUBLE) AS m
+         |  FROM ${p}a$r, generate_series(1, $dim) AS g(i) GROUP BY cell, g.i),
+         |${p}c$r AS (
+         |  SELECT p.cell, COALESCE(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT cell, list(m ORDER BY pos) AS c FROM ${p}m$r GROUP BY cell) n
+         |  ON p.cell = n.cell)""".stripMargin
+    }.mkString(",\n")
+
+  /** Same rounds keyed by subspace over CTE `vs(vec_id, s, e)` — the
+    * trainPq replay: every subspace trains independently but in ONE set
+    * of CTEs with `s` as an extra key column. */
+  private def pqRoundsSql(p: String, sub: Int, iters: Int): String =
+    (1 to iters).map { r =>
+      val prev = s"${p}c${r - 1}"
+      s"""${p}a$r AS (
+         |  SELECT vec_id, s, e, cell FROM (
+         |    SELECT v.vec_id, v.s, v.e, c.cell,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+         |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+         |    FROM vs v JOIN $prev c ON v.s = c.s)
+         |  WHERE rn = 1),
+         |${p}m$r AS (
+         |  SELECT s, cell, g.i AS pos,
+         |    CAST(CAST(${graft.functions.ExactAgg.sqlAvg("e[g.i]")} AS FLOAT) AS DOUBLE) AS m
+         |  FROM ${p}a$r, generate_series(1, $sub) AS g(i) GROUP BY s, cell, g.i),
+         |${p}c$r AS (
+         |  SELECT p.s, p.cell, COALESCE(n.c, p.c) AS c
+         |  FROM $prev p LEFT JOIN
+         |    (SELECT s, cell, list(m ORDER BY pos) AS c FROM ${p}m$r GROUP BY s, cell) n
+         |  ON p.s = n.s AND p.cell = n.cell)""".stripMargin
+    }.mkString(",\n")
+
+  /** Shared PQ search CTEs after `pqc{iters}`: per-(vector, subspace)
+    * codes, the reconstructed 64-lane centroid chain per vector (the
+    * pqScore kernel walks dot/rn in one in-order fold over exactly this
+    * list), plus the query set. */
+  private def pqSearchCtes(m: Int, kc: Int, sub: Int, iters: Int): String =
+    s"""vs AS (SELECT vec_id, t.i AS s, e[(t.i*$sub+1):((t.i+1)*$sub)] AS e
+       |       FROM v, range(0, $m) t(i)),
+       |pqc0 AS (SELECT s, CAST(ROW_NUMBER() OVER (PARTITION BY s ORDER BY vec_id) - 1 AS INT) AS cell,
+       |                e AS c
+       |         FROM (SELECT vec_id, s, e FROM vs WHERE vec_id < $kc)),
+       |${pqRoundsSql("pq", sub, iters)},
+       |codes AS (
+       |  SELECT vec_id, s, cell AS code FROM (
+       |    SELECT v.vec_id, v.s, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.s
+       |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM vs v JOIN pqc$iters c ON v.s = c.s)
+       |  WHERE rn = 1),
+       |recon AS (
+       |  SELECT vec_id, flatten(list(c ORDER BY s)) AS r FROM (
+       |    SELECT a.vec_id, a.s, c.c
+       |    FROM codes a JOIN pqc$iters c ON a.s = c.s AND a.code = c.cell)
+       |  GROUP BY vec_id),
+       |q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < $NQ)""".stripMargin
+
+  /** pqScore replayed on the reconstructed chain: one zero-guarded
+    * normalized inner product (identical accumulator order). */
+  private def pqScoreSql: String =
+    """CASE WHEN list_inner_product(r.r, r.r) = 0.0
+      |       OR list_inner_product(q.qv, q.qv) = 0.0 THEN 0.0
+      |     ELSE list_inner_product(q.qv, r.r)
+      |       / (sqrt(list_inner_product(r.r, r.r)) * sqrt(list_inner_product(q.qv, q.qv))) END""".stripMargin
+
+  /** Shortlist → exact-cosine rerank → top-k, the tail every PQ search
+    * shares (tie-breaks mirror TopKByScore: score DESC, id ASC). */
+  private def rerankTailSql(rerank: Int): String =
+    s"""shortlist AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT query_id, neighbor_id,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY score DESC, neighbor_id ASC) AS rn
+       |    FROM scored)
+       |  WHERE rn <= $rerank),
+       |rescored AS (
+       |  SELECT sl.query_id, sl.neighbor_id, ${cosSql("c.e", "q.qv")} AS cosine
+       |  FROM shortlist sl
+       |  JOIN v c ON c.vec_id = sl.neighbor_id
+       |  JOIN q ON q.query_id = sl.query_id)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |  FROM rescored)
+       |WHERE rank <= $K""".stripMargin
+
+  // ---- q59: full PQ replay — per-subspace Lloyd + ADC + rerank -------
+  private def pqOracleSql: String = {
+    val (m, kc, sub, iters, rerank) = (16, 16, 4, 3, 50)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |${pqSearchCtes(m, kc, sub, iters)},
+       |scored AS (
+       |  SELECT q.query_id, r.vec_id AS neighbor_id, $pqScoreSql AS score
+       |  FROM recon r CROSS JOIN q),
+       |${rerankTailSql(rerank)}""".stripMargin
+  }
+
+  // ---- q81: IVF-PQ replay — both trainings compose in one WITH -------
+  private def ivfPqOracleSql: String = {
+    val (m, kc, sub, iters, rerank) = (16, 16, 4, 3, 50)
+    val (nlist, nprobe) = (16, 8)
+    s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |ivfc0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, e AS c
+       |          FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT $nlist)),
+       |${lloydRoundsSql("ivf", 64, iters)},
+       |${pqSearchCtes(m, kc, sub, iters)},
+       |corpcell AS (
+       |  SELECT vec_id, cell FROM (
+       |    SELECT v.vec_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+       |        ORDER BY ${cosSql("v.e", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM v CROSS JOIN ivfc$iters c)
+       |  WHERE rn = 1),
+       |probe AS (
+       |  SELECT query_id, cell FROM (
+       |    SELECT q.query_id, c.cell,
+       |      ROW_NUMBER() OVER (PARTITION BY q.query_id
+       |        ORDER BY ${cosSql("q.qv", "c.c")} DESC, c.cell ASC) AS rn
+       |    FROM q CROSS JOIN ivfc$iters c)
+       |  WHERE rn <= $nprobe),
+       |scored AS (
+       |  SELECT probe.query_id, cc.vec_id AS neighbor_id, $pqScoreSql AS score
+       |  FROM corpcell cc
+       |  JOIN probe ON cc.cell = probe.cell
+       |  JOIN recon r ON r.vec_id = cc.vec_id
+       |  JOIN q ON q.query_id = probe.query_id),
+       |${rerankTailSql(rerank)}""".stripMargin
   }
 
   // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------
