@@ -401,8 +401,10 @@ object Bench {
     // ERROR stack trace into the bench output. Skip the doomed attempt up
     // front: identical execution path (interpreted Expand), no wasted
     // compile, clean output. The "multi" explode topology has no wide
-    // Expand — it keeps codegen ON (that is the point of it).
-    if (cfgs.size > 1 && topology != "multi")
+    // Expand — it keeps codegen ON (that is the point of it) — and since
+    // two_phase adopted the same constant-offset explode for its second
+    // phase, only the union-of-window()s topology still needs the opt-out.
+    if (cfgs.size > 1 && topology == "union")
       spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try {
       val ticks = graft.operators.TickOps.parseTicks(raw)

@@ -171,27 +171,45 @@ object TickOps {
       cfgs: Seq[WindowConfig] = defaultWindows): DataFrame = {
     require(cfgs.map(_.slideMs).distinct.size == 1, "uniform slide required")
     val slide = cfgs.head.slide
+    val slideMs = cfgs.head.slideMs
+    // Phase 1: ONE watermark-evicted tumbling aggregate over raw ticks.
+    // (An earlier revision re-derived this subtree once per window config
+    // — six copies of the same stateful operator in one streaming plan,
+    // because streaming plans share no subplans. 12 state stores' worth
+    // of per-trigger commits dominated the runtime; this shape commits 2.)
     val partial = ticks
       .groupBy(window(col("event_time"), slide, slide).as("w10"), col("symbol"))
       .agg(
         count(col("price")).as("pn"),
         sum(col("price")).as("ps"),
         sum(col("price") * col("price")).as("pq"))
-    val branches = cfgs.map { c =>
-      val merged = partial
-        .groupBy(window(col("w10"), c.duration, c.slide).as("w"), col("symbol"))
-        .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"), sum(col("pq")).as("q"))
-      val variance = (col("q") - col("s") * col("s") / col("n")) / (col("n") - lit(1))
-      val sd = when(col("n") === 1, lit(0.0))
-        .otherwise(sqrt(greatest(variance, lit(0.0))))
-      merged.select(
-        col("w.end").as("window_timestamp"),
-        col("symbol"),
-        lit(c.name).as("window"),
-        coalesce(col("s") / col("n"), lit(0.0)).as("avg_price"),
-        when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd).as("std_price"))
-    }
-    branches.reduce(_ union _)
+    // Phase 2: the slidingStatsMulti explode, but over BUCKET PARTIALS —
+    // the constant (tag, end-offset) literal fans each partial into every
+    // sliding window containing it (~rate×slide fewer rows through the
+    // wide fan-out than exploding raw ticks), and ONE aggregate merges
+    // the (n, s, q) partials per (end, window, symbol). No window()
+    // Expand anywhere, so whole-stage codegen survives — unlike the
+    // union-of-window()s topology this replaces.
+    val offsets = array(cfgs.flatMap { c =>
+      (0 until (c.durationMs / c.slideMs).toInt).map(k =>
+        struct(lit(c.name).as("_1"), lit(c.durationMs - k * c.slideMs).as("_2")))
+    }: _*)
+    val merged = partial
+      .select(col("symbol"), col("pn"), col("ps"), col("pq"),
+        unix_millis(col("w10.start")).as("bucket_ms"),
+        explode(offsets).as("w"))
+      .groupBy((col("bucket_ms") + col("w._2")).as("end_ms"),
+        col("w._1").as("window"), col("symbol"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"), sum(col("pq")).as("q"))
+    val variance = (col("q") - col("s") * col("s") / col("n")) / (col("n") - lit(1))
+    val sd = when(col("n") === 1, lit(0.0))
+      .otherwise(sqrt(greatest(variance, lit(0.0))))
+    merged.select(
+      timestamp_millis(col("end_ms")).as("window_timestamp"),
+      col("symbol"),
+      col("window"),
+      coalesce(col("s") / col("n"), lit(0.0)).as("avg_price"),
+      when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd).as("std_price"))
   }
 
   /** Re-nest flat per-window rows into one record per (timestamp, symbol)
