@@ -39,7 +39,7 @@ object HashOracleSql {
 
   /** Wrapping 64-bit multiply of a signed expression by a small positive
     * constant — JVM `h * c` semantics under DuckDB's checked BIGINTs. */
-  private def wmul(h: String, c: Long): String =
+  private[queries] def wmul(h: String, c: Long): String =
     s64(s"(${u64(h)} * $c) % $U64")
 
   private val FnvOffset = "-3750763034362895579::BIGINT"

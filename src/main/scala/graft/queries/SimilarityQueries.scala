@@ -155,8 +155,12 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQ), "vec_id", "embedding", K)
     }),
 
-    // Multimodal plumbing: synthetic binary payloads → stubbed decode →
-    // feature vectors ready for similarity ops.
+    // Multimodal plumbing: synthetic binary payloads → decode (real for
+    // BMP, deterministic stub otherwise) → feature vectors ready for
+    // similarity ops. Oracle-checked BIT-EXACT: every payload byte is
+    // deterministic, so both decode paths replay in DuckDB
+    // (mediaFeatureOracleSql) — with this, ALL 120 registry queries are
+    // oracle-backed.
     "q33_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.featureFrame(media)
@@ -282,6 +286,7 @@ object SimilarityQueries {
     "q40_ann_ivf" -> ivfOracleSql,
     "q59_ann_pq" -> pqOracleSql,
     "q81_ann_ivfpq" -> ivfPqOracleSql,
+    "q33_media_features" -> mediaFeatureOracleSql,
 
     // The synthetic media table is a pure function of media_id (kind
     // rotation, pad = 200 + id, dims from the id, format rotation every
@@ -550,6 +555,73 @@ object SimilarityQueries {
        |  JOIN recon r ON r.vec_id = cc.vec_id
        |  JOIN q ON q.query_id = probe.query_id),
        |${rerankTailSql(rerank)}""".stripMargin
+  }
+
+  // ---- q33: media feature extraction replayed end to end -------------
+  // Every payload byte is deterministic (real container headers from the
+  // same byte builders the table generator runs, filler closed-form from
+  // media_id), so BOTH decode paths replay in DuckDB:
+  //  - stub rows: the FNV-rolling float accumulation — lane 0 takes a
+  //    term at every 16th byte from the CURRENT 64-bit hash state. Each
+  //    boundary hash is a plain scalar list_reduce over the byte prefix
+  //    (HUGEINT mod 2⁶⁴), and the float32 accumulation is emulated with
+  //    CAST(a + b AS REAL): a float add's exact sum always fits a double,
+  //    so double-add-then-round equals the kernel's float add bit-for-bit
+  //    (and k/65535 was checked exhaustively for double-rounding — zero
+  //    of 65536 values differ).
+  //  - BMP rows: the REAL pixel decoder's lane 0 is the B-channel mean —
+  //    an exact integer sum over the closed-form filler pixels, one IEEE
+  //    divide, one float round.
+  private def mediaFeatureOracleSql: String = {
+    import graft.operators.Multimodal
+    val rows = (0 until 200).map { i =>
+      val kind = Seq("image", "audio", "video")(i % 3)
+      val pad = 200 + (i % 512)
+      val w = 64 + (i % 8) * 16
+      // header = the builder's real bytes minus the filler tail; wav/bmp
+      // headers embed pad-dependent size fields, so build with the REAL
+      // pad and strip, rather than building with pad = 0
+      val (payload, isBmp) = kind match {
+        case "image" => ((i / 3) % 4) match {
+          case 0 => (Multimodal.pngBytes(w, 64, pad, i), false)
+          case 1 => (Multimodal.jpegBytes(w, 64, pad, i), false)
+          case 2 => (Multimodal.gifBytes(w, 64, pad, i), false)
+          case _ => (Array.empty[Byte], true)
+        }
+        case "audio" => (Multimodal.wavBytes(16000, pad, i), false)
+        case _ => (Multimodal.mp4Bytes(pad, i), false)
+      }
+      if (isBmp) s"($i, '$kind', NULL::BIGINT[], ${((w * 3 + 3) / 4) * 4 * 64}, TRUE, $w)"
+      else {
+        val hdr = payload.dropRight(pad).map(_ & 0xff).mkString("[", ",", "]")
+        s"($i, '$kind', $hdr::BIGINT[], $pad, FALSE, $w)"
+      }
+    }.mkString(",\n")
+    val hfold = s"(acc, x) -> ${HashOracleSql.wmul("xor(acc, x)", 1099511628211L)}"
+    val term =
+      s"CAST(CAST((list_reduce(list_prepend(-3750763034362895579::BIGINT, " +
+        s"bytes[1:(16*m+1)]), $hfold) >> 16) & 65535 AS REAL) / 65535.0::REAL AS REAL)"
+    s"""WITH meta(media_id, kind, hdr, pad, is_bmp, w) AS (VALUES
+       |$rows),
+       |full_bytes AS (
+       |  SELECT media_id, kind, pad, w,
+       |    list_concat(hdr, list_transform(range(0, pad),
+       |      j -> (media_id * 31 + j * 7) % 251))::BIGINT[] AS bytes
+       |  FROM meta WHERE NOT is_bmp),
+       |stub AS (
+       |  SELECT media_id, kind, CAST(len(bytes) AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
+       |    list_reduce(
+       |      list_transform(range(0, (len(bytes) + 15) // 16), m -> $term),
+       |      (a, b) -> CAST(a + b AS REAL)) AS f0
+       |  FROM full_bytes),
+       |bmp AS (
+       |  SELECT media_id, kind, CAST(54 + pad AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
+       |    CAST(list_sum(flatten(list_transform(range(0, 64),
+       |           y -> list_transform(range(0, w),
+       |             x -> (media_id * 31 + (y * (((w * 3 + 3) // 4) * 4) + x * 3) * 7) % 251))))::DOUBLE
+       |         / (w * 64)::DOUBLE AS REAL) AS f0
+       |  FROM meta WHERE is_bmp)
+       |SELECT * FROM stub UNION ALL SELECT * FROM bmp""".stripMargin
   }
 
   // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------
