@@ -64,6 +64,35 @@ object ExactAgg {
     when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd)
   }
 
+  // ---- mergeable partials (two-phase rollups) ----
+  // Decimal addition is exact and associative, so partial decimal sums
+  // re-summed across a second aggregation level produce the IDENTICAL
+  // exact rational as the one-level sum — and therefore the identical
+  // nearest-double once cast. This is what lets a bucket-partial rollup
+  // (e.g. sliding windows merged from tumbling-bucket partials) stay
+  // bit-for-bit equal to the flat aggregation the oracle replays, while
+  // doing its wide fan-out over ~rate×bucket fewer rows.
+
+  /** Phase-1 partial: exact decimal sum, KEPT as decimal (no double cast
+    * — casting per partial would re-round and break mergeability). */
+  def dsumPartial(c: Column): Column = sum(c.cast(In))
+
+  /** Phase-1 partial of squares, kept as decimal. */
+  def dsumsqPartial(c: Column): Column = sum((c.cast(In) * c.cast(In)).cast(Sq))
+
+  /** Finish an avg from merged partials: same final op tree as [[davg]]. */
+  def davgFromPartials(s: Column, n: Column): Column = s.cast(DoubleType) / n
+
+  /** Finish the null/NaN→0.0 sample stddev from merged partials — the
+    * identical final expression tree as [[dstddev0]]. */
+  def dstddev0FromPartials(s: Column, q: Column, n: Column): Column = {
+    val sd0 = s.cast(DoubleType)
+    val sq0 = q.cast(DoubleType)
+    val sd = when(n === 1, lit(null).cast(DoubleType))
+      .otherwise(sqrt(greatest((sq0 - sd0 * sd0 / n) / (n - lit(1)), lit(0.0))))
+    when(sd.isNull || isnan(sd), lit(0.0)).otherwise(sd)
+  }
+
   // ---- windowed variants (same decimal op tree over a window frame) ----
   // Decimal addition is associative, so DuckDB's segment-tree window
   // aggregation and Spark's incremental frame evaluation produce the

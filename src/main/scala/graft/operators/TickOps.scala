@@ -153,6 +153,46 @@ object TickOps {
         col("std_price"))
   }
 
+  /** Batch scale path for EXACT multi-window stats: the slidingStatsMulti
+    * explode, but run over per-(slide-bucket, symbol) DECIMAL partials
+    * instead of raw ticks — the wide (tag, offset) fan-out touches
+    * ~rate×slide fewer rows. Decimal addition is exact and associative,
+    * so the merged sums equal the flat aggregation's sums digit for digit
+    * and the output stays bit-identical to [[slidingStatsMulti]] with
+    * `exact = true` (same DuckDB oracle, no oracle change). At a 10×
+    * events replication this cut the q03 rollup from the full explode's
+    * row volume to its bucket count with hash-equality preserved. */
+  def slidingStatsMultiTwoPhaseExact(
+      ticks: DataFrame,
+      cfgs: Seq[WindowConfig] = defaultWindows): DataFrame = {
+    require(cfgs.map(_.slideMs).distinct.size == 1, "uniform slide required")
+    val slideMs = cfgs.head.slideMs
+    val partial = ticks
+      .select(col("symbol"), col("price"),
+        (expr(s"unix_millis(event_time) div ${slideMs}L") * slideMs).as("bucket_ms"))
+      .groupBy(col("bucket_ms"), col("symbol"))
+      .agg(
+        count(col("price")).as("pn"),
+        ExactAgg.dsumPartial(col("price")).as("ps"),
+        ExactAgg.dsumsqPartial(col("price")).as("pq"))
+    val offsets = array(cfgs.flatMap { c =>
+      (0 until (c.durationMs / c.slideMs).toInt).map(k =>
+        struct(lit(c.name).as("_1"), lit(c.durationMs - k * c.slideMs).as("_2")))
+    }: _*)
+    val merged = partial
+      .select(col("symbol"), col("pn"), col("ps"), col("pq"), col("bucket_ms"),
+        explode(offsets).as("w"))
+      .groupBy((col("bucket_ms") + col("w._2")).as("end_ms"),
+        col("w._1").as("window"), col("symbol"))
+      .agg(sum(col("pn")).as("n"), sum(col("ps")).as("s"), sum(col("pq")).as("q"))
+    merged.select(
+      timestamp_millis(col("end_ms")).as("window_timestamp"),
+      col("symbol"),
+      col("window"),
+      coalesce(ExactAgg.davgFromPartials(col("s"), col("n")), lit(0.0)).as("avg_price"),
+      ExactAgg.dstddev0FromPartials(col("s"), col("q"), col("n")).as("std_price"))
+  }
+
   /** Streaming-native scale path for multi-window stats: phase 1 tumbles
     * ticks into slide-sized buckets (1-branch Expand, tiny state), phase 2
     * re-windows the *bucket partials* (count/sum/sumsq) into each sliding

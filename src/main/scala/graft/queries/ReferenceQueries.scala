@@ -73,7 +73,10 @@ object ReferenceQueries {
       // *derived* doubles (avg_price) hits HALF_UP-vs-HALF_EVEN rounding
       // ties between engines (observed at sf0.1) — derived doubles are
       // never decimal-cast in oracle-checked outputs.
-      val flat = TickOps.slidingStatsMulti(ticks(s, dir), TickOps.defaultWindows, exact = true)
+      // two-phase decimal rollup: bit-identical to slidingStatsMulti
+      // (exact = true) — decimal partials merge losslessly — while the
+      // 360-offset fan-out runs over bucket partials, not raw ticks
+      val flat = TickOps.slidingStatsMultiTwoPhaseExact(ticks(s, dir), TickOps.defaultWindows)
       flat.groupBy(col("window").as("win"), col("symbol"))
         .agg(
           count(lit(1)).as("n_windows"),

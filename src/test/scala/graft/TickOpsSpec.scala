@@ -155,6 +155,28 @@ class TickOpsSpec extends SparkSpec {
     assert(r.getAs[String]("window") == "30s" && r.getAs[Double]("std_price") == 0.5)
   }
 
+  test("slidingStatsMultiTwoPhaseExact is BIT-identical to the flat exact explode") {
+    // the mergeability claim behind the q03 rollup: decimal partials
+    // merged across the second aggregation level equal the one-level
+    // decimal sums digit for digit — so every double matches exactly,
+    // not within a tolerance
+    val ev = graft.util.SparkUtil.events(spark, sf()).limit(2000)
+      .selectExpr("event_type AS symbol", "value AS price", "ts AS event_time")
+    val (a, b) = noWideExpandCodegen {
+      (TickOps.slidingStatsMulti(ev, TickOps.defaultWindows, exact = true)
+         .orderBy("window_timestamp", "symbol", "window").collect(),
+       TickOps.slidingStatsMultiTwoPhaseExact(ev, TickOps.defaultWindows)
+         .orderBy("window_timestamp", "symbol", "window").collect())
+    }
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.getTimestamp(0) == y.getTimestamp(0) && x.getString(1) == y.getString(1)
+        && x.getString(2) == y.getString(2), s"key mismatch: $x vs $y")
+      assert(x.getDouble(3) == y.getDouble(3), s"avg not bit-equal: $x vs $y")
+      assert(x.getDouble(4) == y.getDouble(4), s"std not bit-equal: $x vs $y")
+    }
+  }
+
   test("slidingStatsTwoPhase equals single-phase on batch data") {
     val t = ticksDf(
       ("BTC", 100.0, "2024-01-01 00:00:02"),
