@@ -209,10 +209,14 @@ object Bench {
     // pathological duplicates; per-user history ×10 stresses sessionize/
     // funnel state) plus q75 over 10× part (shared name prefixes → blocks
     // ×10 → the capped quadratic verify ×100) surfaces those effects.
+    // Documents replicate as EXACT copies on purpose — the worst case for
+    // MinHash LSH (identical signatures → every band bucket ×10 → raw
+    // candidates ×100): q26/q27 prove the bucket caps keep the pair
+    // explosion bounded where an uncapped all-pairs join would melt.
     val stressQueries = Seq(
       "q03_moving_stats_all", "q60_tick_derivatives", "q61_mad_outliers",
       "q62_ewma", "q94_range_frame", "q100_quartiles", "q101_sessionize",
-      "q104_locf", "q75_edit_neardups")
+      "q104_locf", "q75_edit_neardups", "q26_minhash_sigs", "q27_minhash_pairs")
     val stressJson = try {
       import org.apache.spark.sql.functions.{col, expr, max, min, timestamp_micros}
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
@@ -238,6 +242,12 @@ object Bench {
         .withColumn("p_partkey", col("p_partkey") + col("__k") * pSpan)
         .drop("__k")
         .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/part.parquet")
+      val dt = graft.util.SparkUtil.table(spark, sfDir, "documents")
+      val dSpan = dt.agg(max(col("doc_id"))).head().getLong(0) + 1
+      dt.crossJoin(spark.range(10).toDF("__k"))
+        .withColumn("doc_id", col("doc_id") + col("__k") * dSpan)
+        .drop("__k")
+        .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/documents.parquet")
       val entries = stressQueries.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()

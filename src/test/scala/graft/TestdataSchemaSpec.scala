@@ -58,4 +58,14 @@ class TestdataSchemaSpec extends SparkSpec {
     assert(dt("embeddings", "embedding") == "array<float>" || dt("embeddings", "embedding") == "array<double>",
       s"embeddings.embedding is ${dt("embeddings", "embedding")}")
   }
+
+  test("embedding dimension is the 64 the ANN oracle replays assume") {
+    import org.apache.spark.sql.functions.{max, min, size, col}
+    val r = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+      .agg(min(size(col("embedding"))), max(size(col("embedding")))).head()
+    assert(r.getInt(0) == 64 && r.getInt(1) == 64,
+      s"embedding dim drifted to [${r.getInt(0)}, ${r.getInt(1)}] — the " +
+        "q31/q32/q53/q57/q58/q59/q81/q108 oracles embed 64-lane literals " +
+        "(planes, subspace slices); regenerate them for the new dim.")
+  }
 }
