@@ -194,10 +194,12 @@ object TickOps {
   }
 
   /** Streaming-native scale path for multi-window stats: phase 1 tumbles
-    * ticks into slide-sized buckets (1-branch Expand, tiny state), phase 2
-    * re-windows the *bucket partials* (count/sum/sumsq) into each sliding
-    * config — the wide dur/slide-branch Expand then runs over one row per
-    * (bucket × symbol) instead of one per tick, ~rate×slide fewer rows.
+    * ticks into slide-sized buckets (1-branch Expand, tiny watermark-
+    * evicted state), phase 2 fans the *bucket partials* (count/sum/sumsq)
+    * into each containing sliding window via the constant-offset explode
+    * — the wide fan-out runs over one row per (bucket × symbol) instead
+    * of one per tick, ~rate×slide fewer rows, and keeps whole-stage
+    * codegen (no window() Expand).
     *
     * This chains two stateful aggregations, the exact topology the
     * reference accepts by disabling Spark's correctness check
@@ -205,6 +207,15 @@ object TickOps {
     * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`
     * for streaming use; in batch it is just a two-level aggregation.
     * Sample stddev is reconstructed exactly from the merged partials.
+    *
+    * State shape, honestly: phase 1 evicts via the watermark; phase 2 is
+    * keyed on the integer window end, which Spark cannot tie back to the
+    * watermark column (the event-time metadata does not survive derived
+    * arithmetic), so its per-(end, window, symbol) rows are not evicted —
+    * the same contract as [[slidingStatsMulti]]'s single aggregate, at
+    * ~1/(rate×slide) the update traffic. Where unbounded retention is
+    * unacceptable, run the reference's own chained-jobs topology (phase 1
+    * → sink → separate phase-2 query) and let each job bound its state.
     */
   def slidingStatsTwoPhase(
       ticks: DataFrame,
