@@ -312,6 +312,34 @@ object TextQueries {
           col("cum_tok"), col("bin"))
     }),
 
+    // Domain-mixture sampling plan: given per-source token totals and
+    // target mixture weights (deterministic per-source, FNV-derived so
+    // both engines compute them identically), find the LARGEST total
+    // token budget whose w_s/Σw split oversamples no source — the
+    // data-recipe rebalancing step every multi-source pre-training build
+    // runs before sampling. Pure integer arithmetic end to end (caps and
+    // shares via floor division), so the oracle is hash-exact. Scale
+    // shape: one groupBy(source) aggregate over the corpus, then two
+    // single-row broadcasts — nothing grows with the corpus but the
+    // first scan.
+    "q124_mixture_plan" -> ((s, dir) => {
+      val perSource = table(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_total"))
+        .withColumn("weight",
+          pmod(graft.functions.GraftFunctions.rolling_fingerprint(col("source")),
+            lit(900L)) + lit(100L))
+      val wsum = perSource.agg(sum(col("weight")).as("wsum"))
+      val capped = perSource.crossJoin(broadcast(wsum))
+        .withColumn("cap", expr("(tok_total * wsum) div weight"))
+      val budget = capped.agg(min(col("cap")).as("budget"))
+      capped.crossJoin(broadcast(budget))
+        .select(col("source"), col("weight"), col("tok_total"),
+          expr("(budget * weight) div wsum").as("planned_tok"))
+        .withColumn("rate_ppm", expr(
+          "CASE WHEN tok_total = 0 THEN 0L ELSE (planned_tok * 1000000) div tok_total END"))
+    }),
+
     // Edit-distance near-dups: prefix blocking + exact levenshtein —
     // the typo/version-bump family minhash shingles are least sensitive
     // to. Driven over part names (the entity-resolution shape: catalog
@@ -1284,6 +1312,28 @@ object TextQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS INT) AS dup_rank,
         |  ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
         |FROM documents""".stripMargin,
+
+    // integer floor-division mirror of the Spark plan; the FNV weight
+    // replays via the HUGEINT fold, pmod via the double-mod idiom
+    "q124_mixture_plan" -> {
+      val tokExpr =
+        """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)""".stripMargin
+      s"""WITH per_source AS (
+         |  SELECT source, SUM($tokExpr) AS tok_total,
+         |    ((${HashOracleSql.fnvSql("source")} % 900) + 900) % 900 + 100 AS weight
+         |  FROM documents GROUP BY source),
+         |ws AS (SELECT SUM(weight) AS wsum FROM per_source),
+         |capped AS (
+         |  SELECT p.*, w.wsum, (p.tok_total * w.wsum) // p.weight AS cap
+         |  FROM per_source p CROSS JOIN ws w),
+         |b AS (SELECT MIN(cap) AS budget FROM capped)
+         |SELECT source, weight, tok_total,
+         |  (b.budget * weight) // wsum AS planned_tok,
+         |  CASE WHEN tok_total = 0 THEN 0
+         |       ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total END AS rate_ppm
+         |FROM capped CROSS JOIN b""".stripMargin
+    },
 
     "q21_token_stats" ->
       """SELECT doc_id,
