@@ -340,6 +340,36 @@ object TextQueries {
           "CASE WHEN tok_total = 0 THEN 0L ELSE (planned_tok * 1000000) div tok_total END"))
     }),
 
+    // Sequence materialization — the step AFTER packing: concatenate
+    // each (lang, bin)'s chunks, in deterministic (doc_id, chunk_id)
+    // order with an EOS separator, into the actual training-sequence
+    // text plus its token count. Non-overlapping 32-token chunks (the
+    // training shape; q54's 32/24 overlap is the retrieval shape). The
+    // per-bin concat is a groupBy aggregate over the bin key — bins are
+    // ~2048 tokens by construction, so no group outgrows memory no
+    // matter the corpus size. Oracle-checked hash-exact: string_agg
+    // ORDER BY replays the sorted-struct concat byte for byte.
+    "q125_pack_materialize" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val chunks = TextOps.chunkByTokens(docs, "doc_id", "text", width = 32, step = 32)
+      val binned = graft.operators.Packing.groupedCumSum(
+        chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+          .select(col("doc_id"), col("chunk_id"), col("lang"),
+            col("n_tok"), col("chunk")),
+        group = "lang", orderCols = Seq("doc_id", "chunk_id"),
+        tokCol = "n_tok", cumName = "cum_tok")
+        .withColumn("bin",
+          floor((col("cum_tok") - col("n_tok")) / 2048).cast("int"))
+      binned.groupBy(col("lang"), col("bin"))
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_tok")).as("seq_tok"),
+          array_join(
+            expr("transform(array_sort(collect_list(struct(doc_id, chunk_id, chunk)))," +
+              " x -> x.chunk)"),
+            "<|eos|>").as("seq_text"))
+    }),
+
     // Edit-distance near-dups: prefix blocking + exact levenshtein —
     // the typo/version-bump family minhash shingles are least sensitive
     // to. Driven over part names (the entity-resolution shape: catalog
@@ -1334,6 +1364,27 @@ object TextQueries {
          |       ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total END AS rate_ppm
          |FROM capped CROSS JOIN b""".stripMargin
     },
+
+    "q125_pack_materialize" ->
+      """WITH toks AS (
+        |  SELECT d.doc_id, string_split_regex(trim(d.text), '\s+') AS toks, d.lang
+        |  FROM documents d WHERE length(trim(d.text)) > 0),
+        |starts AS (
+        |  SELECT doc_id, lang, toks, unnest(range(0, len(toks), 32)) AS s FROM toks),
+        |chunks AS (
+        |  SELECT doc_id, CAST(s // 32 AS INT) AS chunk_id, lang,
+        |    CAST(len(toks[s+1:s+32]) AS INT) AS n_tok,
+        |    array_to_string(toks[s+1:s+32], ' ') AS chunk
+        |  FROM starts),
+        |binned AS (
+        |  SELECT doc_id, chunk_id, lang, n_tok, chunk,
+        |    CAST(floor((SUM(n_tok) OVER w - n_tok) / 2048) AS INT) AS bin
+        |  FROM chunks
+        |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT lang, bin, COUNT(1) AS n_chunks, SUM(n_tok) AS seq_tok,
+        |  string_agg(chunk, '<|eos|>' ORDER BY doc_id, chunk_id) AS seq_text
+        |FROM binned GROUP BY lang, bin""".stripMargin,
 
     "q21_token_stats" ->
       """SELECT doc_id,
