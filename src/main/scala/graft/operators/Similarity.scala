@@ -446,4 +446,59 @@ object Similarity {
         expr("transform(array_sort(collect_list(struct(pos, c))), p -> p.c)")
           .as("centroid"),
         max(col("n")).as("n"))
+
+  /** Greedy k-center (farthest-point / Gonzalez) coreset selection over
+    * an embedding column, plus the nearest-center assignment of every
+    * vector — the diversity-aware sample a curation pipeline draws when
+    * it wants COVERAGE of embedding space rather than an iid slice
+    * (2-approximation to the optimal k-center cover).
+    *
+    * Determinism end to end: the seed is the minimum id; each round
+    * picks the vector farthest from the chosen set as the MIN
+    * (closest-cosine, id) struct — float `max`/`min` are exact, and the
+    * per-pair cosines ride the pinned in-order accumulation chain
+    * ([[graft.functions.HashKernels.cosineFF]]), so every round — and
+    * therefore the whole selection — replays bit-for-bit in DuckDB.
+    *
+    * Scale shape: k driver rounds, each ONE full scan with the chosen
+    * vectors broadcast as literals (k·dim floats of driver state — index
+    * metadata, not data); no shuffle anywhere (the per-round argmin and
+    * the final assignment are scan + aggregate). k-center is inherently
+    * sequential in k — at 100 TB you bound k (≤64ish) or run it on a
+    * deterministic pre-sample ([[graft.operators.Sampling.hashSample]]),
+    * both of which keep the scan count, not the data, the cost. */
+  def kCenterAssign(df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 centers, got $k")
+    val v = df.select(col(idCol).as("vec_id"), col(vecCol).as("e"))
+    // seed = the minimum id; its vector rides the same one-row aggregate
+    // (vec_id is unique, so the struct min never compares the array field)
+    val seed = v.select(min(struct(col("vec_id").as("id"), col("e").as("e"))).as("s"))
+      .head().getStruct(0)
+    var chosenIds = Vector(seed.getLong(0))
+    var chosenVecs = Vector(seed.getSeq[Float](1).toArray)
+    for (_ <- 1 until k) {
+      // farthest-from-set = MIN over rows of (max cosine to any chosen);
+      // ties break to the smaller id via the struct order. Already-chosen
+      // ids are excluded so an all-duplicates tail can't re-pick one.
+      // The picked vector rides the same one-row aggregate — one scan per
+      // round, not two.
+      val mc = array_max(array(chosenVecs.map(cv => cosine(col("e"), litVec(cv))): _*))
+      val picked = v.filter(!col("vec_id").isInCollection(chosenIds))
+        .select(min(struct(mc.as("mc"), col("vec_id").as("id"), col("e").as("e"))).as("s"))
+        .head().getStruct(0)
+      chosenIds :+= picked.getLong(1)
+      chosenVecs :+= picked.getSeq[Float](2).toArray
+    }
+    // nearest-center assignment: max cosine, ties to the smaller center id
+    // (struct max on (cos, -center) — float max is exact, so ties are real)
+    val scored = array(chosenIds.zip(chosenVecs).map { case (id, cv) =>
+      struct(cosine(col("e"), litVec(cv)).as("c"), lit(-id).as("nid"))
+    }: _*)
+    v.select(col("vec_id"),
+        array_max(scored).as("best"))
+      .select(col("vec_id"),
+        (-col("best.nid")).as("center"),
+        col("best.c").as("cos_to_center"))
+      .withColumn("is_center", col("vec_id") === col("center"))
+  }
 }

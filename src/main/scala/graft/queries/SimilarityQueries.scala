@@ -204,6 +204,43 @@ object SimilarityQueries {
           when(sqrt(ss) === 0.0, lit(0.0))
             .otherwise(element_at(col("embedding"), 1).cast("double") / sqrt(ss))
             .as("first_unit"))
+    }),
+
+    // Greedy k-center coreset + assignment: the diversity-aware sample —
+    // 8 centers picked by farthest-point traversal (Gonzalez 2-approx),
+    // every vector assigned to its nearest center. The selection is
+    // deterministic end to end (min-id seed, exact float max/min, pinned
+    // cosine chain), so the 8 driver rounds replay as 8 unrolled SQL
+    // rounds in DuckDB — an ITERATIVE driver-loop operator that still
+    // hash-matches. k scans, no shuffle, k·dim floats of driver state.
+    "q129_kcenter_coreset" -> ((s, dir) =>
+      Similarity.kCenterAssign(table(s, dir, "embeddings"),
+        "vec_id", "embedding", k = 8)),
+
+    // Semantic dedup clusters: the embedding-space analog of q120's
+    // SimHash text clusters — LSH-bucketed near-dup pairs (q32's operator:
+    // multi-table sign-LSH candidates + exact-cosine threshold, never
+    // all-pairs) fed into connected components, every vector labeled with
+    // its cluster (= component-min vec_id; singletons label themselves),
+    // plus cluster size and a canonical flag. THE curation step that
+    // collapses embedding-near-duplicate training examples to one
+    // representative: filter canonical = keep set. Pair generation cost
+    // is bucket-bounded, components run the size-adaptive driver/
+    // distributed path, and the size join keys on the small cluster set.
+    "q128_semantic_clusters" -> ((s, dir) => {
+      val emb = table(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDups(emb, "vec_id", "embedding",
+        planes = 4, threshold = 0.4, tables = 3)
+      val labels = Dedup.duplicateClusters(
+        pairs.select(col("id_a"), col("id_b")))
+        .withColumnRenamed("id", "vec_id")
+      val lab = emb.select(col("vec_id")).join(labels, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("cluster"), col("vec_id")).as("cluster"))
+      val sizes = lab.groupBy(col("cluster")).agg(count(lit(1)).as("cluster_size"))
+      lab.join(sizes, Seq("cluster"))
+        .select(col("vec_id"), col("cluster"), col("cluster_size"),
+          (col("vec_id") === col("cluster")).as("canonical"))
     })
   )
 
@@ -348,8 +385,78 @@ object SimilarityQueries {
         |           FROM range(0, 200) t(i) WHERE t.i % 3 = 2)
         |SELECT media_id, (dur + 499) // 500 AS n_frames,
         |       ((dur + 499) // 500 - 1) * 500 AS last_ts
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    // q128: the q32 edge replay (planes/buckets/threshold verbatim) +
+    // the WITH RECURSIVE reachability closure (q73's oracle pattern) +
+    // singleton self-labels, size, and canonical flag.
+    "q128_semantic_clusters" -> {
+      val (planes, tables, thresh) = (4, 3, 0.4)
+      s"""WITH RECURSIVE planes(p, pl) AS (VALUES
+         |    ${planeValuesSql(planes * tables)}),
+         |v AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |b AS (SELECT doc_id, any_value(e) AS e,
+         |        CAST(sum(CASE WHEN list_inner_product(e, pl) > 0.0
+         |                      THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket_all
+         |      FROM v CROSS JOIN planes GROUP BY doc_id),
+         |sk AS (SELECT doc_id, e, t.i AS tbl,
+         |         (bucket_all >> (t.i * $planes)) & ${(1 << planes) - 1} AS bucket
+         |       FROM b, range(0, $tables) t(i)),
+         |edges AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, x.doc_id AS id_b
+         |  FROM sk a JOIN sk x ON a.tbl = x.tbl AND a.bucket = x.bucket
+         |  WHERE a.doc_id < x.doc_id AND ${cosSql("a.e", "x.e")} >= $thresh),
+         |nodes AS (SELECT id_a AS id FROM edges UNION SELECT id_b AS id FROM edges),
+         |sym AS (SELECT id_a AS src, id_b AS dst FROM edges
+         |        UNION ALL SELECT id_b AS src, id_a AS dst FROM edges),
+         |reach(id, r) AS (
+         |  SELECT id, id FROM nodes
+         |  UNION
+         |  SELECT s.dst, re.r FROM reach re JOIN sym s ON s.src = re.id),
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT emb.vec_id, COALESCE(l.cluster, emb.vec_id) AS cluster
+         |  FROM embeddings emb LEFT JOIN labels l ON l.id = emb.vec_id),
+         |sz AS (SELECT cluster, COUNT(*) AS cluster_size FROM lab GROUP BY cluster)
+         |SELECT lab.vec_id, lab.cluster, sz.cluster_size,
+         |       lab.vec_id = lab.cluster AS canonical
+         |FROM lab JOIN sz USING (cluster)""".stripMargin
+    },
+
+    "q129_kcenter_coreset" -> kCenterOracleSql(8)
   )
+
+  /** q129's oracle: the k driver rounds unrolled as k CTE rounds — each
+    * recomputes max-cosine-to-chosen from scratch (float max is
+    * order-invariant, so recompute ≡ Spark's incremental array_max) and
+    * picks MIN (mc, vec_id); the final assignment is rank-1 by
+    * (cos DESC, center ASC), the same struct-max tiebreak. */
+  private def kCenterOracleSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb ++= """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |c0 AS (SELECT vec_id, e FROM v
+             |       WHERE vec_id = (SELECT MIN(vec_id) FROM v))""".stripMargin
+    for (i <- 1 until k) {
+      val prev = s"c${i - 1}"
+      sb ++= s""",
+               |s$i AS (SELECT a.vec_id, any_value(a.e) AS e,
+               |          MAX(${cosSql("a.e", "c.e")}) AS mc
+               |        FROM v a, $prev c
+               |        WHERE a.vec_id NOT IN (SELECT vec_id FROM $prev)
+               |        GROUP BY a.vec_id),
+               |p$i AS (SELECT vec_id, e FROM s$i ORDER BY mc ASC, vec_id ASC LIMIT 1),
+               |c$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
+    }
+    sb ++= s""",
+             |asg AS (SELECT a.vec_id, c.vec_id AS center,
+             |          ${cosSql("a.e", "c.e")} AS cs,
+             |          row_number() OVER (PARTITION BY a.vec_id
+             |            ORDER BY ${cosSql("a.e", "c.e")} DESC, c.vec_id ASC) AS rn
+             |        FROM v a, c${k - 1} c)
+             |SELECT vec_id, center, cs AS cos_to_center, vec_id = center AS is_center
+             |FROM asg WHERE rn = 1""".stripMargin
+    sb.toString
+  }
 
   // ---- q31: full sign-LSH replay ------------------------------------
   // The hyperplanes are Rademacher (±1) vectors whose signs come from the

@@ -255,6 +255,66 @@ object TimeSeriesQueries {
         .select(col("symbol"), col("event_id"), col("price"),
           greatest(col("lo"), least(col("hi"), col("price"))).as("winsorized"),
           (col("price") < col("lo") || col("price") > col("hi")).as("clipped"))
+    }),
+
+    // Lag-1 autocorrelation per symbol: Pearson r between consecutive
+    // ticks (x_t, x_{t+1}) in (ts, event_id) order — the signal that
+    // separates a mean-reverting stream from a trending one, and the
+    // q114 exact-sum discipline on a SELF-lagged operand pair: both
+    // operands go through the same decimal casts, the five sums are
+    // order-invariant, and one fixed IEEE op tree derives r. The lead()
+    // sort-shuffle on symbol is the ONLY shuffle — the aggregation keys
+    // on the same column, so Catalyst reuses the partitioning (no second
+    // exchange); at 100 TB this is one sort per symbol partition, never
+    // a global sort. Streams with < 2 ticks simply emit nothing (no
+    // pair rows), the same absence semantics both engines share.
+    "q126_autocorr" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      val SQ = org.apache.spark.sql.types.DecimalType(38, 12)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("ts"), col("event_id"))
+      val pairs = ticks(s, dir)
+        .withColumn("nxt", lead(col("price"), 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .select(col("symbol"),
+          col("price").cast(XI).as("a"), col("nxt").cast(XI).as("b"))
+      val agg = pairs.groupBy(col("symbol"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d2(sum(col("a"))).as("sa"),
+          d2(sum(col("b"))).as("sb"),
+          d2(sum((col("a") * col("b")).cast(SQ))).as("sab"),
+          d2(sum((col("a") * col("a")).cast(SQ))).as("saa"),
+          d2(sum((col("b") * col("b")).cast(SQ))).as("sbb"))
+      val num = col("sab") - col("sa") * col("sb") / col("n")
+      val va = col("saa") - col("sa") * col("sa") / col("n")
+      val vb = col("sbb") - col("sb") * col("sb") / col("n")
+      agg.select(col("symbol"), col("n").cast("long").as("n_pairs"),
+        when(va <= 0.0 || vb <= 0.0, lit(0.0))
+          .otherwise(num / (sqrt(va) * sqrt(vb))).as("acf1"))
+    }),
+
+    // Inter-arrival gap profile per stream: the tail of the gap
+    // distribution (p50 / p75 / p87.5 — dyadic, so rank = ⌈q·n⌉ is an
+    // exact IEEE product) over lead()-derived integer-microsecond gaps,
+    // resolved by the distributed range-count selection — feed-health /
+    // SLA monitoring for an ingest pipeline, and the selection operator
+    // over a DERIVED (windowed) input rather than a bare scan. Gaps are
+    // integer micros in a double (exact well past any real clock span);
+    // the lead() sort-shuffle is again the only data-shaped shuffle.
+    "q127_gap_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("t_us"), col("event_id"))
+      val gaps = ticks(s, dir)
+        .select(col("symbol"), unix_micros(col("ts")).as("t_us"), col("event_id"))
+        .withColumn("gap", (lead(col("t_us"), 1).over(w) - col("t_us")).cast("double"))
+        .filter(col("gap").isNotNull)
+        .select(col("symbol"), col("gap"), col("event_id"))
+      TimeSeriesOps.exactQuantiles(gaps, "symbol", "gap", "event_id",
+        Seq(0.5, 0.75, 0.875))
     })
   )
 
@@ -507,6 +567,56 @@ object TimeSeriesQueries {
         |  FROM events
         |  WHERE substr(md5(CAST(event_id AS VARCHAR)), 1, 2) < '40'),
         |qs AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS q)
+        |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
+
+    // The q114 sum discipline on the lead()-paired operands: identical
+    // decimal casts on both pair members, split decimal→double sums,
+    // the same final IEEE op sequence.
+    "q126_autocorr" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sa = "SUM(CAST(a AS DECIMAL(18,6)))"
+      val sb = "SUM(CAST(b AS DECIMAL(18,6)))"
+      val sab = "SUM(CAST(CAST(a AS DECIMAL(18,6)) * CAST(b AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      val saa = "SUM(CAST(CAST(a AS DECIMAL(18,6)) * CAST(a AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      val sbb = "SUM(CAST(CAST(b AS DECIMAL(18,6)) * CAST(b AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      s"""WITH p AS (
+         |  SELECT event_type AS symbol, value AS a,
+         |    lead(value) OVER (PARTITION BY event_type
+         |                      ORDER BY ts, event_id) AS b
+         |  FROM events),
+         |ag AS (
+         |  SELECT symbol, CAST(COUNT(1) AS DOUBLE) AS n,
+         |    ${d2(sa)} AS sa, ${d2(sb)} AS sb,
+         |    ${d2(sab)} AS sab, ${d2(saa)} AS saa, ${d2(sbb)} AS sbb
+         |  FROM p WHERE b IS NOT NULL GROUP BY symbol)
+         |SELECT symbol, CAST(n AS BIGINT) AS n_pairs,
+         |  CASE WHEN saa - sa * sa / n <= 0.0 OR sbb - sb * sb / n <= 0.0
+         |       THEN 0.0
+         |       ELSE (sab - sa * sb / n)
+         |            / (sqrt(saa - sa * sa / n) * sqrt(sbb - sb * sb / n)) END AS acf1
+         |FROM ag""".stripMargin
+    },
+
+    // Rank-based type-1 selection over the identical lead()-derived
+    // integer-micro gaps; dyadic q keeps the rank engine-exact.
+    "q127_gap_quantiles" ->
+      """WITH e AS (
+        |  SELECT event_type AS symbol, epoch_ns(ts) // 1000 AS t_us, event_id
+        |  FROM events),
+        |g AS (
+        |  SELECT symbol,
+        |    CAST(lead(t_us) OVER (PARTITION BY symbol ORDER BY t_us, event_id)
+        |         - t_us AS DOUBLE) AS v,
+        |    event_id AS t
+        |  FROM e),
+        |r AS (
+        |  SELECT symbol, v, t,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY v, t) AS rn,
+        |         COUNT(1) OVER (PARTITION BY symbol) AS n
+        |  FROM g WHERE v IS NOT NULL),
+        |qs AS (SELECT unnest([0.5, 0.75, 0.875]::DOUBLE[]) AS q)
         |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
         |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
   )

@@ -210,4 +210,26 @@ class SimilaritySpec extends SparkSpec {
       assert(counts(id) == (dur + 499) / 500)
     }
   }
+
+  test("kCenterAssign: farthest-point order and nearest-center assignment on planted axes") {
+    // seed = min id (0). Round 1: ids 2 and 3 are both orthogonal to 0
+    // (mc = 0) while 1 hugs 0 — the (mc, id) tie breaks to 2. Round 2:
+    // 3 is orthogonal to BOTH chosen (mc = 0) — picked. 1 never wins.
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.kCenterAssign(df, "vec_id", "embedding", k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got(0L) == (0L, true))
+    assert(got(2L) == (2L, true))
+    assert(got(3L) == (3L, true))
+    assert(got(1L)._1 == 0L && !got(1L)._2) // assigned to its hug, not a center
+    // k = n degenerates to every point a center of itself
+    val all = Similarity.kCenterAssign(df, "vec_id", "embedding", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
 }
