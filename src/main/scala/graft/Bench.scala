@@ -28,13 +28,17 @@ object Bench {
       .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
 
   /** Slim-line rendering with a STRUCTURAL width bound: centiseconds
-    * below 100 s, whole seconds above — so a pathological 9,999 s median
-    * costs 4 chars, not 7, and the 2,000-char driver-tail budget holds
-    * for ANY runtime (ADVICE r5: budgeting against 999.99 understated
-    * slow queries). Sub-second precision for a 100+ s query is noise;
-    * full precision lives in bench_out.json. */
+    * below 10 s, deciseconds to 100 s, whole seconds above — worst case
+    * 4 chars under 100 s, so the 2,000-char driver-tail budget holds for
+    * ANY runtime (ADVICE r5: budgeting against 999.99 understated slow
+    * queries; the 130-query registry then outgrew the centisecond tier).
+    * 0.1 s resolution for a 10 s+ query is below this box's run-to-run
+    * noise; full precision lives in bench_out.json. */
   def msSlim(x: Double): String =
-    if (x < 100.0) ms(x)
+    if (x < 10.0) ms(x)
+    else if (x < 100.0)
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
+        .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     else String.format(java.util.Locale.ROOT, "%.0f", Double.box(x))
 
   /** The SLIM stdout metric line (no spread maps). Factored out so

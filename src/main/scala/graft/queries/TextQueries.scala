@@ -322,22 +322,34 @@ object TextQueries {
     // shape: one groupBy(source) aggregate over the corpus, then two
     // single-row broadcasts — nothing grows with the corpus but the
     // first scan.
-    "q124_mixture_plan" -> ((s, dir) => {
-      val perSource = table(s, dir, "documents")
+    "q124_mixture_plan" -> ((s, dir) => mixturePlan(s, dir)),
+
+    // Mixture-plan EXECUTION — the step after q124: the planned per-
+    // source rate_ppm becomes a deterministic md5-threshold scan
+    // predicate (the [[Sampling.weightedHashSample]] discipline at
+    // 1/65536 granularity, integer threshold arithmetic, "g" sentinel
+    // for keep-all), and the realized sample is reported against the
+    // plan per source. Two corpus scans total (plan aggregate + execute
+    // scan); the rates ride a broadcast — nothing else grows with the
+    // corpus. The realized token count tracks planned_tok to sampling
+    // noise, which is the contract of rate-based execution at scale.
+    "q130_mixture_execute" -> ((s, dir) => {
+      val plan = mixturePlan(s, dir)
+        .select(col("source"), col("rate_ppm"), col("planned_tok"))
+      // floor(rate·65536/10⁶) as pure integer math; rate = 10⁶ (the
+      // binding source samples everything) needs the keep-all sentinel
+      val thr = when(col("rate_ppm") >= 1000000L, lit("g"))
+        .otherwise(lpad(lower(hex(expr("(rate_ppm * 65536) div 1000000"))), 4, "0"))
+      val kept = table(s, dir, "documents")
+        .join(broadcast(plan), Seq("source"))
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 4) < thr)
         .groupBy(col("source"))
-        .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_total"))
-        .withColumn("weight",
-          pmod(graft.functions.GraftFunctions.rolling_fingerprint(col("source")),
-            lit(900L)) + lit(100L))
-      val wsum = perSource.agg(sum(col("weight")).as("wsum"))
-      val capped = perSource.crossJoin(broadcast(wsum))
-        .withColumn("cap", expr("(tok_total * wsum) div weight"))
-      val budget = capped.agg(min(col("cap")).as("budget"))
-      capped.crossJoin(broadcast(budget))
-        .select(col("source"), col("weight"), col("tok_total"),
-          expr("(budget * weight) div wsum").as("planned_tok"))
-        .withColumn("rate_ppm", expr(
-          "CASE WHEN tok_total = 0 THEN 0L ELSE (planned_tok * 1000000) div tok_total END"))
+        .agg(count(lit(1)).as("docs_kept"),
+          sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_kept"))
+      plan.join(kept, Seq("source"), "left")
+        .select(col("source"), col("rate_ppm"), col("planned_tok"),
+          coalesce(col("docs_kept"), lit(0L)).as("docs_kept"),
+          coalesce(col("tok_kept"), lit(0L)).as("tok_kept"))
     }),
 
     // Sequence materialization — the step AFTER packing: concatenate
@@ -747,6 +759,28 @@ object TextQueries {
       .withColumn("keep",
         col("quality") >= 0.5 && col("repetition") <= 0.2 &&
           col("contamination") < 0.5 && !col("is_duplicate"))
+  }
+
+  /** q124's domain-mixture plan, shared with q130's execution: per-source
+    * token totals + FNV-derived weights → largest no-oversampling budget
+    * → per-source planned tokens and ppm sampling rates. Pure integer
+    * arithmetic; one corpus aggregate + two 1-row broadcasts. */
+  private def mixturePlan(s: SparkSession, dir: String): DataFrame = {
+    val perSource = table(s, dir, "documents")
+      .groupBy(col("source"))
+      .agg(sum(TextOps.tokenCount(col("text")).cast("long")).as("tok_total"))
+      .withColumn("weight",
+        pmod(graft.functions.GraftFunctions.rolling_fingerprint(col("source")),
+          lit(900L)) + lit(100L))
+    val wsum = perSource.agg(sum(col("weight")).as("wsum"))
+    val capped = perSource.crossJoin(broadcast(wsum))
+      .withColumn("cap", expr("(tok_total * wsum) div weight"))
+    val budget = capped.agg(min(col("cap")).as("budget"))
+    capped.crossJoin(broadcast(budget))
+      .select(col("source"), col("weight"), col("tok_total"),
+        expr("(budget * weight) div wsum").as("planned_tok"))
+      .withColumn("rate_ppm", expr(
+        "CASE WHEN tok_total = 0 THEN 0L ELSE (planned_tok * 1000000) div tok_total END"))
   }
 
   def oracles: Map[String, String] = Map(
@@ -1363,6 +1397,43 @@ object TextQueries {
          |  CASE WHEN tok_total = 0 THEN 0
          |       ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total END AS rate_ppm
          |FROM capped CROSS JOIN b""".stripMargin
+    },
+
+    // q130: the q124 plan CTE extended with the md5-threshold execution
+    // — integer threshold, lowercase-hex lpad, 'g' keep-all sentinel,
+    // all mirrored from the Spark predicate character for character.
+    "q130_mixture_execute" -> {
+      val tokExpr =
+        """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)""".stripMargin
+      val tokExprD = tokExpr.replace("trim(text)", "trim(d.text)")
+      s"""WITH per_source AS (
+         |  SELECT source, SUM($tokExpr) AS tok_total,
+         |    ((${HashOracleSql.fnvSql("source")} % 900) + 900) % 900 + 100 AS weight
+         |  FROM documents GROUP BY source),
+         |ws AS (SELECT SUM(weight) AS wsum FROM per_source),
+         |capped AS (
+         |  SELECT p.*, w.wsum, (p.tok_total * w.wsum) // p.weight AS cap
+         |  FROM per_source p CROSS JOIN ws w),
+         |b AS (SELECT MIN(cap) AS budget FROM capped),
+         |plan AS (
+         |  SELECT source,
+         |    (b.budget * weight) // wsum AS planned_tok,
+         |    CASE WHEN tok_total = 0 THEN 0
+         |         ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total
+         |    END AS rate_ppm
+         |  FROM capped CROSS JOIN b),
+         |kept AS (
+         |  SELECT d.source, COUNT(*) AS docs_kept, SUM($tokExprD) AS tok_kept
+         |  FROM documents d JOIN plan p ON d.source = p.source
+         |  WHERE substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4) <
+         |    CASE WHEN p.rate_ppm >= 1000000 THEN 'g'
+         |         ELSE lpad(lower(hex((p.rate_ppm * 65536) // 1000000)), 4, '0') END
+         |  GROUP BY d.source)
+         |SELECT p.source, p.rate_ppm, p.planned_tok,
+         |  COALESCE(k.docs_kept, 0) AS docs_kept,
+         |  COALESCE(k.tok_kept, 0) AS tok_kept
+         |FROM plan p LEFT JOIN kept k ON p.source = k.source""".stripMargin
     },
 
     "q125_pack_materialize" ->

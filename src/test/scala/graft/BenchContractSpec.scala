@@ -11,11 +11,12 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case per-median width under msSlim(): 99.99 (5 chars) for
-    // fast queries, and a pathological 99999 s renders the SAME 5 chars
-    // — assert both regimes so the budget holds for any runtime
+    // worst-case per-median width under msSlim(): 99.94 renders "99.9"
+    // (4 chars, the sub-100 s ceiling) and a pathological 99999 s
+    // renders 5 chars — assert both regimes so the budget holds for any
+    // runtime
     val medians = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i % 2 == 0) 99.99 else 99999.0)
+      n -> (if (i % 2 == 0) 99.94 else 99999.0)
     }
     val stream =
       """{"single_window":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +

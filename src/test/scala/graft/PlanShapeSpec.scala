@@ -17,12 +17,13 @@ class PlanShapeSpec extends SparkSpec {
   // fixed probe list × broadcast 1-row sketch
   // q98: crossJoin against the broadcast 1-row BM25 corpus-stats scalar
   // q119: crossJoin against the broadcast 1-row global n_min scalar
-  // q124: crossJoins against the broadcast 1-row Σweight and budget
-  // scalars (the mixture plan's only non-scan inputs)
+  // q124/q130: crossJoins against the broadcast 1-row Σweight and budget
+  // scalars (the mixture plan's only non-scan inputs; q130 executes it)
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
       "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
-      "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan")
+      "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan",
+      "q130_mixture_execute")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
