@@ -116,4 +116,31 @@ object StreamOps {
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
+
+  /** Streaming trending keys: per event-time window, the Misra–Gries
+    * heavy-hitter candidates of a key column — "what's hot right now"
+    * over an unbounded stream. The sketch is the SAME partial-mergeable
+    * aggregate the batch q69 path uses ([[graft.functions.MisraGries]]):
+    * map tasks reduce their slice to k counters, the shuffle merges
+    * counters, and the streaming state store holds one k-counter sketch
+    * per live window — state is O(live windows × k), NOT O(distinct
+    * keys), which is the entire point at an unbounded key space (the
+    * exact `groupBy(window, key)` form keeps every distinct key alive in
+    * the store until its window closes). Candidates undercount by ≤
+    * n/(k+1) and every key with true share > 1/(k+1) survives — the
+    * trending guarantee. Append mode: each window's final sketch emits
+    * once, when the watermark closes it. */
+  def trendingKeys(
+      in: DataFrame,
+      keyCol: String,
+      eventTimeCol: String,
+      windowLen: String,
+      watermark: String,
+      k: Int): DataFrame =
+    in.withWatermark(eventTimeCol, watermark)
+      .groupBy(window(col(eventTimeCol), windowLen))
+      .agg(graft.functions.GraftFunctions
+        .heavy_hitters(col(keyCol).cast("string"), k).as("candidates"))
+      .select(col("window.start").as("win_start"),
+        col("window.end").as("win_end"), col("candidates"))
 }

@@ -495,4 +495,34 @@ class StreamingSpec extends SparkSpec {
       assert(first.length == 1 && first.head.getAs[Double]("seconds_until") == 20.0)
     } finally q.stop()
   }
+
+  test("streaming trending keys: hot key ranks first, window closes on watermark, state is sketch-sized") {
+    val in = MemoryStream[PriceTick](spark)
+    val trending = graft.streaming.StreamOps.trendingKeys(
+      in.toDF(), keyCol = "symbol", eventTimeCol = "event_time",
+      windowLen = "1 minute", watermark = "10 seconds", k = 2)
+    val q = trending.writeStream
+      .format("memory").queryName("trend_out").outputMode(OutputMode.Append).start()
+    try {
+      // 6×BTC, 2×ETH, 1×DOGE inside one window: BTC's true share (2/3)
+      // clears the 1/(k+1)=1/3 survival bar with room
+      val base = "2024-01-01 00:00:"
+      in.addData(
+        (0 until 6).map(i => PriceTick("BTC", 1.0, ts(f"$base${i * 5}%02d"))) ++
+          Seq(PriceTick("ETH", 1.0, ts(s"${base}40")),
+            PriceTick("ETH", 1.0, ts(s"${base}45")),
+            PriceTick("DOGE", 1.0, ts(s"${base}50"))): _*)
+      q.processAllAvailable()
+      assert(spark.table("trend_out").isEmpty) // append: nothing until close
+      in.addData(PriceTick("BTC", 1.0, ts("2024-01-01 00:05:00"))) // advance watermark
+      q.processAllAvailable()
+      val rows = spark.table("trend_out").collect()
+      assert(rows.length == 1, s"exactly the closed window emits, got ${rows.length}")
+      val cands = rows.head.getSeq[org.apache.spark.sql.Row](2)
+      assert(cands.length <= 2, "state is bounded by k counters, not distinct keys")
+      assert(cands.head.getString(0) == "BTC", "the hot key must rank first")
+      // MG undercount bound: est >= true - n/(k+1) = 6 - 3
+      assert(cands.head.getLong(1) >= 3L)
+    } finally q.stop()
+  }
 }
