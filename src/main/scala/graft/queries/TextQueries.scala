@@ -465,6 +465,39 @@ object TextQueries {
     // explode → two vocabulary-sized count aggregates (map-side
     // combined) → one shuffle join on the bigram key; no windows, no
     // driver state.
+    // Domain-characteristic tokens: per source, the 10 tokens whose
+    // corpus share differs most from the source's own share — the
+    // log-free domain-shift diagnostic (what vocabulary makes this
+    // source unlike the mixture; the KL-divergence question asked with
+    // integer arithmetic: shares in ppm via floor division, |Δppm| as
+    // the score, so every value hash-matches). Scale shape: one
+    // (source, token) map-side-combined aggregate over the corpus, a
+    // token-keyed join of two VOCAB-sized tables, totals as tiny
+    // broadcasts, and the ranking window runs per source over
+    // vocab-sized — never corpus-sized — input.
+    "q131_domain_tokens" -> ((s, dir) => {
+      val tok = table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+      val bySrc = tok.groupBy(col("source"), col("token")).agg(count(lit(1)).as("obs"))
+      val glob = tok.groupBy(col("token")).agg(count(lit(1)).as("gcnt"))
+      val srcTot = bySrc.groupBy(col("source")).agg(sum(col("obs")).as("src_total"))
+      val corpusTot = glob.agg(sum(col("gcnt")).as("corpus_total"))
+      val scored = bySrc
+        .join(broadcast(srcTot), Seq("source"))
+        .join(glob.crossJoin(broadcast(corpusTot)), Seq("token"))
+        .withColumn("ppm_src", expr("(obs * 1000000) div src_total"))
+        .withColumn("ppm_corpus", expr("(gcnt * 1000000) div corpus_total"))
+        .withColumn("ppm_diff", abs(col("ppm_src") - col("ppm_corpus")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source"))
+        .orderBy(col("ppm_diff").desc, col("token"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("source"), col("rank").cast("int").as("rank"), col("token"),
+          col("obs"), col("gcnt"), col("ppm_src"), col("ppm_corpus"),
+          col("ppm_diff"))
+    }),
+
     "q117_bigram_surprise" -> ((s, dir) => {
       val bigrams = table(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -988,6 +1021,31 @@ object TextQueries {
 
     // Integer branching ratios mirror Spark's `div` with DuckDB's `//`
     // (both positive operands); the single final divide is one IEEE op.
+    // q131: the same integer ppm-share arithmetic, vocab-sized CTEs, and
+    // (|Δppm| DESC, token) ranking replayed verbatim.
+    "q131_domain_tokens" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(${HashOracleSql.tokSql}) AS token FROM documents),
+         |bysrc AS (SELECT source, token, COUNT(*) AS obs
+         |          FROM toks GROUP BY source, token),
+         |g0 AS (SELECT token, COUNT(*) AS gcnt FROM toks GROUP BY token),
+         |st AS (SELECT source, SUM(obs) AS src_total FROM bysrc GROUP BY source),
+         |ct AS (SELECT SUM(obs) AS corpus_total FROM bysrc),
+         |sc AS (
+         |  SELECT b.source, b.token, b.obs, g.gcnt,
+         |    (b.obs * 1000000) // st.src_total AS ppm_src,
+         |    (g.gcnt * 1000000) // ct.corpus_total AS ppm_corpus
+         |  FROM bysrc b JOIN st ON b.source = st.source
+         |  JOIN g0 g ON b.token = g.token CROSS JOIN ct),
+         |r AS (
+         |  SELECT *, abs(ppm_src - ppm_corpus) AS ppm_diff,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY abs(ppm_src - ppm_corpus) DESC, token) AS rank
+         |  FROM sc)
+         |SELECT source, CAST(rank AS INT) AS rank, token, obs, gcnt,
+         |       ppm_src, ppm_corpus, ppm_diff
+         |FROM r WHERE rank <= 10""".stripMargin,
+
     "q117_bigram_surprise" ->
       s"""WITH toks AS (SELECT doc_id, ${HashOracleSql.tokSql} AS tk FROM documents),
          |bg AS (
