@@ -498,6 +498,55 @@ object TextQueries {
           col("ppm_diff"))
     }),
 
+    // Triangle counting on the token co-occurrence graph (window-4
+    // co-occurrence; nodes = tokens, edges = distinct canonical pairs) —
+    // the third classic of the graph battery beside PageRank (q99) and
+    // connected components (q73/q74), and the one whose naive form dies
+    // on hubs: wedge enumeration at an unoriented hub is O(deg²). The
+    // standard fix is DEGREE-ORDERED ORIENTATION (each edge points from
+    // the (degree, token)-smaller endpoint), which bounds every node's
+    // out-degree by ~√(2·|E|), so the wedge self-join is skew-proof at
+    // any corpus size. Wedges close against the canonical edge set; each
+    // triangle materializes exactly once (at its orientation-minimal
+    // vertex), then per-token participation is one exploded aggregate.
+    // Pure integer counting end to end — hash-exact by construction.
+    "q132_cooc_triangles" -> ((s, dir) => {
+      val pairs = table(s, dir, "documents")
+        .select(TextOps.tokens(col("text")).as("tk"))
+        .filter(size(col("tk")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(sequence(0, size(tk) - 2), i -> " +
+            "transform(sequence(i + 1, least(i + 4, size(tk) - 1)), j -> " +
+            "struct(tk[i] AS x, tk[j] AS y))))")).as("p"))
+        .filter(col("p.x") =!= col("p.y"))
+      val edges = pairs
+        .select(least(col("p.x"), col("p.y")).as("w1"),
+          greatest(col("p.x"), col("p.y")).as("w2"))
+        .distinct()
+      val deg = edges.select(col("w1").as("t")).union(edges.select(col("w2").as("t")))
+        .groupBy(col("t")).agg(count(lit(1)).as("d"))
+      val oriented = edges
+        .join(deg.select(col("t").as("w1"), col("d").as("d1")), Seq("w1"))
+        .join(deg.select(col("t").as("w2"), col("d").as("d2")), Seq("w2"))
+        .select(
+          when(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("w1") < col("w2")), col("w1"))
+            .otherwise(col("w2")).as("src"),
+          when(col("d1") < col("d2") ||
+            (col("d1") === col("d2") && col("w1") < col("w2")), col("w2"))
+            .otherwise(col("w1")).as("dst"))
+      val e1 = oriented.select(col("src"), col("dst").as("b"))
+      val e2 = oriented.select(col("src"), col("dst").as("c"))
+      // b < c in string order, so the closing edge's canonical form is
+      // exactly (b, c) — a plain equi-join against the edge set
+      val wedges = e1.join(e2, Seq("src")).filter(col("b") < col("c"))
+      val tri = wedges.join(edges,
+        col("b") === col("w1") && col("c") === col("w2"))
+        .select(col("src"), col("b"), col("c"))
+      tri.select(explode(array(col("src"), col("b"), col("c"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("triangles"))
+    }),
+
     "q117_bigram_surprise" -> ((s, dir) => {
       val bigrams = table(s, dir, "documents")
         .select(col("doc_id"), TextOps.tokens(col("text")).as("tk"))
@@ -1021,6 +1070,41 @@ object TextQueries {
 
     // Integer branching ratios mirror Spark's `div` with DuckDB's `//`
     // (both positive operands); the single final divide is one IEEE op.
+    // q132: window-4 co-occurrence pairs (1-based list math mirroring the
+    // 0-based Spark HOF), canonical dedup, degree orientation, wedge
+    // self-join, closure probe — integer counting throughout.
+    "q132_cooc_triangles" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${HashOracleSql.tokSql} AS tk FROM documents),
+         |idx AS (
+         |  SELECT doc_id, tk, unnest(range(1, len(tk))) AS i
+         |  FROM toks WHERE len(tk) >= 2),
+         |pr AS (
+         |  SELECT least(tk[i], tk[j]) AS w1, greatest(tk[i], tk[j]) AS w2
+         |  FROM (SELECT doc_id, tk, i,
+         |          unnest(range(i + 1, least(i + 4, len(tk)) + 1)) AS j
+         |        FROM idx)
+         |  WHERE tk[i] <> tk[j]),
+         |edges AS (SELECT DISTINCT w1, w2 FROM pr),
+         |deg AS (
+         |  SELECT t, COUNT(*) AS d
+         |  FROM (SELECT w1 AS t FROM edges UNION ALL SELECT w2 FROM edges)
+         |  GROUP BY t),
+         |o AS (
+         |  SELECT CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.w1 < e.w2)
+         |              THEN e.w1 ELSE e.w2 END AS src,
+         |         CASE WHEN d1.d < d2.d OR (d1.d = d2.d AND e.w1 < e.w2)
+         |              THEN e.w2 ELSE e.w1 END AS dst
+         |  FROM edges e JOIN deg d1 ON e.w1 = d1.t JOIN deg d2 ON e.w2 = d2.t),
+         |w AS (
+         |  SELECT a.src, a.dst AS b, x.dst AS c
+         |  FROM o a JOIN o x ON a.src = x.src WHERE a.dst < x.dst),
+         |tri AS (
+         |  SELECT w.src, w.b, w.c
+         |  FROM w JOIN edges e ON w.b = e.w1 AND w.c = e.w2),
+         |t3 AS (SELECT unnest([src, b, c]) AS token FROM tri)
+         |SELECT token, COUNT(*) AS triangles FROM t3 GROUP BY token""".stripMargin,
+
     // q131: the same integer ppm-share arithmetic, vocab-sized CTEs, and
     // (|Δppm| DESC, token) ranking replayed verbatim.
     "q131_domain_tokens" ->
