@@ -45,10 +45,11 @@ object Bench {
     * BenchContractSpec can assert the rendered length of the CURRENT
     * query registry stays under the driver's tail buffer — the gate this
     * line feeds was unscored for two rounds when it silently outgrew it.
-    * Keys are the q-number prefix only (`q01`, `q62`, …) — the canonical
-    * query IDs used in every coverage table; full names + full precision
-    * + spreads live in bench_out.json. At 60+ queries the full names
-    * alone would overflow the tail buffer. */
+    * Keys are the bare query number (`01`, `62`, …) — the q-number IDs
+    * used in every coverage table minus the now-redundant `q` (dropped
+    * when the 134-query registry outgrew the budget again); full names +
+    * full precision + spreads live in bench_out.json. At 60+ queries the
+    * full names alone would overflow the tail buffer. */
   def renderSlim(
       medians: Seq[(String, Double)],
       total: Double,
@@ -57,7 +58,7 @@ object Bench {
       sfDir: String,
       annBuildSec: Double = 0.0): String = {
     val qsSlim = medians.map { case (k, t) =>
-      "\"" + k.takeWhile(_ != '_') + "\":" + msSlim(t)
+      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + msSlim(t)
     }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","queries":$qsSlim,"ann_build":${msSlim(annBuildSec)},"errors":$errJson,"stream":$streamJson,"sf":"$sfDir"}"""
   }

@@ -527,6 +527,29 @@ object RelationalQueries {
     // three per-user aggregates chained by equi joins (user_id is high
     // cardinality; AQE coalesces), left joins preserve drop-off (null =
     // never converted). Epoch-micro integers only → hash-exact.
+    // Per-user behavior transition matrix (first-order Markov counts):
+    // how often each event type follows each other type within a user's
+    // (ts, event_id)-ordered stream, with the row-share in ppm — the
+    // sequence statistic behind next-action models and bot detection.
+    // One sort-shuffle on the HIGH-cardinality user key for the lag;
+    // the (prev, cur) aggregate output is type² rows regardless of
+    // corpus size; shares by integer floor division → hash-exact.
+    "q133_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("t_us"), col("event_id"))
+      val ev = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"), col("event_id"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val cnt = ev.groupBy(col("prev_type"), col("event_type").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = cnt.groupBy(col("prev_type")).agg(sum(col("n")).as("row_total"))
+      cnt.join(broadcast(rowTot), Seq("prev_type"))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(n * 1000000) div row_total").as("share_ppm"))
+    }),
+
     "q103_funnel" -> ((s, dir) => {
       val ev = graft.util.SparkUtil.events(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -1105,6 +1128,25 @@ object RelationalQueries {
         |  COUNT(DISTINCT d.user_id) AS n_users
         |FROM d JOIN c USING (user_id)
         |GROUP BY c.c_day, d.day - c.c_day""".stripMargin,
+
+    // q133: the same lag over (user, t_us, event_id), type²-sized counts,
+    // integer ppm shares.
+    "q133_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us, event_id
+        |  FROM events),
+        |lg AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY t_us, event_id) AS prev_type
+        |  FROM e),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, COUNT(*) AS n
+        |  FROM lg WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
+        |rt AS (SELECT prev_type, SUM(n) AS row_total FROM cnt GROUP BY prev_type)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |  (c.n * 1000000) // r.row_total AS share_ppm
+        |FROM cnt c JOIN rt r ON c.prev_type = r.prev_type""".stripMargin,
 
     "q103_funnel" ->
       """WITH e AS (

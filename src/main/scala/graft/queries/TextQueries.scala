@@ -498,6 +498,34 @@ object TextQueries {
           col("ppm_diff"))
     }),
 
+    // Source-pair vocabulary overlap: exact Jaccard between every two
+    // sources' distinct-token sets — which corpus components are
+    // near-redundant vs complementary (the mixture-design companion to
+    // q131's per-source divergence). (source, token) distincts once,
+    // then a token-keyed self-join; a token present in s sources
+    // contributes s·(s−1)/2 pair rows, so the join output is bounded by
+    // vocab × sources², never corpus-sized. Counting arithmetic + one
+    // IEEE divide → hash-exact.
+    "q134_vocab_jaccard" -> ((s, dir) => {
+      val st = table(s, dir, "documents")
+        .select(col("source"), explode(TextOps.tokens(col("text"))).as("token"))
+        .distinct()
+      val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("vsize"))
+      val inter = st.select(col("source").as("src_a"), col("token"))
+        .join(st.select(col("source").as("src_b"), col("token")), Seq("token"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b")).agg(count(lit(1)).as("inter"))
+      inter
+        .join(broadcast(sizes.select(col("source").as("src_a"), col("vsize").as("va"))),
+          Seq("src_a"))
+        .join(broadcast(sizes.select(col("source").as("src_b"), col("vsize").as("vb"))),
+          Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("inter"),
+          (col("va") + col("vb") - col("inter")).as("vunion"),
+          (col("inter").cast("double") /
+            (col("va") + col("vb") - col("inter")).cast("double")).as("jaccard"))
+    }),
+
     // Triangle counting on the token co-occurrence graph (window-4
     // co-occurrence; nodes = tokens, edges = distinct canonical pairs) —
     // the third classic of the graph battery beside PageRank (q99) and
@@ -1070,6 +1098,24 @@ object TextQueries {
 
     // Integer branching ratios mirror Spark's `div` with DuckDB's `//`
     // (both positive operands); the single final divide is one IEEE op.
+    // q134: the same (source, token) distincts, self-join intersection
+    // counts, and single-divide Jaccard.
+    "q134_vocab_jaccard" ->
+      s"""WITH st AS (
+         |  SELECT DISTINCT source, unnest(${HashOracleSql.tokSql}) AS token
+         |  FROM documents),
+         |sizes AS (SELECT source, COUNT(*) AS vsize FROM st GROUP BY source),
+         |i AS (
+         |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS inter
+         |  FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+         |  GROUP BY a.source, b.source)
+         |SELECT i.src_a, i.src_b, i.inter,
+         |  sa.vsize + sb.vsize - i.inter AS vunion,
+         |  CAST(i.inter AS DOUBLE)
+         |    / CAST(sa.vsize + sb.vsize - i.inter AS DOUBLE) AS jaccard
+         |FROM i JOIN sizes sa ON i.src_a = sa.source
+         |JOIN sizes sb ON i.src_b = sb.source""".stripMargin,
+
     // q132: window-4 co-occurrence pairs (1-based list math mirroring the
     // 0-based Spark HOF), canonical dedup, degree orientation, wedge
     // self-join, closure probe — integer counting throughout.
