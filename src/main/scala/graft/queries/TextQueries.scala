@@ -498,6 +498,35 @@ object TextQueries {
           col("ppm_diff"))
     }),
 
+    // Quality-threshold coverage curve: for every quality cutoff (0.05
+    // bins), how many documents and tokens survive — the diagnostic that
+    // picks a filter threshold by its data cost BEFORE running the
+    // filter. Cumulative counts are built by exploding each bin's
+    // contribution to every threshold at or below it (bins² ≤ 400 rows —
+    // never a window over data, never a theta-join), plus one broadcast
+    // 1-row total for the ppm share. Per-row quality/token math, one
+    // 20-row aggregate: the curve costs one scan at any corpus size.
+    "q135_quality_coverage" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(TextOps.qualityScore(col("text")).as("q"),
+          TextOps.tokenCount(col("text")).cast("long").as("tok"))
+        .select(least(floor(col("q") * 20).cast("int"), lit(19)).as("bucket"),
+          col("tok"))
+      val byB = d.groupBy(col("bucket"))
+        .agg(count(lit(1)).as("docs"), sum(col("tok")).as("toks"))
+      val tot = byB.agg(sum(col("toks")).as("tot_toks"))
+      val cum = byB
+        .select(explode(sequence(lit(0), col("bucket"))).as("thr"),
+          col("docs"), col("toks"))
+        .groupBy(col("thr"))
+        .agg(sum(col("docs")).as("cum_docs"), sum(col("toks")).as("cum_toks"))
+      byB.join(cum, col("thr") === col("bucket"))
+        .crossJoin(broadcast(tot))
+        .select(col("bucket"), col("docs"), col("toks"),
+          col("cum_docs"), col("cum_toks"),
+          expr("(cum_toks * 1000000) div tot_toks").as("cum_tok_ppm"))
+    }),
+
     // Source-pair vocabulary overlap: exact Jaccard between every two
     // sources' distinct-token sets — which corpus components are
     // near-redundant vs complementary (the mixture-design companion to
@@ -1098,6 +1127,28 @@ object TextQueries {
 
     // Integer branching ratios mirror Spark's `div` with DuckDB's `//`
     // (both positive operands); the single final divide is one IEEE op.
+    // q135: the quality replay (q22's formula), the same bin + exploded
+    // cumulative + integer ppm share.
+    "q135_quality_coverage" -> {
+      val tokExpr =
+        """CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+          |     ELSE len(string_split_regex(trim(text), '\s+')) END AS BIGINT)""".stripMargin
+      s"""WITH qual AS (SELECT doc_id, quality FROM ($qualityLangSql)),
+         |tk AS (SELECT doc_id, $tokExpr AS tok FROM documents),
+         |d AS (
+         |  SELECT least(CAST(floor(quality * 20) AS INT), 19) AS bucket, tok
+         |  FROM qual JOIN tk USING (doc_id)),
+         |byb AS (SELECT bucket, COUNT(*) AS docs, SUM(tok) AS toks
+         |        FROM d GROUP BY bucket),
+         |ex AS (SELECT unnest(range(0, bucket + 1)) AS thr, docs, toks FROM byb),
+         |cum AS (SELECT thr, SUM(docs) AS cum_docs, SUM(toks) AS cum_toks
+         |        FROM ex GROUP BY thr),
+         |tot AS (SELECT SUM(toks) AS tot_toks FROM byb)
+         |SELECT b.bucket, b.docs, b.toks, c.cum_docs, c.cum_toks,
+         |  (c.cum_toks * 1000000) // t.tot_toks AS cum_tok_ppm
+         |FROM byb b JOIN cum c ON c.thr = b.bucket CROSS JOIN tot t""".stripMargin
+    },
+
     // q134: the same (source, token) distincts, self-join intersection
     // counts, and single-divide Jaccard.
     "q134_vocab_jaccard" ->

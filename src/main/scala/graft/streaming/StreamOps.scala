@@ -66,6 +66,10 @@ object StreamOps {
         col(s"r_$rightTs") >= expr(s"$leftTs + $lower") &&
         col(s"r_$rightTs") <= expr(s"$leftTs + $upper"),
       joinType)
+      // full_outer: an unmatched RIGHT row carries its key only in r_key
+      // (the left columns are the null-padded side) — coalesce before
+      // dropping so the output key survives every join type
+      .withColumn(key, coalesce(col(key), col("r_key")))
       .drop("r_key")
   }
 

@@ -23,7 +23,7 @@ class PlanShapeSpec extends SparkSpec {
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
       "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
       "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan",
-      "q130_mixture_execute", "q131_domain_tokens")
+      "q130_mixture_execute", "q131_domain_tokens", "q135_quality_coverage")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

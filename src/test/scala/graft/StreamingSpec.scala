@@ -429,6 +429,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming full-outer interval join: unmatched rows on BOTH sides emit null-padded") {
+    val lIn = MemoryStream[PriceTick](spark)
+    val rIn = MemoryStream[PriceTick](spark)
+    val left = lIn.toDF().select(
+      col("symbol").as("k"), col("event_time").as("lts"), col("price").as("lv"))
+    val right = rIn.toDF().select(
+      col("symbol").as("k"), col("event_time").as("rts"), col("price").as("v"))
+    val joined = graft.streaming.StreamOps.intervalJoin(
+      left, right, "k", "lts", "rts",
+      lower = "interval -60 seconds", upper = "interval 60 seconds",
+      horizon = "30 seconds", joinType = "full_outer")
+    val q = joined.writeStream
+      .format("memory").queryName("ij_full").outputMode(OutputMode.Append).start()
+    try {
+      lIn.addData(
+        PriceTick("BTC", 10.0, ts("2024-01-01 00:10:00")), // matches
+        PriceTick("ETH", 20.0, ts("2024-01-01 00:10:00"))) // left-only
+      rIn.addData(
+        PriceTick("BTC", 1.0, ts("2024-01-01 00:10:30")),
+        PriceTick("DOGE", 2.0, ts("2024-01-01 00:10:00"))) // right-only
+      q.processAllAvailable()
+      // advance both watermarks far past every match window
+      lIn.addData(PriceTick("ZZZ", 0.0, ts("2024-01-01 00:20:00")))
+      rIn.addData(PriceTick("ZZZ", 0.0, ts("2024-01-01 00:21:30"))) // outside ±60s of ZZZ-left
+      q.processAllAvailable()
+      q.processAllAvailable()
+      val eth = spark.table("ij_full").filter(col("k") === "ETH").collect()
+      assert(eth.length == 1 && eth.head.isNullAt(eth.head.fieldIndex("r_v")),
+        "left-only row must emit once, right-null-padded")
+      val doge = spark.table("ij_full").filter(col("k") === "DOGE").collect()
+      assert(doge.length == 1 && doge.head.isNullAt(doge.head.fieldIndex("lv")),
+        "right-only row must emit once, left-null-padded — and keep its key")
+      val btc = spark.table("ij_full").filter(col("k") === "BTC").collect()
+      assert(btc.length == 1 && btc.head.getAs[Double]("r_v") == 1.0)
+    } finally q.stop()
+  }
+
   test("stream-static enrichment join is stateless and broadcast") {
     import spark.implicits._
     val dim = Seq(("BTC", "crypto"), ("ETH", "crypto"), ("AAPL", "equity"))
