@@ -240,6 +240,25 @@ object HashKernels {
     inter.toDouble / (na + nb - inter)
   }
 
+  /** Exact intersection COUNT of two sorted distinct long arrays — the
+    * linear merge of [[jaccardSorted]] returning the raw count, so
+    * asymmetric measures (containment I/|A|) compose from it. */
+  def intersectSorted(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var inter = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { inter += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    inter
+  }
+
   /** Fraction of equal components between two MinHash signatures — an
     * unbiased estimate of Jaccard similarity; used to prefilter LSH
     * candidate pairs before the exact (array-materializing) verify. */
@@ -521,6 +540,19 @@ case class JaccardSorted(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** Exact intersection count of two sorted array<long> columns → int. */
+case class IntersectSorted(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "intersect_sorted"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.intersectSorted(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.intersectSorted($a, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): IntersectSorted =
+    copy(left = l, right = r)
+}
+
 /** Signature-overlap Jaccard estimate of two array<long> columns → double. */
 case class SigOverlap(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -769,6 +801,9 @@ object GraftFunctions {
   def jaccard_sorted(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       JaccardSorted(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
+  def intersect_sorted(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      IntersectSorted(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))
   def sig_overlap(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       SigOverlap(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))

@@ -262,6 +262,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  /** Asymmetric near-dup: Broder CONTAINMENT C(A→B) = |A∩B| / |A| over
+    * distinct k-shingle sets — the measure that catches a small document
+    * quoted whole inside a large one, a pair symmetric Jaccard scores
+    * near |A|/|B| and misses by design. Same rare-gram inverted-index
+    * candidate generation as [[jaccardEdges]] (df ∈ [2, maxDf] bounds
+    * fan-out at maxDf²/2 pairs per shingle); the verify step computes
+    * the exact intersection count with one linear merge over the sorted
+    * hash sets ([[graft.functions.IntersectSorted]], codegen'd) and
+    * keeps pairs where EITHER direction's containment clears the
+    * threshold. Output (id_a, id_b, inter, size_a, size_b, cont_a_in_b,
+    * cont_b_in_a) — integer counts + two IEEE divides, hash-exact
+    * cross-engine. (SURVEY §2 LLM-pipeline extension; measure from
+    * Broder, "On the resemblance and containment of documents", 1997.) */
+  def containmentEdges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxDf: Int = 20,
+      threshold: Double = 0.8): DataFrame = {
+    val (sh, cand) = hashedGramCandidates(docs, idCol, textCol, k, maxDf, minTokens = 0)
+    val pairs = cand.select(col("gh"), col("doc_id").as("id_a"))
+      .join(cand.select(col("gh"), col("doc_id").as("id_b")), Seq("gh"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    pairs
+      .join(sh.select(col("doc_id").as("id_a"), col("hs").as("hs_a")), Seq("id_a"))
+      .join(sh.select(col("doc_id").as("id_b"), col("hs").as("hs_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        GraftFunctions.intersect_sorted(col("hs_a"), col("hs_b"))
+          .cast("long").as("inter"),
+        size(col("hs_a")).cast("long").as("size_a"),
+        size(col("hs_b")).cast("long").as("size_b"))
+      .withColumn("cont_a_in_b",
+        col("inter").cast("double") / col("size_a").cast("double"))
+      .withColumn("cont_b_in_a",
+        col("inter").cast("double") / col("size_b").cast("double"))
+      .filter(greatest(col("cont_a_in_b"), col("cont_b_in_a")) >= threshold)
+  }
+
   /** Size-adaptive fast path shared by both connected-components
     * operators: when the materialized edge set fits on the driver, a
     * local union-find replaces 5–10 distributed join rounds whose cost on

@@ -550,6 +550,34 @@ object RelationalQueries {
           expr("(n * 1000000) div row_total").as("share_ppm"))
     }),
 
+    // Z-ORDER locality audit — the Morton-interleave layout key a 100 TB
+    // table would be clustered on so min-max pruning works on BOTH scan
+    // dimensions at once (linear sort orders only prune the leading
+    // one). 8-bit bucket per dimension (user_id; floor(value)), the
+    // 16-bit Morton code as codegen'd shift/mask expressions, then per
+    // 256-code tile: rows, distinct users, code span, first event — the
+    // pruning-quality report (a one-user or one-value-band predicate
+    // touches ~√tiles under z-order vs all tiles under the wrong linear
+    // sort). Integer-only → hash-exact. Scale shape: per-row bit math +
+    // one map-side-combined aggregate on an 8-bit key; the actual
+    // rewrite this audits would be repartitionByRange(zval) +
+    // sortWithinPartitions(zval) at write time.
+    "q137_zorder" -> ((s, dir) => {
+      val ub = pmod(col("user_id"), lit(256L))
+      val vb = pmod(floor(col("value")).cast("long"), lit(256L))
+      // The codegen'd Morton kernel: left's bit i → position 2i,
+      // right's → 2i+1, so (vb, ub) puts value on even lanes.
+      val z = graft.functions.GraftFunctions.zorder_key(vb, ub, 8)
+      table(s, dir, "events")
+        .select(col("event_id"), col("user_id"), z.as("zval"))
+        .withColumn("tile", shiftright(col("zval"), 8))
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("zval")).as("z_min"), max(col("zval")).as("z_max"),
+          min(col("event_id")).as("first_event"))
+    }),
+
     "q103_funnel" -> ((s, dir) => {
       val ev = graft.util.SparkUtil.events(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -1147,6 +1175,26 @@ object RelationalQueries {
         |SELECT c.prev_type, c.next_type, c.n,
         |  (c.n * 1000000) // r.row_total AS share_ppm
         |FROM cnt c JOIN rt r ON c.prev_type = r.prev_type""".stripMargin,
+
+    "q137_zorder" -> {
+      val zTerms = (0 until 8).map(i =>
+        s"(((ub >> $i) & 1) << ${2 * i + 1}) | (((vb >> $i) & 1) << ${2 * i})")
+        .mkString(" |\n         |    ")
+      s"""WITH b AS (
+         |  SELECT event_id, user_id,
+         |    user_id % 256 AS ub,
+         |    CAST(floor(value) AS BIGINT) % 256 AS vb
+         |  FROM events),
+         |z AS (
+         |  SELECT event_id, user_id,
+         |    $zTerms AS zval
+         |  FROM b)
+         |SELECT zval >> 8 AS tile, COUNT(1) AS n_events,
+         |  COUNT(DISTINCT user_id) AS n_users,
+         |  MIN(zval) AS z_min, MAX(zval) AS z_max,
+         |  MIN(event_id) AS first_event
+         |FROM z GROUP BY tile""".stripMargin
+    },
 
     "q103_funnel" ->
       """WITH e AS (

@@ -815,34 +815,88 @@ object TextQueries {
     // Every float op then runs in the SAME left-assoc expression tree in
     // both engines, so scores — and the (score desc, id) top-10 via the
     // bounded heap, no global sort window — match digit for digit.
-    "q98_bm25" -> ((s, dir) => {
-      val f = table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
-        .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
-          bmTerms.map(t =>
-            size(filter(col("toks"), x => x === lit(t))).cast("double")
-              .as(s"tf_$t")): _*)
-      val statCols =
-        count(lit(1)).cast("double").as("n") +:
-          (sum(col("dl").cast("long")).cast("double") /
-            count(lit(1)).cast("double")).as("avgdl") +:
-          bmTerms.map(t =>
-            sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
-              .as(s"df_$t"))
-      val st = f.agg(statCols.head, statCols.tail: _*)
-      def sTerm(t: String) =
-        (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) *
-          (col(s"tf_$t") * lit(2.2)) /
-          (col(s"tf_$t") +
-            lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
-      f.crossJoin(broadcast(st))
-        .select(col("doc_id"), bmTerms.map(sTerm).reduce(_ + _).as("score"))
+    "q98_bm25" -> ((s, dir) =>
+      bm25Scores(s, dir)
         .agg(graft.functions.GraftFunctions
           .top_k_by_score(col("score"), col("doc_id"), 10).as("topk"))
         .select(posexplode(col("topk")).as(Seq("pos", "t")))
         .select(col("t.id").as("doc_id"), col("t.score").as("score"),
+          (col("pos") + 1).as("rnk"))),
+
+    // HYBRID retrieval with reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09): the lexical BM25 top-50 list and the embedding-cosine
+    // top-50 list (query = vec_id 0's embedding; doc_id ≡ vec_id in the
+    // synthetic corpus) fused as Σ 1/(60 + rank), absent list → 0
+    // contribution, final top-20 by fused score. Every rank is an exact
+    // integer and 1/(60+r) a single IEEE divide, so the fusion — unlike
+    // score-interpolation hybrids — is bit-reproducible across engines.
+    // Scale shape: BOTH candidate lists come from the bounded-heap
+    // top-k aggregate (shuffled bytes = partitions × k, constant in
+    // corpus size), the fusion join touches ≤ 2k candidate rows, and the
+    // final ranking is again the heap — no global sort, no window over
+    // data anywhere; at 100 TB the corpus is scanned twice (once per
+    // modality) and everything after is O(k).
+    "q136_rrf_fusion" -> ((s, dir) => {
+      val k = 50
+      val lex = bm25Scores(s, dir)
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("score"), col("doc_id"), k).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("t.id").as("doc_id"), (col("pos") + 1).as("lex_r"))
+      val e = table(s, dir, "embeddings")
+      val qv = broadcast(
+        e.filter(col("vec_id") === 0).select(col("embedding").as("qv")))
+      val sem = e.crossJoin(qv)
+        .select(col("vec_id").as("doc_id"),
+          graft.functions.GraftFunctions
+            .cosine_similarity(col("embedding"), col("qv")).as("cos"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("cos"), col("doc_id"), k).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("t.id").as("doc_id"), (col("pos") + 1).as("sem_r"))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          (coalesce(lit(1.0) / (lit(60) + col("lex_r")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("sem_r")), lit(0.0)))
+            .as("rrf_score"))
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("rrf_score"), col("doc_id"), 20).as("topk"))
+        .select(posexplode(col("topk")).as(Seq("pos", "t")))
+        .select(col("t.id").as("doc_id"), col("t.score").as("rrf_score"),
           (col("pos") + 1).as("rnk"))
     }),
+
+    // Cross-document duplicated SPANS (the exact-substring-dedup
+    // primitive of Lee et al. 2022, at word-5-gram granularity): every
+    // token 5-gram that occurs in ≥ 2 distinct documents, with its doc
+    // frequency, total occurrences, and first (min) carrier. Where q41
+    // probes a small benchmark set and q20 hashes whole documents, this
+    // mines the corpus against ITSELF at sub-document granularity — the
+    // signal that catches boilerplate headers, licence blocks, and
+    // template text that whole-doc hashing misses. Scale shape: the
+    // explode is ~k× corpus tokens but feeds a single map-side-combined
+    // aggregate keyed on the gram (count-distinct runs as the standard
+    // two-level expand), and the ≥2-doc filter drops the long unique
+    // tail before anything leaves the aggregate — output is only the
+    // duplicated vocabulary, a vanishing fraction of input at any SF.
+    "q138_dup_spans" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          explode(Dedup.shinglesAll("toks", 5)).as("gram"))
+        .groupBy(col("gram"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_docs") >= 2)),
+
+    // Asymmetric near-dup: Broder containment |A∩B|/|A| over distinct
+    // 3-shingle sets — catches a small doc quoted whole inside a large
+    // one (Jaccard ≈ |A|/|B| misses it). Candidates from the q73
+    // rare-gram inverted index; exact intersection via one codegen'd
+    // linear merge of the sorted hash sets. See Dedup.containmentEdges.
+    "q139_containment" -> ((s, dir) =>
+      Dedup.containmentEdges(table(s, dir, "documents"), "doc_id", "text")),
 
     // WEIGHTED median (the byte-budget split point): per source, the
     // document length at which half the corpus CHARACTERS sit at or
@@ -872,6 +926,68 @@ object TextQueries {
   /** q98 query terms: mid-frequency corpus vocabulary — enough df spread
     * to exercise the idf, present in most shards at any SF. */
   private val bmTerms = Seq("spark", "join", "window")
+
+  /** BM25 (k1 = 1.2, b = 0.75) per-document scores for [[bmTerms]] —
+    * the scorer shared by q98 (lexical top-k) and q136 (hybrid RRF).
+    * tf/dl are per-row HOFs (shuffle-free scan); corpus stats (N, avgdl,
+    * df) are ONE map-side-combined aggregate with integer Σdl (a double
+    * Σ would be order-sensitive), broadcast back as a 1-row scalar. The
+    * idf is the log-free rational form (N−df+0.5)/(df+0.5) — ln()'s
+    * last ulp is libm-dependent, division is IEEE-exact — so scores
+    * replay digit-for-digit in the DuckDB oracle. */
+  private def bm25Scores(s: SparkSession, dir: String): DataFrame = {
+    val f = table(s, dir, "documents")
+      .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+      .select(col("doc_id") +: size(col("toks")).cast("double").as("dl") +:
+        bmTerms.map(t =>
+          size(filter(col("toks"), x => x === lit(t))).cast("double")
+            .as(s"tf_$t")): _*)
+    val statCols =
+      count(lit(1)).cast("double").as("n") +:
+        (sum(col("dl").cast("long")).cast("double") /
+          count(lit(1)).cast("double")).as("avgdl") +:
+        bmTerms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).cast("double")
+            .as(s"df_$t"))
+    val st = f.agg(statCols.head, statCols.tail: _*)
+    def sTerm(t: String) =
+      (col("n") - col(s"df_$t") + lit(0.5)) / (col(s"df_$t") + lit(0.5)) *
+        (col(s"tf_$t") * lit(2.2)) /
+        (col(s"tf_$t") +
+          lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+    f.crossJoin(broadcast(st))
+      .select(col("doc_id"), bmTerms.map(sTerm).reduce(_ + _).as("score"))
+  }
+
+  /** The DuckDB replay of [[bm25Scores]] as a WITH-chain body ending in
+    * `sc(doc_id, score)` — shared verbatim by the q98 and q136 oracles. */
+  private lazy val bm25OracleCtes: String = {
+    val tf = bmTerms.map(t =>
+      s"    CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
+      .mkString(",\n")
+    val df = bmTerms.map(t =>
+      s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
+      .mkString(",\n")
+    val score = bmTerms.map(t =>
+      s"(n - df_$t + 0.5) / (df_$t + 0.5) * (tf_$t * 2.2) / " +
+        s"(tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))")
+      .mkString(" + ")
+    s"""t AS (
+       |  SELECT doc_id,
+       |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+       |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
+       |$tf
+       |  FROM t),
+       |st AS (
+       |  SELECT CAST(COUNT(1) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl,
+       |$df
+       |  FROM f),
+       |sc AS (SELECT doc_id, $score AS score FROM f CROSS JOIN st)""".stripMargin
+  }
 
   /** The composed training-data keep/drop decision (q44): quality,
     * repetition, contamination, and exact-dup rank joined per document.
@@ -1414,38 +1530,108 @@ object TextQueries {
 
     // Same left-assoc float expression tree as the Spark side; integer
     // corpus sums; ROW_NUMBER mirrors the heap's (score desc, id) order.
-    "q98_bm25" -> {
-      val tf = bmTerms.map(t =>
-        s"    CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$t")
-        .mkString(",\n")
-      val df = bmTerms.map(t =>
-        s"    CAST(SUM(CASE WHEN tf_$t > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df_$t")
-        .mkString(",\n")
-      val score = bmTerms.map(t =>
-        s"(n - df_$t + 0.5) / (df_$t + 0.5) * (tf_$t * 2.2) / " +
-          s"(tf_$t + 1.2 * (0.25 + 0.75 * dl / avgdl))")
-        .mkString(" + ")
-      s"""WITH t AS (
-         |  SELECT doc_id,
-         |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
-         |         ELSE string_split_regex(trim(lower(text)), '\\s+') END AS toks
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl,
-         |$tf
-         |  FROM t),
-         |st AS (
-         |  SELECT CAST(COUNT(1) AS DOUBLE) AS n,
-         |    CAST(SUM(CAST(dl AS BIGINT)) AS DOUBLE) / CAST(COUNT(1) AS DOUBLE) AS avgdl,
-         |$df
-         |  FROM f),
-         |sc AS (SELECT doc_id, $score AS score FROM f CROSS JOIN st)
+    "q98_bm25" ->
+      s"""WITH $bm25OracleCtes
          |SELECT doc_id, score, CAST(rn AS INT) AS rnk FROM (
          |  SELECT doc_id, score,
          |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
          |  FROM sc)
-         |WHERE rn <= 10""".stripMargin
-    },
+         |WHERE rn <= 10""".stripMargin,
+
+    // Hybrid RRF: the BM25 CTE chain is q98's verbatim; the cosine is
+    // q30's DOUBLE[]-cast op tree; 1/(60+rank) is forced to IEEE DOUBLE
+    // (a bare 1.0 literal would be DECIMAL in DuckDB and round
+    // differently than the JVM divide).
+    "q136_rrf_fusion" ->
+      s"""WITH $bm25OracleCtes,
+         |lex AS (SELECT doc_id, rn AS r FROM (
+         |  SELECT doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |  FROM sc) WHERE rn <= 50),
+         |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+         |       FROM embeddings WHERE vec_id = 0),
+         |cv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS cv
+         |       FROM embeddings),
+         |sem AS (SELECT doc_id, rn AS r FROM (
+         |  SELECT vec_id AS doc_id,
+         |    ROW_NUMBER() OVER (ORDER BY
+         |      CASE WHEN list_inner_product(cv, cv) = 0.0
+         |             OR list_inner_product(qv, qv) = 0.0 THEN 0.0
+         |           ELSE list_inner_product(cv, qv)
+         |             / (sqrt(list_inner_product(cv, cv))
+         |                * sqrt(list_inner_product(qv, qv))) END DESC,
+         |      vec_id ASC) AS rn
+         |  FROM cv CROSS JOIN qv) WHERE rn <= 50),
+         |fuse AS (
+         |  SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+         |    COALESCE(CAST(1 AS DOUBLE) / CAST(60 + lex.r AS DOUBLE),
+         |             CAST(0 AS DOUBLE))
+         |    + COALESCE(CAST(1 AS DOUBLE) / CAST(60 + sem.r AS DOUBLE),
+         |               CAST(0 AS DOUBLE)) AS rrf_score
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+         |SELECT doc_id, rrf_score, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT doc_id, rrf_score,
+         |    ROW_NUMBER() OVER (ORDER BY rrf_score DESC, doc_id ASC) AS rn
+         |  FROM fuse)
+         |WHERE rn <= 20""".stripMargin,
+
+    // Same trim/\s+ token convention as q41/q98; the <5-token whole-doc
+    // gram mirrors Dedup.shinglesAll's CASE exactly.
+    "q138_dup_spans" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(toks) < 5 THEN [array_to_string(toks, ' ')]
+        |         ELSE list_transform(range(0, len(toks) - 4),
+        |                i -> array_to_string(toks[i + 1:i + 5], ' ')) END
+        |      AS grams
+        |  FROM t),
+        |e AS (SELECT doc_id, unnest(grams) AS gram FROM g)
+        |SELECT gram, COUNT(DISTINCT doc_id) AS n_docs, COUNT(1) AS n_occ,
+        |  MIN(doc_id) AS first_doc
+        |FROM e GROUP BY gram HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+
+    // Gram STRINGS here vs 64-bit gram hashes on the Spark side — the
+    // same relation modulo ~n²/2⁶⁴ collisions (q73's standard trade).
+    // Zero-token docs have no shingles (no '' gram), mirroring the
+    // kernel's n=0 case.
+    "q139_containment" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |grams AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN len(toks) < 3 THEN array_to_string(toks, ' ')
+        |         ELSE array_to_string(toks[i:i+2], ' ') END AS gram
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, CASE WHEN len(toks) < 3 THEN 2 ELSE len(toks) - 1 END)) AS i
+        |        FROM toks WHERE len(toks) >= 1)),
+        |rare AS (SELECT gram FROM grams GROUP BY gram HAVING COUNT(*) BETWEEN 2 AND 20),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM grams a JOIN rare USING (gram) JOIN grams b USING (gram)
+        |  WHERE a.doc_id < b.doc_id),
+        |sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+        |inter AS (
+        |  SELECT c.id_a, c.id_b, COUNT(*) AS i
+        |  FROM cand c
+        |  JOIN grams ga ON ga.doc_id = c.id_a
+        |  JOIN grams gb ON gb.doc_id = c.id_b AND gb.gram = ga.gram
+        |  GROUP BY c.id_a, c.id_b)
+        |SELECT id_a, id_b, i AS inter, sa.sz AS size_a, sb.sz AS size_b,
+        |  CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE) AS cont_a_in_b,
+        |  CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE) AS cont_b_in_a
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = inter.id_a
+        |JOIN sizes sb ON sb.doc_id = inter.id_b
+        |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
+        |               CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8""".stripMargin,
 
     // The oracle's per-source window is fine single-node; the Spark
     // side's running weight is the salted two-phase cumsum.

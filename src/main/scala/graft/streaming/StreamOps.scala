@@ -121,6 +121,42 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Streaming NEAR-dup intake probe: each micro-batch of a document
+    * stream is MinHash-banded and probed against a STATIC corpus index
+    * via [[graft.operators.Dedup.minhashPairsAgainst]] — the streaming
+    * form of q52's incremental dedup, i.e. "is this incoming document a
+    * near-copy of anything we already hold?" at ingestion time.
+    *
+    * `foreachBatch` is the right tool here, not a stream-static join:
+    * the operator needs banding, the corpus-side bucket cap, a distinct
+    * over candidate pairs, and a shingle-set verify join — per-batch
+    * BATCH semantics that Structured Streaming's stateful operators
+    * would either reject or grow state for. Inside foreachBatch the
+    * batch is a plain DataFrame, so the exact oracle-checked batch
+    * operator runs unchanged. State: none (the corpus is static and the
+    * batch bounded); per-trigger cost ∝ batch size, never corpus size
+    * — within-batch and within-corpus pairs are never generated. At
+    * production scale the corpus band index is computed once and
+    * persisted (pure function of the text); only the probe join reruns
+    * per trigger. Exactly-once: checkpointed batchId + an idempotent
+    * `onPairs` sink (e.g. overwrite-by-batchId partition). */
+  def nearDupProbeStream(
+      docsStream: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      textCol: String,
+      checkpointDir: String,
+      onPairs: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        onPairs(graft.operators.Dedup.minhashPairsAgainst(
+          batch, corpus, idCol, textCol, threshold = threshold), batchId)
+      }
+      .start()
+
   /** Streaming trending keys: per event-time window, the Misra–Gries
     * heavy-hitter candidates of a key column — "what's hot right now"
     * over an unbounded stream. The sketch is the SAME partial-mergeable

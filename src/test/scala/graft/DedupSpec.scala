@@ -105,6 +105,27 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.jaccardEdges(five, "doc_id", "text", k = 3, maxDf = 4).count() == 0)
   }
 
+  test("containmentEdges: a quoted-subset doc is caught where Jaccard misses it") {
+    // doc 7 = base's first 8 tokens: its 6 shingles are ALL inside doc
+    // 1's 18 → containment(7→1) = 1.0, but Jaccard = 6/18 ≈ 0.33
+    val c7 = corpus.union(Seq((7L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text"))
+    val rows = Dedup.containmentEdges(c7, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getAs[Long]("inter"), r.getAs[Long]("size_a"), r.getAs[Long]("size_b"),
+          r.getAs[Double]("cont_a_in_b"), r.getAs[Double]("cont_b_in_a")))).toMap
+    assert(rows.contains((1L, 7L)))
+    val (inter, sa, sb, cab, cba) = rows((1L, 7L))
+    assert((inter, sa, sb) == (6L, 18L, 6L))
+    assert(cba == 1.0 && cab == 6.0 / 18.0)
+    // the symmetric operator at its 0.5 Jaccard threshold misses the pair
+    val jp = Dedup.jaccardEdges(c7, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!jp.contains((1L, 7L)))
+    // unrelated docs never pair
+    assert(!rows.keySet.exists(p => p._1 == 5L || p._2 == 5L))
+  }
+
   test("components over jaccardEdges: propagation, star contraction, and the driver fast path all agree") {
     val edges = Dedup.jaccardEdges(corpus, "doc_id", "text")
     // driverLimit = 0 forces the distributed rounds; default takes the

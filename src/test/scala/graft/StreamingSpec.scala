@@ -339,6 +339,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe: incoming docs match the static corpus, never each other") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val corpus = Seq((100L, base),
+      (101L, "a corpus document about catalyst optimizer rules and strategies entirely"))
+      .toDF("doc_id", "text")
+    val in = MemoryStream[(Long, String)](spark)
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ndp").toFile
+    ckpt.deleteOnExit()
+    val q = graft.streaming.StreamOps.nearDupProbeStream(
+      in.toDF().toDF("doc_id", "text"), corpus, "doc_id", "text",
+      ckpt.getAbsolutePath,
+      (pairs, _) => got.synchronized {
+        got ++= pairs.collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getAs[Double]("jaccard")))
+      })
+    try {
+      // batch 0: an exact copy of corpus doc 100, a near copy, an unrelated
+      in.addData((1L, base), (2L, base + " phi"),
+        (3L, "totally unrelated text mentioning parquet columnar storage formats here"))
+      q.processAllAvailable()
+      val byPair = got.synchronized(got.map(t => (t._1, t._2) -> t._3).toMap)
+      assert(byPair.get((1L, 100L)).contains(1.0))
+      assert(byPair.contains((2L, 100L)))
+      assert(!byPair.keySet.exists(p => p._1 == 3L))
+      // stream docs 1 and 2 are near-dups OF EACH OTHER but within-batch
+      // pairs are never generated — the probe is strictly batch-vs-corpus
+      assert(!byPair.keySet.exists(p => p._1 == 1L && p._2 == 2L))
+      // batch 1: a copy of stream doc 3 — no corpus match, and no pairing
+      // against earlier STREAM docs (they never entered the corpus side)
+      in.addData((4L,
+        "totally unrelated text mentioning parquet columnar storage formats here"))
+      q.processAllAvailable()
+      assert(!got.synchronized(got.exists(t => t._1 == 4L)))
+    } finally q.stop()
+  }
+
   test("bounded file replay: backlog drains in per-trigger slices, never one giant batch") {
     val dir = java.nio.file.Files.createTempDirectory("graft_replay").toFile
     dir.deleteOnExit()
