@@ -578,6 +578,58 @@ object RelationalQueries {
           min(col("event_id")).as("first_event"))
     }),
 
+    // Session behavior MOTIFS: event-type trigrams occurring inside one
+    // session (30-min inactivity gap), counted corpus-wide with their
+    // distinct-user reach — the sequence-mining step past q133's
+    // first-order transitions (a motif is evidence of a FLOW, not just
+    // an edge). The trigram comes from two lead()s sharing q101's
+    // session sort — ONE sort-shuffle on user_id total, no explode, no
+    // self-join on the sequence; session containment is the single
+    // predicate lead(session_idx, 2) = session_idx (session indices are
+    // nondecreasing within the sort, so the middle element is pinned
+    // too). Output is event-type³-sized at any corpus size.
+    "q141_session_motifs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"))
+        .withColumn("new_s",
+          when(col("t_us") - lag(col("t_us"), 1).over(w) > 1800000000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_idx", sum(col("new_s")).over(w))
+        .withColumn("m2", lead(col("event_type"), 1).over(w))
+        .withColumn("m3", lead(col("event_type"), 2).over(w))
+        .withColumn("s3", lead(col("session_idx"), 2).over(w))
+        .filter(col("s3") === col("session_idx"))
+        .groupBy(col("event_type").as("m1"), col("m2"), col("m3"))
+        .agg(count(lit(1)).as("n_occ"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    // Join-key SKEW profiler: the pre-join diagnostic that decides
+    // whether a shuffle join needs salting (q77) or an AQE skew split —
+    // per candidate join column, the 10 heaviest keys with their ppm
+    // share of the table. One map-side-combined count per column and a
+    // TakeOrderedAndProject top-10 (per-partition heaps, never a global
+    // sort); the three profiles union into one report. Keys travel as
+    // strings so heterogeneous columns share a schema. Integer counts +
+    // floor-division shares → hash-exact.
+    "q142_skew_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, c: String, label: String): DataFrame = {
+        val cnt = df.groupBy(col(c).cast("string").as("key"))
+          .agg(count(lit(1)).as("cnt"))
+        val tot = cnt.agg(sum(col("cnt")).as("total"))
+        cnt.crossJoin(broadcast(tot))
+          .select(lit(label).as("col_name"), col("key"), col("cnt"),
+            expr("(cnt * 1000000) div total").as("share_ppm"))
+          .orderBy(col("cnt").desc, col("key")).limit(10)
+      }
+      prof(table(s, dir, "events"), "user_id", "events.user_id")
+        .unionAll(prof(table(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
+        .unionAll(prof(table(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"))
+    }),
+
     "q103_funnel" -> ((s, dir) => {
       val ev = graft.util.SparkUtil.events(s, dir)
         .select(col("user_id"), col("event_type"),
@@ -1194,6 +1246,51 @@ object RelationalQueries {
          |  MIN(zval) AS z_min, MAX(zval) AS z_max,
          |  MIN(event_id) AS first_event
          |FROM z GROUP BY tile""".stripMargin
+    },
+
+    // lag() of NULL compares false in the CASE → 0, same as Spark's
+    // otherwise(0); session_idx is nondecreasing in the sort, so the
+    // single s3 = session_idx predicate pins the whole trigram.
+    "q141_session_motifs" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type, epoch_ns(ts) // 1000 AS t_us
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, event_type, t_us,
+        |    CASE WHEN t_us - lag(t_us) OVER
+        |        (PARTITION BY user_id ORDER BY t_us, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |sx AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM s),
+        |m AS (
+        |  SELECT user_id, event_type AS m1,
+        |    lead(event_type, 1) OVER w AS m2,
+        |    lead(event_type, 2) OVER w AS m3,
+        |    session_idx,
+        |    lead(session_idx, 2) OVER w AS s3
+        |  FROM sx WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id))
+        |SELECT m1, m2, m3, COUNT(1) AS n_occ,
+        |  COUNT(DISTINCT user_id) AS n_users
+        |FROM m WHERE s3 = session_idx GROUP BY m1, m2, m3""".stripMargin,
+
+    "q142_skew_profile" -> {
+      def prof(tbl: String, c: String, label: String): String =
+        s"""SELECT col_name, key, cnt, share_ppm FROM (
+           |  SELECT '$label' AS col_name, CAST($c AS VARCHAR) AS key,
+           |    COUNT(1) AS cnt,
+           |    (COUNT(1) * 1000000) // SUM(COUNT(1)) OVER () AS share_ppm,
+           |    ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC,
+           |      CAST($c AS VARCHAR) ASC) AS rn
+           |  FROM $tbl GROUP BY $c)
+           |WHERE rn <= 10""".stripMargin
+      Seq(prof("events", "user_id", "events.user_id"),
+        prof("lineitem", "l_orderkey", "lineitem.l_orderkey"),
+        prof("lineitem", "l_partkey", "lineitem.l_partkey"))
+        .mkString("", "\nUNION ALL\n", "")
     },
 
     "q103_funnel" ->

@@ -898,6 +898,41 @@ object TextQueries {
     "q139_containment" -> ((s, dir) =>
       Dedup.containmentEdges(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Corpus-level collocation mining: top-50 adjacent-token bigrams by
+    // pointwise mutual information, the log-free integer form
+    // c_ab·N·10⁶ div (c_a·c_b) (monotone in PMI for fixed N, so the
+    // ranking is PMI's) with a c_ab ≥ 5 support floor — the classic
+    // multi-word-expression signal a tokenizer-training pass mines
+    // (where q117 scores each DOC against the bigram LM, this ranks the
+    // bigrams themselves). All-integer → hash-exact; the i64 product is
+    // exact while c_ab·N < 2⁶³/10⁶ — beyond that (≫ this corpus) the
+    // same ranking runs in ppm shares. Scale shape: two map-side-
+    // combined count aggregates (bigram-keyed, token-keyed), two
+    // vocab-sized joins on the component tokens, a 1-row broadcast
+    // total, and the global top-50 via TakeOrderedAndProject (per-
+    // partition heaps, never a full sort).
+    "q140_collocations" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val toks = docs.select(TextOps.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 2)
+      val bc = toks.select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+        .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 5)
+      val uni = docs.select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = uni.agg(sum(col("c")).as("n_tokens"))
+      bc.join(uni.select(col("w").as("w1"), col("c").as("c_a")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), Seq("w2"))
+        .crossJoin(broadcast(tot))
+        .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+          expr("(c_ab * n_tokens * 1000000) div (c_a * c_b)").as("pmi_ppm"))
+        .orderBy(col("pmi_ppm").desc, col("w1"), col("w2"))
+        .limit(50)
+    }),
+
     // WEIGHTED median (the byte-budget split point): per source, the
     // document length at which half the corpus CHARACTERS sit at or
     // below — the order statistic that sizes a storage/compute split,
@@ -1632,6 +1667,30 @@ object TextQueries {
         |JOIN sizes sb ON sb.doc_id = inter.id_b
         |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
         |               CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8""".stripMargin,
+
+    "q140_collocations" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |bg AS (
+        |  SELECT toks[i + 1] AS w1, toks[i + 2] AS w2
+        |  FROM (SELECT toks, unnest(range(0, len(toks) - 1)) AS i
+        |        FROM t WHERE len(toks) >= 2)),
+        |bc AS (SELECT w1, w2, COUNT(1) AS c_ab FROM bg GROUP BY w1, w2
+        |       HAVING COUNT(1) >= 5),
+        |uni AS (SELECT unnest(toks) AS w FROM t),
+        |uc AS (SELECT w, COUNT(1) AS c FROM uni GROUP BY w),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tokens FROM uc)
+        |SELECT w1, w2, c_ab, c_a, c_b, pmi_ppm FROM (
+        |  SELECT bc.w1, bc.w2, bc.c_ab, a.c AS c_a, b.c AS c_b,
+        |    (bc.c_ab * tot.n_tokens * 1000000) // (a.c * b.c) AS pmi_ppm,
+        |    ROW_NUMBER() OVER (ORDER BY
+        |      (bc.c_ab * tot.n_tokens * 1000000) // (a.c * b.c) DESC,
+        |      bc.w1 ASC, bc.w2 ASC) AS rn
+        |  FROM bc JOIN uc a ON a.w = bc.w1 JOIN uc b ON b.w = bc.w2
+        |  CROSS JOIN tot)
+        |WHERE rn <= 50""".stripMargin,
 
     // The oracle's per-source window is fine single-node; the Spark
     // side's running weight is the salted two-phase cumsum.

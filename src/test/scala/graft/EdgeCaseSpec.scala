@@ -237,4 +237,34 @@ class EdgeCaseSpec extends SparkSpec {
       .collect().map(r => Option(r.getString(0)) -> r.getLong(1)).toMap
     assert(ranks.values.toSet == Set(1L, 2L, 3L) && ranks(None) == 1L, s"got $ranks")
   }
+
+  test("round-8 ops on degenerate inputs: containment, sorted-merge intersection") {
+    // containment on empty / single-doc / all-blank corpora: no pairs,
+    // no exception (blank docs have NO shingles, so no self-pairing)
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(Dedup.containmentEdges(noDocs, "doc_id", "text").count() == 0)
+    assert(Dedup.containmentEdges(
+      Seq((1L, "only one document here")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    assert(Dedup.containmentEdges(
+      Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0)
+    // identical docs: containment 1.0 both ways, inter == both sizes
+    val twins = Seq((1L, "a b c d e f"), (2L, "a b c d e f")).toDF("doc_id", "text")
+    val t = Dedup.containmentEdges(twins, "doc_id", "text").collect()
+    assert(t.length == 1)
+    assert(t.head.getAs[Long]("inter") == t.head.getAs[Long]("size_a") &&
+      t.head.getAs[Double]("cont_a_in_b") == 1.0 &&
+      t.head.getAs[Double]("cont_b_in_a") == 1.0)
+    // the intersection kernel: empty vs non-empty → 0; disjoint → 0;
+    // identical → full size (sorted inputs by contract)
+    val arr = Seq(
+      (Array.empty[Long], Array(1L, 2L, 3L)),
+      (Array(1L, 3L, 5L), Array(2L, 4L, 6L)),
+      (Array(1L, 2L, 3L), Array(1L, 2L, 3L)),
+      (Array(1L, 5L, 9L), Array(5L, 9L, 11L))).toDF("a", "b")
+      .select(graft.functions.GraftFunctions.intersect_sorted(col("a"), col("b")).as("i"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(arr == Seq(0, 0, 3, 2), s"got $arr")
+  }
 }
