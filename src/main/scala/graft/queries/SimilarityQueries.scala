@@ -217,6 +217,58 @@ object SimilarityQueries {
       Similarity.kCenterAssign(table(s, dir, "embeddings"),
         "vec_id", "embedding", k = 8)),
 
+    // Label SEPARABILITY report: per label pair, squared centroid
+    // distance vs within-class spread (E‖x−c‖², the trace of the class
+    // covariance) and their Fisher-style ratio — the "is this labeled
+    // embedding set learnable / did the classes drift together"
+    // diagnostic run before training a probe on the corpus. Exactness:
+    // centroids and spreads go through ExactAgg's decimal sums (q53's
+    // discipline), and every cross-dimension reduction is a per-row
+    // index-order fold (zip_with diff² + left-fold aggregate — the
+    // op sequence DuckDB's list_inner_product replays exactly, q30's
+    // established equivalence). Scale shape: one posexplode aggregate
+    // for centroids (dims × labels output), one broadcast of the tiny
+    // centroid table back over the corpus for spreads, a labels²
+    // centroid self-join — nothing pairwise ever touches row data.
+    "q143_class_margin" -> ((s, dir) => {
+      import graft.functions.ExactAgg
+      val v = table(s, dir, "embeddings")
+        .select(col("label"), col("embedding").cast("array<double>").as("cv"))
+      val cent = v
+        .select(col("label"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos"))
+        .agg(ExactAgg.davg(col("x")).as("c"))
+        .groupBy(col("label"))
+        .agg(transform(sort_array(collect_list(struct(col("pos"), col("c")))),
+          e => e.getField("c")).as("cent"))
+      val n = v.groupBy(col("label")).agg(count(lit(1)).as("n"))
+      def sqDist(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, d) => acc + d)
+      val sp = v.join(broadcast(cent), Seq("label"))
+        .select(col("label"), sqDist(col("cv"), col("cent")).as("d2"))
+        .groupBy(col("label"))
+        .agg(ExactAgg.davg(col("d2")).as("spread2"))
+      val pairs = cent.select(col("label").as("label_a"), col("cent").as("ca"))
+        .join(cent.select(col("label").as("label_b"), col("cent").as("cb")),
+          col("label_a") < col("label_b"))
+        .select(col("label_a"), col("label_b"),
+          sqDist(col("ca"), col("cb")).as("dist2"))
+      pairs
+        .join(broadcast(n.select(col("label").as("label_a"), col("n").as("n_a"))),
+          Seq("label_a"))
+        .join(broadcast(n.select(col("label").as("label_b"), col("n").as("n_b"))),
+          Seq("label_b"))
+        .join(broadcast(sp.select(col("label").as("label_a"),
+          col("spread2").as("spread2_a"))), Seq("label_a"))
+        .join(broadcast(sp.select(col("label").as("label_b"),
+          col("spread2").as("spread2_b"))), Seq("label_b"))
+        .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+          col("dist2"), col("spread2_a"), col("spread2_b"),
+          (col("dist2") / (col("spread2_a") + col("spread2_b"))).as("fisher"))
+    }),
+
     // Semantic dedup clusters: the embedding-space analog of q120's
     // SimHash text clusters — LSH-bucketed near-dup pairs (q32's operator:
     // multi-table sign-LSH candidates + exact-cosine threshold, never
@@ -259,6 +311,41 @@ object SimilarityQueries {
          |  COUNT(1) AS n
          |FROM embeddings, generate_series(1, 64) AS g(i)
          |GROUP BY label, pos""".stripMargin,
+
+    // Cross-dim reductions replay as list_inner_product over the diff
+    // list — the 0-seeded index-order mul/add chain q30 pinned against
+    // the cosine kernel; centroid/spread averages are ExactAgg decimal
+    // sums (q53's discipline). Dim 64 is the synthetic table's fixed
+    // property, asserted per SF in TestdataSchemaSpec.
+    "q143_class_margin" ->
+      s"""WITH v AS (SELECT label, CAST(embedding AS DOUBLE[]) AS cv
+         |           FROM embeddings),
+         |cd AS (SELECT label, g.i AS pos,
+         |         ${graft.functions.ExactAgg.sqlAvg("cv[g.i]")} AS c
+         |       FROM v, generate_series(1, 64) AS g(i) GROUP BY label, g.i),
+         |cent AS (SELECT label, list(c ORDER BY pos) AS cent FROM cd
+         |         GROUP BY label),
+         |n AS (SELECT label, COUNT(1) AS n FROM v GROUP BY label),
+         |d2 AS (SELECT v.label,
+         |  list_inner_product(
+         |    list_transform(range(1, 65), i -> cv[i] - cent[i]),
+         |    list_transform(range(1, 65), i -> cv[i] - cent[i])) AS d2
+         |  FROM v JOIN cent USING (label)),
+         |sp AS (SELECT label, ${graft.functions.ExactAgg.sqlAvg("d2")} AS spread2
+         |       FROM d2 GROUP BY label),
+         |p AS (SELECT a.label AS label_a, b.label AS label_b,
+         |  list_inner_product(
+         |    list_transform(range(1, 65), i -> a.cent[i] - b.cent[i]),
+         |    list_transform(range(1, 65), i -> a.cent[i] - b.cent[i])) AS dist2
+         |  FROM cent a JOIN cent b ON a.label < b.label)
+         |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b, dist2,
+         |  sa.spread2 AS spread2_a, sb.spread2 AS spread2_b,
+         |  dist2 / (sa.spread2 + sb.spread2) AS fisher
+         |FROM p
+         |JOIN n na ON na.label = p.label_a
+         |JOIN n nb ON nb.label = p.label_b
+         |JOIN sp sa ON sa.label = p.label_a
+         |JOIN sp sb ON sb.label = p.label_b""".stripMargin,
 
     // max|e| = greatest(|min|, |max|); float→double casts are exact, the
     // divides and floor are IEEE-exact — the identical op tree to the

@@ -898,6 +898,45 @@ object TextQueries {
     "q139_containment" -> ((s, dir) =>
       Dedup.containmentEdges(table(s, dir, "documents"), "doc_id", "text")),
 
+    // Cross-MODAL diagnostic: per source, the exact Pearson correlation
+    // between a document's text-quality score and its embedding's L2
+    // norm (doc_id ≡ vec_id) — "does the embedding magnitude track the
+    // quality signal" before anyone uses norm as a cheap quality proxy.
+    // The q114 exact-correlation discipline end to end: five decimal
+    // sums (order-invariant), the engine-independent split decimal→
+    // double conversion, one fixed IEEE op tree, σ≤0 → 0.0. One doc_id
+    // join + one per-source aggregate; embedding norms are per-row
+    // index-order folds (q108's op chain).
+    "q144_quality_norm_corr" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      val SQ = org.apache.spark.sql.types.DecimalType(38, 12)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val q = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("x"))
+      val ss = aggregate(col("embedding"), lit(0.0),
+        (acc, x) => acc + x.cast("double") * x.cast("double"))
+      val e = table(s, dir, "embeddings")
+        .select(col("vec_id").as("doc_id"), sqrt(ss).as("y"))
+      val agg = q.join(e, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          d2(sum(col("x").cast(XI))).as("sx"),
+          d2(sum(col("y").cast(XI))).as("sy"),
+          d2(sum((col("x").cast(XI) * col("y").cast(XI)).cast(SQ))).as("sxy"),
+          d2(sum((col("x").cast(XI) * col("x").cast(XI)).cast(SQ))).as("sxx"),
+          d2(sum((col("y").cast(XI) * col("y").cast(XI)).cast(SQ))).as("syy"))
+      val num = col("sxy") - col("sx") * col("sy") / col("n")
+      val vx = col("sxx") - col("sx") * col("sx") / col("n")
+      val vy = col("syy") - col("sy") * col("sy") / col("n")
+      agg.select(col("source"), col("n").cast("long").as("n"),
+        when(vx <= 0.0 || vy <= 0.0, lit(0.0))
+          .otherwise(num / (sqrt(vx) * sqrt(vy))).as("corr"))
+    }),
+
     // Corpus-level collocation mining: top-50 adjacent-token bigrams by
     // pointwise mutual information, the log-free integer form
     // c_ab·N·10⁶ div (c_a·c_b) (monotone in PMI for fixed N, so the
@@ -1668,6 +1707,34 @@ object TextQueries {
         |WHERE greatest(CAST(i AS DOUBLE) / CAST(sa.sz AS DOUBLE),
         |               CAST(i AS DOUBLE) / CAST(sb.sz AS DOUBLE)) >= 0.8""".stripMargin,
 
+    "q144_quality_norm_corr" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sx = "SUM(CAST(x AS DECIMAL(18,6)))"
+      val sy = "SUM(CAST(y AS DECIMAL(18,6)))"
+      val sxy = "SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      val sxx = "SUM(CAST(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      val syy = "SUM(CAST(CAST(y AS DECIMAL(18,6)) * CAST(y AS DECIMAL(18,6)) AS DECIMAL(38,12)))"
+      s"""WITH q AS (SELECT doc_id, source, quality AS x
+         |           FROM (${qualityColSql("source")})),
+         |v AS (SELECT vec_id AS doc_id,
+         |        sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+         |                                CAST(embedding AS DOUBLE[]))) AS y
+         |      FROM embeddings),
+         |j AS (SELECT source, x, y FROM q JOIN v USING (doc_id)),
+         |a AS (SELECT source, CAST(COUNT(1) AS DOUBLE) AS n,
+         |        ${d2(sx)} AS sx, ${d2(sy)} AS sy, ${d2(sxy)} AS sxy,
+         |        ${d2(sxx)} AS sxx, ${d2(syy)} AS syy
+         |      FROM j GROUP BY source)
+         |SELECT source, CAST(n AS BIGINT) AS n,
+         |  CASE WHEN sxx - sx * sx / n <= 0.0 OR syy - sy * sy / n <= 0.0
+         |       THEN 0.0
+         |       ELSE (sxy - sx * sy / n)
+         |            / (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n))
+         |  END AS corr
+         |FROM a""".stripMargin
+    },
+
     "q140_collocations" ->
       """WITH t AS (
         |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
@@ -1713,20 +1780,22 @@ object TextQueries {
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
     * q22 formula, plus lang carried through for q78's output). */
-  private def qualityLangSql: String =
-    s"""SELECT doc_id, lang,
+  private def qualityColSql(carry: String): String =
+    s"""SELECT doc_id, $carry,
        |  CASE WHEN n = 0 THEN 0.0 ELSE
        |    0.4 * least(1.0, n / 100.0) +
        |    0.3 * (nd / CAST(n AS DOUBLE)) +
        |    0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
        |FROM (
-       |  SELECT doc_id, lang,
+       |  SELECT doc_id, $carry,
        |    CASE WHEN length(trim(text)) = 0 THEN 0
        |         ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
        |    len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
        |    len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
        |        t -> t IN $stopIn)) AS stop
        |  FROM documents)""".stripMargin
+
+  private def qualityLangSql: String = qualityColSql("lang")
 
   /** q73/q74's shared oracle: jaccardEdges mirrored in counting SQL
     * (grams → df-capped inverted index → candidate pairs → exact Jaccard

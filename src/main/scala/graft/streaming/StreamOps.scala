@@ -121,6 +121,30 @@ object StreamOps {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(path)
 
+  /** Streaming sessionization: per key, `session_window` groups events
+    * whose gaps stay under `gap` into one merged window — the streaming
+    * form of the batch q101/q141 session assignment, and the window type
+    * the reference's sliding battery lacks (dynamic extent: each event
+    * extends its session's end to event_time + gap; overlapping sessions
+    * merge in the state store). Append mode emits a session exactly once,
+    * when the watermark passes its end — so state per key is the live
+    * sessions only, evicted on emission: bounded by rate × (gap +
+    * watermark), independent of history length. Output: key, session
+    * start/end, event count, i.e. q101's aggregate shape. */
+  def sessionStats(
+      in: DataFrame,
+      keyCol: String,
+      eventTimeCol: String,
+      gap: String,
+      watermark: String): DataFrame =
+    in.withWatermark(eventTimeCol, watermark)
+      .groupBy(col(keyCol), session_window(col(eventTimeCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Streaming NEAR-dup intake probe: each micro-batch of a document
     * stream is MinHash-banded and probed against a STATIC corpus index
     * via [[graft.operators.Dedup.minhashPairsAgainst]] — the streaming

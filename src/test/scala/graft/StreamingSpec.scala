@@ -339,6 +339,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming session windows: gap-merged extents, append-once on watermark close") {
+    val in = MemoryStream[PriceTick](spark)
+    val out = graft.streaming.StreamOps.sessionStats(
+      in.toDF(), "symbol", "event_time", gap = "10 seconds", watermark = "5 seconds")
+    val q = out.writeStream
+      .format("memory").queryName("sess_out").outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        PriceTick("BTC", 1.0, ts("2024-01-01 00:00:00")),
+        PriceTick("BTC", 2.0, ts("2024-01-01 00:00:05")), // gap 5s < 10s → merges
+        PriceTick("BTC", 3.0, ts("2024-01-01 00:00:08")),
+        PriceTick("BTC", 4.0, ts("2024-01-01 00:01:00"))) // gap 52s → new session
+      q.processAllAvailable()
+      // advance the watermark far past both session ends → both emit
+      in.addData(PriceTick("ETH", 9.0, ts("2024-01-01 00:10:00")))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").filter(col("symbol") === "BTC")
+        .collect()
+        .map(r => (r.getAs[Timestamp]("session_start"),
+          r.getAs[Timestamp]("session_end"), r.getAs[Long]("n_events"))).toSet
+      // session end = last event + gap (dynamic extent, not fixed width)
+      assert(rows == Set(
+        (ts("2024-01-01 00:00:00"), ts("2024-01-01 00:00:18"), 3L),
+        (ts("2024-01-01 00:01:00"), ts("2024-01-01 00:01:10"), 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("streaming near-dup probe: incoming docs match the static corpus, never each other") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon"
