@@ -937,6 +937,27 @@ object TextQueries {
           .otherwise(num / (sqrt(vx) * sqrt(vy))).as("corr"))
     }),
 
+    // BPE seed statistics: the top-50 adjacent CHARACTER pairs across
+    // all token occurrences — literally the first merge-candidate table
+    // of byte-pair-encoding tokenizer training (Sennrich et al. 2016),
+    // weighted by occurrence as BPE requires. Token-level q140 mines
+    // multi-word units; this mines sub-word units. Scale shape: per-row
+    // explode (≈ corpus bytes) into ONE map-side-combined pair count —
+    // the output key space is alphabet², so partial aggregation
+    // collapses almost everything before the shuffle — then the global
+    // top-50 via TakeOrderedAndProject heaps. Integer counting →
+    // hash-exact. (Iterating merges would fold the chosen pair and
+    // re-count — each round this same one-aggregate job.)
+    "q145_bpe_pairs" -> ((s, dir) =>
+      table(s, dir, "documents")
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(50)),
+
     // Corpus-level collocation mining: top-50 adjacent-token bigrams by
     // pointwise mutual information, the log-free integer form
     // c_ab·N·10⁶ div (c_a·c_b) (monotone in PMI for fixed N, so the
@@ -1734,6 +1755,23 @@ object TextQueries {
          |  END AS corr
          |FROM a""".stripMargin
     },
+
+    "q145_bpe_pairs" ->
+      """WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |              ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |tok AS (SELECT unnest(toks) AS w FROM t),
+        |p AS (
+        |  SELECT substr(w, i, 2) AS pair
+        |  FROM (SELECT w, unnest(range(1, length(w))) AS i
+        |        FROM tok WHERE length(w) >= 2)),
+        |c AS (SELECT pair, COUNT(1) AS cnt FROM p GROUP BY pair)
+        |SELECT pair, cnt FROM (
+        |  SELECT pair, cnt,
+        |    ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS rn
+        |  FROM c)
+        |WHERE rn <= 50""".stripMargin,
 
     "q140_collocations" ->
       """WITH t AS (

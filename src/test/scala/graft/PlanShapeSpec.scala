@@ -19,11 +19,17 @@ class PlanShapeSpec extends SparkSpec {
   // q119: crossJoin against the broadcast 1-row global n_min scalar
   // q124/q130: crossJoins against the broadcast 1-row Σweight and budget
   // scalars (the mixture plan's only non-scan inputs; q130 executes it)
+  // q136: q98's 1-row stats scalar + the broadcast single query vector
+  // q140/q142: crossJoin against the broadcast 1-row corpus/table total
+  // q143: label-pair theta-join of two LABELS-sized centroid aggregates
+  // (class labels, not data — both sides are tiny derived dimensions)
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
       "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
       "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan",
-      "q130_mixture_execute", "q131_domain_tokens", "q135_quality_coverage")
+      "q130_mixture_execute", "q131_domain_tokens", "q135_quality_coverage",
+      "q136_rrf_fusion", "q140_collocations", "q142_skew_profile",
+      "q143_class_margin")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
