@@ -462,6 +462,49 @@ object RelationalQueries {
           col("n_exact"))
     }),
 
+    // HLL sketch MERGE, oracle-checked BIT-EXACT — the property q97's
+    // estimate rests on at 100 TB: registers are mergeable (max is
+    // associative/commutative/idempotent), so the global sketch is a
+    // register-max ROLLUP of the per-group sketches — no second scan of
+    // the input, which is exactly how per-shard sketches combine on a
+    // 1000-executor cluster (and why approx-distinct needs no re-read
+    // when partitions move). The '__all__' scope here is computed FROM
+    // q97's per-type registers, not from the events table; exact
+    // distincts join in for the error audit of both scopes. Shuffled
+    // rows ≤ (types + 1) × 256 regardless of input size.
+    "q146_hll_union" -> ((s, dir) => {
+      val hex = md5(col("user_id").cast("string"))
+      val perType = table(s, dir, "events")
+        .select(col("event_type"),
+          conv(substring(hex, 1, 2), 16, 10).cast("long").as("b"),
+          (lit(53) - length(bin(conv(substring(hex, 3, 13), 16, 10)
+            .cast("long")))).as("r"))
+        .groupBy(col("event_type"), col("b"))
+        .agg(max(col("r")).as("m"))
+      val merged = perType.groupBy(col("b")).agg(max(col("m")).as("m"))
+        .select(lit("__all__").as("scope"), col("b"), col("m"))
+      val scoped = perType
+        .select(col("event_type").as("scope"), col("b"), col("m"))
+        .unionAll(merged)
+      val agg = scoped.groupBy(col("scope"))
+        .agg(count(lit(1)).as("nregs"),
+          sum(expr("shiftleft(1L, cast(52 - m as int))")).as("sp"))
+      val ev = table(s, dir, "events")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+        .select(col("event_type").as("scope"), col("n_exact"))
+        .unionAll(ev.agg(countDistinct(col("user_id")).as("n_exact"))
+          .select(lit("__all__").as("scope"), col("n_exact")))
+      val regSum =
+        col("sp") + (lit(256L) - col("nregs")) * lit(4503599627370496L)
+      agg.join(exact, "scope")
+        .select(col("scope"),
+          col("nregs").cast("long").as("n_regs"),
+          regSum.cast("long").as("reg_sum"),
+          (lit(hllConst) / regSum.cast("double")).as("hll_est"),
+          col("n_exact"))
+    }),
+
     // Fixed-iteration PageRank over the user↔event-type interaction
     // graph (both directions, so no dangling mass), oracle-checked
     // BIT-EXACT: the mass-passing recurrence runs in scaled INTEGER
@@ -629,6 +672,25 @@ object RelationalQueries {
         .unionAll(prof(table(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
         .unionAll(prof(table(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"))
     }),
+
+    // Skew-SALTING planner: q142 finds the heavy keys; this emits the
+    // remediation table a salted join (q77 / Joins.saltedJoin) consumes —
+    // per key, salt_n = ceil(cnt / target) replicas and the resulting
+    // per-shard row bound ceil(cnt / salt_n). Both ceilings are the
+    // integer identity (a + b − 1) div b, so the plan replays exactly in
+    // any engine, and salt_n is a pure function of the count — retries
+    // and AQE re-plans regenerate the identical plan. target = 100 rows/
+    // shard here (data-independent semantics; at 100 TB the same query
+    // runs with target ≈ rows-per-task budget). One map-side-combined
+    // count — the planner costs one aggregate over keys, not data.
+    "q151_salt_plan" -> ((s, dir) =>
+      table(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("salt_n", expr("(cnt + 99) div 100"))
+        .select(col("event_type"), col("cnt"), col("salt_n"),
+          expr("(cnt + salt_n - 1) div salt_n").as("rows_per_shard"),
+          (col("salt_n") > 1).as("salted"))),
 
     "q103_funnel" -> ((s, dir) => {
       val ev = graft.util.SparkUtil.events(s, dir)
@@ -1162,6 +1224,35 @@ object RelationalQueries {
          |  CAST(nd AS BIGINT) AS n_exact
          |FROM agg a JOIN ex USING (event_type)""".stripMargin,
 
+    // The '__all__' registers roll up from the per-type registers by
+    // MAX, exactly as the Spark side merges — never re-reading events.
+    "q146_hll_union" ->
+      s"""WITH h AS (
+         |  SELECT event_type,
+         |    CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT) AS b,
+         |    53 - length(bin(CAST(concat('0x', substr(md5(CAST(user_id AS VARCHAR)), 3, 13)) AS BIGINT))) AS r
+         |  FROM events),
+         |pt AS (SELECT event_type, b, MAX(r) AS m FROM h GROUP BY event_type, b),
+         |scoped AS (
+         |  SELECT event_type AS scope, b, m FROM pt
+         |  UNION ALL
+         |  SELECT '__all__' AS scope, b, MAX(m) AS m FROM pt GROUP BY b),
+         |agg AS (SELECT scope, COUNT(1) AS nregs,
+         |          SUM(1::BIGINT << CAST(52 - m AS INT)) AS sp
+         |        FROM scoped GROUP BY scope),
+         |ex AS (
+         |  SELECT event_type AS scope, COUNT(DISTINCT user_id) AS nd
+         |  FROM events GROUP BY event_type
+         |  UNION ALL
+         |  SELECT '__all__' AS scope, COUNT(DISTINCT user_id) AS nd FROM events)
+         |SELECT a.scope,
+         |  CAST(nregs AS BIGINT) AS n_regs,
+         |  CAST(sp + (256 - nregs) * 4503599627370496 AS BIGINT) AS reg_sum,
+         |  ${new java.math.BigDecimal(hllConst).toPlainString}
+         |    / CAST(sp + (256 - nregs) * 4503599627370496 AS DOUBLE) AS hll_est,
+         |  CAST(nd AS BIGINT) AS n_exact
+         |FROM agg a JOIN ex USING (scope)""".stripMargin,
+
     // The three integer mass-passing rounds, unrolled (standard SQL
     // forbids aggregates in a recursive term); // is integer division
     // on BIGINT operands, matching Spark's `div` on positive values.
@@ -1292,6 +1383,17 @@ object RelationalQueries {
         prof("lineitem", "l_partkey", "lineitem.l_partkey"))
         .mkString("", "\nUNION ALL\n", "")
     },
+
+    // Same (a + b - 1) // b ceilings over BIGINT counts.
+    "q151_salt_plan" ->
+      """WITH c AS (
+        |  SELECT event_type, COUNT(1) AS cnt FROM events GROUP BY event_type),
+        |s AS (SELECT event_type, cnt, (cnt + 99) // 100 AS salt_n FROM c)
+        |SELECT event_type, CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(salt_n AS BIGINT) AS salt_n,
+        |  CAST((cnt + salt_n - 1) // salt_n AS BIGINT) AS rows_per_shard,
+        |  salt_n > 1 AS salted
+        |FROM s""".stripMargin,
 
     "q103_funnel" ->
       """WITH e AS (

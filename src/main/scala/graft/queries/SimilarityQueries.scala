@@ -293,6 +293,34 @@ object SimilarityQueries {
       lab.join(sizes, Seq("cluster"))
         .select(col("vec_id"), col("cluster"), col("cluster_size"),
           (col("vec_id") === col("cluster")).as("canonical"))
+    }),
+
+    // Recall AUDIT as a first-class query — "measure, don't guess" for
+    // the ANN quality/cost dial: per query vector, how many of the exact
+    // top-K survive in the IVF nprobe=4 shortlist path (the production
+    // index), as an integer overlap count and ppm recall. Both sides are
+    // the already-oracled q30/q40 operators; the audit is ONE left join
+    // on (query, neighbor) + a count — overlap is set intersection, so
+    // no float compare enters the verdict. At 100 TB this runs on a
+    // sampled query panel (queries << corpus) and prices any
+    // nprobe/nlist change before it ships.
+    "q153_recall_audit" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < NQ)
+      val brute = Similarity.bruteForceTopK(
+          e, "vec_id", "embedding", qs, "vec_id", "embedding", K)
+        .select(col("query_id"), col("neighbor_id"))
+      val cents = ivfIndex.getOrElseUpdate(dir,
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", nlist = 16))
+      val ivf = Similarity.ivfTopK(
+          e, "vec_id", "embedding", qs, "vec_id", "embedding", K,
+          nlist = 16, nprobe = 4, centroids = Some(cents))
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+      brute.join(ivf, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(col("hit")).as("n_overlap"))
+        .select(col("query_id"), lit(K).as("k"), col("n_overlap"),
+          expr(s"n_overlap * 1000000 div $K").as("recall_ppm"))
     })
   )
 
@@ -301,6 +329,20 @@ object SimilarityQueries {
     s"""CASE WHEN list_inner_product($a, $a) = 0.0 OR list_inner_product($b, $b) = 0.0
        |THEN 0.0 ELSE list_inner_product($a, $b)
        |  / (sqrt(list_inner_product($a, $a)) * sqrt(list_inner_product($b, $b))) END""".stripMargin
+
+  /** q30's oracle, factored so q153's recall audit can reuse it as a
+    * subquery (DuckDB accepts a WITH inside a derived table). */
+  private def bruteOracleSql: String =
+    s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+       |           FROM embeddings WHERE vec_id < $NQ),
+       |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+       |           FROM embeddings)
+       |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
+       |  SELECT query_id, neighbor_id, ${cosSql("cv", "qv")} AS cosine,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ${cosSql("cv", "qv")} DESC, neighbor_id ASC) AS rank
+       |  FROM c CROSS JOIN q)
+       |WHERE rank <= $K""".stripMargin
 
   def oracles: Map[String, String] = Map(
     // The embedding dim (64) is a fixed property of the synthetic table
@@ -382,17 +424,7 @@ object SimilarityQueries {
          |  FROM cc CROSS JOIN qq)
          |WHERE rank <= $K""".stripMargin,
 
-    "q30_ann_brute" ->
-      s"""WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
-         |           FROM embeddings WHERE vec_id < $NQ),
-         |     c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
-         |           FROM embeddings)
-         |SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank FROM (
-         |  SELECT query_id, neighbor_id, ${cosSql("cv", "qv")} AS cosine,
-         |    ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY ${cosSql("cv", "qv")} DESC, neighbor_id ASC) AS rank
-         |  FROM c CROSS JOIN q)
-         |WHERE rank <= $K""".stripMargin,
+    "q30_ann_brute" -> bruteOracleSql,
 
     // Same index-order Σx² chain and the correctly-rounded IEEE sqrt.
     "q108_l2norm" ->
@@ -408,6 +440,17 @@ object SimilarityQueries {
 
     "q31_ann_lsh" -> lshOracleSql,
     "q40_ann_ivf" -> ivfOracleSql,
+
+    // Integer set-intersection of the two replayed top-K lists — no
+    // float enters the verdict.
+    "q153_recall_audit" ->
+      s"""SELECT b.query_id, CAST($K AS INT) AS k,
+         |  COUNT(i.neighbor_id) AS n_overlap,
+         |  CAST(COUNT(i.neighbor_id) * 1000000 // $K AS BIGINT) AS recall_ppm
+         |FROM ($bruteOracleSql) b
+         |LEFT JOIN ($ivfOracleSql) i
+         |  ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+         |GROUP BY b.query_id""".stripMargin,
     "q59_ann_pq" -> pqOracleSql,
     "q81_ann_ivfpq" -> ivfPqOracleSql,
     "q33_media_features" -> mediaFeatureOracleSql,

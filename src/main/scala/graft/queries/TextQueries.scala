@@ -1015,6 +1015,119 @@ object TextQueries {
           min(struct(col("n_chars"), col("doc_id"))).as("m"))
         .select(col("source"), col("total_chars"),
           col("m.n_chars").as("split_len"), col("m.doc_id").as("split_doc"))
+    }),
+
+    // Output-file bin-packing planner (the small-file/large-file layout
+    // problem): docs stream into per-source files in ingest (doc_id)
+    // order, a file closes when the running byte count crosses the
+    // target — file_idx = start_offset div target, the standard
+    // streaming packer (files may overrun by one doc, never undershoot
+    // by fragmentation). The running offset is the salted two-phase
+    // [[Packing.groupedCumSum]] — no per-source window funnel — so the
+    // plan is the same at 31 sources × 500 docs and 10⁵ sources × 10⁹
+    // docs. Target is 64 KiB here; at 100 TB the same plan runs with
+    // 512 MiB and the output IS the compaction manifest (q137's z-order
+    // decides row order inside a file; this decides file boundaries).
+    // Integer arithmetic end to end → hash-exact.
+    "q147_file_plan" -> ((s, dir) => {
+      val target = 65536L
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      graft.operators.Packing
+        .groupedCumSum(docs, "source", Seq("doc_id"), "n_chars", "cum")
+        .withColumn("file_idx", expr(s"(cum - n_chars) div ${target}L"))
+        .groupBy(col("source"), col("file_idx"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("file_bytes"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"))
+    }),
+
+    // Tokenizer vocabulary coverage: fix the top-K corpus vocabulary
+    // (count desc, token asc — a strict total order, so the K-boundary
+    // is deterministic) and audit each source's out-of-vocabulary rate
+    // in ppm — the go/no-go check before freezing a tokenizer on a new
+    // mixture. Scale shape: tokens collapse to (source, token) counts in
+    // ONE map-side-combined aggregate (shuffle ∝ sources × vocab, not
+    // corpus tokens); the K-row vocab comes off that via per-partition
+    // top-K heaps (TakeOrderedAndProject) and broadcasts back. K=16
+    // exercises OOV against this corpus's 31-token vocabulary; the plan
+    // is K-independent (32k at 100 TB). Integer counting → hash-exact.
+    "q149_vocab_coverage" -> ((s, dir) => {
+      val vocabK = 16
+      val sw = table(s, dir, "documents")
+        .select(col("source"),
+          explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(vocabK)
+        .select(col("w"), lit(1).as("in_v"))
+      sw.join(broadcast(vocab), Seq("w"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("c")).as("n_tokens"),
+          sum(when(col("in_v").isNull, col("c")).otherwise(lit(0L)))
+            .as("n_oov"),
+          count(when(col("in_v").isNull, 1)).as("n_oov_types"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          col("n_oov_types"),
+          expr("n_oov * 1000000 div n_tokens").as("oov_ppm"))
+    }),
+
+    // Per-source DATASET CARD: the one-row-per-source summary panel a
+    // curation run publishes — doc/token/char volume, language spread,
+    // exact-duplicate exposure (docs whose md5(text) appears ≥2 times
+    // CORPUS-wide, so cross-source copies count in both sources), and
+    // mean quality. Two shuffles, both bounded: a hash-keyed dup count
+    // (32 B/doc travels, never text) joined back, then one per-source
+    // aggregate. The quality mean follows the q114 discipline — decimal
+    // sum (order-invariant), split decimal→double cast, ONE division —
+    // so even the float column hash-matches cross-engine.
+    "q150_dataset_card" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val d = table(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("h"),
+          TextOps.tokenCount(col("text")).cast("long").as("n_toks"),
+          TextOps.qualityScore(col("text")).as("q"))
+      val dupes = d.groupBy(col("h")).agg(count(lit(1)).as("nh"))
+      d.join(dupes, "h")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          sum(col("n_chars")).as("n_chars_total"),
+          countDistinct(col("lang")).as("n_langs"),
+          count(when(col("nh") >= 2, 1)).as("n_dup_docs"),
+          d2(sum(col("q").cast(XI))).as("sq"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          col("n_chars_total"), col("n_langs"), col("n_dup_docs"),
+          (col("sq") / col("n_docs").cast("double")).as("mean_quality"))
+    }),
+
+    // Duplicate-cluster SIZE distribution: how much of the corpus sits
+    // in how-big near-dup clusters — the one-glance answer to "is dedup
+    // worth a pass here, and is any cluster pathological" (a 10⁶-doc
+    // cluster means a template or a crawler trap, not prose). Composes
+    // the q73 connected components (size-adaptive: driver union-find
+    // under the edge cap, distributed rounds above) with singletons
+    // completing the picture via the same left-join/coalesce labeling as
+    // q86; two count aggregates collapse doc rows → cluster sizes →
+    // histogram, so the output is bounded by the largest cluster size,
+    // not the corpus. Integer counting → hash-exact.
+    "q152_cluster_sizes" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val clusters = Dedup.duplicateClusters(
+        Dedup.jaccardEdges(docs, "doc_id", "text"))
+      docs.select(col("doc_id"))
+        .join(clusters, col("doc_id") === clusters("id"), "left")
+        .select(coalesce(col("cluster"), col("doc_id")).as("cluster"))
+        .groupBy(col("cluster")).agg(count(lit(1)).as("csize"))
+        .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+        .select(col("csize"), col("n_clusters"),
+          (col("csize") * col("n_clusters")).as("n_docs"))
     })
   )
 
@@ -1813,7 +1926,91 @@ object TextQueries {
         |  FROM c WHERE cum * 2 >= total)
         |SELECT source, CAST(total AS BIGINT) AS total_chars,
         |  n_chars AS split_len, doc_id AS split_doc
-        |FROM q WHERE rn = 1""".stripMargin
+        |FROM q WHERE rn = 1""".stripMargin,
+
+    // Same running sum (the oracle's window is fine single-node) and
+    // the same start_offset div target file assignment.
+    "q147_file_plan" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, doc_id, n_chars,
+        |    CAST((cum - n_chars) // 65536 AS BIGINT) AS file_idx
+        |  FROM c)
+        |SELECT source, file_idx, COUNT(1) AS n_docs,
+        |  CAST(SUM(n_chars) AS BIGINT) AS file_bytes,
+        |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        |FROM f GROUP BY source, file_idx""".stripMargin,
+
+    // The K-boundary is the same strict (cnt DESC, w ASC) total order.
+    "q149_vocab_coverage" ->
+      """WITH sw AS (
+        |  SELECT source, w, COUNT(1) AS c FROM (
+        |    SELECT source,
+        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |    FROM documents WHERE length(trim(text)) > 0)
+        |  GROUP BY source, w),
+        |vocab AS (
+        |  SELECT w FROM (
+        |    SELECT w, SUM(c) AS cnt FROM sw GROUP BY w)
+        |  ORDER BY cnt DESC, w ASC LIMIT 16)
+        |SELECT source,
+        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+        |  COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov_types,
+        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) * 1000000
+        |    // SUM(c) AS BIGINT) AS oov_ppm
+        |FROM sw LEFT JOIN vocab v USING (w)
+        |GROUP BY source""".stripMargin,
+
+    // Corpus-wide md5 dup counts joined back; the quality mean is the
+    // shared split decimal→double discipline (d2).
+    "q150_dataset_card" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sq = "SUM(CAST(q AS DECIMAL(18,6)))"
+      s"""WITH d AS (
+         |  SELECT source, lang, n_chars, md5(text) AS h,
+         |    CASE WHEN length(trim(text)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_toks,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS q
+         |  FROM (
+         |    SELECT source, lang, n_chars, text,
+         |      CASE WHEN length(trim(text)) = 0 THEN 0
+         |           ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n,
+         |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
+         |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
+         |          t -> t IN $stopIn)) AS stop
+         |    FROM documents)),
+         |dup AS (SELECT h, COUNT(1) AS nh FROM d GROUP BY h)
+         |SELECT source, COUNT(1) AS n_docs,
+         |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+         |  COUNT(DISTINCT lang) AS n_langs,
+         |  COUNT(CASE WHEN nh >= 2 THEN 1 END) AS n_dup_docs,
+         |  (${d2(sq)}) / CAST(COUNT(1) AS DOUBLE) AS mean_quality
+         |FROM d JOIN dup USING (h)
+         |GROUP BY source""".stripMargin
+    },
+
+    // The q73/q86 reachability closure + singleton labeling, collapsed
+    // to the size histogram.
+    "q152_cluster_sizes" ->
+      s"""$componentsCtes,
+         |labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster, d.doc_id) AS cluster
+         |  FROM documents d LEFT JOIN labels l ON l.id = d.doc_id),
+         |cs AS (SELECT cluster, COUNT(1) AS csize FROM lab GROUP BY cluster)
+         |SELECT CAST(csize AS BIGINT) AS csize, COUNT(1) AS n_clusters,
+         |  CAST(csize * COUNT(1) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY csize""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

@@ -315,6 +315,39 @@ object TimeSeriesQueries {
         .select(col("symbol"), col("gap"), col("event_id"))
       TimeSeriesOps.exactQuantiles(gaps, "symbol", "gap", "event_id",
         Seq(0.5, 0.75, 0.875))
+    }),
+
+    // Seasonal-naive forecast skill (MASE, Hyndman–Koehler 2006): per
+    // stream, the lag-24 "seasonal" forecast's mean absolute error
+    // scaled by the lag-1 naive MAE — the standard is-this-model-
+    // better-than-persistence gate before any forecaster ships. Both
+    // error series come off ONE sort-shuffle (two lags share the
+    // window); |e| is a single IEEE op, sums run in decimal (order-
+    // invariant), and MASE itself is the split decimal→double cast +
+    // three IEEE divisions — a fixed op tree both engines replay
+    // digit-for-digit. sae1 = 0 (a constant stream) guards to 0.0.
+    "q148_mase" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("symbol")).orderBy(col("t_us"), col("event_id"))
+      val t = ticks(s, dir)
+        .select(col("symbol"), col("price"),
+          unix_micros(col("ts")).as("t_us"), col("event_id"))
+        .withColumn("e1", abs(col("price") - lag(col("price"), 1).over(w)))
+        .withColumn("ek", abs(col("price") - lag(col("price"), 24).over(w)))
+      t.groupBy(col("symbol"))
+        .agg(count(col("e1")).as("n1"), count(col("ek")).as("nk"),
+          d2(sum(col("e1").cast(XI))).as("sae1"),
+          d2(sum(col("ek").cast(XI))).as("saek"))
+        .select(col("symbol"), col("n1"), col("nk"),
+          col("sae1"), col("saek"),
+          when(col("nk") === 0 || col("sae1") === 0.0, lit(0.0))
+            .otherwise((col("saek") / col("nk").cast("double")) /
+              (col("sae1") / col("n1").cast("double"))).as("mase"))
     })
   )
 
@@ -618,6 +651,36 @@ object TimeSeriesQueries {
         |  FROM g WHERE v IS NOT NULL),
         |qs AS (SELECT unnest([0.5, 0.75, 0.875]::DOUBLE[]) AS q)
         |SELECT symbol, q, CAST(n AS BIGINT) AS n, v AS value
-        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin
+        |FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)""".stripMargin,
+
+    // Identical lag pair off one window order; decimal |e| sums, the
+    // shared d2 split cast, the same three-division MASE tree.
+    "q148_mase" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val s1 = "SUM(CAST(e1 AS DECIMAL(18,6)))"
+      val sk = "SUM(CAST(ek AS DECIMAL(18,6)))"
+      s"""WITH e AS (
+         |  SELECT event_type AS symbol, value AS price,
+         |         epoch_ns(ts) // 1000 AS t_us, event_id
+         |  FROM events),
+         |l AS (
+         |  SELECT symbol,
+         |    abs(price - lag(price, 1) OVER (PARTITION BY symbol
+         |      ORDER BY t_us, event_id)) AS e1,
+         |    abs(price - lag(price, 24) OVER (PARTITION BY symbol
+         |      ORDER BY t_us, event_id)) AS ek
+         |  FROM e),
+         |a AS (
+         |  SELECT symbol, COUNT(e1) AS n1, COUNT(ek) AS nk,
+         |    ${d2(s1)} AS sae1, ${d2(sk)} AS saek
+         |  FROM l GROUP BY symbol)
+         |SELECT symbol, CAST(n1 AS BIGINT) AS n1, CAST(nk AS BIGINT) AS nk,
+         |  sae1, saek,
+         |  CASE WHEN nk = 0 OR sae1 = 0.0 THEN 0.0
+         |       ELSE (saek / CAST(nk AS DOUBLE)) / (sae1 / CAST(n1 AS DOUBLE))
+         |  END AS mase
+         |FROM a""".stripMargin
+    }
   )
 }

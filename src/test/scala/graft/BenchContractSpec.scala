@@ -18,10 +18,13 @@ class BenchContractSpec extends AnyFunSuite {
     val medians = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 2 == 0) 99.94 else 99999.0)
     }
+    // worst-case rendering of the abbreviated slim stream section
+    // (msSlim clamps sec at 999 — 4-char structural bound)
     val stream =
-      """{"single_window":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
-        """"six_windows_union":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9},""" +
-        """"six_windows_two_phase":{"input_rows":1000000,"sec":9999.9999,"rows_per_sec":99999.9}}"""
+      """{"sw":{"r":1000000,"s":999,"rps":999999},""" +
+        """"swu":{"r":1000000,"s":999,"rps":999999},""" +
+        """"swtp":{"r":1000000,"s":999,"rps":999999},""" +
+        """"krt":{"r":1000000,"s":999,"rps":999999}}"""
     val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1",
       annBuildSec = 9999.99)
     assert(line.length <= 1900,
