@@ -562,9 +562,13 @@ object SimilarityQueries {
     * picks MIN (mc, vec_id); the final assignment is rank-1 by
     * (cos DESC, center ASC), the same struct-max tiebreak. */
   private def kCenterOracleSql(k: Int): String = {
+    // MATERIALIZED is load-bearing: each round's CTE is referenced 2-3
+    // times, and DuckDB's default inlining re-expands the whole chain at
+    // every reference — the 8-round query went from ~8 MINUTES to 0.4 s
+    // at sf0.01 when the rounds pin to materialization (identical rows)
     val sb = new StringBuilder
-    sb ++= """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-             |c0 AS (SELECT vec_id, e FROM v
+    sb ++= """WITH v AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+             |c0 AS MATERIALIZED (SELECT vec_id, e FROM v
              |       WHERE vec_id = (SELECT MIN(vec_id) FROM v))""".stripMargin
     for (i <- 1 until k) {
       val prev = s"c${i - 1}"
@@ -575,7 +579,7 @@ object SimilarityQueries {
                |        WHERE a.vec_id NOT IN (SELECT vec_id FROM $prev)
                |        GROUP BY a.vec_id),
                |p$i AS (SELECT vec_id, e FROM s$i ORDER BY mc ASC, vec_id ASC LIMIT 1),
-               |c$i AS (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
+               |c$i AS MATERIALIZED (SELECT * FROM $prev UNION ALL SELECT * FROM p$i)""".stripMargin
     }
     sb ++= s""",
              |asg AS (SELECT a.vec_id, c.vec_id AS center,

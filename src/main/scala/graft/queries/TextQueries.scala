@@ -1128,6 +1128,45 @@ object TextQueries {
         .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
         .select(col("csize"), col("n_clusters"),
           (col("csize") * col("n_clusters")).as("n_docs"))
+    }),
+
+    // Zipf COVERAGE curve: share of all token occurrences covered by the
+    // top-K vocabulary at K ∈ {1,2,4,8,16,32} — the vocab-size/coverage
+    // trade-off curve behind q149's single-K audit (pick K where the
+    // curve flattens). Scale shape: corpus tokens collapse to one
+    // map-side-combined count; the top-32 head comes off it via
+    // TakeOrderedAndProject heaps; ranks AND running sums come from ONE
+    // executor-side aggregate() fold over that ≤32-struct array (the
+    // shuffleRank/groupedCumSum offset pattern — no window, no driver
+    // state); K rows equi-join on rank, the 1-row total broadcasts.
+    // Integer counting → hash-exact. Ks beyond the vocab size drop out
+    // of the equi-join in both engines identically.
+    "q154_zipf_curve" -> ((s, dir) => {
+      val uni = table(s, dir, "documents")
+        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      val tot = uni.agg(sum(col("cnt")).as("total"))
+      val ranked = uni.orderBy(col("cnt").desc, col("w")).limit(32)
+        .agg(sort_array(collect_list(struct(
+          (col("cnt") * -1).as("nc"), col("w"), col("cnt")))).as("arr"))
+        .select(explode(expr(
+          """aggregate(
+               arr,
+               struct(cast(0 as bigint) as acc,
+                      cast(array() as array<struct<rank:int, cum:bigint>>) as out),
+               (s, x) -> named_struct(
+                 'acc', s.acc + x.cnt,
+                 'out', array_append(s.out, named_struct(
+                   'rank', cast(size(s.out) + 1 as int),
+                   'cum', s.acc + x.cnt))),
+               s -> s.out)""")).as("rc"))
+        .select(col("rc.rank").as("rank"), col("rc.cum").as("covered"))
+      val ks = s.range(1)
+        .select(explode(array(Seq(1, 2, 4, 8, 16, 32).map(lit): _*)).as("k"))
+      ks.join(ranked, col("rank") === col("k"))
+        .crossJoin(broadcast(tot))
+        .select(col("k"), col("covered"), col("total"),
+          expr("covered * 1000000 div total").as("covered_ppm"))
     })
   )
 
@@ -2010,7 +2049,28 @@ object TextQueries {
          |cs AS (SELECT cluster, COUNT(1) AS csize FROM lab GROUP BY cluster)
          |SELECT CAST(csize AS BIGINT) AS csize, COUNT(1) AS n_clusters,
          |  CAST(csize * COUNT(1) AS BIGINT) AS n_docs
-         |FROM cs GROUP BY csize""".stripMargin
+         |FROM cs GROUP BY csize""".stripMargin,
+
+    // Rank + running sum via the oracle's window (fine single-node);
+    // the same strict (cnt DESC, w ASC) order as the Spark fold.
+    "q154_zipf_curve" ->
+      """WITH toks AS (
+        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |u AS (SELECT w, COUNT(1) AS cnt FROM toks GROUP BY w),
+        |r AS (SELECT w, cnt,
+        |        ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank
+        |      FROM u),
+        |c AS (SELECT rank,
+        |        SUM(cnt) OVER (ORDER BY rank
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |      FROM r WHERE rank <= 32),
+        |t AS (SELECT SUM(cnt) AS total FROM u),
+        |ks AS (SELECT unnest([1, 2, 4, 8, 16, 32]) AS k)
+        |SELECT CAST(k AS INT) AS k, CAST(cum AS BIGINT) AS covered,
+        |  CAST(total AS BIGINT) AS total,
+        |  CAST(cum * 1000000 // total AS BIGINT) AS covered_ppm
+        |FROM ks JOIN c ON c.rank = k CROSS JOIN t""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

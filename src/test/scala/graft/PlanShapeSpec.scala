@@ -23,13 +23,15 @@ class PlanShapeSpec extends SparkSpec {
   // q140/q142: crossJoin against the broadcast 1-row corpus/table total
   // q143: label-pair theta-join of two LABELS-sized centroid aggregates
   // (class labels, not data — both sides are tiny derived dimensions)
+  // q153: composes q30's whitelisted brute-force baseline (the audit's
+  // exact side); q154: crossJoin against the broadcast 1-row total
   private val boundedByDesign =
     Set("q30_ann_brute", "q50_tfidf", "q58_ann_int8", "q59_ann_pq",
       "q69_heavy_hitters", "q70_histogram", "q85_gap_fill", "q96_countmin",
       "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan",
       "q130_mixture_execute", "q131_domain_tokens", "q135_quality_coverage",
       "q136_rrf_fusion", "q140_collocations", "q142_skew_profile",
-      "q143_class_margin")
+      "q143_class_margin", "q153_recall_audit", "q154_zipf_curve")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
