@@ -321,6 +321,44 @@ object SimilarityQueries {
         .agg(count(col("hit")).as("n_overlap"))
         .select(col("query_id"), lit(K).as("k"), col("n_overlap"),
           expr(s"n_overlap * 1000000 div $K").as("recall_ppm"))
+    }),
+
+    // PQ codebook HEALTH audit: per-subspace mean squared reconstruction
+    // error of the trained quantizer over the corpus — the distortion
+    // half of the recall/compression dial (q153 prices recall; this
+    // prices what the codes destroyed, and a subspace whose MSE is an
+    // outlier means its 4 dims need more centroids or a rotation).
+    // Encoding is the same per-row codegen'd expression path q59 search
+    // uses; the squared error is an index-order zip_with/aggregate fold
+    // (the q30-pinned op chain, so DuckDB's list_inner_product replays
+    // it); cross-row sums go through the decimal path. One subspace
+    // explode (m× rows of 4-dim slices) + one map-side-combined
+    // aggregate — shuffled rows = m × subspaces, not corpus.
+    "q155_pq_distortion" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val e = table(s, dir, "embeddings")
+      val cents = pqIndex.getOrElseUpdate(dir,
+        Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+      val cl = array(cents.map(subc =>
+        array(subc.map(cv =>
+          array(cv.map(x => lit(x.toDouble)): _*)): _*)): _*)
+      Similarity.pqEncode(e, "embedding", cents)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"),
+          posexplode(col("codes")).as(Seq("sub", "code")))
+        .select(col("sub"),
+          expr("slice(ev, sub * 4 + 1, 4)").as("sv"),
+          element_at(element_at(cl, col("sub") + 1), col("code") + 1).as("cv"))
+        .select(col("sub"), expr(
+          """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
+            |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("se"))
+        .groupBy(col("sub"))
+        .agg(count(lit(1)).as("n_vecs"), d2(sum(col("se").cast(XI))).as("sse"))
+        .select(col("sub"), col("n_vecs"), col("sse"),
+          (col("sse") / col("n_vecs").cast("double")).as("mse"))
     })
   )
 
@@ -440,6 +478,30 @@ object SimilarityQueries {
 
     "q31_ann_lsh" -> lshOracleSql,
     "q40_ann_ivf" -> ivfOracleSql,
+
+    // The PQ training/encode CTEs replayed; the squared error is
+    // list_inner_product over the element-wise difference (the same
+    // q30-pinned index-order chain as the Spark fold), decimal-summed.
+    "q155_pq_distortion" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sse = "SUM(CAST(se AS DECIMAL(18,6)))"
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |${pqSearchCtes(16, 16, 4, 3)},
+         |err AS (
+         |  SELECT a.s AS sub,
+         |    list_inner_product(
+         |      list_transform(range(1, 5), i -> a.e[i] - c.c[i]),
+         |      list_transform(range(1, 5), i -> a.e[i] - c.c[i])) AS se
+         |  FROM vs a
+         |  JOIN codes k ON a.vec_id = k.vec_id AND a.s = k.s
+         |  JOIN pqc3 c ON c.s = a.s AND c.cell = k.code),
+         |agg AS (SELECT sub, COUNT(1) AS n_vecs, ${d2(sse)} AS sse
+         |        FROM err GROUP BY sub)
+         |SELECT CAST(sub AS INT) AS sub, CAST(n_vecs AS BIGINT) AS n_vecs,
+         |  sse, sse / CAST(n_vecs AS DOUBLE) AS mse
+         |FROM agg""".stripMargin
+    },
 
     // Integer set-intersection of the two replayed top-K lists — no
     // float enters the verdict.
