@@ -746,6 +746,21 @@ object RelationalQueries {
       s.sql(sqlQ7)
     }),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the classic
+    // correlated-average subquery, DE-correlated into one per-part
+    // aggregate + join — the rewrite every optimizer wants and the only
+    // shape that scales (the correlated form re-aggregates per probe
+    // row). The 0.2·avg predicate runs as the INTEGER cross-product
+    // 5·qty·cnt < sum_qty (l_quantity is integral; no float avg enters
+    // the filter), revenue sums in decimal, and the /7.0 final division
+    // goes through the split decimal→double cast — all in SQL text both
+    // engines parse verbatim. Per-part aggregate shuffles on the join
+    // key it feeds, so AQE plans one exchange for both sides.
+    "q156_tpch17" -> ((s, dir) => {
+      table(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ17)
+    }),
+
     // Calendar battery: the per-event date derivations every partitioned
     // lake layout keys on — epoch day and day-of-week via pure integer
     // arithmetic (engine-proof by construction; 1970-01-01 is a
@@ -913,6 +928,26 @@ object RelationalQueries {
       |  WHERE n1.n_name <> n2.n_name
       |) AS shipping
       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q17 de-correlated; shared verbatim with the oracle. The
+    * split FLOOR cast keeps the decimal→double conversion
+    * engine-independent (q114 discipline, here in portable SQL text). */
+  private val sqlQ17: String =
+    """WITH agg AS (
+      |  SELECT l_partkey AS pk, COUNT(1) AS cnt,
+      |         SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |  FROM lineitem GROUP BY l_partkey),
+      |small AS (
+      |  SELECT l.l_extendedprice
+      |  FROM lineitem l JOIN agg ON l.l_partkey = agg.pk
+      |  WHERE 5 * CAST(l.l_quantity AS BIGINT) * agg.cnt < agg.sum_qty),
+      |s AS (SELECT COUNT(1) AS n_small,
+      |             SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS rev
+      |      FROM small)
+      |SELECT CAST(n_small AS BIGINT) AS n_small,
+      |  (CAST(FLOOR(rev) AS DOUBLE) + CAST(rev - FLOOR(rev) AS DOUBLE)) / 7.0
+      |    AS avg_yearly
+      |FROM s""".stripMargin
 
   private val sqlQ3: String =
     s"""SELECT l_orderkey, o_orderdate,
@@ -1383,6 +1418,8 @@ object RelationalQueries {
         prof("lineitem", "l_partkey", "lineitem.l_partkey"))
         .mkString("", "\nUNION ALL\n", "")
     },
+
+    "q156_tpch17" -> sqlQ17,
 
     // Same (a + b - 1) // b ceilings over BIGINT counts.
     "q151_salt_plan" ->
