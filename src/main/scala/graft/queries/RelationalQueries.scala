@@ -746,6 +746,20 @@ object RelationalQueries {
       s.sql(sqlQ7)
     }),
 
+    // TPC-H Q21 shape (suppliers who kept waiting, adapted to this
+    // schema's columns: "late" = shipped >30 days after order date):
+    // the EXISTS / NOT EXISTS double-correlation — a semi AND an anti
+    // join against the same derived table, the hardest of the classic
+    // subquery shapes. Spark de-correlates both into equi joins on
+    // l_orderkey (left-semi + left-anti — scalable; no per-row
+    // re-execution), and the shared verbatim SQL text runs unchanged in
+    // DuckDB. Integer counts + TakeOrdered top-20 → hash-exact.
+    "q158_tpch21" -> ((s, dir) => {
+      Seq("lineitem", "orders")
+        .foreach(t => table(s, dir, t).createOrReplaceTempView(t))
+      s.sql(sqlQ21)
+    }),
+
     // TPC-H Q17 shape (small-quantity-order revenue): the classic
     // correlated-average subquery, DE-correlated into one per-part
     // aggregate + join — the rewrite every optimizer wants and the only
@@ -928,6 +942,23 @@ object RelationalQueries {
       |  WHERE n1.n_name <> n2.n_name
       |) AS shipping
       |GROUP BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q21 shape, shared verbatim with the oracle. */
+  private val sqlQ21: String =
+    """WITH l AS (
+      |  SELECT l_orderkey, l_suppkey,
+      |    l_shipdate > o_orderdate + INTERVAL 30 DAY AS late
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderstatus = 'F')
+      |SELECT s.l_suppkey AS suppkey, COUNT(1) AS numwait
+      |FROM l s
+      |WHERE s.late
+      |  AND EXISTS (SELECT 1 FROM l o WHERE o.l_orderkey = s.l_orderkey
+      |              AND o.l_suppkey <> s.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM l o2 WHERE o2.l_orderkey = s.l_orderkey
+      |                  AND o2.l_suppkey <> s.l_suppkey AND o2.late)
+      |GROUP BY s.l_suppkey
+      |ORDER BY numwait DESC, suppkey ASC LIMIT 20""".stripMargin
 
   /** TPC-H Q17 de-correlated; shared verbatim with the oracle. The
     * split FLOOR cast keeps the decimal→double conversion
@@ -1420,6 +1451,7 @@ object RelationalQueries {
     },
 
     "q156_tpch17" -> sqlQ17,
+    "q158_tpch21" -> sqlQ21,
 
     // Same (a + b - 1) // b ceilings over BIGINT counts.
     "q151_salt_plan" ->

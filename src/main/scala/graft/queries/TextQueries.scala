@@ -1167,6 +1167,35 @@ object TextQueries {
         .crossJoin(broadcast(tot))
         .select(col("k"), col("covered"), col("total"),
           expr("covered * 1000000 div total").as("covered_ppm"))
+    }),
+
+    // ZONE-MAP skipping audit: per-file column min/max stats (the
+    // Parquet row-group / Iceberg-manifest footer every pruning engine
+    // consults) over q147's file layout, then the pruning economics of a
+    // representative predicate (n_chars >= 400): how many files — and
+    // how many docs of IO — the manifest alone eliminates, per source.
+    // A file skips iff max(n_chars) < 400, the exact rule the scan
+    // planner applies. This is the 1-d companion of q137's z-order
+    // audit (which measures 2-d clustering quality); together they
+    // answer "is this layout worth its write cost" before a 100 TB
+    // rewrite. Integer min/max/counts end to end → hash-exact.
+    "q157_skipping_manifest" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("source"), col("doc_id"), col("n_chars"))
+      val files = graft.operators.Packing
+        .groupedCumSum(docs, "source", Seq("doc_id"), "n_chars", "cum")
+        .withColumn("file_idx", expr("(cum - n_chars) div 65536"))
+        .groupBy(col("source"), col("file_idx"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_chars")).as("max_len"))
+      files.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_files"),
+          count(when(col("max_len") < 400, 1)).as("n_skippable"),
+          sum(col("n_docs")).as("n_docs"),
+          sum(when(col("max_len") < 400, col("n_docs")).otherwise(lit(0L)))
+            .as("docs_skipped"))
+        .select(col("source"), col("n_files"), col("n_skippable"),
+          col("n_docs"), col("docs_skipped"),
+          expr("n_skippable * 1000000 div n_files").as("skip_ppm"))
     })
   )
 
@@ -2070,7 +2099,27 @@ object TextQueries {
         |SELECT CAST(k AS INT) AS k, CAST(cum AS BIGINT) AS covered,
         |  CAST(total AS BIGINT) AS total,
         |  CAST(cum * 1000000 // total AS BIGINT) AS covered_ppm
-        |FROM ks JOIN c ON c.rank = k CROSS JOIN t""".stripMargin
+        |FROM ks JOIN c ON c.rank = k CROSS JOIN t""".stripMargin,
+
+    // q147's file layout → per-file max → the same skip rule.
+    "q157_skipping_manifest" ->
+      """WITH c AS (
+        |  SELECT source, doc_id, n_chars,
+        |    SUM(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents),
+        |f AS (
+        |  SELECT source, CAST((cum - n_chars) // 65536 AS BIGINT) AS file_idx,
+        |    COUNT(1) AS n_docs, MAX(n_chars) AS max_len
+        |  FROM c GROUP BY source, (cum - n_chars) // 65536)
+        |SELECT source, COUNT(1) AS n_files,
+        |  COUNT(CASE WHEN max_len < 400 THEN 1 END) AS n_skippable,
+        |  CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN max_len < 400 THEN n_docs ELSE 0 END) AS BIGINT)
+        |    AS docs_skipped,
+        |  CAST(COUNT(CASE WHEN max_len < 400 THEN 1 END) * 1000000
+        |    // COUNT(1) AS BIGINT) AS skip_ppm
+        |FROM f GROUP BY source""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
