@@ -145,6 +145,27 @@ object StreamOps {
         col("session_window.end").as("session_end"),
         col("n_events"))
 
+  /** Stream-STATIC dimension enrichment: the classic at-ingest join of a
+    * fact stream against a slowly-changing dimension snapshot (user →
+    * segment, symbol → listing metadata). Structured Streaming plans
+    * this as a per-micro-batch join with NO streaming state — the
+    * dimension is re-resolved each trigger, so a `REFRESH`ed /
+    * re-written snapshot table is picked up without restarting the
+    * query. `broadcast()` on the dim side pins the broadcast-hash plan:
+    * at 100 TB of stream the dimension is the small side by
+    * construction, and a shuffle here would re-partition every
+    * micro-batch. Left join preserves facts with no dimension row (the
+    * quarantine contract — enrichment must never drop events). */
+  def enrichWithDim(
+      stream: DataFrame,
+      dim: DataFrame,
+      streamKey: String,
+      dimKey: String): DataFrame =
+    stream.join(
+      org.apache.spark.sql.functions.broadcast(
+        dim.withColumnRenamed(dimKey, streamKey)),
+      Seq(streamKey), "left")
+
   /** Streaming NEAR-dup intake probe: each micro-batch of a document
     * stream is MinHash-banded and probed against a STATIC corpus index
     * via [[graft.operators.Dedup.minhashPairsAgainst]] — the streaming
