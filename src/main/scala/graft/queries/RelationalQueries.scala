@@ -673,6 +673,28 @@ object RelationalQueries {
         .unionAll(prof(table(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"))
     }),
 
+    // Group-CARDINALITY profile: the full log₂ group-size distribution
+    // per candidate key — q142 names the top heavy keys, this shows the
+    // whole shape (n_keys and row mass per size octave), which is what
+    // actually decides shuffle-partition counts, AQE coalescing, and
+    // whether a key needs salting at all. One map-side-combined count
+    // per key column, then a second tiny aggregate over (col, octave);
+    // floor(log₂ cnt) = length(bin(cnt)) − 1, the q97-pinned bin()
+    // parity, so buckets replay exactly. Output ≤ 64 rows per column at
+    // ANY input size.
+    "q160_cardinality_profile" -> ((s, dir) => {
+      def prof(df: DataFrame, c: String, label: String): DataFrame =
+        df.groupBy(col(c).as("key")).agg(count(lit(1)).as("cnt"))
+          .select(lit(label).as("col_name"),
+            (length(bin(col("cnt"))) - 1).cast("int").as("log2_bucket"),
+            col("cnt"))
+          .groupBy(col("col_name"), col("log2_bucket"))
+          .agg(count(lit(1)).as("n_keys"), sum(col("cnt")).as("n_rows"))
+      prof(table(s, dir, "events"), "user_id", "events.user_id")
+        .unionAll(prof(table(s, dir, "documents"), "source", "documents.source"))
+        .unionAll(prof(table(s, dir, "lineitem"), "l_orderkey", "lineitem.l_orderkey"))
+    }),
+
     // Skew-SALTING planner: q142 finds the heavy keys; this emits the
     // remediation table a salted join (q77 / Joins.saltedJoin) consumes —
     // per key, salt_n = ceil(cnt / target) replicas and the resulting
@@ -1452,6 +1474,20 @@ object RelationalQueries {
 
     "q156_tpch17" -> sqlQ17,
     "q158_tpch21" -> sqlQ21,
+
+    // Same length(bin()) − 1 octave rule (bin() parity pinned by q97).
+    "q160_cardinality_profile" -> {
+      def prof(tbl: String, c: String, label: String): String =
+        s"""SELECT '$label' AS col_name,
+           |  CAST(length(bin(cnt)) - 1 AS INT) AS log2_bucket,
+           |  COUNT(1) AS n_keys, CAST(SUM(cnt) AS BIGINT) AS n_rows
+           |FROM (SELECT $c AS key, COUNT(1) AS cnt FROM $tbl GROUP BY $c)
+           |GROUP BY length(bin(cnt)) - 1""".stripMargin
+      Seq(prof("events", "user_id", "events.user_id"),
+        prof("documents", "source", "documents.source"),
+        prof("lineitem", "l_orderkey", "lineitem.l_orderkey"))
+        .mkString("", "\nUNION ALL\n", "")
+    },
 
     // Same (a + b - 1) // b ceilings over BIGINT counts.
     "q151_salt_plan" ->

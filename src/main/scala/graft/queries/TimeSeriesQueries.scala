@@ -348,6 +348,36 @@ object TimeSeriesQueries {
           when(col("nk") === 0 || col("sae1") === 0.0, lit(0.0))
             .otherwise((col("saek") / col("nk").cast("double")) /
               (col("sae1") / col("n1").cast("double"))).as("mase"))
+    }),
+
+    // EQUI-DEPTH histogram (the optimizer's histogram, vs q70's
+    // equi-width): per-symbol octile fences from the distributed exact
+    // selection (dyadic q → engine-exact ranks), every tick bucketed by
+    // how many fences sit strictly below it — a ≤7-element broadcast
+    // array probe, per-row codegen — then per-bucket count + decimal
+    // price sums. Near-equal counts per bucket is the point: a
+    // selectivity estimate from this histogram is ±⅛ regardless of
+    // skew, which is why engines keep equi-depth and not equi-width
+    // stats. Fence-equal ticks land in the lower bucket in both engines
+    // (v < price, identical tie rule). Two scans + one broadcast join.
+    "q159_equidepth_hist" -> ((s, dir) => {
+      val XI = org.apache.spark.sql.types.DecimalType(18, 6)
+      def d2(c: org.apache.spark.sql.Column) = {
+        val f = floor(c)
+        f.cast("double") + (c - f).cast("double")
+      }
+      val t = ticks(s, dir)
+      val fences = TimeSeriesOps.exactQuantiles(t, "symbol", "price",
+          "event_id", Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875),
+          materializeInput = false)
+        .groupBy(col("symbol"))
+        .agg(sort_array(collect_list(col("value"))).as("f"))
+      t.join(broadcast(fences), "symbol")
+        .select(col("symbol"), col("price"),
+          size(filter(col("f"), v => v < col("price"))).as("bucket"))
+        .groupBy(col("symbol"), col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          d2(sum(col("price").cast(XI))).as("sum_price"))
     })
   )
 
@@ -681,6 +711,33 @@ object TimeSeriesQueries {
          |       ELSE (saek / CAST(nk AS DOUBLE)) / (sae1 / CAST(n1 AS DOUBLE))
          |  END AS mase
          |FROM a""".stripMargin
+    },
+
+    // The q127-style rank selection for the octile fences, the same
+    // sorted-list probe with the identical v < price tie rule.
+    "q159_equidepth_hist" -> {
+      def d2(s: String): String =
+        s"CAST(FLOOR($s) AS DOUBLE) + CAST($s - FLOOR($s) AS DOUBLE)"
+      val sp = "SUM(CAST(price AS DECIMAL(18,6)))"
+      s"""WITH e AS (
+         |  SELECT event_type AS symbol, value AS price, event_id FROM events),
+         |r AS (
+         |  SELECT symbol, price AS v,
+         |         row_number() OVER (PARTITION BY symbol
+         |           ORDER BY price, event_id) AS rn,
+         |         COUNT(1) OVER (PARTITION BY symbol) AS n
+         |  FROM e),
+         |qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5,
+         |                      0.625, 0.75, 0.875]::DOUBLE[]) AS q),
+         |fr AS (SELECT symbol, v FROM r
+         |       JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)),
+         |fl AS (SELECT symbol, list_sort(list(v)) AS f FROM fr GROUP BY symbol),
+         |b AS (SELECT e.symbol, e.price,
+         |        len(list_filter(fl.f, v -> v < e.price)) AS bucket
+         |      FROM e JOIN fl ON e.symbol = fl.symbol)
+         |SELECT symbol, CAST(bucket AS INT) AS bucket, COUNT(1) AS n,
+         |  ${d2(sp)} AS sum_price
+         |FROM b GROUP BY symbol, bucket""".stripMargin
     }
   )
 }
