@@ -1196,6 +1196,60 @@ object TextQueries {
         .select(col("source"), col("n_files"), col("n_skippable"),
           col("n_docs"), col("docs_skipped"),
           expr("n_skippable * 1000000 div n_files").as("skip_ppm"))
+    }),
+
+    // GOPHER-style structural quality rules (Rae et al. 2021 §A1.1.1),
+    // the rule family q44's score-based pipeline does NOT cover: word
+    // count in [4, 1000], mean word length in [3, 10], ≥80% words with
+    // an alphabetic char, ≤10% purely-numeric words. Every ratio runs as
+    // an INTEGER cross-product (3n ≤ chars ≤ 10n, 5·alpha ≥ 4n,
+    // 10·digit ≤ n) — no float enters a verdict, so flags replay
+    // exactly. Per-row HOF counts (shuffle-free scan) + one per-source
+    // aggregate of pass counts: the rule-tuning report a curation run
+    // reads before committing a filter at 100 TB.
+    "q161_gopher_rules" -> ((s, dir) => {
+      val toks = TextOps.tokens(col("text"))
+      val flagged = table(s, dir, "documents").select(
+        col("source"),
+        size(toks).cast("long").as("n"),
+        aggregate(transform(toks, t => length(t).cast("long")),
+          lit(0L), (a, x) => a + x).as("chars"),
+        size(filter(toks, t => t.rlike("[A-Za-z]"))).cast("long").as("alpha"),
+        size(filter(toks, t => t.rlike("^[0-9]+$"))).cast("long").as("num"))
+        .select(col("source"),
+          (col("n") >= 4 && col("n") <= 1000).as("f_count"),
+          (col("chars") >= col("n") * 3 && col("chars") <= col("n") * 10)
+            .as("f_wordlen"),
+          (col("alpha") * 5 >= col("n") * 4).as("f_alpha"),
+          (col("num") * 10 <= col("n")).as("f_numeric"))
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("f_count"), 1)).as("pass_count"),
+          count(when(col("f_wordlen"), 1)).as("pass_wordlen"),
+          count(when(col("f_alpha"), 1)).as("pass_alpha"),
+          count(when(col("f_numeric"), 1)).as("pass_numeric"),
+          count(when(col("f_count") && col("f_wordlen") &&
+            col("f_alpha") && col("f_numeric"), 1)).as("pass_all"))
+    }),
+
+    // Source-pair COPY matrix: near-dup edge mass by (source, source)
+    // pair — who mirrors whom (off-diagonal) and who repeats itself
+    // (diagonal), the provenance axis q134's vocabulary overlap (style)
+    // does not see. Rides the oracled Jaccard edge set (q73's): two
+    // doc_id→source broadcast-able joins + least/greatest pair
+    // normalization + one count — edges are already dedup-bounded, so
+    // no new pair explosion; output ≤ sources² rows at any corpus size.
+    "q162_copy_matrix" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      Dedup.jaccardEdges(docs, "doc_id", "text")
+        .join(src.select(col("doc_id").as("id_a"), col("source").as("sa")),
+          "id_a")
+        .join(src.select(col("doc_id").as("id_b"), col("source").as("sb")),
+          "id_b")
+        .select(least(col("sa"), col("sb")).as("s1"),
+          greatest(col("sa"), col("sb")).as("s2"))
+        .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_pairs"))
     })
   )
 
@@ -2119,7 +2173,48 @@ object TextQueries {
         |    AS docs_skipped,
         |  CAST(COUNT(CASE WHEN max_len < 400 THEN 1 END) * 1000000
         |    // COUNT(1) AS BIGINT) AS skip_ppm
-        |FROM f GROUP BY source""".stripMargin
+        |FROM f GROUP BY source""".stripMargin,
+
+    // The same integer cross-product rules over list-HOF counts.
+    "q161_gopher_rules" ->
+      """WITH t AS (
+        |  SELECT source,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CAST(len(toks) AS BIGINT) AS n,
+        |    CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS chars,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS BIGINT) AS alpha,
+        |    CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+$'))) AS BIGINT) AS num
+        |  FROM t),
+        |f AS (
+        |  SELECT source,
+        |    n >= 4 AND n <= 1000 AS f_count,
+        |    chars >= n * 3 AND chars <= n * 10 AS f_wordlen,
+        |    alpha * 5 >= n * 4 AS f_alpha,
+        |    num * 10 <= n AS f_numeric
+        |  FROM c)
+        |SELECT source, COUNT(1) AS n_docs,
+        |  COUNT(CASE WHEN f_count THEN 1 END) AS pass_count,
+        |  COUNT(CASE WHEN f_wordlen THEN 1 END) AS pass_wordlen,
+        |  COUNT(CASE WHEN f_alpha THEN 1 END) AS pass_alpha,
+        |  COUNT(CASE WHEN f_numeric THEN 1 END) AS pass_numeric,
+        |  COUNT(CASE WHEN f_count AND f_wordlen AND f_alpha AND f_numeric
+        |        THEN 1 END) AS pass_all
+        |FROM f GROUP BY source""".stripMargin,
+
+    // The q73 edge CTEs + doc→source joins, least/greatest normalized.
+    "q162_copy_matrix" ->
+      s"""$componentsCtes,
+         |m AS (
+         |  SELECT least(da.source, db.source) AS s1,
+         |         greatest(da.source, db.source) AS s2
+         |  FROM edges e
+         |  JOIN documents da ON da.doc_id = e.id_a
+         |  JOIN documents db ON db.doc_id = e.id_b)
+         |SELECT s1, s2, COUNT(1) AS n_pairs FROM m GROUP BY s1, s2""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
