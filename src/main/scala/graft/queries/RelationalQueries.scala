@@ -673,6 +673,30 @@ object RelationalQueries {
         .unionAll(prof(table(s, dir, "lineitem"), "l_partkey", "lineitem.l_partkey"))
     }),
 
+    // LAST-TOUCH attribution: each purchase credited to the immediately
+    // preceding event within a 30-min touch window (else "none") —
+    // the attribution report behind every conversion dashboard, and the
+    // lag() complement of q103's forward-walking funnel. One sort-
+    // shuffle on the high-cardinality user key; integer epoch-micro
+    // window arithmetic; string/count outputs → hash-exact.
+    "q163_attribution" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .withColumn("prev_t", lag(col("t_us"), 1).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(col("prev_t").isNotNull &&
+              col("t_us") - col("prev_t") <= 1800000000L, col("prev_type"))
+            .otherwise(lit("none")).as("touch"))
+        .groupBy(col("touch"))
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // Group-CARDINALITY profile: the full log₂ group-size distribution
     // per candidate key — q142 names the top heavy keys, this shows the
     // whole shape (n_keys and row mass per size octave), which is what
@@ -1474,6 +1498,24 @@ object RelationalQueries {
 
     "q156_tpch17" -> sqlQ17,
     "q158_tpch21" -> sqlQ21,
+
+    // Identical lag pair over the same (t_us, event_id) user sort.
+    "q163_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS t_us FROM events),
+        |l AS (
+        |  SELECT user_id, event_type, t_us,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) AS prev_type,
+        |    lag(t_us) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, event_id) AS prev_t
+        |  FROM e)
+        |SELECT CASE WHEN prev_t IS NOT NULL AND t_us - prev_t <= 1800000000
+        |            THEN prev_type ELSE 'none' END AS touch,
+        |  COUNT(1) AS n_purchases, COUNT(DISTINCT user_id) AS n_users
+        |FROM l WHERE event_type = 'purchase'
+        |GROUP BY 1""".stripMargin,
 
     // Same length(bin()) − 1 octave rule (bin() parity pinned by q97).
     "q160_cardinality_profile" -> {
