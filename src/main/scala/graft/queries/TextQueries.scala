@@ -1232,6 +1232,86 @@ object TextQueries {
             col("f_alpha") && col("f_numeric"), 1)).as("pass_all"))
     }),
 
+    // Sampling-TEMPERATURE sweep: the q119 mixture plan at α ∈ {¼, ½, ¾}
+    // — the dial a data-mixture owner actually turns (α→0 flattens
+    // toward uniform, α→1 keeps natural proportions). Non-dyadic powers
+    // would need libm pow() (last-ulp engine-dependent); these three run
+    // entirely on correctly-rounded IEEE sqrt: r^¼ = √√r, r^¾ = √r·√√r
+    // — fixed op trees that replay bit-for-bit, like everything else on
+    // this table. Output is the PLAN (per lang × α: rate + the 1/65536
+    // md5 threshold q119's scan predicate consumes) — one tiny
+    // aggregate + a 3-row explode, no corpus rescan per α.
+    "q165_temperature_sweep" -> ((s, dir) => {
+      val counts = table(s, dir, "documents")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_docs"))
+      val nmin = counts.agg(min(col("n_docs")).as("n_min"))
+      counts.crossJoin(broadcast(nmin))
+        .withColumn("r", col("n_min").cast("double") / col("n_docs"))
+        .select(col("lang"), col("n_docs"), col("r"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75))).as("alpha"))
+        .withColumn("rate",
+          when(col("alpha") === 0.25, sqrt(sqrt(col("r"))))
+            .when(col("alpha") === 0.5, sqrt(col("r")))
+            .otherwise(sqrt(col("r")) * sqrt(sqrt(col("r")))))
+        .withColumn("thr", lpad(lower(hex(
+          greatest(lit(0), least(floor(col("rate") * 65536), lit(65535)))
+            .cast("long"))), 4, "0"))
+        .select(col("lang"), col("alpha"), col("n_docs"), col("rate"),
+          col("thr"))
+    }),
+
+    // MMR diversified reranking (Carbonell–Goldstein 1998): greedy top-5
+    // from the BM25 top-20, each pick argmax λ·rel − (1−λ)·max-sim-to-
+    // selected (λ=0.5; sim = token-set Jaccard — one exact division per
+    // pair). The greedy loop is 5 UNROLLED rounds — each a bounded
+    // 20-row scan against the 1-row broadcast selected-set array, argmax
+    // via struct max with the (score DESC, id ASC) tie rule — so the
+    // plan is static and both engines replay the identical pick
+    // sequence (BM25 rel is q98's bit-exact scorer; Jaccard and the
+    // λ-blend are fixed IEEE trees). The candidate set materializes
+    // once (localCheckpoint) so five rounds don't recompute the corpus
+    // scan. At 100 TB the same shape reranks per-query shortlists —
+    // the expensive part (retrieval) stays the indexed q98/q136 path;
+    // MMR touches only candidates × selected.
+    "q164_mmr_rerank" -> ((s, dir) => {
+      val toksDf = table(s, dir, "documents")
+        .select(col("doc_id"),
+          array_distinct(TextOps.tokens(lower(col("text")))).as("toks"))
+      val cand = bm25Scores(s, dir)
+        .orderBy(col("score").desc, col("doc_id").asc).limit(20)
+        .join(toksDf, "doc_id")
+        .select(col("doc_id"), col("score").as("rel"), col("toks"))
+        .localCheckpoint(true)
+      val sel0 = cand
+        .agg(max(struct(col("rel"), (col("doc_id") * -1).as("nid"),
+          col("doc_id"), col("toks"))).as("b"))
+        .select(array(expr(
+          "named_struct('doc_id', b.doc_id, 'toks', b.toks, 'rel', b.rel)"))
+          .as("sel"))
+      val selN = (2 to 5).foldLeft(sel0) { (sel, _) =>
+        val scored = cand.crossJoin(broadcast(sel))
+          .filter(!expr("exists(sel, s -> s.doc_id = doc_id)"))
+          .withColumn("maxsim", expr(
+            """array_max(transform(sel, s ->
+              |  size(array_intersect(toks, s.toks))
+              |    / cast(size(array_union(toks, s.toks)) as double)))"""
+              .stripMargin))
+          .withColumn("mmr", expr(
+            "cast(0.5 as double) * rel - cast(0.5 as double) * maxsim"))
+        scored
+          .agg(max(struct(col("mmr"), (col("doc_id") * -1).as("nid"),
+            col("doc_id"), col("toks"), col("rel"))).as("b"))
+          .crossJoin(broadcast(sel))
+          .select(expr(
+            """array_append(sel,
+              |  named_struct('doc_id', b.doc_id, 'toks', b.toks,
+              |               'rel', b.rel))""".stripMargin).as("sel"))
+      }
+      selN.select(posexplode(col("sel")).as(Seq("pos", "r")))
+        .select((col("pos") + 1).cast("int").as("rank"),
+          col("r.doc_id").as("doc_id"), col("r.rel").as("rel"))
+    }),
+
     // Source-pair COPY matrix: near-dup edge mass by (source, source)
     // pair — who mirrors whom (off-diagonal) and who repeats itself
     // (diagonal), the provenance axis q134's vocabulary overlap (style)
@@ -2204,6 +2284,70 @@ object TextQueries {
         |  COUNT(CASE WHEN f_count AND f_wordlen AND f_alpha AND f_numeric
         |        THEN 1 END) AS pass_all
         |FROM f GROUP BY source""".stripMargin,
+
+    // The same √ / √√ trees and the same 1/65536 hex threshold.
+    "q165_temperature_sweep" ->
+      """WITH c AS (SELECT lang, COUNT(1) AS n_docs FROM documents GROUP BY lang),
+        |m AS (SELECT MIN(n_docs) AS n_min FROM c),
+        |r AS (SELECT lang, n_docs,
+        |        CAST(n_min AS DOUBLE) / CAST(n_docs AS DOUBLE) AS r
+        |      FROM c CROSS JOIN m),
+        |a AS (SELECT unnest([0.25, 0.5, 0.75]::DOUBLE[]) AS alpha),
+        |x AS (
+        |  SELECT lang, alpha, n_docs,
+        |    CASE WHEN alpha = 0.25 THEN sqrt(sqrt(r))
+        |         WHEN alpha = 0.5 THEN sqrt(r)
+        |         ELSE sqrt(r) * sqrt(sqrt(r)) END AS rate
+        |  FROM r CROSS JOIN a)
+        |SELECT lang, alpha, CAST(n_docs AS BIGINT) AS n_docs, rate,
+        |  lpad(lower(hex(CAST(greatest(0, least(floor(rate * 65536),
+        |    65535)) AS BIGINT))), 4, '0') AS thr
+        |FROM x""".stripMargin,
+
+    // q98's scorer CTEs + the 5 greedy rounds unrolled; each round's
+    // maxsim is a MAX over the identical Jaccard divisions, each pick
+    // the identical (mmr DESC, doc_id ASC) order. MATERIALIZED pins the
+    // multiply-referenced round CTEs (the q129 lesson).
+    "q164_mmr_rerank" -> {
+      val rounds = (2 to 5).map { i =>
+        val prev = s"s${i - 1}"
+        s"""r$i AS (
+           |  SELECT c.doc_id, any_value(c.toks) AS toks,
+           |    any_value(c.rel) AS rel,
+           |    MAX(CAST(len(list_intersect(c.toks, s.toks)) AS DOUBLE)
+           |      / CAST(len(list_distinct(list_concat(c.toks, s.toks))) AS DOUBLE))
+           |      AS maxsim
+           |  FROM cand c, $prev s
+           |  WHERE c.doc_id NOT IN (SELECT doc_id FROM $prev)
+           |  GROUP BY c.doc_id),
+           |p$i AS (SELECT doc_id, toks, rel FROM r$i
+           |  ORDER BY CAST(0.5 AS DOUBLE) * rel
+           |           - CAST(0.5 AS DOUBLE) * maxsim DESC, doc_id ASC
+           |  LIMIT 1),
+           |s$i AS MATERIALIZED (SELECT * FROM $prev
+           |  UNION ALL SELECT * FROM p$i)"""
+      }.mkString(",\n")
+      s"""WITH $bm25OracleCtes,
+         |tk AS (SELECT doc_id, list_distinct(toks) AS toks FROM t),
+         |cand AS MATERIALIZED (
+         |  SELECT cc.doc_id, cc.score AS rel, tk.toks FROM (
+         |    SELECT doc_id, score FROM (
+         |      SELECT doc_id, score,
+         |        ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS rn
+         |      FROM sc) WHERE rn <= 20) cc
+         |  JOIN tk ON tk.doc_id = cc.doc_id),
+         |s1 AS MATERIALIZED (
+         |  SELECT doc_id, toks, rel FROM cand
+         |  ORDER BY rel DESC, doc_id ASC LIMIT 1),
+         |$rounds,
+         |sel AS (
+         |  SELECT doc_id, rel, 1 AS rank FROM s1
+         |  UNION ALL SELECT doc_id, rel, 2 FROM p2
+         |  UNION ALL SELECT doc_id, rel, 3 FROM p3
+         |  UNION ALL SELECT doc_id, rel, 4 FROM p4
+         |  UNION ALL SELECT doc_id, rel, 5 FROM p5)
+         |SELECT CAST(rank AS INT) AS rank, doc_id, rel FROM sel""".stripMargin
+    },
 
     // The q73 edge CTEs + doc→source joins, least/greatest normalized.
     "q162_copy_matrix" ->

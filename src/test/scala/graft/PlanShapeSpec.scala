@@ -31,7 +31,11 @@ class PlanShapeSpec extends SparkSpec {
       "q98_bm25", "q119_alpha_mixture", "q124_mixture_plan",
       "q130_mixture_execute", "q131_domain_tokens", "q135_quality_coverage",
       "q136_rrf_fusion", "q140_collocations", "q142_skew_profile",
-      "q143_class_margin", "q153_recall_audit", "q154_zipf_curve")
+      "q143_class_margin", "q153_recall_audit", "q154_zipf_curve",
+      // q164: five rounds of a 20-row candidate scan against the 1-row
+      // broadcast selected-set array (bm25's stats scalar included)
+      // q165: q119's 1-row n_min scalar against the language counts
+      "q164_mmr_rerank", "q165_temperature_sweep")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
