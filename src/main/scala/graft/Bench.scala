@@ -27,22 +27,22 @@ object Bench {
     String.format(java.util.Locale.ROOT, "%.2f", Double.box(x))
       .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
 
-  /** Slim-line rendering with a STRUCTURAL width bound: centiseconds
-    * below 10 s, deciseconds to 100 s, whole seconds above — worst case
-    * 4 chars under 100 s, so the 2,000-char driver-tail budget holds for
-    * ANY runtime (ADVICE r5: budgeting against 999.99 understated slow
-    * queries; the 130-query registry then outgrew the centisecond tier).
-    * 0.1 s resolution for a 10 s+ query is below this box's run-to-run
-    * noise; full precision lives in bench_out.json. */
+  /** Slim-line rendering with a STRUCTURAL width bound: deciseconds
+    * below 10 s, whole seconds to 999 — worst case 3 chars at ANY
+    * runtime (ADVICE r5: budgeting against 999.99 understated slow
+    * queries; the 130-query registry outgrew the centisecond tier, the
+    * 168-query registry outgrew the 4-char decisecond one). 0.1 s
+    * resolution is below this box's run-to-run noise for everything but
+    * the sub-second queries, and those round to the nearest decisecond;
+    * full precision lives in bench_out.json / BENCH_r*_full.json. */
   def msSlim(x: Double): String =
-    if (x < 10.0) ms(x)
-    else if (x < 100.0)
+    if (x < 10.0)
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
         .reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
     // clamp at 999: a 1000 s+ single query at sf0.1 is a failure, not a
     // timing to budget line width for — the cap makes the worst case a
-    // STRUCTURAL 4 chars ("9.99"/"99.9"/"999") at any runtime, which is
-    // what keeps the 147-query registry inside the driver tail; the real
+    // STRUCTURAL 3 chars ("9.9"/"99"/"999") at any runtime, which is
+    // what keeps the 168-query registry inside the driver tail; the real
     // value still lands in bench_out.json
     else String.format(java.util.Locale.ROOT, "%.0f", Double.box(math.min(x, 999.0)))
 

@@ -131,6 +131,71 @@ object Packing {
       .select(df.columns.map(col) :+ col(cumName): _*)
   }
 
+  /** Per-group EXCLUSIVE running max of `valCol` in `orderCols` order —
+    * `max(val) over (partition by group order by ... rows unbounded
+    * preceding to 1 preceding)` without the per-group window funnel, by
+    * the same two-phase plan as [[groupedCumSum]]: a local exclusive
+    * running max within (group, range-bucket of the leading order
+    * column), one max per (group, bucket), and per-group exclusive
+    * prefix maxes folded from the sorted bucket array. Null for each
+    * group's first row, like the window form. Exact for any
+    * (`orderCols`, ties) because the bucket index is a monotone function
+    * of the leading order column alone — rows that compare equal on it
+    * share a bucket, so cross-bucket order never depends on the
+    * tie-breakers. `valCol` must be long-typed (the callers' integer
+    * discipline; a max never mixes scales the way a sum would). */
+  def groupedRunningMax(
+      df: DataFrame,
+      group: String,
+      orderCols: Seq[String],
+      valCol: String,
+      outName: String,
+      buckets: Int = 1024): DataFrame = {
+    require(orderCols.nonEmpty, "need at least one order column")
+    val ord = orderCols.head
+    val in = df.localCheckpoint(true)
+    val bounds = in.agg(
+      min(col(ord).cast("long")), max(col(ord).cast("long"))).head()
+    val (mn, width) =
+      if (bounds.isNullAt(0)) (0L, 1L)
+      else {
+        val span = BigInt(bounds.getLong(1)) - BigInt(bounds.getLong(0)) + 1
+        (bounds.getLong(0), ((span + buckets - 1) / buckets).max(1).toLong)
+      }
+    val bucketed = in.withColumn("__pb",
+      expr(s"CASE WHEN `$ord` IS NULL THEN -1 ELSE CAST(" +
+        s"(CAST(`$ord` AS DECIMAL(38,0)) - CAST('$mn' AS DECIMAL(38,0))) DIV ${width}L" +
+        s" AS INT) END"))
+    val w = Window.partitionBy(col(group), col("__pb"))
+      .orderBy(orderCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = bucketed.withColumn("__lm", max(col(valCol)).over(w))
+    val totals = bucketed
+      .groupBy(col(group), col("__pb"))
+      .agg(max(col(valCol)).cast("long").as("__t"))
+    // exclusive prefix MAX over each group's sorted bucket maxes; the
+    // accumulator carries (seen-any, running max) so the first bucket's
+    // offset is null exactly like the window form's first frame
+    val offDf = totals
+      .groupBy(col(group))
+      .agg(sort_array(collect_list(struct(col("__pb"), col("__t")))).as("__bt"))
+      .select(col(group).as("__og"), explode(expr(
+        """aggregate(
+             __bt,
+             struct(cast(null as bigint) as acc,
+                    cast(array() as array<struct<b:int, off:bigint>>) as out),
+             (s, x) -> named_struct(
+               'acc', greatest(s.acc, x.__t),
+               'out', array_append(s.out, named_struct('b', x.__pb, 'off', s.acc))),
+             s -> s.out)""")).as("__o"))
+      .select(col("__og"), col("__o.b").as("__opb"), col("__o.off").as("__off"))
+    local.join(offDf,
+        local(group) <=> offDf("__og") && local("__pb") === offDf("__opb"))
+      .drop("__og", "__opb")
+      .withColumn(outName, greatest(col("__off"), col("__lm")))
+      .select(df.columns.map(col) :+ col(outName): _*)
+  }
+
   /** Data-mixture curation: per `group`, keep the best rows (by
     * `qualityCol` descending, `tieCol` breaking ties) until the group's
     * token budget is spent — "give me the top-quality 10 M tokens per

@@ -141,4 +141,49 @@ object Sampling {
       .withColumn("shuffle_rank", col("__off") + row_number().over(w))
       .select(df.columns.map(col) :+ col("shuffle_rank"): _*)
   }
+
+  /** Per-GROUP [[shuffleRank]]: each row's 1-based rank within its group
+    * in the md5 shuffle order — `row_number() over (partition by group
+    * order by md5(key))` without a group-wide window (a stratum at
+    * 100 TB is billions of rows through one reducer; a heap top-k does
+    * not generalize because the rank cutoff — e.g. a 10 % test quota —
+    * grows with the stratum). Same two-phase plan, keyed by (group,
+    * 4-hex md5 bucket): local row_number within the sub-bucket, one
+    * count per (group, bucket), per-group exclusive offsets folded from
+    * the sorted bucket array. Content-derived, so recomputes and AQE
+    * re-plans reproduce identical ranks. */
+  def groupedShuffleRank(
+      df: DataFrame, groups: Seq[String], key: Column): DataFrame = {
+    require(groups.nonEmpty, "need at least one group column")
+    val keyed = df
+      .withColumn("__sk", coalesce(
+        concat(md5(key.cast("string")), key.cast("string")), lit("")))
+      .withColumn("__bk", substring(col("__sk"), 1, 4))
+    val gcols = groups.map(col)
+    val offDf = keyed
+      .groupBy(gcols :+ col("__bk"): _*).count()
+      .groupBy(gcols: _*)
+      .agg(sort_array(collect_list(struct(col("__bk"), col("count")))).as("__bc"))
+      .select(gcols :+ explode(expr(
+        """aggregate(
+             __bc,
+             struct(cast(0 as bigint) as acc,
+                    cast(array() as array<struct<b:string, off:bigint>>) as out),
+             (s, x) -> named_struct(
+               'acc', s.acc + x.count,
+               'out', array_append(s.out, named_struct('b', x.__bk, 'off', s.acc))),
+             s -> s.out)""")).as("__o"): _*)
+      .select(groups.zipWithIndex.map { case (g, i) => col(g).as(s"__og$i") } :+
+        col("__o.b").as("__obk") :+ col("__o.off").as("__off"): _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(gcols :+ col("__bk"): _*).orderBy(col("__sk"))
+    // null-safe on the groups (a null stratum value is a legal window
+    // partition in the form this replaces; plain equality would drop it)
+    val joinCond = groups.zipWithIndex
+      .map { case (g, i) => keyed(g) <=> offDf(s"__og$i") }
+      .reduce(_ && _) && keyed("__bk") === offDf("__obk")
+    keyed.join(offDf, joinCond)
+      .select(df.columns.map(keyed(_)) :+
+        (offDf("__off") + row_number().over(w)).as("shuffle_rank"): _*)
+  }
 }

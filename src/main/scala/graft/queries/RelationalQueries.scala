@@ -872,6 +872,85 @@ object RelationalQueries {
     "q112_filter_agg" -> ((s, dir) => {
       graft.util.SparkUtil.events(s, dir).createOrReplaceTempView("events")
       s.sql(sqlFilterAgg)
+    }),
+
+    // CDC log COMPACTION: the change-log replayed to latest-wins final
+    // state per key — the Kafka-compacted-topic / lakehouse CDC-apply
+    // staple that q105's single-batch MERGE does not cover. Each event
+    // is an upsert of `value` keyed by user; event_type 'purchase' is
+    // the tombstone. The winner is ONE max-struct aggregate (lexicographic
+    // on the unique (t_us, event_id) order) — map-side combinable, no
+    // ranking window, shuffled rows = keys not log length; at 100 TB the
+    // same aggregate compacts a full CDC topic in one pass. final_value
+    // is a copied input double → hash-exact.
+    "q166_cdc_compaction" -> ((s, dir) =>
+      graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("t_us"),
+          col("event_id"), col("event_type"), col("value"))
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("t_us"), col("event_id"), col("event_type"),
+            col("value"))).as("w"),
+          count(lit(1)).as("n_ops"))
+        .select(col("user_id"),
+          col("w")("event_type").as("final_type"),
+          col("w")("t_us").as("final_t_us"),
+          col("w")("value").as("final_value"),
+          col("n_ops"),
+          when(col("w")("event_type") === "purchase", lit(1))
+            .otherwise(lit(0)).as("deleted"))),
+
+    // SCD-2 point-in-time enrichment: the non-purchase event stream is
+    // the slowly-changing dimension (each event opens a validity
+    // interval for that user's segment, closed by the next); purchases
+    // are the facts, each stamped with the segment version valid AT its
+    // timestamp. Spark-first: no interval theta join — dims and facts
+    // union into ONE per-user sort, segment = last(dim, ignoreNulls)
+    // running frame, version = running count of dim rows (the SCD-2
+    // surrogate-version number), so the whole PIT lookup is a single
+    // sort-shuffle on the high-cardinality user key. Tie rule: a dim
+    // event at the fact's exact timestamp applies (dim sorts first via
+    // is_dim DESC). Strings + integer micros → hash-exact.
+    "q167_scd2_pit" -> ((s, dir) => {
+      val e = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000").as("t_us"),
+          col("event_id"), col("event_type"))
+      val tagged = e.select(col("user_id"), col("t_us"), col("event_id"),
+        when(col("event_type") =!= "purchase", lit(1)).otherwise(lit(0))
+          .as("is_dim"),
+        when(col("event_type") =!= "purchase", col("event_type")).as("seg"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("is_dim").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      tagged
+        .withColumn("segment", last(col("seg"), ignoreNulls = true).over(w))
+        .withColumn("seg_version",
+          count(when(col("is_dim") === 1, 1)).over(w))
+        .filter(col("is_dim") === 0)
+        .select(col("user_id"), col("event_id"), col("t_us"),
+          coalesce(col("segment"), lit("none")).as("segment"),
+          col("seg_version"))
+    }),
+
+    // BENFORD leading-digit audit: the numeric-sanity check fabricated
+    // or truncated measure columns fail — observed first-digit mass of
+    // l_extendedprice per return flag, in ppm. The digit comes from the
+    // INTEGER part (floor → BIGINT → first decimal character), so no
+    // float formatting or libm log10 crosses engines; expected Benford
+    // shares are constants the reader compares. One map-side-combined
+    // count + a per-flag total joined back; output ≤ flags × 9 rows at
+    // any scale.
+    "q168_benford" -> ((s, dir) => {
+      val d = table(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          expr("CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)" +
+            " AS STRING), 1, 1) AS INT)").as("digit"))
+        .groupBy(col("l_returnflag"), col("digit"))
+        .agg(count(lit(1)).as("cnt"))
+      val tot = d.groupBy(col("l_returnflag"))
+        .agg(sum(col("cnt")).as("total"))
+      d.join(tot, "l_returnflag")
+        .select(col("l_returnflag"), col("digit"), col("cnt"),
+          expr("(cnt * 1000000) div total").as("share_ppm"))
     })
   )
 
@@ -1613,6 +1692,57 @@ object RelationalQueries {
         |        FROM events GROUP BY event_type, user_id))
         |WHERE rn = 1""".stripMargin,
 
-    "q112_filter_agg" -> sqlFilterAgg
+    "q112_filter_agg" -> sqlFilterAgg,
+
+    // ROW_NUMBER over the same unique (t_us, event_id) order mirrors the
+    // max-struct winner.
+    "q166_cdc_compaction" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+        |         event_type, value FROM events),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+        |    ORDER BY t_us DESC, event_id DESC) AS rn,
+        |    COUNT(1) OVER (PARTITION BY user_id) AS n_ops
+        |  FROM e)
+        |SELECT user_id, event_type AS final_type, t_us AS final_t_us,
+        |  value AS final_value, CAST(n_ops AS BIGINT) AS n_ops,
+        |  CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS deleted
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    // Identical union sort (t_us, is_dim DESC, event_id) + IGNORE NULLS
+    // running last + dim-row running count.
+    "q167_scd2_pit" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_ns(ts) // 1000 AS t_us, event_id,
+        |    CASE WHEN event_type <> 'purchase' THEN 1 ELSE 0 END AS is_dim,
+        |    CASE WHEN event_type <> 'purchase' THEN event_type END AS seg
+        |  FROM events),
+        |w AS (
+        |  SELECT user_id, event_id, t_us, is_dim,
+        |    last_value(seg IGNORE NULLS) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, is_dim DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS segment,
+        |    COUNT(CASE WHEN is_dim = 1 THEN 1 END) OVER (PARTITION BY user_id
+        |      ORDER BY t_us, is_dim DESC, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seg_version
+        |  FROM e)
+        |SELECT user_id, event_id, t_us,
+        |  COALESCE(segment, 'none') AS segment,
+        |  CAST(seg_version AS BIGINT) AS seg_version
+        |FROM w WHERE is_dim = 0""".stripMargin,
+
+    // Same integer-string first digit; integer ppm floor division.
+    "q168_benford" ->
+      """WITH d AS (
+        |  SELECT l_returnflag,
+        |    CAST(substring(CAST(CAST(floor(l_extendedprice) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    COUNT(1) AS cnt
+        |  FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT l_returnflag, SUM(cnt) AS total FROM d GROUP BY 1)
+        |SELECT d.l_returnflag, d.digit, CAST(d.cnt AS BIGINT) AS cnt,
+        |  (d.cnt * 1000000) // t.total AS share_ppm
+        |FROM d JOIN t USING (l_returnflag)""".stripMargin
   )
 }

@@ -1330,6 +1330,109 @@ object TextQueries {
         .select(least(col("sa"), col("sb")).as("s1"),
           greatest(col("sa"), col("sb")).as("s2"))
         .groupBy(col("s1"), col("s2")).agg(count(lit(1)).as("n_pairs"))
+    }),
+
+    // Stratified EXACT-proportion split with largest-remainder rounding:
+    // q120 keys the split on near-dup clusters (leakage safety); this is
+    // the other split discipline — per (source, lang) stratum, the test
+    // set gets EXACTLY floor(total/10) docs corpus-wide, apportioned as
+    // floor(n_s/10) per stratum plus +1 to the strata with the largest
+    // n_s mod 10 (tie: source, lang asc) — the Hare/largest-remainder
+    // method, all integer so any engine replays the allocation. Doc
+    // assignment is the md5 order within the stratum (q93's discipline)
+    // through Sampling.groupedShuffleRank — the bucketed two-phase rank,
+    // because a 10 % quota grows with the stratum (a heap top-k can't
+    // hold it) and a per-stratum window is the low-cardinality funnel
+    // this repo bans. The apportionment itself folds the bounded strata
+    // array in ONE aggregate (q154's pattern, no global window).
+    // sum(doc_id) of the test rows pins the ASSIGNMENT, not just the
+    // counts → hash-exact.
+    "q169_stratified_split" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("lang"))
+      val strata = docs.groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"))
+      val quota = strata
+        .agg(sort_array(collect_list(struct(
+            (lit(0L) - expr("n_docs % 10")).as("negrem"),
+            col("source"), col("lang"), col("n_docs")))).as("arr"),
+          sum(col("n_docs")).as("total"),
+          sum(expr("n_docs div 10")).as("base_sum"))
+        .select(col("total"), col("base_sum"),
+          posexplode(col("arr")).as(Seq("pos", "r")))
+        .select(col("r.source").as("source"), col("r.lang").as("lang"),
+          col("r.n_docs").as("n_docs"),
+          (expr("r.n_docs div 10") +
+            when(col("pos") < expr("total div 10") - col("base_sum"),
+              lit(1L)).otherwise(lit(0L))).as("quota"))
+      graft.operators.Sampling
+        .groupedShuffleRank(docs, Seq("source", "lang"), col("doc_id"))
+        .join(broadcast(quota), Seq("source", "lang"))
+        .groupBy(col("source"), col("lang"))
+        .agg(max(col("n_docs")).as("n_docs"), max(col("quota")).as("quota"),
+          sum(when(col("shuffle_rank") <= col("quota"), 1L).otherwise(0L))
+            .as("n_test"),
+          sum(when(col("shuffle_rank") <= col("quota"), col("doc_id"))
+            .otherwise(lit(0L))).as("test_id_sum"))
+    }),
+
+    // Canonicalized dedup: exact dedup AFTER text normalization —
+    // ASCII case-fold via translate (a pure codepoint map, so no
+    // engine-specific Unicode casing), every non-[a-z0-9 ] byte to
+    // space, runs of spaces collapsed, trimmed. Reports per source how
+    // many docs the RAW md5 already flags as duplicates vs the CANONICAL
+    // md5 — the delta is the near-copy mass punctuation/case variation
+    // hides from q20's exact pass. Two 32-byte-hash grouped counts
+    // joined back per doc (hashes shuffle, text bodies never), one
+    // per-source rollup; output ≤ sources rows.
+    "q170_canonical_dedup" -> ((s, dir) => {
+      val up = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+      val docs = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(col("text")).as("raw_h"),
+          md5(trim(regexp_replace(regexp_replace(
+            translate(col("text"), up, up.toLowerCase),
+            "[^a-z0-9 ]", " "), " +", " "))).as("can_h"))
+      def dupFlag(c: String) = docs
+        .groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 1)
+      docs
+        .join(dupFlag("raw_h").select(col("raw_h"), lit(1).as("raw_dup")),
+          Seq("raw_h"), "left")
+        .join(dupFlag("can_h").select(col("can_h"), lit(1).as("can_dup")),
+          Seq("can_h"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("raw_dup"), lit(0))).as("raw_dup_docs"),
+          sum(coalesce(col("can_dup"), lit(0))).as("canon_dup_docs"))
+    }),
+
+    // Pareto FRONTIER (skyline) per source: docs not dominated on the
+    // (shorter, more alphabetic) preference pair — the multi-objective
+    // selection query class (preference/skyline queries), distinct from
+    // every single-score ranking in the battery. A row survives iff its
+    // alpha_ppm strictly exceeds the running max over all preceding rows
+    // in (n_chars ASC, alpha_ppm DESC, doc_id ASC) order — the classic
+    // 2-d sort-scan skyline, no self-join. The running max routes
+    // through Packing.groupedRunningMax (n_chars-bucketed two-phase, DESC
+    // encoded by negation), not a per-source window — source is a
+    // low-cardinality funnel key. alpha_ppm is an integer floor ratio,
+    // so dominance replays exactly; output is the frontier, not the
+    // corpus.
+    "q171_pareto_front" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("(cast(length(regexp_replace(text, '[^A-Za-z]', '')) " +
+            "as bigint) * 1000000) div n_chars").as("alpha_ppm"))
+        .withColumn("neg_a", lit(0L) - col("alpha_ppm"))
+      graft.operators.Packing
+        .groupedRunningMax(d, "source", Seq("n_chars", "neg_a", "doc_id"),
+          "alpha_ppm", "best_prev")
+        .filter(col("best_prev").isNull ||
+          col("alpha_ppm") > col("best_prev"))
+        .select(col("source"), col("doc_id"), col("n_chars"),
+          col("alpha_ppm"))
     })
   )
 
@@ -2358,7 +2461,75 @@ object TextQueries {
          |  FROM edges e
          |  JOIN documents da ON da.doc_id = e.id_a
          |  JOIN documents db ON db.doc_id = e.id_b)
-         |SELECT s1, s2, COUNT(1) AS n_pairs FROM m GROUP BY s1, s2""".stripMargin
+         |SELECT s1, s2, COUNT(1) AS n_pairs FROM m GROUP BY s1, s2""".stripMargin,
+
+    // Same largest-remainder apportionment (integer div/mod, ties by
+    // source/lang asc) and the same md5 rank-within-stratum assignment.
+    "q169_stratified_split" ->
+      """WITH strata AS (
+        |  SELECT source, lang, COUNT(1) AS n_docs
+        |  FROM documents GROUP BY source, lang),
+        |tot AS (SELECT SUM(n_docs) AS total, SUM(n_docs // 10) AS base_sum
+        |        FROM strata),
+        |q AS (
+        |  SELECT source, lang, n_docs,
+        |    n_docs // 10 +
+        |    CASE WHEN ROW_NUMBER() OVER (ORDER BY n_docs % 10 DESC,
+        |           source, lang) <= (SELECT total // 10 - base_sum FROM tot)
+        |         THEN 1 ELSE 0 END AS quota
+        |  FROM strata),
+        |r AS (
+        |  SELECT d.source, d.lang, d.doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY d.source, d.lang
+        |      ORDER BY md5(CAST(d.doc_id AS VARCHAR)), d.doc_id) AS rk
+        |  FROM documents d)
+        |SELECT r.source, r.lang,
+        |  CAST(MAX(q.n_docs) AS BIGINT) AS n_docs,
+        |  CAST(MAX(q.quota) AS BIGINT) AS quota,
+        |  CAST(SUM(CASE WHEN r.rk <= q.quota THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_test,
+        |  CAST(SUM(CASE WHEN r.rk <= q.quota THEN r.doc_id ELSE 0 END)
+        |    AS BIGINT) AS test_id_sum
+        |FROM r JOIN q ON r.source = q.source AND r.lang = q.lang
+        |GROUP BY r.source, r.lang""".stripMargin,
+
+    // Same translate case-fold + regex canonicalization ('g' flag =
+    // Spark's replace-all default) and the same two md5 dup passes.
+    "q170_canonical_dedup" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, md5(text) AS raw_h,
+        |    md5(trim(regexp_replace(regexp_replace(
+        |      translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                'abcdefghijklmnopqrstuvwxyz'),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS can_h
+        |  FROM documents),
+        |rd AS (SELECT raw_h FROM d GROUP BY raw_h HAVING COUNT(1) > 1),
+        |cd AS (SELECT can_h FROM d GROUP BY can_h HAVING COUNT(1) > 1)
+        |SELECT d.source, COUNT(1) AS n_docs,
+        |  CAST(SUM(CASE WHEN rd.raw_h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS raw_dup_docs,
+        |  CAST(SUM(CASE WHEN cd.can_h IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS canon_dup_docs
+        |FROM d LEFT JOIN rd ON d.raw_h = rd.raw_h
+        |       LEFT JOIN cd ON d.can_h = cd.can_h
+        |GROUP BY d.source""".stripMargin,
+
+    // Same sort-scan skyline: strict running-max dominance over the
+    // identical (n_chars, alpha_ppm DESC, doc_id) order.
+    "q171_pareto_front" ->
+      """WITH d AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+        |      AS BIGINT) * 1000000) // n_chars AS alpha_ppm
+        |  FROM documents WHERE n_chars > 0),
+        |w AS (
+        |  SELECT source, doc_id, n_chars, alpha_ppm,
+        |    MAX(alpha_ppm) OVER (PARTITION BY source
+        |      ORDER BY n_chars, alpha_ppm DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
+        |  FROM d)
+        |SELECT source, doc_id, n_chars, alpha_ppm FROM w
+        |WHERE best_prev IS NULL OR alpha_ppm > best_prev""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

@@ -11,10 +11,9 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case per-median width under msSlim(): 99.94 renders "99.9"
-    // (4 chars, the sub-100 s ceiling) and a pathological 99999 s
-    // renders 5 chars — assert both regimes so the budget holds for any
-    // runtime
+    // worst-case per-median width under msSlim(): 99.94 renders "100"
+    // and a pathological 99999 s clamps to "999" — 3 structural chars
+    // in both regimes, so the budget holds for any runtime
     val medians = names.zipWithIndex.map { case (n, i) =>
       n -> (if (i % 2 == 0) 99.94 else 99999.0)
     }

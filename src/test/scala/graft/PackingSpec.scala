@@ -139,4 +139,30 @@ class PackingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(keptTies == Set(1L, 2L), s"lowest tie ids win: $keptTies")
   }
+
+  test("groupedRunningMax: bit-identical to the exclusive window max, any bucket count") {
+    // skewed groups, duplicate leading keys, descending secondary via
+    // negation — the q171 skyline shape
+    val df = ((1L to 400L).map(i => ("a", i % 37, -(i % 11), i, i % 11)) ++
+      (1L to 40L).map(i => ("b", i % 5, -(i % 3), i + 1000, i % 3)) ++
+      Seq(("c", 0L, 0L, 9999L, 7L))).toDF("g", "nc", "neg", "id", "v")
+    val w = Window.partitionBy(col("g")).orderBy(col("nc"), col("neg"), col("id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val expected = df.withColumn("bp", max(col("v")).over(w))
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("bp"))).toMap
+    for (buckets <- Seq(1, 7, 64)) {
+      val got = Packing.groupedRunningMax(df, "g", Seq("nc", "neg", "id"), "v", "bp", buckets)
+        .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("bp"))).toMap
+      assert(got == expected, s"mismatch at buckets=$buckets")
+    }
+    // first row of each group carries null, like the window form
+    val firsts = Packing.groupedRunningMax(df, "g", Seq("nc", "neg", "id"), "v", "bp", 16)
+      .filter(col("bp").isNull).count()
+    assert(firsts == 3L)
+    // layout-invariant
+    val scrambled = Packing
+      .groupedRunningMax(df.repartition(17), "g", Seq("nc", "neg", "id"), "v", "bp", 16)
+      .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("bp"))).toMap
+    assert(scrambled == expected)
+  }
 }

@@ -111,4 +111,31 @@ class SamplingSpec extends SparkSpec {
       col("k"), col("w")).collect().map(_.getLong(0)).toSet
     assert(perRow.forall(_ > 2000) && perRow.size >= 1990)
   }
+
+  test("groupedShuffleRank: per-group 1..n md5 rank, window-equivalent, null-group safe") {
+    import spark.implicits._
+    // uneven strata, including a null group value
+    val rows = (1L to 800L).map(i => (if (i % 5 == 0) null else s"s${i % 3}", i))
+    val df = rows.toDF("g", "k")
+    val got = Sampling.groupedShuffleRank(df, Seq("g"), col("k"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    // reference: sort each group by md5(k)+k, rank = position
+    val expected = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.map(_._2)
+        .sortBy(k => org.apache.commons.codec.digest.DigestUtils.md5Hex(k.toString) + k.toString)
+        .zipWithIndex.map { case (k, i) => (Option(g), k) -> (i + 1L) }
+    }.toMap
+    assert(got == expected)
+    // contiguous per group (null group included, not dropped)
+    val perGroup = got.groupBy(_._1._1).view.mapValues(_.values.toSeq.sorted).toMap
+    perGroup.foreach { case (g, ranks) =>
+      assert(ranks == (1L to ranks.size).toSeq, s"gaps in group $g")
+    }
+    // layout-invariant
+    val scrambled = Sampling.groupedShuffleRank(df.repartition(13), Seq("g"), col("k"))
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1)) -> r.getAs[Long]("shuffle_rank"))
+      .toMap
+    assert(scrambled == expected)
+  }
 }
