@@ -1433,6 +1433,79 @@ object TextQueries {
           col("alpha_ppm") > col("best_prev"))
         .select(col("source"), col("doc_id"), col("n_chars"),
           col("alpha_ppm"))
+    }),
+
+    // ADAPTIVE quality gate: keep docs strictly above their source's
+    // median quality — the per-domain thresholding every curation recipe
+    // uses instead of one global cutoff (a clean source and a noisy one
+    // need different bars). The median is the distributed exact
+    // selection (type-1, a value that EXISTS, so the > comparison
+    // replays bit-for-bit on the q22 quality doubles); medians broadcast
+    // back (rows = sources), one counting pass. Reports the gate's
+    // effect per source: docs kept and char mass retained.
+    "q172_quality_gate" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          TextOps.qualityScore(col("text")).as("quality"))
+      val med = graft.operators.TimeSeriesOps
+        .exactQuantiles(d, "source", "quality", "doc_id", Seq(0.5),
+          materializeInput = false)
+        .select(col("source"), col("value").as("median_q"))
+      d.join(broadcast(med), Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          max(col("median_q")).as("median_q"),
+          sum(when(col("quality") > col("median_q"), 1L).otherwise(0L))
+            .as("n_kept"),
+          sum(when(col("quality") > col("median_q"), col("n_chars"))
+            .otherwise(lit(0L))).as("kept_chars"))
+    }),
+
+    // Rank-Biased Overlap (Webber et al., TOIS'10), truncated at depth
+    // 10 with p = ½: how much the BM25 ranking and the raw
+    // term-frequency ranking agree for the same query — the
+    // ranking-agreement audit behind any scorer swap. Both top-10 lists
+    // come from the bounded heap (no global sort); everything after is
+    // O(depth²) on ONE row: per-depth prefix overlaps via array
+    // intersection, and the weighted cumulation in EXACT integers —
+    // with p = ½ the weight (1−p)p^(d−1)/d = 1/(d·2^d) divides
+    // L = lcm(1..10)·2¹⁰ = 2 580 480, so cum·(1/L) needs only a final
+    // single IEEE division for the float RBO. The 1-row × 1-row
+    // crossJoin is whitelisted by design.
+    "q173_rbo" -> ((s, dir) => {
+      val f = table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          bmTerms.map(t => size(filter(col("toks"), x => x === lit(t))))
+            .reduce(_ + _).as("tf_sum"))
+      val aTop = bm25Scores(s, dir)
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("score"), col("doc_id"), 10).as("al"))
+        .select(expr("transform(al, x -> x.id)").as("a"))
+      val bTop = f
+        .agg(graft.functions.GraftFunctions
+          .top_k_by_score(col("tf_sum").cast("double"), col("doc_id"), 10)
+          .as("bl"))
+        .select(expr("transform(bl, x -> x.id)").as("b"))
+      aTop.crossJoin(broadcast(bTop))
+        .withColumn("po", expr(
+          """transform(sequence(1, 10), d -> named_struct(
+            |  'd', d,
+            |  'ov', size(array_intersect(slice(a, 1, d), slice(b, 1, d)))))"""
+            .stripMargin))
+        .withColumn("rows", expr(
+          """aggregate(po,
+            |  struct(cast(0 as bigint) as cum,
+            |         cast(array() as array<struct<d:int,ov:int,cum:bigint>>) as out),
+            |  (s, x) -> named_struct(
+            |    'cum', s.cum + x.ov * (2580480 div (x.d * shiftleft(1, x.d))),
+            |    'out', array_append(s.out, named_struct('d', x.d, 'ov', x.ov,
+            |      'cum', s.cum + x.ov * (2580480 div (x.d * shiftleft(1, x.d)))))),
+            |  s -> s.out)""".stripMargin))
+        .select(explode(col("rows")).as("r"))
+        .select(col("r.d").as("depth"), col("r.ov").as("overlap"),
+          col("r.cum").as("cum_scaled"),
+          (col("r.cum").cast("double") / lit(2580480.0)).as("rbo_trunc"))
     })
   )
 
@@ -2529,7 +2602,58 @@ object TextQueries {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_prev
         |  FROM d)
         |SELECT source, doc_id, n_chars, alpha_ppm FROM w
-        |WHERE best_prev IS NULL OR alpha_ppm > best_prev""".stripMargin
+        |WHERE best_prev IS NULL OR alpha_ppm > best_prev""".stripMargin,
+
+    // The q22 quality formula + the q107 selection rule (rn = ceil(q·n)
+    // over (quality, doc_id)) + the same strict > gate.
+    "q172_quality_gate" -> {
+      s"""WITH qd AS (
+         |${qualityColSql("source, n_chars")}),
+         |r AS (
+         |  SELECT source, doc_id, quality, n_chars,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY quality, doc_id) AS rn,
+         |    COUNT(1) OVER (PARTITION BY source) AS n
+         |  FROM qd),
+         |m AS (SELECT source, quality AS median_q FROM r
+         |      WHERE rn = CAST(ceil(0.5 * n) AS BIGINT))
+         |SELECT qd.source, COUNT(1) AS n_docs, MAX(m.median_q) AS median_q,
+         |  CAST(SUM(CASE WHEN qd.quality > m.median_q THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_kept,
+         |  CAST(SUM(CASE WHEN qd.quality > m.median_q THEN qd.n_chars
+         |    ELSE 0 END) AS BIGINT) AS kept_chars
+         |FROM qd JOIN m ON qd.source = m.source
+         |GROUP BY qd.source""".stripMargin
+    },
+
+    // The bm25 CTE chain supplies both rankings (sc scores, f raw tfs);
+    // ROW_NUMBER mirrors the heap's (score DESC, id) order; prefix
+    // overlaps and the same L = 2 580 480 integer weight cumulation.
+    "q173_rbo" -> {
+      s"""WITH $bm25OracleCtes,
+         |a AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC,
+         |        doc_id) AS rn FROM sc),
+         |b AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY
+         |        (tf_spark + tf_join + tf_window) DESC, doc_id) AS rn
+         |      FROM f),
+         |dd AS (SELECT unnest(generate_series(1, 10)) AS depth),
+         |ov AS (
+         |  SELECT depth,
+         |    (SELECT COUNT(1) FROM a JOIN b ON a.doc_id = b.doc_id
+         |     WHERE a.rn <= depth AND b.rn <= depth) AS overlap
+         |  FROM dd),
+         |c AS (
+         |  SELECT depth, overlap,
+         |    SUM(overlap * (2580480 // (depth * (1 << depth))))
+         |      OVER (ORDER BY depth
+         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |      AS cum
+         |  FROM ov)
+         |SELECT CAST(depth AS INT) AS depth, CAST(overlap AS INT) AS overlap,
+         |  CAST(cum AS BIGINT) AS cum_scaled,
+         |  CAST(cum AS DOUBLE) / 2580480.0 AS rbo_trunc
+         |FROM c""".stripMargin
+    }
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the

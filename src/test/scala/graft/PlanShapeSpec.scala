@@ -35,7 +35,10 @@ class PlanShapeSpec extends SparkSpec {
       // q164: five rounds of a 20-row candidate scan against the 1-row
       // broadcast selected-set array (bm25's stats scalar included)
       // q165: q119's 1-row n_min scalar against the language counts
-      "q164_mmr_rerank", "q165_temperature_sweep")
+      "q164_mmr_rerank", "q165_temperature_sweep",
+      // q173: the two 1-row top-10 list scalars joined for the prefix-
+      // overlap fold (bm25's stats scalar included)
+      "q173_rbo")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
