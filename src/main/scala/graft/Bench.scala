@@ -65,7 +65,9 @@ object Bench {
     val qsSlim = medians.map { case (k, t) =>
       "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + msSlim(t)
     }.mkString("{", ",", "}")
-    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","queries":$qsSlim,"ann_build":${msSlim(annBuildSec)},"errors":$errJson,"stream":$streamJson,"sf":"$sfDir"}"""
+    // sf renders as the basename ("sf0.1") — the full path spent 16
+    // line-budget chars on a constant prefix
+    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","queries":$qsSlim,"ann_build":${msSlim(annBuildSec)},"errors":$errJson,"stream":$streamJson,"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 
   def main(args: Array[String]): Unit = {

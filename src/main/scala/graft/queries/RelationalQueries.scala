@@ -951,6 +951,42 @@ object RelationalQueries {
       d.join(tot, "l_returnflag")
         .select(col("l_returnflag"), col("digit"), col("cnt"),
           expr("(cnt * 1000000) div total").as("share_ppm"))
+    }),
+
+    // Single-source BFS levels (bounded): hop distance from the
+    // least-id user over the bipartite user↔event-type interaction
+    // graph — the shortest-path member of the graph battery (components
+    // q73/q74 give reachability, PageRank q99 gives mass, triangles
+    // q132 give closure; none give DISTANCE). Four unrolled frontier
+    // rounds, each ONE equi-join (frontier × edges) + distinct + an
+    // anti-join against the visited set — the textbook distributed BFS,
+    // each round checkpointed so the plan stays linear in rounds. A
+    // node's level is its FIRST reach = min hop by construction, which
+    // is what the WITH RECURSIVE oracle computes. Strings + int levels →
+    // hash-exact.
+    "q175_bfs_levels" -> ((s, dir) => {
+      val ev = table(s, dir, "events")
+      val edges = ev.select(
+          concat(lit("u:"), col("user_id").cast("string")).as("a"),
+          concat(lit("t:"), col("event_type")).as("b"))
+        .distinct().localCheckpoint(true)
+      val bi = edges.unionAll(edges.select(col("b").as("a"), col("a").as("b")))
+      val seed = ev.agg(min(col("user_id")).as("m"))
+        .select(concat(lit("u:"), col("m").cast("string")).as("node"),
+          lit(0).as("level"))
+      var levels = seed.localCheckpoint(true)
+      var frontier = levels.select(col("node"))
+      for (l <- 1 to 4) {
+        val next = bi
+          .join(frontier.withColumnRenamed("node", "a"), Seq("a"))
+          .select(col("b").as("node")).distinct()
+          .join(levels, Seq("node"), "left_anti")
+          .withColumn("level", lit(l))
+          .localCheckpoint(true)
+        levels = levels.unionByName(next).localCheckpoint(true)
+        frontier = next.select(col("node"))
+      }
+      levels
     })
   )
 
@@ -1743,6 +1779,23 @@ object RelationalQueries {
         |t AS (SELECT l_returnflag, SUM(cnt) AS total FROM d GROUP BY 1)
         |SELECT d.l_returnflag, d.digit, CAST(d.cnt AS BIGINT) AS cnt,
         |  (d.cnt * 1000000) // t.total AS share_ppm
-        |FROM d JOIN t USING (l_returnflag)""".stripMargin
+        |FROM d JOIN t USING (l_returnflag)""".stripMargin,
+
+    // The recursive min-level closure over the same bipartite edges,
+    // bounded at 4 hops; BFS first-reach = MIN(lvl).
+    "q175_bfs_levels" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT DISTINCT 'u:' || CAST(user_id AS VARCHAR) AS a,
+        |         't:' || event_type AS b FROM events),
+        |bi AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        |seed AS (
+        |  SELECT 'u:' || CAST(MIN(user_id) AS VARCHAR) AS n FROM events),
+        |walk(n, lvl) AS (
+        |  SELECT n, 0 FROM seed
+        |  UNION
+        |  SELECT bi.b, w.lvl + 1 FROM walk w
+        |  JOIN bi ON bi.a = w.n WHERE w.lvl < 4)
+        |SELECT n AS node, CAST(MIN(lvl) AS INT) AS level
+        |FROM walk GROUP BY n""".stripMargin
   )
 }

@@ -1506,6 +1506,31 @@ object TextQueries {
         .select(col("r.d").as("depth"), col("r.ov").as("overlap"),
           col("r.cum").as("cum_scaled"),
           (col("r.cum").cast("double") / lit(2580480.0)).as("rbo_trunc"))
+    }),
+
+    // Per-source quality ECDF (quantile normalization): each doc's
+    // quality mapped to its within-source rank share in ppm — the
+    // calibration that makes scores COMPARABLE across heterogeneous
+    // sources before any global cutoff (q172 gates at one quantile;
+    // this emits the whole transform). The rank is Packing.groupedCumSum
+    // OF ONES — a per-group ROW_NUMBER through the salted two-phase
+    // plan, no per-source window. Bucketing rides a long projection of
+    // quality (cast(q·10¹², long): monotone, ties refined by the true
+    // double then doc_id, so the order is exactly (quality, doc_id));
+    // the ppm share is an integer floor — hash-exact with the q22
+    // quality doubles.
+    "q174_quality_ecdf" -> ((s, dir) => {
+      val d = table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality"))
+        .withColumn("qs", (col("quality") * lit(1.0e12)).cast("long"))
+        .withColumn("one", lit(1L))
+      val ranked = graft.operators.Packing.groupedCumSum(
+        d, "source", Seq("qs", "quality", "doc_id"), "one", "rnk")
+      val n = d.groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+      ranked.join(broadcast(n), Seq("source"))
+        .select(col("source"), col("doc_id"), col("quality"), col("rnk"),
+          expr("(rnk * 1000000) div n_docs").as("ecdf_ppm"))
     })
   )
 
@@ -2653,6 +2678,23 @@ object TextQueries {
          |  CAST(cum AS BIGINT) AS cum_scaled,
          |  CAST(cum AS DOUBLE) / 2580480.0 AS rbo_trunc
          |FROM c""".stripMargin
+    },
+
+    // ROW_NUMBER over (quality, doc_id) mirrors the cumsum-of-ones rank
+    // (the long projection only buckets; ties resolve on the true
+    // double then doc_id); same integer ppm floor.
+    "q174_quality_ecdf" -> {
+      s"""WITH qd AS (
+         |${qualityColSql("source")}),
+         |r AS (
+         |  SELECT source, doc_id, quality,
+         |    ROW_NUMBER() OVER (PARTITION BY source
+         |                       ORDER BY quality, doc_id) AS rnk,
+         |    COUNT(1) OVER (PARTITION BY source) AS n
+         |  FROM qd)
+         |SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk,
+         |  (rnk * 1000000) // n AS ecdf_ppm
+         |FROM r""".stripMargin
     }
   ) ++ scalarOracles
 

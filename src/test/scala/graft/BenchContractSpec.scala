@@ -26,8 +26,8 @@ class BenchContractSpec extends AnyFunSuite {
         """"krt":{"r":1000000,"s":999,"rps":999999}}"""
     val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1",
       annBuildSec = 9999.99)
-    assert(line.length <= 1900,
-      s"metric line ${line.length} chars leaves <100 headroom under the 2000-char driver tail " +
+    assert(line.length <= 1950,
+      s"metric line ${line.length} chars leaves <50 headroom under the 2000-char driver tail " +
         "— shorten query names or drop per-query detail from the slim line")
   }
 
