@@ -987,6 +987,45 @@ object RelationalQueries {
         frontier = next.select(col("node"))
       }
       levels
+    }),
+
+    // LINEAR multi-touch attribution: every touch in the 30 minutes
+    // before a purchase shares the credit equally (1/n in ppm) — the
+    // fair-share complement of q163's winner-takes-all last-touch.
+    // The purchase↔touch pairing is the bucketed-replication
+    // Joins.rangeJoin (shuffle ∝ rows × window/bucket, never a theta
+    // join); per-purchase touch counts and per-type credit are two
+    // map-side-combined aggregates; credit stays an integer floor
+    // (1000000 div n), so the shares sum exactly. Untouched purchases
+    // surface as the 'none' row via an anti-join — attribution reports
+    // must conserve total purchase mass.
+    "q176_linear_attribution" -> ((s, dir) => {
+      val e = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"))
+      val touches = e.filter(col("event_type") =!= "purchase")
+        .select(col("user_id"), col("event_type").as("touch_type"),
+          col("t_us").as("tt"))
+      val purch = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("p_id"),
+          col("t_us").as("pt"))
+      val pairs = graft.operators.Joins.rangeJoin(
+        purch, touches, Seq("user_id"), "pt", "tt",
+        -1800000000L, -1L).localCheckpoint(true)
+      val n = pairs.groupBy(col("p_id")).agg(count(lit(1)).as("nt"))
+      val credited = pairs.join(n, Seq("p_id"))
+        .select(col("touch_type"), col("p_id"),
+          expr("1000000 div nt").as("credit"))
+        .groupBy(col("touch_type"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("p_id")).as("n_purchases"),
+          sum(col("credit")).as("credit_ppm_sum"))
+      val none = purch
+        .join(pairs.select(col("p_id")).distinct(), Seq("p_id"), "left_anti")
+        .agg(count(lit(1)).as("c"))
+        .select(lit("none").as("touch_type"), lit(0L).as("n_pairs"),
+          col("c").as("n_purchases"), (col("c") * 1000000L).as("credit_ppm_sum"))
+      credited.unionByName(none)
     })
   )
 
@@ -1796,6 +1835,31 @@ object RelationalQueries {
         |  SELECT bi.b, w.lvl + 1 FROM walk w
         |  JOIN bi ON bi.a = w.n WHERE w.lvl < 4)
         |SELECT n AS node, CAST(MIN(lvl) AS INT) AS level
-        |FROM walk GROUP BY n""".stripMargin
+        |FROM walk GROUP BY n""".stripMargin,
+
+    // Same inclusive [pt−30min, pt−1] pairing, integer floor credit.
+    "q176_linear_attribution" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS t_us FROM events),
+        |t AS (SELECT user_id, event_type AS touch_type, t_us AS tt
+        |      FROM e WHERE event_type <> 'purchase'),
+        |p AS (SELECT user_id, event_id AS p_id, t_us AS pt
+        |      FROM e WHERE event_type = 'purchase'),
+        |pr AS (
+        |  SELECT p.p_id, t.touch_type FROM p JOIN t
+        |  ON p.user_id = t.user_id
+        |  AND t.tt BETWEEN p.pt - 1800000000 AND p.pt - 1),
+        |n AS (SELECT p_id, COUNT(1) AS nt FROM pr GROUP BY p_id),
+        |c AS (SELECT pr.touch_type, pr.p_id, 1000000 // n.nt AS credit
+        |      FROM pr JOIN n USING (p_id))
+        |SELECT touch_type, COUNT(1) AS n_pairs,
+        |  COUNT(DISTINCT p_id) AS n_purchases,
+        |  CAST(SUM(credit) AS BIGINT) AS credit_ppm_sum
+        |FROM c GROUP BY touch_type
+        |UNION ALL
+        |SELECT 'none', CAST(0 AS BIGINT), COUNT(1),
+        |  CAST(COUNT(1) * 1000000 AS BIGINT)
+        |FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)""".stripMargin
   )
 }
