@@ -1026,6 +1026,44 @@ object RelationalQueries {
         .select(lit("none").as("touch_type"), lit(0L).as("n_pairs"),
           col("c").as("n_purchases"), (col("c") * 1000000L).as("credit_ppm_sum"))
       credited.unionByName(none)
+    }),
+
+    // Behavioral PATH mining: the top-20 most common session journeys
+    // ("view>view>click>purchase") — the sequence-level view q133's
+    // pairwise transition matrix cannot give. Sessions come from q101's
+    // gap rule; each session's path is its first ≤ 20 events (capped
+    // BEFORE collecting, so per-session aggregate state is bounded) in
+    // the total (t_us, event_id) order — collect_list is unordered by
+    // contract, so the order is re-established by sort_array over
+    // (rank, type) structs, never relied on. Top-20 via
+    // orderBy(count DESC, path).limit — TakeOrderedAndProject's
+    // distributed heaps (the q149 discipline), not a global sort.
+    "q177_session_paths" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val sess = graft.util.SparkUtil.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("ts_ns div 1000").as("t_us"))
+        .withColumn("new_s",
+          when(col("t_us") - lag(col("t_us"), 1).over(w) > 3600000000L, 1L)
+            .otherwise(lit(0L)))
+        .withColumn("session_idx", sum(col("new_s")).over(w))
+      val wS = Window.partitionBy(col("user_id"), col("session_idx"))
+        .orderBy(col("t_us"), col("event_id"))
+      sess
+        .withColumn("rk", row_number().over(wS))
+        .filter(col("rk") <= 20)
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(sort_array(collect_list(struct(col("rk"), col("event_type"))))
+          .as("evs"))
+        .select(col("user_id"),
+          expr("array_join(transform(evs, x -> x.event_type), '>')")
+            .as("path"))
+        .groupBy(col("path"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
     })
   )
 
@@ -1860,6 +1898,33 @@ object RelationalQueries {
         |UNION ALL
         |SELECT 'none', CAST(0 AS BIGINT), COUNT(1),
         |  CAST(COUNT(1) * 1000000 AS BIGINT)
-        |FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)""".stripMargin
+        |FROM p WHERE p_id NOT IN (SELECT p_id FROM pr)""".stripMargin,
+
+    // Same q101 gap sessions; string_agg carries an explicit ORDER BY,
+    // mirroring the sort_array re-established order; same top-20 rule.
+    "q177_session_paths" ->
+      """WITH e AS (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_ns(ts) // 1000 AS t_us FROM events),
+        |s AS (
+        |  SELECT *, CASE WHEN t_us - lag(t_us) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id) > 3600000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM e),
+        |x AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id) AS session_idx FROM s),
+        |r AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, session_idx
+        |    ORDER BY t_us, event_id) AS rk FROM x),
+        |paths AS (
+        |  SELECT user_id, session_idx,
+        |    string_agg(event_type, '>' ORDER BY rk) AS path
+        |  FROM r WHERE rk <= 20 GROUP BY user_id, session_idx),
+        |agg AS (
+        |  SELECT path, COUNT(1) AS n_sessions,
+        |    COUNT(DISTINCT user_id) AS n_users
+        |  FROM paths GROUP BY path)
+        |SELECT path, n_sessions, n_users FROM agg
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
   )
 }
