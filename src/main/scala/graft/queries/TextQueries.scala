@@ -1531,6 +1531,31 @@ object TextQueries {
       ranked.join(broadcast(n), Seq("source"))
         .select(col("source"), col("doc_id"), col("quality"), col("rnk"),
           expr("(rnk * 1000000) div n_docs").as("ecdf_ppm"))
+    }),
+
+    // MAP-typed column surface: per doc, a term→tf map built with
+    // map_from_arrays, pruned with map_filter, rewritten with
+    // transform_values (tf²), folded with aggregate over map_values,
+    // and exploded back to rows — the MAP half of the collection-
+    // function battery (q90 covers arrays). Integer outputs; the oracle
+    // computes the same semantics relationally, so parity is on VALUES
+    // (DuckDB's MAP internals differ by design). Per-row codegen'd
+    // expressions, shuffle-free scan.
+    "q178_map_funcs" -> ((s, dir) => {
+      val terms = Seq("spark", "join", "window", "data", "stream")
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.tokens(lower(col("text"))).as("toks"))
+        .withColumn("m", map_from_arrays(
+          array(terms.map(lit): _*),
+          array(terms.map(t =>
+            size(filter(col("toks"), x => x === lit(t)))): _*)))
+        .withColumn("m2", expr("map_filter(m, (k, v) -> v > 0)"))
+        .withColumn("m3", expr("transform_values(m2, (k, v) -> v * v)"))
+        .withColumn("doc_total",
+          expr("aggregate(map_values(m3), 0, (a, x) -> a + x)"))
+        .filter(size(col("m3")) > 0)
+        .select(col("doc_id"), col("doc_total"),
+          explode(col("m3")).as(Seq("token", "tf_sq")))
     })
   )
 
@@ -2695,7 +2720,26 @@ object TextQueries {
          |SELECT source, doc_id, quality, CAST(rnk AS BIGINT) AS rnk,
          |  (rnk * 1000000) // n AS ecdf_ppm
          |FROM r""".stripMargin
-    }
+    },
+
+    // The same term-tf semantics relationally (DuckDB MAP internals
+    // differ by design; parity is on the exploded values).
+    "q178_map_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, term.t AS token,
+        |         len(list_filter(toks, x -> x = term.t)) AS c
+        |  FROM t CROSS JOIN (SELECT unnest(
+        |    ['spark', 'join', 'window', 'data', 'stream']) AS t) term),
+        |p AS (SELECT doc_id, token, c * c AS tf_sq FROM f WHERE c > 0),
+        |tot AS (SELECT doc_id, SUM(tf_sq) AS doc_total FROM p GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(tot.doc_total AS INT) AS doc_total, p.token,
+        |  CAST(p.tf_sq AS INT) AS tf_sq
+        |FROM p JOIN tot USING (doc_id)""".stripMargin
   ) ++ scalarOracles
 
   /** doc_id, lang, quality — TextOps.qualityScore mirrored exactly (the
