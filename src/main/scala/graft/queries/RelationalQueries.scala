@@ -1064,6 +1064,52 @@ object RelationalQueries {
           countDistinct(col("user_id")).as("n_users"))
         .orderBy(col("n_sessions").desc, col("path"))
         .limit(20)
+    }),
+
+    // GAINS/LIFT table: users ranked by activity, cut into equi-depth
+    // octiles by the distributed exact selection's fences (q159's
+    // v < fence rule, so ties replay), and each octile's share of all
+    // purchases cumulated BEST-FIRST — "the top eighth of users
+    // captures X % of conversions", the targeting-efficiency curve
+    // behind every scoring model. Cumulation folds the ≤ 8 octile rows
+    // in ONE aggregate (no window); shares are integer ppm floors over
+    // exact counts. The 1-row fence-array crossJoin is whitelisted by
+    // design.
+    "q179_octile_lift" -> ((s, dir) => {
+      val u = table(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purch"))
+        .withColumn("g", lit("all"))
+      val fences = graft.operators.TimeSeriesOps
+        .exactQuantiles(u, "g", "n_events", "user_id",
+          Seq(0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875),
+          materializeInput = false)
+        .agg(sort_array(collect_list(col("value"))).as("f"))
+      u.crossJoin(broadcast(fences))
+        .select(col("n_purch"),
+          size(filter(col("f"), v => v < col("n_events").cast("double")))
+            .as("octile"))
+        .groupBy(col("octile"))
+        .agg(count(lit(1)).as("n_users"), sum(col("n_purch")).as("n_purchases"))
+        .agg(sort_array(collect_list(struct((-col("octile")).as("no"),
+            col("octile"), col("n_users"), col("n_purchases")))).as("arr"),
+          sum(col("n_purchases")).as("total_p"))
+        .select(col("total_p"), explode(expr(
+          """aggregate(arr,
+            |  struct(cast(0 as bigint) as cum,
+            |    cast(array() as array<struct<octile:int,n_users:bigint,
+            |      n_purchases:bigint,cum:bigint>>) as out),
+            |  (s, x) -> named_struct('cum', s.cum + x.n_purchases,
+            |    'out', array_append(s.out, named_struct('octile', x.octile,
+            |      'n_users', x.n_users, 'n_purchases', x.n_purchases,
+            |      'cum', s.cum + x.n_purchases))),
+            |  s -> s.out)""".stripMargin)).as("r"))
+        .select(col("r.octile").as("octile"), col("r.n_users").as("n_users"),
+          col("r.n_purchases").as("n_purchases"),
+          col("r.cum").as("cum_purchases"),
+          expr("(r.cum * 1000000) div total_p").as("cum_share_ppm"))
     })
   )
 
@@ -1925,6 +1971,46 @@ object RelationalQueries {
         |    COUNT(DISTINCT user_id) AS n_users
         |  FROM paths GROUP BY path)
         |SELECT path, n_sessions, n_users FROM agg
-        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+        |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin,
+
+    // Same ceil(q·n) fences over (score, user_id), same v < fence
+    // bucket rule, best-first cumulation, integer ppm floor.
+    "q179_octile_lift" ->
+      """WITH u AS (
+        |  SELECT user_id, COUNT(1) AS n_events,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS n_purch
+        |  FROM events GROUP BY user_id),
+        |r AS (
+        |  SELECT CAST(n_events AS DOUBLE) AS v, user_id,
+        |    row_number() OVER (ORDER BY CAST(n_events AS DOUBLE), user_id)
+        |      AS rn,
+        |    COUNT(1) OVER () AS n
+        |  FROM u),
+        |qs AS (SELECT unnest([0.125, 0.25, 0.375, 0.5,
+        |                      0.625, 0.75, 0.875]::DOUBLE[]) AS q),
+        |fr AS (SELECT v FROM r JOIN qs ON rn = CAST(ceil(q * n) AS BIGINT)),
+        |fl AS (SELECT list_sort(list(v)) AS f FROM fr),
+        |b AS (
+        |  SELECT u.n_purch,
+        |    len(list_filter(fl.f, x -> x < CAST(u.n_events AS DOUBLE)))
+        |      AS octile
+        |  FROM u CROSS JOIN fl),
+        |per AS (SELECT octile, COUNT(1) AS n_users,
+        |          SUM(n_purch) AS n_purchases
+        |        FROM b GROUP BY octile),
+        |t AS (SELECT SUM(n_purchases) AS total_p FROM per),
+        |c AS (
+        |  SELECT octile, n_users, n_purchases,
+        |    SUM(n_purchases) OVER (ORDER BY octile DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM per)
+        |SELECT CAST(octile AS INT) AS octile,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_purchases AS BIGINT) AS n_purchases,
+        |  CAST(cum AS BIGINT) AS cum_purchases,
+        |  CAST((cum * 1000000) // (SELECT total_p FROM t) AS BIGINT)
+        |    AS cum_share_ppm
+        |FROM c""".stripMargin
   )
 }

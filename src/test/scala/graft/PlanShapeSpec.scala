@@ -38,7 +38,9 @@ class PlanShapeSpec extends SparkSpec {
       "q164_mmr_rerank", "q165_temperature_sweep",
       // q173: the two 1-row top-10 list scalars joined for the prefix-
       // overlap fold (bm25's stats scalar included)
-      "q173_rbo")
+      "q173_rbo",
+      // q179: the 1-row octile fence-array scalar against the user table
+      "q179_octile_lift")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>
