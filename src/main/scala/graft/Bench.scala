@@ -298,8 +298,16 @@ object Bench {
     // spread maps) goes to stdout and the shutdown hook. The driver parses
     // a 2,000-char tail of process output — round 2's full line was 3,133
     // chars and truncated to unparseable; the slim line measures ~1,500.
+    // run_id: one unambiguous label per bench invocation (epoch-seconds +
+    // an optional SPARK_GRAFT_RUN_LABEL), so round-over-round comparisons
+    // never have to reconcile a driver-run index against a builder-run
+    // index again (VERDICT r8 item 7). Full JSON only — the slim driver
+    // line is byte-budgeted.
+    val runId = sys.env.get("SPARK_GRAFT_RUN_LABEL")
+      .map(l => s"$l-${System.currentTimeMillis / 1000}")
+      .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir,
       annBuildSec)

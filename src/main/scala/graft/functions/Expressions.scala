@@ -373,6 +373,58 @@ object HashKernels {
     else dot / (math.sqrt(rn) * math.sqrt(qn))
   }
 
+  /** Per-subspace PQ reconstruction SSE in ONE compiled pass: encode each
+    * subspace (cosine argmax over the k centroids, FIRST max wins — the
+    * exact `array_position(scores, array_max(scores))` chain nearestCell
+    * composes, with [[cosineFF]]'s 0.0 zero-norm guard), then fold the
+    * squared error (x−y)·(x−y) in index order from 0.0 — the exact
+    * zip_with/aggregate chain the q155 oracle replays. Exists because the
+    * composed-expression form re-inlined the whole 16-subspace encode
+    * tree into every subspace reference after projection collapse
+    * (≈8,000 kernel calls per row, 25 s at 2,000 rows); this is 16·16·4
+    * fused flops per row. `cents` layout: [(s·k + code)·sub + j]. */
+  def pqSse(vec: ArrayData, cents: Array[Float], m: Int, k: Int, sub: Int): ArrayData = {
+    val out = new Array[Double](m)
+    var s = 0
+    while (s < m) {
+      val off = s * sub
+      var best = Double.NegativeInfinity
+      var bi = 0
+      var c = 0
+      while (c < k) {
+        val base = (s * k + c) * sub
+        var dot = 0.0
+        var na = 0.0
+        var nb = 0.0
+        var j = 0
+        while (j < sub) {
+          val x = vec.getFloat(off + j).toDouble
+          val y = cents(base + j).toDouble
+          dot += x * y
+          na += x * x
+          nb += y * y
+          j += 1
+        }
+        val score =
+          if (na == 0.0 || nb == 0.0) 0.0
+          else dot / (math.sqrt(na) * math.sqrt(nb))
+        if (score > best) { best = score; bi = c }
+        c += 1
+      }
+      val base = (s * k + bi) * sub
+      var acc = 0.0
+      var j = 0
+      while (j < sub) {
+        val d = vec.getFloat(off + j).toDouble - cents(base + j).toDouble
+        acc += d * d
+        j += 1
+      }
+      out(s) = acc
+      s += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** Morton (z-order) interleave of the low `bitsPer` bits of two
     * bucketed coordinates: bit i of `a` lands at position 2i, of `b` at
     * 2i+1. Sorting by the result gives multi-dimensional locality — rows
@@ -710,6 +762,23 @@ case class PqScore(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Per-subspace PQ reconstruction SSE of an array<float> vector against a
+  * baked-in flat codebook → array<double> (m entries). See
+  * [[HashKernels.pqSse]] for the pinned op chain. */
+case class PqSse(child: Expression, cents: Array[Float], m: Int, k: Int, sub: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_sse"
+  override protected def nullSafeEval(input: Any): Any =
+    HashKernels.pqSse(input.asInstanceOf[ArrayData], cents, m, k, sub)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("pqCents", cents, "float[]")
+    defineCodeGen(ctx, ev, c => s"graft.functions.HashKernels.pqSse($c, $ref, $m, $k, $sub)")
+  }
+  override protected def withNewChildInternal(newChild: Expression): PqSse =
+    copy(child = newChild)
+}
+
 /** Z-order (Morton) key of two bucketed long coordinates → long. */
 case class ZOrderKey(left: Expression, right: Expression, bitsPer: Int)
     extends BinaryExpression {
@@ -768,6 +837,9 @@ object GraftFunctions {
     org.apache.spark.sql.graft.Bridge.column(
       PqScore(org.apache.spark.sql.graft.Bridge.expression(codes),
         org.apache.spark.sql.graft.Bridge.expression(qv), cents, k, sub))
+  def pq_sse(vec: Column, cents: Array[Float], m: Int, k: Int, sub: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      PqSse(org.apache.spark.sql.graft.Bridge.expression(vec), cents, m, k, sub))
   def cosine_int8(a: Column, b: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       CosineInt8(org.apache.spark.sql.graft.Bridge.expression(a), org.apache.spark.sql.graft.Bridge.expression(b)))

@@ -219,6 +219,110 @@ object Multimodal {
     Some(out)
   }
 
+  /** REAL 16-bit PCM WAV sample decode + feature extraction, pure JVM:
+    * walks the RIFF chunk list (id + LE32 size, word-aligned skips) to
+    * the `fmt ` and `data` chunks, decodes the little-endian signed
+    * 16-bit samples, and reduces them to 12 audio statistics. Returns
+    * None — caller falls back to the simulated decoder — for anything
+    * that is not uncompressed 16-bit integer PCM (wrong magic, missing
+    * chunks, compressed format tag, other bit depths): a decoder must
+    * refuse bytes it cannot decode, not hallucinate features.
+    *
+    * Feature layout (first 12 lanes; rest zero):
+    *   0  mean sample
+    *   1  population std
+    *   2  min sample
+    *   3  max sample
+    *   4  RMS
+    *   5  zero-crossing fraction (sign changes / (n-1); 0 when n < 2)
+    *   6  mean |first difference| (0 when n < 2)
+    *   7  fraction of samples with |s| > 16384 (half full-scale)
+    *   8  duration seconds (frames / sample rate)
+    *   9  sample rate
+    *   10 channels
+    *   11 total samples decoded */
+  private[graft] def wavPcmFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
+    if (dim < 16 || payload.length < 44) return None
+    def tag(o: Int, s: String): Boolean =
+      s.indices.forall(i => payload(o + i) == s(i).toByte)
+    if (!tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
+      ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
+    def le16(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8)
+    // RIFF chunk walk (same traversal MediaKernels' header parser pins):
+    // negative/overflowing sizes terminate as undecodable, never loop
+    var off = 12
+    var fmtOff = -1
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= payload.length && (fmtOff < 0 || dataOff < 0)) {
+      val sz = le32(off + 4)
+      if (sz < 0) return None
+      if (tag(off, "fmt ") && fmtOff < 0) {
+        if (sz < 16) return None
+        fmtOff = off + 8
+      } else if (tag(off, "data") && dataOff < 0) {
+        dataOff = off + 8
+        dataLen = sz
+      }
+      val step = 8L + sz + (sz & 1)
+      if (off + step > Int.MaxValue) return None
+      off += step.toInt
+    }
+    if (fmtOff < 0 || dataOff < 0) return None
+    val audioFmt = le16(fmtOff)
+    val channels = le16(fmtOff + 2)
+    val rate = le32(fmtOff + 4)
+    val bits = le16(fmtOff + 14)
+    if (audioFmt != 1 || bits != 16 || channels < 1 || rate <= 0) return None
+    // data size may overstate the payload (truncated file): decode what
+    // is actually present; a trailing odd byte is not a sample
+    val avail = math.min(dataLen.toLong, (payload.length - dataOff).toLong).toInt
+    val n = avail / 2
+    if (n == 0) return None
+    var sum = 0L
+    var sumSq = 0L
+    var mn = Int.MaxValue
+    var mx = Int.MinValue
+    var zc = 0L
+    var adSum = 0L
+    var loud = 0L
+    var prev = 0
+    var k = 0
+    while (k < n) {
+      val raw = (payload(dataOff + 2 * k) & 0xff) |
+        ((payload(dataOff + 2 * k + 1) & 0xff) << 8)
+      val s = if (raw >= 32768) raw - 65536 else raw
+      sum += s
+      sumSq += s.toLong * s
+      if (s < mn) mn = s
+      if (s > mx) mx = s
+      if (math.abs(s) > 16384) loud += 1
+      if (k > 0) {
+        adSum += math.abs(s - prev).toLong
+        if ((s < 0) != (prev < 0)) zc += 1
+      }
+      prev = s
+      k += 1
+    }
+    val nd = n.toDouble
+    val mean = sum.toDouble / nd
+    val out = new Array[Float](dim)
+    out(0) = mean.toFloat
+    out(1) = math.sqrt(math.max(sumSq.toDouble / nd - mean * mean, 0.0)).toFloat
+    out(2) = mn.toFloat
+    out(3) = mx.toFloat
+    out(4) = math.sqrt(sumSq.toDouble / nd).toFloat
+    out(5) = (if (n < 2) 0.0 else zc.toDouble / (n - 1)).toFloat
+    out(6) = (if (n < 2) 0.0 else adSum.toDouble / (n - 1)).toFloat
+    out(7) = (loud.toDouble / nd).toFloat
+    out(8) = ((n / channels).toDouble / rate).toFloat
+    out(9) = rate.toFloat
+    out(10) = channels.toFloat
+    out(11) = n.toFloat
+    Some(out)
+  }
+
   /** ===== STUB ===== (non-BMP formats) A real implementation decodes
     * payload with an image/audio codec and runs a vision/audio encoder.
     * Here: a deterministic hash-seeded projection of the bytes so tests
@@ -240,7 +344,8 @@ object Multimodal {
   /** Decode + feature-extract, partition-batched: the per-partition block
     * is where a real codec/encoder would be initialized once and reused —
     * the expensive-init-amortized shape that matters at scale. BMP rows
-    * take the REAL pixel decoder; everything else falls back to the
+    * take the REAL pixel decoder, 16-bit PCM WAV rows the REAL sample
+    * decoder; only compressed codecs (PNG/JPEG/GIF/MP4) fall back to the
     * simulated one. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -248,6 +353,7 @@ object Multimodal {
       // per-partition init site (real impl: load codec + model weights once)
       rows.map { r =>
         val features = bmpPixelFeatures(r.payload, dim)
+          .orElse(wavPcmFeatures(r.payload, dim))
           .getOrElse(fakeDecodeFeatures(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, r.payload.length, features)
       }

@@ -49,6 +49,19 @@ object Packing {
     * within a bucket (rows sharing a leading value never split across
     * buckets — bucketing is by value, so ties co-locate).
     */
+  /** Both two-phase operators bucket by CASTing the leading order column
+    * through LONG/DECIMAL(38,0); under non-ANSI semantics a non-numeric
+    * type (e.g. a string) casts to NULL, buckets to NULL, and the offset
+    * equi-join would silently DROP every such row. Fail loudly at plan
+    * time instead (timestamps cast numerically, so they stay legal). */
+  private def requireNumericOrder(df: DataFrame, ord: String, op: String): Unit = {
+    val dt = df.schema(ord).dataType
+    require(dt.isInstanceOf[org.apache.spark.sql.types.NumericType] ||
+      dt.isInstanceOf[org.apache.spark.sql.types.TimestampType],
+      s"$op: leading order column '$ord' must be numeric or timestamp, got " +
+        s"$dt — a non-castable type buckets to NULL and silently drops rows")
+  }
+
   def groupedCumSum(
       df: DataFrame,
       group: String,
@@ -58,6 +71,7 @@ object Packing {
       buckets: Int = 1024,
       storage: Option[StorageLevel] = None): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    requireNumericOrder(df, orderCols.head, "groupedCumSum")
     val spark = df.sparkSession
     val ord = orderCols.head
     // Three passes read `df` (bounds, per-bucket totals, the final
@@ -152,6 +166,7 @@ object Packing {
       outName: String,
       buckets: Int = 1024): DataFrame = {
     require(orderCols.nonEmpty, "need at least one order column")
+    requireNumericOrder(df, orderCols.head, "groupedRunningMax")
     val ord = orderCols.head
     val in = df.localCheckpoint(true)
     val bounds = in.agg(

@@ -1411,7 +1411,7 @@ object RelationalQueries {
         |  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')""".stripMargin,
 
     "q18_window_rank" ->
-      """SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INT) AS rn FROM (
         |  SELECT o_custkey, o_orderkey, o_totalprice,
         |    ROW_NUMBER() OVER (PARTITION BY o_custkey
         |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
@@ -1666,7 +1666,7 @@ object RelationalQueries {
         |  FROM lg WHERE prev_type IS NOT NULL GROUP BY prev_type, event_type),
         |rt AS (SELECT prev_type, SUM(n) AS row_total FROM cnt GROUP BY prev_type)
         |SELECT c.prev_type, c.next_type, c.n,
-        |  (c.n * 1000000) // r.row_total AS share_ppm
+        |  CAST((c.n * 1000000) // r.row_total AS BIGINT) AS share_ppm
         |FROM cnt c JOIN rt r ON c.prev_type = r.prev_type""".stripMargin,
 
     "q137_zorder" -> {
@@ -1723,7 +1723,8 @@ object RelationalQueries {
         s"""SELECT col_name, key, cnt, share_ppm FROM (
            |  SELECT '$label' AS col_name, CAST($c AS VARCHAR) AS key,
            |    COUNT(1) AS cnt,
-           |    (COUNT(1) * 1000000) // SUM(COUNT(1)) OVER () AS share_ppm,
+           |    CAST((COUNT(1) * 1000000) // SUM(COUNT(1)) OVER () AS BIGINT)
+           |      AS share_ppm,
            |    ROW_NUMBER() OVER (ORDER BY COUNT(1) DESC,
            |      CAST($c AS VARCHAR) ASC) AS rn
            |  FROM $tbl GROUP BY $c)
@@ -1901,7 +1902,7 @@ object RelationalQueries {
         |  FROM lineitem GROUP BY 1, 2),
         |t AS (SELECT l_returnflag, SUM(cnt) AS total FROM d GROUP BY 1)
         |SELECT d.l_returnflag, d.digit, CAST(d.cnt AS BIGINT) AS cnt,
-        |  (d.cnt * 1000000) // t.total AS share_ppm
+        |  CAST((d.cnt * 1000000) // t.total AS BIGINT) AS share_ppm
         |FROM d JOIN t USING (l_returnflag)""".stripMargin,
 
     // The recursive min-level closure over the same bipartite edges,

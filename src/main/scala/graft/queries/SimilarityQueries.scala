@@ -169,6 +169,31 @@ object SimilarityQueries {
           element_at(col("features"), 1).as("f0"))
     }),
 
+    // REAL 16-bit PCM WAV decode: the audio rows' full feature lanes —
+    // sample mean/std/min/max, RMS, zero-crossing rate, mean |Δ|,
+    // half-scale loudness fraction, duration — straight off the binary
+    // column's decoded samples (Multimodal.wavPcmFeatures). Oracle-checked
+    // BIT-EXACT: every data byte is closed-form in media_id, integer sums
+    // are exact in both engines, and each float lane is one IEEE
+    // divide/sqrt + one float round, both correctly rounded. Shuffle-free
+    // per-row decode — the audio analog of the BMP pixel path.
+    "q180_wav_pcm" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.featureFrame(media)
+        .filter(col("kind") === "audio")
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("features"), 1).as("mean_s"),
+          element_at(col("features"), 2).as("std_s"),
+          element_at(col("features"), 3).cast("int").as("min_s"),
+          element_at(col("features"), 4).cast("int").as("max_s"),
+          element_at(col("features"), 5).as("rms"),
+          element_at(col("features"), 6).as("zcr"),
+          element_at(col("features"), 7).as("mad"),
+          element_at(col("features"), 8).as("loud_frac"),
+          element_at(col("features"), 9).as("dur_s"),
+          element_at(col("features"), 12).cast("int").as("n_samples"))
+    }),
+
     // Frame sampling of video payloads — metadata fan-out shape.
     // Oracle-checked: the closed-form frame count/last-ts per video.
     "q34_frame_samples" -> ((s, dir) => {
@@ -343,18 +368,19 @@ object SimilarityQueries {
       val e = table(s, dir, "embeddings")
       val cents = pqIndex.getOrElseUpdate(dir,
         Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
-      val cl = array(cents.map(subc =>
-        array(subc.map(cv =>
-          array(cv.map(x => lit(x.toDouble)): _*)): _*)): _*)
-      Similarity.pqEncode(e, "embedding", cents)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("ev"),
-          posexplode(col("codes")).as(Seq("sub", "code")))
-        .select(col("sub"),
-          expr("slice(ev, sub * 4 + 1, 4)").as("sv"),
-          element_at(element_at(cl, col("sub") + 1), col("code") + 1).as("cv"))
-        .select(col("sub"), expr(
-          """aggregate(zip_with(sv, cv, (x, y) -> (x - y) * (x - y)),
-            |  cast(0.0 as double), (a, x) -> a + x)""".stripMargin).as("se"))
+      // Fold-then-explode through ONE fused codegen'd kernel (PqSse):
+      // encode (first-max-wins cosine argmax, the nearestCell chain) +
+      // index-order squared-error fold per subspace in a single compiled
+      // pass, then explode the 16-double result. The composed-expression
+      // form re-inlined the whole encode tree into every subspace
+      // reference after projection collapse (≈8,000 kernel calls/row,
+      // 25 s at sf0.1); this is 16·16·4 fused flops/row and the exchange
+      // carries 16 doubles per vector.
+      e.select(col("vec_id"),
+          graft.functions.GraftFunctions.pq_sse(col("embedding"),
+            cents.flatten.flatten, cents.length, cents.head.length,
+            cents.head.head.length).as("sses"))
+        .select(posexplode(col("sses")).as(Seq("sub", "se")))
         .groupBy(col("sub"))
         .agg(count(lit(1)).as("n_vecs"), d2(sum(col("se").cast(XI))).as("sse"))
         .select(col("sub"), col("n_vecs"), col("sse"),
@@ -516,6 +542,7 @@ object SimilarityQueries {
     "q59_ann_pq" -> pqOracleSql,
     "q81_ann_ivfpq" -> ivfPqOracleSql,
     "q33_media_features" -> mediaFeatureOracleSql,
+    "q180_wav_pcm" -> wavPcmOracleSql,
 
     // The synthetic media table is a pure function of media_id (kind
     // rotation, pad = 200 + id, dims from the id, format rotation every
@@ -860,6 +887,53 @@ object SimilarityQueries {
        |${rerankTailSql(rerank)}""".stripMargin
   }
 
+  // 16-bit PCM sample k of the synthetic wav data chunk (filler bytes
+  // 2k and 2k+1, little-endian, two's complement) — the REAL decoder's
+  // input replayed closed-form from media_id; shared by the q33 lane-0
+  // oracle and the q180 full-statistics oracle.
+  private val wavSmp =
+    """CASE WHEN ((media_id * 31 + (2 * k) * 7) % 251)
+      |          + 256 * ((media_id * 31 + (2 * k + 1) * 7) % 251) >= 32768
+      |     THEN ((media_id * 31 + (2 * k) * 7) % 251)
+      |          + 256 * ((media_id * 31 + (2 * k + 1) * 7) % 251) - 65536
+      |     ELSE ((media_id * 31 + (2 * k) * 7) % 251)
+      |          + 256 * ((media_id * 31 + (2 * k + 1) * 7) % 251) END""".stripMargin
+
+  // ---- q180: the wav PCM statistics replayed closed-form -------------
+  // Integer sums (list_sum over exact sample ints) cross engines exactly;
+  // each float column is one IEEE double divide (and/or one correctly-
+  // rounded sqrt) followed by one float round — the BMP-oracle disciplines
+  // applied to audio. n = pad // 2 ≥ 100, so the (n-1) denominators never
+  // degenerate.
+  private def wavPcmOracleSql: String =
+    s"""WITH a AS (SELECT CAST(t.i AS BIGINT) AS media_id, 200 + (t.i % 512) AS pad
+       |           FROM range(0, 200) t(i) WHERE t.i % 3 = 1),
+       |s AS (SELECT media_id, pad, pad // 2 AS n,
+       |        list_transform(range(0, pad // 2), k -> $wavSmp) AS smp
+       |      FROM a),
+       |st AS (SELECT media_id, pad, n, smp,
+       |        CAST(list_sum(smp) AS DOUBLE) AS ssum,
+       |        CAST(list_sum(list_transform(smp, x -> x * x)) AS DOUBLE) AS ssq,
+       |        CAST(list_sum(list_transform(range(1, n), k ->
+       |          CASE WHEN (smp[k] < 0) <> (smp[k+1] < 0) THEN 1 ELSE 0 END)) AS DOUBLE) AS zc,
+       |        CAST(list_sum(list_transform(range(1, n), k ->
+       |          abs(smp[k+1] - smp[k]))) AS DOUBLE) AS ad,
+       |        CAST(list_sum(list_transform(smp, x ->
+       |          CASE WHEN abs(x) > 16384 THEN 1 ELSE 0 END)) AS DOUBLE) AS loud
+       |      FROM s)
+       |SELECT media_id, CAST(44 + pad AS INT) AS n_bytes,
+       |  CAST(ssum / n AS REAL) AS mean_s,
+       |  CAST(sqrt(greatest(ssq / n - (ssum / n) * (ssum / n), 0.0)) AS REAL) AS std_s,
+       |  CAST(list_min(smp) AS INT) AS min_s,
+       |  CAST(list_max(smp) AS INT) AS max_s,
+       |  CAST(sqrt(ssq / n) AS REAL) AS rms,
+       |  CAST(zc / (n - 1) AS REAL) AS zcr,
+       |  CAST(ad / (n - 1) AS REAL) AS mad,
+       |  CAST(loud / n AS REAL) AS loud_frac,
+       |  CAST(CAST(n AS DOUBLE) / 16000 AS REAL) AS dur_s,
+       |  CAST(n AS INT) AS n_samples
+       |FROM st""".stripMargin
+
   // ---- q33: media feature extraction replayed end to end -------------
   // Every payload byte is deterministic (real container headers from the
   // same byte builders the table generator runs, filler closed-form from
@@ -894,23 +968,24 @@ object SimilarityQueries {
         case "audio" => (Multimodal.wavBytes(16000, pad, i), false)
         case _ => (Multimodal.mp4Bytes(pad, i), false)
       }
-      if (isBmp) s"($i, '$kind', NULL::BIGINT[], ${((w * 3 + 3) / 4) * 4 * 64}, TRUE, $w)"
+      val isWav = kind == "audio"
+      if (isBmp) s"($i::BIGINT, '$kind', NULL::BIGINT[], ${((w * 3 + 3) / 4) * 4 * 64}, TRUE, FALSE, $w)"
       else {
         val hdr = payload.dropRight(pad).map(_ & 0xff).mkString("[", ",", "]")
-        s"($i, '$kind', $hdr::BIGINT[], $pad, FALSE, $w)"
+        s"($i::BIGINT, '$kind', $hdr::BIGINT[], $pad, FALSE, $isWav, $w)"
       }
     }.mkString(",\n")
     val hfold = s"(acc, x) -> ${HashOracleSql.wmul("xor(acc, x)", 1099511628211L)}"
     val term =
       s"CAST(CAST((list_reduce(list_prepend(-3750763034362895579::BIGINT, " +
         s"bytes[1:(16*m+1)]), $hfold) >> 16) & 65535 AS REAL) / 65535.0::REAL AS REAL)"
-    s"""WITH meta(media_id, kind, hdr, pad, is_bmp, w) AS (VALUES
+    s"""WITH meta(media_id, kind, hdr, pad, is_bmp, is_wav, w) AS (VALUES
        |$rows),
        |full_bytes AS (
        |  SELECT media_id, kind, pad, w,
        |    list_concat(hdr, list_transform(range(0, pad),
        |      j -> (media_id * 31 + j * 7) % 251))::BIGINT[] AS bytes
-       |  FROM meta WHERE NOT is_bmp),
+       |  FROM meta WHERE NOT is_bmp AND NOT is_wav),
        |stub AS (
        |  SELECT media_id, kind, CAST(len(bytes) AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
        |    list_reduce(
@@ -923,8 +998,14 @@ object SimilarityQueries {
        |           y -> list_transform(range(0, w),
        |             x -> (media_id * 31 + (y * (((w * 3 + 3) // 4) * 4) + x * 3) * 7) % 251))))::DOUBLE
        |         / (w * 64)::DOUBLE AS REAL) AS f0
-       |  FROM meta WHERE is_bmp)
-       |SELECT * FROM stub UNION ALL SELECT * FROM bmp""".stripMargin
+       |  FROM meta WHERE is_bmp),
+       |wav AS (
+       |  SELECT media_id, kind, CAST(44 + pad AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
+       |    CAST(CAST(list_sum(list_transform(range(0, pad // 2), k ->
+       |           $wavSmp)) AS DOUBLE)
+       |         / CAST(pad // 2 AS DOUBLE) AS REAL) AS f0
+       |  FROM meta WHERE is_wav)
+       |SELECT * FROM stub UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM wav""".stripMargin
   }
 
   // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------

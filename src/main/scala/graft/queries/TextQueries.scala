@@ -245,15 +245,19 @@ object TextQueries {
       import graft.functions.GraftFunctions
       val toks = table(s, dir, "documents")
         .select(explode(TextOps.tokens(lower(col("text")))).as("token"))
-      val total = toks.agg(count(lit(1)).as("n_tokens"))
-      val cands = toks
-        .agg(GraftFunctions.heavy_hitters(col("token"), 50).as("hh"))
-        .select(explode(col("hh")).as("h"))
-        .select(col("h.item").as("token"))
-      toks.join(broadcast(cands), Seq("token"), "left_semi")
+      // ONE sketch pass produces both the candidate superset and the
+      // exact global token count (fused aggregates share the scan); the
+      // 1-row/≤50-item result is collected — bounded by construction,
+      // like the IVF centroid loads — so the exact recount is the only
+      // second scan: two corpus passes total, not three.
+      val sk = toks.agg(
+        GraftFunctions.heavy_hitters(col("token"), 50).as("hh"),
+        count(lit(1)).as("n_tokens")).collect()(0)
+      val nTokens = sk.getLong(1)
+      val candToks = sk.getSeq[org.apache.spark.sql.Row](0).map(_.getString(0))
+      toks.filter(col("token").isin(candToks: _*))
         .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(total))
-        .filter(col("cnt") > col("n_tokens") / lit(51.0))
+        .filter(col("cnt") > lit(nTokens) / lit(51.0))
         .select(col("token"), col("cnt"))
     }),
 
@@ -1896,8 +1900,11 @@ object TextQueries {
          |cum AS (SELECT thr, SUM(docs) AS cum_docs, SUM(toks) AS cum_toks
          |        FROM ex GROUP BY thr),
          |tot AS (SELECT SUM(toks) AS tot_toks FROM byb)
-         |SELECT b.bucket, b.docs, b.toks, c.cum_docs, c.cum_toks,
-         |  (c.cum_toks * 1000000) // t.tot_toks AS cum_tok_ppm
+         |SELECT CAST(b.bucket AS INT) AS bucket, b.docs,
+         |  CAST(b.toks AS BIGINT) AS toks,
+         |  CAST(c.cum_docs AS BIGINT) AS cum_docs,
+         |  CAST(c.cum_toks AS BIGINT) AS cum_toks,
+         |  CAST((c.cum_toks * 1000000) // t.tot_toks AS BIGINT) AS cum_tok_ppm
          |FROM byb b JOIN cum c ON c.thr = b.bucket CROSS JOIN tot t""".stripMargin
     },
 
@@ -1966,8 +1973,8 @@ object TextQueries {
          |ct AS (SELECT SUM(obs) AS corpus_total FROM bysrc),
          |sc AS (
          |  SELECT b.source, b.token, b.obs, g.gcnt,
-         |    (b.obs * 1000000) // st.src_total AS ppm_src,
-         |    (g.gcnt * 1000000) // ct.corpus_total AS ppm_corpus
+         |    CAST((b.obs * 1000000) // st.src_total AS BIGINT) AS ppm_src,
+         |    CAST((g.gcnt * 1000000) // ct.corpus_total AS BIGINT) AS ppm_corpus
          |  FROM bysrc b JOIN st ON b.source = st.source
          |  JOIN g0 g ON b.token = g.token CROSS JOIN ct),
          |r AS (
@@ -2909,10 +2916,11 @@ object TextQueries {
          |  SELECT p.*, w.wsum, (p.tok_total * w.wsum) // p.weight AS cap
          |  FROM per_source p CROSS JOIN ws w),
          |b AS (SELECT MIN(cap) AS budget FROM capped)
-         |SELECT source, weight, tok_total,
-         |  (b.budget * weight) // wsum AS planned_tok,
-         |  CASE WHEN tok_total = 0 THEN 0
-         |       ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total END AS rate_ppm
+         |SELECT source, weight, CAST(tok_total AS BIGINT) AS tok_total,
+         |  CAST((b.budget * weight) // wsum AS BIGINT) AS planned_tok,
+         |  CAST(CASE WHEN tok_total = 0 THEN 0
+         |       ELSE (((b.budget * weight) // wsum) * 1000000) // tok_total END
+         |    AS BIGINT) AS rate_ppm
          |FROM capped CROSS JOIN b""".stripMargin
     },
 
@@ -2947,9 +2955,10 @@ object TextQueries {
          |    CASE WHEN p.rate_ppm >= 1000000 THEN 'g'
          |         ELSE lpad(lower(hex((p.rate_ppm * 65536) // 1000000)), 4, '0') END
          |  GROUP BY d.source)
-         |SELECT p.source, p.rate_ppm, p.planned_tok,
-         |  COALESCE(k.docs_kept, 0) AS docs_kept,
-         |  COALESCE(k.tok_kept, 0) AS tok_kept
+         |SELECT p.source, CAST(p.rate_ppm AS BIGINT) AS rate_ppm,
+         |  CAST(p.planned_tok AS BIGINT) AS planned_tok,
+         |  CAST(COALESCE(k.docs_kept, 0) AS BIGINT) AS docs_kept,
+         |  CAST(COALESCE(k.tok_kept, 0) AS BIGINT) AS tok_kept
          |FROM plan p LEFT JOIN kept k ON p.source = k.source""".stripMargin
     },
 
@@ -2970,7 +2979,8 @@ object TextQueries {
         |  FROM chunks
         |  WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |SELECT lang, bin, COUNT(1) AS n_chunks, SUM(n_tok) AS seq_tok,
+        |SELECT lang, bin, COUNT(1) AS n_chunks,
+        |  CAST(SUM(n_tok) AS BIGINT) AS seq_tok,
         |  string_agg(chunk, '<|eos|>' ORDER BY doc_id, chunk_id) AS seq_text
         |FROM binned GROUP BY lang, bin""".stripMargin,
 

@@ -160,11 +160,24 @@ object StreamOps {
       stream: DataFrame,
       dim: DataFrame,
       streamKey: String,
-      dimKey: String): DataFrame =
+      dimKey: String): DataFrame = {
+    // withColumnRenamed is silent on collisions: a dim column already
+    // named streamKey would duplicate the key, and any other shared name
+    // yields ambiguous output columns downstream. Fail loudly instead.
+    require(dimKey == streamKey || !dim.columns.contains(streamKey),
+      s"enrichWithDim: dim already has a column named '$streamKey' — " +
+        s"renaming its key '$dimKey' onto it would silently duplicate the key")
+    val clash = dim.columns.filter(_ != dimKey).toSet
+      .intersect(stream.columns.toSet)
+    require(clash.isEmpty,
+      s"enrichWithDim: dim columns ${clash.mkString("{", ", ", "}")} collide " +
+        "with stream columns — alias/prefix the dimension's payload columns " +
+        "before joining, or every downstream reference is ambiguous")
     stream.join(
       org.apache.spark.sql.functions.broadcast(
         dim.withColumnRenamed(dimKey, streamKey)),
       Seq(streamKey), "left")
+  }
 
   /** Streaming NEAR-dup intake probe: each micro-batch of a document
     * stream is MinHash-banded and probed against a STATIC corpus index

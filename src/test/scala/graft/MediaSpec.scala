@@ -143,4 +143,80 @@ class MediaSpec extends SparkSpec {
       assert(r.getAs[String]("format") === "mp4")
     }
   }
+
+  /** A 16-bit PCM WAV with EXPLICIT samples (little-endian, two's
+    * complement), for hand-computed feature checks. */
+  private def pcmWav(rate: Int, channels: Int, bits: Int, fmt: Int,
+      samples: Seq[Int]): Array[Byte] = {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val data = samples.flatMap(s => Seq((s & 0xff).toByte, ((s >> 8) & 0xff).toByte)).toArray
+    "RIFF".getBytes("US-ASCII") ++ le32(36 + data.length) ++ "WAVE".getBytes("US-ASCII") ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(fmt) ++ le16(channels) ++ le32(rate) ++
+      le32(rate * channels * bits / 8) ++ le16(channels * bits / 8) ++ le16(bits) ++
+      "data".getBytes("US-ASCII") ++ le32(data.length) ++ data
+  }
+
+  test("WAV PCM decoder: features equal hand-computed statistics of explicit samples") {
+    // samples chosen to exercise sign extension at both extremes
+    val s = Seq(1000, -2000, 3000, -32768, 32767)
+    val f = Multimodal.wavPcmFeatures(pcmWav(8000, 1, 16, 1, s), 16).get
+    val n = s.length.toDouble
+    val mean = s.sum / n
+    val sumSq = s.map(v => v.toDouble * v).sum
+    assert(f(0) == mean.toFloat)
+    assert(f(1) == math.sqrt(sumSq / n - mean * mean).toFloat)
+    assert(f(2) == -32768f && f(3) == 32767f)
+    assert(f(4) == math.sqrt(sumSq / n).toFloat)
+    // signs +,-,+,-,+ → every adjacent pair crosses zero
+    assert(f(5) == 1.0f)
+    // |Δ| = 3000, 5000, 35768, 65535 → mean 27325.75
+    assert(f(6) == 27325.75f)
+    // |s| > 16384 only for the two extremes
+    assert(f(7) == 0.4f)
+    assert(f(8) == (5.0 / 8000).toFloat)
+    assert(f(9) == 8000f && f(10) == 1f && f(11) == 5f)
+    assert(f(12) == 0f && f(15) == 0f) // unused lanes stay zero
+  }
+
+  test("WAV PCM decoder refuses what it cannot decode (falls back, never lies)") {
+    val s = Seq(1, 2, 3)
+    // non-PCM format tag, non-16-bit depth, bad magic → None
+    assert(Multimodal.wavPcmFeatures(pcmWav(8000, 1, 16, 3, s), 16).isEmpty)
+    assert(Multimodal.wavPcmFeatures(pcmWav(8000, 1, 8, 1, s), 16).isEmpty)
+    assert(Multimodal.wavPcmFeatures(Multimodal.mp4Bytes(64, 1L), 16).isEmpty)
+    assert(Multimodal.wavPcmFeatures(Multimodal.pngBytes(8, 8, 64, 1L), 16).isEmpty)
+    // empty data chunk → None (no samples to describe)
+    assert(Multimodal.wavPcmFeatures(pcmWav(8000, 1, 16, 1, Seq.empty), 16).isEmpty)
+    // a truncated file still decodes the samples actually present
+    val whole = pcmWav(8000, 1, 16, 1, Seq(100, 200, 300))
+    val trunc = Multimodal.wavPcmFeatures(whole.dropRight(2), 16).get
+    assert(trunc(11) == 2f && trunc(3) == 200f)
+    // synthetic table: every audio row decodes for real (16-bit PCM)
+    val feats = Multimodal.featureFrame(Multimodal.syntheticMedia(spark, 48))
+      .filter(col("kind") === "audio").collect()
+    assert(feats.nonEmpty)
+    feats.foreach { r =>
+      val id = r.getLong(0)
+      val pad = 200 + (id % 512).toInt
+      val fv = r.getSeq[Float](3)
+      // lane 11 = samples decoded = pad // 2; lane 9 = the declared rate
+      assert(fv(11) == (pad / 2).toFloat, s"media $id")
+      assert(fv(9) == 16000f && fv(10) == 1f)
+    }
+  }
+
+  test("WAV PCM decoder walks chunk lists with extra chunks before fmt/data") {
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    // RIFF → LIST(5 bytes, odd → word-aligned skip) → fmt → data
+    val data = Array[Byte](10, 0, 246.toByte, 255.toByte) // samples 10, -10
+    val wav = "RIFF".getBytes("US-ASCII") ++ le32(100) ++ "WAVE".getBytes("US-ASCII") ++
+      "LIST".getBytes("US-ASCII") ++ le32(5) ++ Array.fill[Byte](6)(0) ++
+      "fmt ".getBytes("US-ASCII") ++ le32(16) ++ le16(1) ++ le16(1) ++ le32(44100) ++
+      le32(88200) ++ le16(2) ++ le16(16) ++
+      "data".getBytes("US-ASCII") ++ le32(4) ++ data
+    val f = Multimodal.wavPcmFeatures(wav, 16).get
+    assert(f(0) == 0f && f(2) == -10f && f(3) == 10f && f(9) == 44100f && f(11) == 2f)
+  }
 }

@@ -165,4 +165,17 @@ class PackingSpec extends SparkSpec {
       .collect().map(r => r.getAs[Long]("id") -> Option(r.getAs[Any]("bp"))).toMap
     assert(scrambled == expected)
   }
+
+  test("two-phase operators reject a non-numeric leading order column loudly") {
+    // a string leading order would CAST to NULL under non-ANSI semantics,
+    // bucket to NULL, and the offset join would silently drop the rows —
+    // both operators must refuse at plan time instead
+    val df = Seq(("a", "x", 1L)).toDF("g", "ord", "t")
+    intercept[IllegalArgumentException] {
+      Packing.groupedCumSum(df, "g", Seq("ord"), "t", "cum")
+    }
+    intercept[IllegalArgumentException] {
+      Packing.groupedRunningMax(df, "g", Seq("ord"), "t", "rm")
+    }
+  }
 }

@@ -232,4 +232,44 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(all == Map(0L -> 0L, 1L -> 1L, 2L -> 2L, 3L -> 3L))
   }
+
+  test("pq_sse kernel equals the composed encode+SSE chain bit-for-bit") {
+    import spark.implicits._
+    // m=2 subspaces of dim 2, k=2 centroids each — hand-checkable geometry
+    val cents: Array[Array[Array[Float]]] = Array(
+      Array(Array(1f, 0f), Array(0f, 1f)),   // subspace 0: x-axis vs y-axis
+      Array(Array(1f, 1f), Array(-1f, 1f)))  // subspace 1: the two diagonals
+    val vecs = Seq(
+      (0L, Array(3f, 0.5f, 2f, 2.5f)),
+      (1L, Array(0.1f, 4f, -1f, 0.9f)),
+      (2L, Array(0f, 0f, 1f, -1f)))          // zero-norm slice → score 0.0 both, FIRST wins
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = df.select(col("vec_id"),
+        graft.functions.GraftFunctions.pq_sse(col("embedding"),
+          cents.flatten.flatten, 2, 2, 2).as("sses"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // expected: the composed chain — cosine argmax (first max wins, the
+    // nearestCell/array_position semantics) then index-order (x-y)² fold
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.foldLeft(0.0) {
+        case (acc, t) => acc + t }
+      val na = a.map(x => x * x).sum
+      val nb = b.map(x => x * x).sum
+      if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    vecs.foreach { case (id, v) =>
+      val exp = (0 until 2).map { sp =>
+        val sl = v.slice(sp * 2, sp * 2 + 2).map(_.toDouble).toSeq
+        val scores = cents(sp).map(c => cos(sl, c.map(_.toDouble).toSeq))
+        val code = scores.indexOf(scores.max)
+        sl.zip(cents(sp)(code)).foldLeft(0.0) {
+          case (acc, (x, y)) => acc + (x - y.toDouble) * (x - y.toDouble) }
+      }
+      assert(got(id) == exp, s"vec $id")
+    }
+    // the zero-norm slice must take code 0 (first max wins on 0.0 == 0.0)
+    val sse2sub0 = got(2L).head
+    val expZero = 0.0 + (0.0 - 1.0) * (0.0 - 1.0) + 0.0 // (0,0) vs centroid (1,0)
+    assert(sse2sub0 == expZero)
+  }
 }

@@ -658,4 +658,18 @@ class StreamingSpec extends SparkSpec {
         s"dim side must broadcast, got:\n$batchPlan")
     } finally q.stop()
   }
+
+  test("dim enrichment fails loudly on column collisions instead of silently duplicating") {
+    val stream = Seq(PriceTick("BTC", 1.0, ts("2024-01-01 00:00:01"))).toDF()
+    // dim already carries a column named streamKey → the rename would dup it
+    val dupKey = Seq(("BTC", "x")).toDF("sym", "symbol")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.enrichWithDim(stream, dupKey, "symbol", "sym")
+    }
+    // a non-key dim column shadowing a stream column → ambiguous output
+    val clash = Seq(("BTC", 9.0)).toDF("sym", "price")
+    intercept[IllegalArgumentException] {
+      graft.streaming.StreamOps.enrichWithDim(stream, clash, "symbol", "sym")
+    }
+  }
 }

@@ -25,14 +25,29 @@ for t in tables:
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 
-def norm(rows, cols):
+def norm(rows, cols, types):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = []
     for r in rows:
         out.append(tuple(r[i] for i in order))
     def key(t):
         return tuple((v is None, str(type(v)), str(v)) for v in t)
-    return sorted(out, key=key), [cols[i] for i in order]
+    return (sorted(out, key=key), [cols[i] for i in order],
+            [types[i] for i in order])
+
+# The driver's hash is dtype-sensitive: DuckDB promotes SUM(BIGINT) to
+# HUGEINT while Spark writes BIGINT, and those hash differently even when
+# every value is identical. Mirror that here by comparing column types
+# between the Spark parquet result and the DuckDB oracle result, modulo
+# representational equivalences that the driver's hash does NOT distinguish
+# (timestamp tz-ness, varchar spellings).
+def canon_type(t):
+    t = str(t).upper()
+    if t.startswith("TIMESTAMP"):
+        return "TIMESTAMP"
+    if t in ("VARCHAR", "STRING", "TEXT"):
+        return "VARCHAR"
+    return t
 
 def eq(a, b):
     if a is None or b is None:
@@ -47,15 +62,28 @@ fails = 0
 for name in sorted(oracle):
     try:
         res = con.sql(f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-        got_rows, got_cols = norm(res.fetchall(), res.columns)
+        got_types_raw = [str(t) for t in res.types]
+        got_rows, got_cols, got_types = norm(res.fetchall(), res.columns,
+                                             got_types_raw)
         ora = con.sql(oracle[name])
-        ora_rows, ora_cols = norm(ora.fetchall(), ora.columns)
+        ora_types_raw = [str(t) for t in ora.types]
+        ora_rows, ora_cols, ora_types = norm(ora.fetchall(), ora.columns,
+                                             ora_types_raw)
     except Exception as e:
         print(f"FAIL {name}: error {e}")
         fails += 1
         continue
     if got_cols != ora_cols:
         print(f"FAIL {name}: columns {got_cols} vs {ora_cols}")
+        fails += 1
+        continue
+    type_drift = [
+        f"{c}: spark={g} oracle={o}"
+        for c, g, o in zip(got_cols, got_types, ora_types)
+        if canon_type(g) != canon_type(o)
+    ]
+    if type_drift:
+        print(f"FAIL {name}: dtype drift {type_drift}")
         fails += 1
         continue
     if len(got_rows) != len(ora_rows):
