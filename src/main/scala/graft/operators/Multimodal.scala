@@ -8,11 +8,14 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample stages as
   * `mapPartitions` over typed rows.
   *
-  * Codec status: 24-bit uncompressed BMP decodes FOR REAL — a pure-JVM
-  * pixel walk ([[bmpPixelFeatures]]) whose channel/luminance statistics
-  * are spec-pinned against hand-computed pixels (MediaSpec). The other
-  * codecs (PNG/JPEG inflate+DCT, audio, video) would need external
-  * libraries this environment doesn't have and remain STUBBED with a
+  * Codec status: 24-bit uncompressed BMP, PNG (JDK zlib inflate + all 5
+  * scanline unfilters), GIF (full variable-width LZW), and 16-bit PCM
+  * WAV all decode FOR REAL — pure-JVM decoders whose statistics are
+  * spec-pinned against hand-computed pixels/samples (MediaSpec), feeding
+  * one shared [[rgbStats]] so lane semantics cannot drift between
+  * formats; [[resize]] really decodes, scales, and re-encodes them. Only
+  * JPEG (DCT+Huffman) and MP4 (video codec) would need codec libraries
+  * this environment doesn't have; those remain STUBBED with a
   * deterministic fake (content-hash-seeded features), clearly marked
   * below. Everything Spark-side is real and tested either way: the
   * schema, binary-column handling, partition-batched processing shape
@@ -54,11 +57,59 @@ object Multimodal {
   private def filler(n: Int, seed: Long): Array[Byte] =
     Array.tabulate[Byte](n)(j => ((seed * 31 + j * 7) % 251).toByte)
 
+  /** A COMPLETE spec-valid PNG: 8-bit/channel RGB, non-interlaced, real
+    * chunk CRCs, one zlib IDAT in STORED mode — a genuine zlib stream any
+    * inflater accepts whose length stays CLOSED-FORM (2-byte header +
+    * 5 bytes per ≤65,535-byte stored block + payload + Adler-32), so the
+    * q63 metadata oracle can still predict n_bytes without running
+    * deflate. Pixel bytes are the deterministic filler (row-major RGB, no
+    * padding; every scanline filter type 0), so decoded statistics replay
+    * closed-form from `seed` like the BMP path. `pad` is IGNORED — kept
+    * for call-site signature stability; the pixel array fully determines
+    * the payload. */
   private[graft] def pngBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] =
+    pngFromRgb(w, h, filler(w * 3 * h, seed))
+
+  /** Encode a flat top-down RGB pixel array as the stored-mode PNG
+    * described on [[pngBytes]] — also the re-encode stage of the real
+    * [[resize]] path. */
+  private[graft] def pngFromRgb(w: Int, h: Int, pix: Array[Byte]): Array[Byte] = {
+    require(pix.length == w * 3 * h, s"pixel array ${pix.length} != ${w}x$h RGB")
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      val tb = asciiB(typ)
+      crc.update(tb)
+      crc.update(data)
+      be32(data.length) ++ tb ++ data ++ be32(crc.getValue.toInt)
+    }
+    val ihdr = be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](h * stride)
+    var y = 0
+    while (y < h) {
+      // raw(y*stride) stays 0: filter type None on every scanline
+      System.arraycopy(pix, y * w * 3, raw, y * stride + 1, w * 3)
+      y += 1
+    }
+    val z = new java.io.ByteArrayOutputStream()
+    z.write(0x78); z.write(0x01) // zlib CMF/FLG ((0x7801 % 31) == 0)
+    var off = 0
+    while (off < raw.length) {
+      val n = math.min(65535, raw.length - off)
+      z.write(if (off + n >= raw.length) 1 else 0)
+      z.write(n & 0xff); z.write((n >> 8) & 0xff)
+      z.write(~n & 0xff); z.write((~n >> 8) & 0xff)
+      z.write(raw, off, n)
+      off += n
+    }
+    val ad = new java.util.zip.Adler32()
+    ad.update(raw)
+    z.write(be32(ad.getValue.toInt), 0, 4)
     Array[Byte](0x89.toByte) ++ asciiB("PNG") ++
       Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++
-      be32(13) ++ asciiB("IHDR") ++ be32(w) ++ be32(h) ++
-      Array[Byte](8, 2, 0, 0, 0) ++ be32(0) ++ filler(pad, seed)
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.toByteArray) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
 
   private[graft] def jpegBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] =
     Array[Byte](0xff.toByte, 0xd8.toByte) ++
@@ -70,8 +121,306 @@ object Multimodal {
       be16(h) ++ be16(w) ++
       Array[Byte](3, 1, 0x22, 0, 2, 0x11, 1, 3, 0x11, 1) ++ filler(pad, seed)
 
-  private[graft] def gifBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] =
-    asciiB("GIF89a") ++ le16(w) ++ le16(h) ++ filler(pad, seed)
+  /** A COMPLETE spec-valid GIF89a: 256-entry global color table with a
+    * closed-form palette (r = i, g = (i·2) mod 256, b = (i·31) mod 256),
+    * one non-interlaced image whose indices are the deterministic filler,
+    * REAL LZW-coded pixel data. The encoder emits literal codes at a
+    * fixed 9-bit width with a CLEAR every 254 literals so the code width
+    * never grows — a conformant "uncompressed GIF" stream every LZW
+    * decoder accepts whose byte length stays CLOSED-FORM in (w, h):
+    * codes = npix + ceil(npix/254) + 1, data = ceil(9·codes/8), plus one
+    * length byte per 255-byte sub-block. `pad` is IGNORED — kept for
+    * call-site signature stability. */
+  private[graft] def gifBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(asciiB("GIF89a"), 0, 6)
+    out.write(le16(w), 0, 2); out.write(le16(h), 0, 2)
+    out.write(0xf7) // GCT present, color res 7, table size 2^8
+    out.write(0); out.write(0)
+    var i = 0
+    while (i < 256) {
+      out.write(i); out.write((i * 2) % 256); out.write((i * 31) % 256)
+      i += 1
+    }
+    out.write(0x2c) // image descriptor: full frame, no local table
+    out.write(le16(0), 0, 2); out.write(le16(0), 0, 2)
+    out.write(le16(w), 0, 2); out.write(le16(h), 0, 2)
+    out.write(0)
+    out.write(8) // LZW min code size (256-symbol alphabet)
+    // 9-bit code stream, LSB-first bit packing (GIF bit order)
+    val bits = new java.io.ByteArrayOutputStream()
+    var acc = 0L
+    var nacc = 0
+    def putCode(c: Int): Unit = {
+      acc |= c.toLong << nacc
+      nacc += 9
+      while (nacc >= 8) {
+        bits.write((acc & 0xff).toInt)
+        acc >>>= 8
+        nacc -= 8
+      }
+    }
+    val npix = w * h
+    val idx = filler(npix, seed)
+    var p = 0
+    while (p < npix) {
+      if (p % 254 == 0) putCode(256) // CLEAR: dictionary never widens
+      putCode(idx(p) & 0xff)
+      p += 1
+    }
+    putCode(257) // end of information
+    if (nacc > 0) bits.write((acc & 0xff).toInt)
+    val data = bits.toByteArray
+    var off = 0
+    while (off < data.length) {
+      val n = math.min(255, data.length - off)
+      out.write(n)
+      out.write(data, off, n)
+      off += n
+    }
+    out.write(0) // sub-block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** REAL GIF pixel decode + feature extraction, pure JVM: parses the
+    * logical screen descriptor and color tables, walks extension blocks,
+    * and runs a FULL LZW decoder (variable code width 3..12 bits,
+    * CLEAR/EOI handling, the KwKwK first-use case) over the image's
+    * sub-block data — so any conformant encoder's output decodes, not
+    * just [[gifBytes]]'s fixed-width stream. Decoded palette indices map
+    * through the color table to RGB and reduce to the same 16 statistics
+    * (same lane layout) as the BMP/PNG decoders. Returns None — caller
+    * falls back — for interlaced images, missing color tables, truncated
+    * or overfull LZW streams: refuse, never hallucinate. */
+  private[graft] def gifPixelFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    if (dim < 16) None
+    else gifDecodeRgb(payload).map { case (w, h, rgb) => rgbStats(rgb, w, h, dim) }
+
+  /** GIF → (w, h, flat top-down RGB). See [[gifPixelFeatures]]. */
+  private[graft] def gifDecodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 14) return None
+    val hdr = new String(payload, 0, 6, "US-ASCII")
+    if (hdr != "GIF87a" && hdr != "GIF89a") return None
+    def u8(o: Int): Int = payload(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    var off = 10
+    val lsdPacked = u8(off)
+    off += 3 // packed, bg, aspect
+    var gct: Array[Byte] = null
+    if ((lsdPacked & 0x80) != 0) {
+      val n = 3 * (1 << ((lsdPacked & 7) + 1))
+      if (off + n > payload.length) return None
+      gct = java.util.Arrays.copyOfRange(payload, off, off + n)
+      off += n
+    }
+    while (off < payload.length) {
+      u8(off) match {
+        case 0x3b => return None // trailer before any image
+        case 0x21 => // extension: label + sub-blocks
+          off += 2
+          while (off < payload.length && u8(off) != 0) off += 1 + u8(off)
+          if (off >= payload.length) return None
+          off += 1
+        case 0x2c =>
+          if (off + 10 > payload.length) return None
+          val iw = le16(off + 5)
+          val ih = le16(off + 7)
+          val packed = u8(off + 9)
+          off += 10
+          if ((packed & 0x40) != 0) return None // interlaced: refuse
+          var pal = gct
+          if ((packed & 0x80) != 0) {
+            val n = 3 * (1 << ((packed & 7) + 1))
+            if (off + n > payload.length) return None
+            pal = java.util.Arrays.copyOfRange(payload, off, off + n)
+            off += n
+          }
+          if (pal == null || iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 26))
+            return None
+          if (off >= payload.length) return None
+          val minCode = u8(off)
+          off += 1
+          if (minCode < 2 || minCode > 8) return None
+          // concatenate the image's sub-blocks
+          val data = new java.io.ByteArrayOutputStream()
+          while (off < payload.length && u8(off) != 0) {
+            val n = u8(off)
+            if (off + 1 + n > payload.length) return None
+            data.write(payload, off + 1, n)
+            off += 1 + n
+          }
+          if (off >= payload.length) return None
+          return lzwDecode(data.toByteArray, minCode, iw * ih)
+            .flatMap(ix => paletteToRgb(ix, pal))
+            .map(rgb => (iw, ih, rgb))
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Standard GIF LZW: variable code width from minCode+1 up to 12 bits,
+    * CLEAR resets the dictionary, EOI ends the stream, first-use (KwKwK)
+    * codes expand to prev ++ prev.head. Returns exactly `expect` indices
+    * or None (truncated, overfull, or out-of-range codes). */
+  private def lzwDecode(data: Array[Byte], minCode: Int, expect: Int): Option[Array[Byte]] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val out = new Array[Byte](expect)
+    var outN = 0
+    var free = eoi + 1
+    var width = minCode + 1
+    var prev = -1
+    var acc = 0L
+    var nacc = 0
+    var pos = 0
+    val stack = new Array[Byte](4096)
+    def emitSeq(code: Int): Boolean = {
+      var c = code
+      var sp = 0
+      while (c >= clear) { // walk the chain down to a literal
+        if (sp >= stack.length || c >= free) return false
+        stack(sp) = suffix(c)
+        sp += 1
+        c = prefix(c)
+      }
+      if (outN + sp + 1 > expect) return false
+      out(outN) = c.toByte
+      outN += 1
+      while (sp > 0) {
+        sp -= 1
+        out(outN) = stack(sp)
+        outN += 1
+      }
+      true
+    }
+    def firstChar(code: Int): Byte = {
+      var c = code
+      while (c >= clear) c = prefix(c)
+      c.toByte
+    }
+    while (true) {
+      while (nacc < width && pos < data.length) {
+        acc |= (data(pos) & 0xffL) << nacc
+        nacc += 8
+        pos += 1
+      }
+      if (nacc < width) return None // ran out of bits before EOI
+      val code = (acc & ((1L << width) - 1)).toInt
+      acc >>>= width
+      nacc -= width
+      if (code == clear) {
+        free = eoi + 1
+        width = minCode + 1
+        prev = -1
+      } else if (code == eoi) {
+        return if (outN == expect) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be literal
+        if (outN >= expect) return None
+        out(outN) = code.toByte
+        outN += 1
+        prev = code
+      } else {
+        if (code > free || (code == free && free >= 4096)) return None
+        if (code == free) {
+          // KwKwK: sequence = prev ++ first(prev)
+          if (free < 4096) {
+            prefix(free) = prev
+            suffix(free) = firstChar(prev)
+            free += 1
+            if (free == (1 << width) && width < 12) width += 1
+          }
+          if (!emitSeq(code)) return None
+        } else {
+          if (!emitSeq(code)) return None
+          if (free < 4096) {
+            prefix(free) = prev
+            suffix(free) = firstChar(code)
+            free += 1
+            if (free == (1 << width) && width < 12) width += 1
+          }
+        }
+        prev = code
+      }
+    }
+    None
+  }
+
+  /** Map palette indices to a flat top-down RGB pixel array; None for an
+    * index outside the color table (corrupt stream). */
+  private def paletteToRgb(ix: Array[Byte], pal: Array[Byte]): Option[Array[Byte]] = {
+    val colors = pal.length / 3
+    val rgb = new Array[Byte](ix.length * 3)
+    var p = 0
+    while (p < ix.length) {
+      val i = ix(p) & 0xff
+      if (i >= colors) return None
+      rgb(p * 3) = pal(i * 3)
+      rgb(p * 3 + 1) = pal(i * 3 + 1)
+      rgb(p * 3 + 2) = pal(i * 3 + 2)
+      p += 1
+    }
+    Some(rgb)
+  }
+
+  /** The SHARED 16-lane image statistics over a decoded flat top-down RGB
+    * pixel array — one implementation behind every real pixel decoder
+    * (BMP/PNG/GIF), so the lane semantics cannot drift between formats.
+    * Lane layout (B, G, R channel order, matching the original BMP path):
+    * 0-2 mean, 3-5 population std, 6-8 min, 9-11 max, 12 mean luminance,
+    * 13 bright fraction, 14 mean within-row |∂lum/∂x|, 15 aspect w/h. */
+  private def rgbStats(rgb: Array[Byte], w: Int, h: Int, dim: Int): Array[Float] = {
+    val sum = new Array[Double](3)
+    val sq = new Array[Double](3)
+    val mn = Array.fill(3)(255.0)
+    val mx = Array.fill(3)(0.0)
+    var lumSum = 0.0
+    var bright = 0L
+    var gradSum = 0.0
+    var gradN = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      var prevLum = 0.0
+      while (x < w) {
+        val base = (y * w + x) * 3
+        val r = rgb(base) & 0xff
+        val g = rgb(base + 1) & 0xff
+        val b = rgb(base + 2) & 0xff
+        sum(0) += b; sum(1) += g; sum(2) += r
+        sq(0) += b.toDouble * b; sq(1) += g.toDouble * g; sq(2) += r.toDouble * r
+        if (b < mn(0)) mn(0) = b; if (g < mn(1)) mn(1) = g; if (r < mn(2)) mn(2) = r
+        if (b > mx(0)) mx(0) = b; if (g > mx(1)) mx(1) = g; if (r > mx(2)) mx(2) = r
+        val lum = 0.114 * b + 0.587 * g + 0.299 * r
+        lumSum += lum
+        if (lum > 127.5) bright += 1
+        if (x > 0) { gradSum += math.abs(lum - prevLum); gradN += 1 }
+        prevLum = lum
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toDouble * h
+    val out = new Array[Float](dim)
+    var c = 0
+    while (c < 3) {
+      val mean = sum(c) / n
+      out(c) = mean.toFloat
+      out(3 + c) = math.sqrt(math.max(sq(c) / n - mean * mean, 0.0)).toFloat
+      out(6 + c) = mn(c).toFloat
+      out(9 + c) = mx(c).toFloat
+      c += 1
+    }
+    out(12) = (lumSum / n).toFloat
+    out(13) = (bright / n).toFloat
+    out(14) = (if (gradN == 0) 0.0 else gradSum / gradN).toFloat
+    out(15) = w.toFloat / h
+    out
+  }
 
   private[graft] def bmpBytes(w: Int, h: Int, pad: Int, seed: Long): Array[Byte] =
     // full 54-byte header (14 file + 40 DIB incl. compression = 0), so a
@@ -154,8 +503,15 @@ object Multimodal {
     *   13   fraction of pixels with luminance > 127.5
     *   14   mean |∂luminance/∂x| (within-row gradient)
     *   15   aspect ratio w/h */
-  private[graft] def bmpPixelFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] = {
-    if (dim < 16 || payload.length < 54 ||
+  private[graft] def bmpPixelFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    if (dim < 16) None
+    else bmpDecodeRgb(payload).map { case (w, h, rgb) => rgbStats(rgb, w, h, dim) }
+
+  /** BMP → (w, h, flat top-down RGB): walks the padded bottom-up (or
+    * top-down, negative height) BGR rows from the header-declared data
+    * offset. See [[bmpPixelFeatures]]. */
+  private[graft] def bmpDecodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 54 ||
       payload(0) != 'B'.toByte || payload(1) != 'M'.toByte) return None
     def le32(o: Int): Int = (payload(o) & 0xff) | ((payload(o + 1) & 0xff) << 8) |
       ((payload(o + 2) & 0xff) << 16) | ((payload(o + 3) & 0xff) << 24)
@@ -167,56 +523,130 @@ object Multimodal {
     val comp = if (le32(14) >= 40) le32(30) else 0
     if (bpp != 24 || comp != 0 || w <= 0 || hRaw == 0) return None
     val h = math.abs(hRaw)
+    if (w.toLong * h > (1L << 26)) return None
     val rowSize = ((w * 3 + 3) / 4) * 4
     if (off < 54 || off.toLong + rowSize.toLong * h > payload.length) return None
-    val sum = new Array[Double](3)
-    val sq = new Array[Double](3)
-    val mn = Array.fill(3)(255.0)
-    val mx = Array.fill(3)(0.0)
-    var lumSum = 0.0
-    var bright = 0L
-    var gradSum = 0.0
-    var gradN = 0L
+    val rgb = new Array[Byte](h * w * 3)
     var y = 0
     while (y < h) {
       // logical row y: bottom-up files store row h-1-y first
       val srcRow = if (hRaw > 0) h - 1 - y else y
       val base = off + srcRow * rowSize
       var x = 0
-      var prevLum = 0.0
       while (x < w) {
-        val b = payload(base + x * 3) & 0xff
-        val g = payload(base + x * 3 + 1) & 0xff
-        val r = payload(base + x * 3 + 2) & 0xff
-        sum(0) += b; sum(1) += g; sum(2) += r
-        sq(0) += b.toDouble * b; sq(1) += g.toDouble * g; sq(2) += r.toDouble * r
-        if (b < mn(0)) mn(0) = b; if (g < mn(1)) mn(1) = g; if (r < mn(2)) mn(2) = r
-        if (b > mx(0)) mx(0) = b; if (g > mx(1)) mx(1) = g; if (r > mx(2)) mx(2) = r
-        val lum = 0.114 * b + 0.587 * g + 0.299 * r
-        lumSum += lum
-        if (lum > 127.5) bright += 1
-        if (x > 0) { gradSum += math.abs(lum - prevLum); gradN += 1 }
-        prevLum = lum
+        rgb((y * w + x) * 3) = payload(base + x * 3 + 2)     // R
+        rgb((y * w + x) * 3 + 1) = payload(base + x * 3 + 1) // G
+        rgb((y * w + x) * 3 + 2) = payload(base + x * 3)     // B
         x += 1
       }
       y += 1
     }
-    val n = w.toDouble * h
-    val out = new Array[Float](dim)
-    var c = 0
-    while (c < 3) {
-      val mean = sum(c) / n
-      out(c) = mean.toFloat
-      out(3 + c) = math.sqrt(math.max(sq(c) / n - mean * mean, 0.0)).toFloat
-      out(6 + c) = mn(c).toFloat
-      out(9 + c) = mx(c).toFloat
-      c += 1
+    Some((w, h, rgb))
+  }
+
+  /** REAL PNG pixel decode + feature extraction, pure JVM: walks the
+    * chunk list (big-endian lengths, IHDR validation, IDAT
+    * concatenation), inflates the zlib stream with the JDK's Inflater —
+    * so ANY conformant encoder's output decodes, not just the stored-mode
+    * stream [[pngBytes]] writes — reverses all five scanline filters
+    * (None/Sub/Up/Average/Paeth, per the PNG spec §9), and reduces the
+    * RGB pixels to the SAME 16 statistics (same lane layout, B/G/R
+    * channel order) as [[bmpPixelFeatures]]. Returns None — caller falls
+    * back — for anything that is not 8-bit/channel non-interlaced
+    * truecolor (palette, alpha, 16-bit, interlaced, truncated or corrupt
+    * IDAT): refuse, never hallucinate. */
+  private[graft] def pngPixelFeatures(payload: Array[Byte], dim: Int): Option[Array[Float]] =
+    if (dim < 16) None
+    else pngDecodeRgb(payload).map { case (w, h, rgb) => rgbStats(rgb, w, h, dim) }
+
+  /** PNG → (w, h, flat top-down RGB). See [[pngPixelFeatures]]. */
+  private[graft] def pngDecodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    if (payload.length < 57) return None
+    val sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+    var i = 0
+    while (i < 8) {
+      if ((payload(i) & 0xff) != sig(i)) return None
+      i += 1
     }
-    out(12) = (lumSum / n).toFloat
-    out(13) = (bright / n).toFloat
-    out(14) = (if (gradN == 0) 0.0 else gradSum / gradN).toFloat
-    out(15) = w.toFloat / h
-    Some(out)
+    def be32(o: Int): Int = ((payload(o) & 0xff) << 24) | ((payload(o + 1) & 0xff) << 16) |
+      ((payload(o + 2) & 0xff) << 8) | (payload(o + 3) & 0xff)
+    var off = 8
+    var w = 0
+    var h = 0
+    var ihdrSeen = false
+    val idat = new java.io.ByteArrayOutputStream()
+    while (off + 8 <= payload.length) {
+      val len = be32(off)
+      if (len < 0 || off + 12L + len > payload.length) return None
+      val t0 = payload(off + 4) & 0xff
+      val t1 = payload(off + 5) & 0xff
+      val t2 = payload(off + 6) & 0xff
+      val t3 = payload(off + 7) & 0xff
+      if (t0 == 'I' && t1 == 'H' && t2 == 'D' && t3 == 'R') {
+        if (len != 13 || ihdrSeen) return None
+        w = be32(off + 8)
+        h = be32(off + 12)
+        val bit = payload(off + 16) & 0xff
+        val color = payload(off + 17) & 0xff
+        val comp = payload(off + 18) & 0xff
+        val filt = payload(off + 19) & 0xff
+        val inter = payload(off + 20) & 0xff
+        if (bit != 8 || color != 2 || comp != 0 || filt != 0 || inter != 0 ||
+          w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
+        ihdrSeen = true
+      } else if (t0 == 'I' && t1 == 'D' && t2 == 'A' && t3 == 'T') {
+        if (!ihdrSeen) return None
+        idat.write(payload, off + 8, len)
+      }
+      off += 12 + len
+    }
+    if (!ihdrSeen || idat.size == 0) return None
+    val stride = 1 + w * 3
+    val raw = new Array[Byte](h * stride)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    try {
+      while (got < raw.length && !inf.finished()) {
+        val n = inf.inflate(raw, got, raw.length - got)
+        if (n == 0 && (inf.needsInput() || inf.needsDictionary())) return None
+        got += n
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inf.end()
+    if (got < raw.length) return None
+    // reverse the per-scanline filters into the flat RGB pixel array
+    val pix = new Array[Byte](h * w * 3)
+    val bpp = 3
+    var y = 0
+    while (y < h) {
+      val ft = raw(y * stride) & 0xff
+      if (ft > 4) return None
+      var x = 0
+      while (x < w * 3) {
+        val cur = raw(y * stride + 1 + x) & 0xff
+        val a = if (x >= bpp) pix(y * w * 3 + x - bpp) & 0xff else 0
+        val b = if (y > 0) pix((y - 1) * w * 3 + x) & 0xff else 0
+        val c = if (x >= bpp && y > 0) pix((y - 1) * w * 3 + x - bpp) & 0xff else 0
+        val v = ft match {
+          case 0 => cur
+          case 1 => cur + a
+          case 2 => cur + b
+          case 3 => cur + (a + b) / 2
+          case _ =>
+            val p = a + b - c
+            val pa = math.abs(p - a)
+            val pb = math.abs(p - b)
+            val pc = math.abs(p - c)
+            cur + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        pix(y * w * 3 + x) = (v & 0xff).toByte
+        x += 1
+      }
+      y += 1
+    }
+    Some((w, h, pix))
   }
 
   /** REAL 16-bit PCM WAV sample decode + feature extraction, pure JVM:
@@ -343,9 +773,10 @@ object Multimodal {
 
   /** Decode + feature-extract, partition-batched: the per-partition block
     * is where a real codec/encoder would be initialized once and reused —
-    * the expensive-init-amortized shape that matters at scale. BMP rows
-    * take the REAL pixel decoder, 16-bit PCM WAV rows the REAL sample
-    * decoder; only compressed codecs (PNG/JPEG/GIF/MP4) fall back to the
+    * the expensive-init-amortized shape that matters at scale. BMP, PNG
+    * (JDK inflate + scanline unfilter), and GIF (full LZW) rows take the
+    * REAL pixel decoders, 16-bit PCM WAV rows the REAL sample decoder;
+    * only JPEG (DCT+Huffman) and MP4 (video codec) fall back to the
     * simulated one. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -353,6 +784,8 @@ object Multimodal {
       // per-partition init site (real impl: load codec + model weights once)
       rows.map { r =>
         val features = bmpPixelFeatures(r.payload, dim)
+          .orElse(pngPixelFeatures(r.payload, dim))
+          .orElse(gifPixelFeatures(r.payload, dim))
           .orElse(wavPcmFeatures(r.payload, dim))
           .getOrElse(fakeDecodeFeatures(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, r.payload.length, features)
@@ -371,11 +804,53 @@ object Multimodal {
     }
   }
 
-  /** Resize stub: recomputes metadata, passes payload through (real impl:
-    * decode → scale → re-encode inside mapPartitions). */
+  /** Try every real pixel decoder in turn → (w, h, flat top-down RGB). */
+  private[graft] def decodeRgb(payload: Array[Byte]): Option[(Int, Int, Array[Byte])] =
+    bmpDecodeRgb(payload)
+      .orElse(pngDecodeRgb(payload))
+      .orElse(gifDecodeRgb(payload))
+
+  /** Deterministic nearest-neighbor scale of a flat top-down RGB array:
+    * source pixel (x·sw ∕ w, y·sh ∕ h), integer floor — the standard
+    * sampling grid, reproducible across engines and layouts. */
+  private[graft] def scaleRgb(src: Array[Byte], sw: Int, sh: Int,
+      w: Int, h: Int): Array[Byte] = {
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      val sy = (y.toLong * sh / h).toInt
+      var x = 0
+      while (x < w) {
+        val sx = (x.toLong * sw / w).toInt
+        val s = (sy * sw + sx) * 3
+        val d = (y * w + x) * 3
+        out(d) = src(s); out(d + 1) = src(s + 1); out(d + 2) = src(s + 2)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize for every decodable image (BMP/PNG/GIF): decode →
+    * nearest-neighbor scale → re-encode as stored-mode PNG, inside
+    * mapPartitions (the decoder-init-amortized shape). Images no real
+    * decoder accepts (JPEG) keep the metadata-only behavior — the honest
+    * fallback, never a fabricated payload; non-images pass through
+    * untouched. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
-    media.map(r => if (r.kind == "image") r.copy(width = w, height = h) else r)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        if (r.kind != "image") r
+        else decodeRgb(r.payload) match {
+          case Some((sw, sh, rgb)) =>
+            r.copy(payload = pngFromRgb(w, h, scaleRgb(rgb, sw, sh, w, h)),
+              width = w, height = h)
+          case None => r.copy(width = w, height = h)
+        }
+      }
+    }
   }
 
   /** Feature table as a DataFrame (array<float> column) ready for the

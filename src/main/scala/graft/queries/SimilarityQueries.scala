@@ -557,13 +557,22 @@ object SimilarityQueries {
         |        200 + (media_id % 512) AS pad,
         |        CAST(64 + (media_id % 8) * 16 AS INT) AS w,
         |        (media_id // 3) % 4 AS sub
-        |      FROM m)
+        |      FROM m),
+        |d2 AS (SELECT *,
+        |        -- real GIF: LZW data bytes (9-bit codes: npix literals +
+        |        -- one CLEAR per 254 + EOI, bit-packed)
+        |        (9 * (w * 64 + (w * 64 + 253) // 254 + 1) + 7) // 8 AS gif_db
+        |      FROM d)
         |SELECT media_id, kind,
         |  CAST(CASE WHEN kind = 'audio' THEN 44 + pad
         |            WHEN kind = 'video' THEN 16 + pad
-        |            WHEN sub = 0 THEN 33 + pad
+        |            -- real PNG: 8 sig + 25 IHDR + 12 IEND + (12 + zlib)
+        |            -- IDAT, zlib stored-mode = 11 + 64*(1+3w) raw bytes
+        |            WHEN sub = 0 THEN 64 * (1 + 3 * w) + 68
         |            WHEN sub = 1 THEN 39 + pad
-        |            WHEN sub = 2 THEN 10 + pad
+        |            -- real GIF: 792 fixed bytes + data + sub-block length
+        |            -- bytes + terminator + trailer
+        |            WHEN sub = 2 THEN 794 + gif_db + (gif_db + 254) // 255
         |            ELSE 54 + ((w * 3 + 3) // 4) * 4 * 64 END AS INT) AS n_bytes,
         |  CASE WHEN kind = 'audio' THEN 'wav' WHEN kind = 'video' THEN 'mp4'
         |       WHEN sub = 0 THEN 'png' WHEN sub = 1 THEN 'jpeg'
@@ -571,7 +580,7 @@ object SimilarityQueries {
         |  CASE WHEN kind = 'image' THEN w END AS width,
         |  CASE WHEN kind = 'image' THEN CAST(64 AS INT) END AS height,
         |  CASE WHEN kind = 'audio' THEN CAST(16000 AS INT) END AS sample_rate
-        |FROM d""".stripMargin,
+        |FROM d2""".stripMargin,
 
     // q32: multi-table sign-LSH near-dup candidates replay whole: the 12
     // Rademacher planes (3 tables × 4 planes, one fused bucket_all) are
@@ -955,37 +964,50 @@ object SimilarityQueries {
       val kind = Seq("image", "audio", "video")(i % 3)
       val pad = 200 + (i % 512)
       val w = 64 + (i % 8) * 16
-      // header = the builder's real bytes minus the filler tail; wav/bmp
+      // header = the builder's real bytes minus the filler tail; wav
       // headers embed pad-dependent size fields, so build with the REAL
-      // pad and strip, rather than building with pad = 0
-      val (payload, isBmp) = kind match {
+      // pad and strip, rather than building with pad = 0. BMP/PNG/WAV
+      // rows decode for REAL, so their branches replay the decoded
+      // statistics closed-form and need no header literal.
+      val branch = kind match {
         case "image" => ((i / 3) % 4) match {
-          case 0 => (Multimodal.pngBytes(w, 64, pad, i), false)
-          case 1 => (Multimodal.jpegBytes(w, 64, pad, i), false)
-          case 2 => (Multimodal.gifBytes(w, 64, pad, i), false)
-          case _ => (Array.empty[Byte], true)
+          case 0 => "png"
+          case 2 => "gif"
+          case 3 => "bmp"
+          case _ => "stub"
         }
-        case "audio" => (Multimodal.wavBytes(16000, pad, i), false)
-        case _ => (Multimodal.mp4Bytes(pad, i), false)
+        case "audio" => "wav"
+        case _ => "stub"
       }
-      val isWav = kind == "audio"
-      if (isBmp) s"($i::BIGINT, '$kind', NULL::BIGINT[], ${((w * 3 + 3) / 4) * 4 * 64}, TRUE, FALSE, $w)"
-      else {
-        val hdr = payload.dropRight(pad).map(_ & 0xff).mkString("[", ",", "]")
-        s"($i::BIGINT, '$kind', $hdr::BIGINT[], $pad, FALSE, $isWav, $w)"
+      branch match {
+        case "bmp" =>
+          s"($i::BIGINT, '$kind', NULL::BIGINT[], ${((w * 3 + 3) / 4) * 4 * 64}, 'bmp', $w)"
+        case "png" =>
+          s"($i::BIGINT, '$kind', NULL::BIGINT[], 0, 'png', $w)"
+        case "gif" =>
+          s"($i::BIGINT, '$kind', NULL::BIGINT[], 0, 'gif', $w)"
+        case "wav" =>
+          s"($i::BIGINT, '$kind', NULL::BIGINT[], $pad, 'wav', $w)"
+        case _ =>
+          val payload = ((i / 3) % 4, kind) match {
+            case (1, "image") => Multimodal.jpegBytes(w, 64, pad, i)
+            case _            => Multimodal.mp4Bytes(pad, i)
+          }
+          val hdr = payload.dropRight(pad).map(_ & 0xff).mkString("[", ",", "]")
+          s"($i::BIGINT, '$kind', $hdr::BIGINT[], $pad, 'stub', $w)"
       }
     }.mkString(",\n")
     val hfold = s"(acc, x) -> ${HashOracleSql.wmul("xor(acc, x)", 1099511628211L)}"
     val term =
       s"CAST(CAST((list_reduce(list_prepend(-3750763034362895579::BIGINT, " +
         s"bytes[1:(16*m+1)]), $hfold) >> 16) & 65535 AS REAL) / 65535.0::REAL AS REAL)"
-    s"""WITH meta(media_id, kind, hdr, pad, is_bmp, is_wav, w) AS (VALUES
+    s"""WITH meta(media_id, kind, hdr, pad, branch, w) AS (VALUES
        |$rows),
        |full_bytes AS (
        |  SELECT media_id, kind, pad, w,
        |    list_concat(hdr, list_transform(range(0, pad),
        |      j -> (media_id * 31 + j * 7) % 251))::BIGINT[] AS bytes
-       |  FROM meta WHERE NOT is_bmp AND NOT is_wav),
+       |  FROM meta WHERE branch = 'stub'),
        |stub AS (
        |  SELECT media_id, kind, CAST(len(bytes) AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
        |    list_reduce(
@@ -998,14 +1020,35 @@ object SimilarityQueries {
        |           y -> list_transform(range(0, w),
        |             x -> (media_id * 31 + (y * (((w * 3 + 3) // 4) * 4) + x * 3) * 7) % 251))))::DOUBLE
        |         / (w * 64)::DOUBLE AS REAL) AS f0
-       |  FROM meta WHERE is_bmp),
+       |  FROM meta WHERE branch = 'bmp'),
        |wav AS (
        |  SELECT media_id, kind, CAST(44 + pad AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
        |    CAST(CAST(list_sum(list_transform(range(0, pad // 2), k ->
        |           $wavSmp)) AS DOUBLE)
        |         / CAST(pad // 2 AS DOUBLE) AS REAL) AS f0
-       |  FROM meta WHERE is_wav)
-       |SELECT * FROM stub UNION ALL SELECT * FROM bmp UNION ALL SELECT * FROM wav""".stripMargin
+       |  FROM meta WHERE branch = 'wav'),
+       |png AS (
+       |  SELECT media_id, kind,
+       |    CAST(64 * (1 + 3 * w) + 68 AS INT) AS n_bytes, CAST(16 AS INT) AS dim,
+       |    CAST(CAST(list_sum(list_transform(range(0, w * 64), p ->
+       |           (media_id * 31 + (3 * p + 2) * 7) % 251)) AS DOUBLE)
+       |         / (w * 64)::DOUBLE AS REAL) AS f0
+       |  FROM meta WHERE branch = 'png'),
+       |gif AS (
+       |  SELECT media_id, kind,
+       |    -- closed-form LZW stream size: npix literals + one CLEAR per
+       |    -- 254 + EOI, 9 bits each, packed, split into <=255B sub-blocks
+       |    CAST(794 + (9 * (w * 64 + (w * 64 + 253) // 254 + 1) + 7) // 8
+       |      + ((9 * (w * 64 + (w * 64 + 253) // 254 + 1) + 7) // 8 + 254) // 255
+       |      AS INT) AS n_bytes,
+       |    CAST(16 AS INT) AS dim,
+       |    CAST(CAST(list_sum(list_transform(range(0, w * 64), p ->
+       |           (((media_id * 31 + p * 7) % 251) * 31) % 256)) AS DOUBLE)
+       |         / (w * 64)::DOUBLE AS REAL) AS f0
+       |  FROM meta WHERE branch = 'gif')
+       |SELECT * FROM stub UNION ALL SELECT * FROM bmp
+       |UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
+       |UNION ALL SELECT * FROM gif""".stripMargin
   }
 
   // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------

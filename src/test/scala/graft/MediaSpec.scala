@@ -206,6 +206,232 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  /** Build a PNG from EXPLICIT filtered scanlines through a REAL deflate
+    * stream (not the generator's stored mode), so the decoder's inflate +
+    * unfilter path is exercised against an independent encoder. */
+  private def pngFrom(w: Int, h: Int, raw: Array[Byte]): Array[Byte] = {
+    def be32(v: Int) = Array[Byte]((v >> 24).toByte, (v >> 16).toByte, (v >> 8).toByte, v.toByte)
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(data.length) ++ typ.getBytes("US-ASCII") ++ data ++ be32(crc.getValue.toInt)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length + 64)
+    val zlen = d.deflate(buf)
+    d.end()
+    Array[Byte](0x89.toByte) ++ "PNG".getBytes("US-ASCII") ++
+      Array[Byte](0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", be32(w) ++ be32(h) ++ Array[Byte](8, 2, 0, 0, 0)) ++
+      chunk("IDAT", buf.take(zlen)) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("PNG decoder: Sub/Up filters + deflate round to hand-computed pixel statistics") {
+    // 2×2 RGB pixels: row0 (10,20,30),(40,50,60); row1 (5,0,255),(255,128,0)
+    // row0 Sub-filtered: 10,20,30 then 40-10,50-20,60-30; row1 Up-filtered
+    val raw = Array[Byte](
+      1, 10, 20, 30, 30, 30, 30,
+      2, (5 - 10).toByte, (0 - 20).toByte, (255 - 30).toByte,
+      (255 - 40).toByte, (128 - 50).toByte, (0 - 60).toByte)
+    val f = Multimodal.pngPixelFeatures(pngFrom(2, 2, raw), 16).get
+    assert(f(0) == ((30 + 60 + 255 + 0) / 4.0).toFloat)  // B mean
+    assert(f(1) == ((20 + 50 + 0 + 128) / 4.0).toFloat)  // G mean
+    assert(f(2) == ((10 + 40 + 5 + 255) / 4.0).toFloat)  // R mean
+    assert(f(6) == 0f && f(9) == 255f)                   // B min/max
+    assert(f(8) == 5f && f(11) == 255f)                  // R min/max
+    assert(f(15) == 1.0f)
+  }
+
+  test("PNG decoder: Average and Paeth filters reverse per spec") {
+    // forward-filter known pixels in the TEST (independent of the
+    // decoder's unfilter), rows cycling through all 5 filter types
+    val (w, h) = (4, 5)
+    val pix = Array.tabulate(h * w * 3)(j => ((j * 37 + 11) % 256).toByte)
+    def p(y: Int, x: Int): Int = if (x < 0) 0 else pix(y * w * 3 + x) & 0xff
+    val raw = new Array[Byte](h * (1 + w * 3))
+    for (y <- 0 until h) {
+      val ft = y % 5
+      raw(y * (1 + w * 3)) = ft.toByte
+      for (x <- 0 until w * 3) {
+        val cur = p(y, x)
+        val a = p(y, x - 3)
+        val b = if (y > 0) p(y - 1, x) else 0
+        val c = if (y > 0) p(y - 1, x - 3) else 0
+        val enc = ft match {
+          case 0 => cur
+          case 1 => cur - a
+          case 2 => cur - b
+          case 3 => cur - (a + b) / 2
+          case _ =>
+            val pr = a + b - c
+            val pa = math.abs(pr - a); val pb = math.abs(pr - b); val pc = math.abs(pr - c)
+            cur - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        raw(y * (1 + w * 3) + 1 + x) = (enc & 0xff).toByte
+      }
+    }
+    val f = Multimodal.pngPixelFeatures(pngFrom(w, h, raw), 16).get
+    // expected B mean from the ORIGINAL pixels (B = channel 2 of RGB)
+    val bs = for (y <- 0 until h; x <- 0 until w) yield p(y, x * 3 + 2)
+    assert(f(0) == (bs.sum / (w * h).toDouble).toFloat)
+    assert(f(6) == bs.min.toFloat && f(9) == bs.max.toFloat)
+  }
+
+  test("PNG decoder refuses what it cannot decode (falls back, never lies)") {
+    val good = Multimodal.pngBytes(8, 8, 0, 7L)
+    assert(Multimodal.pngPixelFeatures(good, 16).isDefined)
+    // corrupt the zlib stream header (IDAT data starts at 8 sig + 25 IHDR
+    // + 8 chunk header = byte 41) → inflate fails → None
+    val bad = good.clone()
+    bad(41) = (bad(41) ^ 0x55).toByte
+    assert(Multimodal.pngPixelFeatures(bad, 16).isEmpty)
+    // truncated → None; non-PNG → None
+    assert(Multimodal.pngPixelFeatures(good.dropRight(16), 16).isEmpty)
+    assert(Multimodal.pngPixelFeatures(Multimodal.bmpBytes(8, 8, 10, 1L), 16).isEmpty)
+    // 16-bit / palette / interlaced IHDRs refuse (mutate the IHDR copy)
+    def mut(off: Int, v: Byte): Array[Byte] = { val c = good.clone(); c(off) = v; c }
+    assert(Multimodal.pngPixelFeatures(mut(24, 16), 16).isEmpty) // bit depth
+    assert(Multimodal.pngPixelFeatures(mut(25, 3), 16).isEmpty)  // palette
+    assert(Multimodal.pngPixelFeatures(mut(28, 1), 16).isEmpty)  // interlaced
+    // an unknown filter type byte refuses rather than producing noise
+    val raw = new Array[Byte](2 * (1 + 2 * 3))
+    raw(0) = 7
+    assert(Multimodal.pngPixelFeatures(pngFrom(2, 2, raw), 16).isEmpty)
+  }
+
+  test("synthetic PNG rows decode for real and match the closed-form filler pixels") {
+    val feats = Multimodal.featureFrame(Multimodal.syntheticMedia(spark, 48))
+      .filter(col("kind") === "image").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    // png ids: i%3==0 and (i/3)%4==0 → 0, 12, 24, 36
+    Seq(0L, 12L, 24L, 36L).foreach { id =>
+      val w = 64 + (id % 8).toInt * 16
+      val fv = feats(id)
+      // B-channel mean from the closed-form filler: byte (3p+2) of the pixel array
+      val n = w * 64
+      val expB = (0 until n).map(p => (id * 31 + (3 * p + 2) * 7) % 251).sum / n.toDouble
+      assert(fv(0) == expB.toFloat, s"media $id")
+      assert(fv(15) == w.toFloat / 64, s"media $id aspect")
+    }
+  }
+
+  test("GIF LZW decoder: hand-packed code stream incl. the KwKwK first-use case") {
+    // 3×1 image, 4-color palette, min code size 2 (CLEAR=4, EOI=5).
+    // Codes [CLEAR, 1, 6] at width 3: code 6 is the not-yet-defined next
+    // code (KwKwK) and must expand to prev ++ first(prev) = [1, 1].
+    // LSB-first packing of 4,1,6,5 → bytes [140, 11].
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    val gif = "GIF89a".getBytes("US-ASCII") ++ le16(3) ++ le16(1) ++
+      Array[Byte](0x81.toByte, 0, 0) ++
+      Array[Byte](0, 0, 0, /*idx1:*/ 10, 200.toByte, 77, 1, 2, 3, 4, 5, 6) ++
+      Array[Byte](0x2c, 0, 0, 0, 0) ++ le16(3) ++ le16(1) ++ Array[Byte](0) ++
+      Array[Byte](2, /*len*/ 2, 140.toByte, 11, 0, 0x3b)
+    val f = Multimodal.gifPixelFeatures(gif, 16).get
+    // all three pixels are palette[1] = (r=10, g=200, b=77)
+    assert(f(0) == 77f && f(1) == 200f && f(2) == 10f)
+    assert(f(6) == 77f && f(9) == 77f)
+    assert(f(15) == 3f)
+  }
+
+  test("GIF decoder: generator round-trip matches the closed-form filler palette pixels") {
+    val w = 16
+    val gif = Multimodal.gifBytes(w, 8, 0, 5L)
+    val f = Multimodal.gifPixelFeatures(gif, 16).get
+    // B(p) = palette_b(idx(p)) = ((5·31 + p·7) % 251 · 31) % 256
+    val bs = (0 until w * 8).map(p => (((5 * 31 + p * 7) % 251) * 31) % 256)
+    assert(f(0) == (bs.sum / (w * 8).toDouble).toFloat)
+    assert(f(6) == bs.min.toFloat && f(9) == bs.max.toFloat)
+    assert(f(15) == 2f)
+  }
+
+  test("GIF decoder refuses what it cannot decode (falls back, never lies)") {
+    val good = Multimodal.gifBytes(8, 8, 0, 3L)
+    assert(Multimodal.gifPixelFeatures(good, 16).isDefined)
+    // interlace flag in the image descriptor (offset 6+7+768+9) → refuse
+    val inter = good.clone()
+    inter(790) = (inter(790) | 0x40).toByte
+    assert(Multimodal.gifPixelFeatures(inter, 16).isEmpty)
+    // truncated LZW data → refuse; non-GIF → refuse
+    assert(Multimodal.gifPixelFeatures(good.dropRight(10), 16).isEmpty)
+    assert(Multimodal.gifPixelFeatures(Multimodal.jpegBytes(8, 8, 64, 1L), 16).isEmpty)
+    // corrupting the code stream so it overruns the pixel count → refuse
+    val over = good.clone()
+    over(795) = (over(795) ^ 0x7f).toByte
+    assert(Multimodal.gifPixelFeatures(over, 16).isEmpty ||
+      Multimodal.gifPixelFeatures(over, 16).isDefined) // must not throw
+  }
+
+  test("synthetic GIF rows decode for real and match the closed-form palette pixels") {
+    val feats = Multimodal.featureFrame(Multimodal.syntheticMedia(spark, 48))
+      .filter(col("kind") === "image").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](3)).toMap
+    // gif ids: i%3==0 and (i/3)%4==2 → 6, 18, 30, 42
+    Seq(6L, 18L, 30L, 42L).foreach { id =>
+      val w = 64 + (id % 8).toInt * 16
+      val n = w * 64
+      val expB = (0 until n).map(p => (((id * 31 + p * 7) % 251) * 31) % 256).sum / n.toDouble
+      assert(feats(id)(0) == expB.toFloat, s"media $id")
+      assert(feats(id)(15) == w.toFloat / 64, s"media $id aspect")
+    }
+  }
+
+  test("resize really decodes, scales, and re-encodes decodable images") {
+    import spark.implicits._
+    // the explicit-pixel 2×2 BMP from the decoder test: logical top row
+    // (B,G,R) = (10,20,30),(40,50,60); bottom row black, white
+    def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val pixels =
+      Array[Byte](0, 0, 0, -1, -1, -1, 0, 0) ++
+        Array[Byte](10, 20, 30, 40, 50, 60, 0, 0)
+    val bmp = "BM".getBytes("US-ASCII") ++ le32(54 + 16) ++ le32(0) ++ le32(54) ++
+      le32(40) ++ le32(2) ++ le32(2) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ Array.fill[Byte](54 - 34)(0) ++ pixels
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image", bmp, 2, 2, 0, 0L),
+      Multimodal.MediaRow(2L, "image", Multimodal.jpegBytes(8, 8, 32, 1L), 8, 8, 0, 0L),
+      Multimodal.MediaRow(3L, "audio", Multimodal.wavBytes(16000, 20, 3L), 0, 0, 16000, 10L))
+    val out = Multimodal.resize(spark.createDataset(rows), 4, 4)
+      .collect().map(r => r.media_id -> r).toMap
+    // BMP: really re-encoded — the payload is now a decodable 4×4 PNG
+    val r1 = out(1L)
+    assert(r1.width == 4 && r1.height == 4)
+    val (dw, dh, rgb) = Multimodal.pngDecodeRgb(r1.payload).get
+    assert(dw == 4 && dh == 4)
+    // nearest-neighbor doubling: dst (0,0) = src top-left = RGB (30,20,10)
+    assert((rgb(0) & 0xff, rgb(1) & 0xff, rgb(2) & 0xff) == ((30, 20, 10)))
+    // dst (3,3) = src bottom-right = white
+    val last = (4 * 3 + 3) * 3
+    assert((rgb(last) & 0xff, rgb(last + 1) & 0xff, rgb(last + 2) & 0xff) == ((255, 255, 255)))
+    // dst (1,1) still in the top-left source block
+    val mid = (4 * 1 + 1) * 3
+    assert((rgb(mid) & 0xff, rgb(mid + 1) & 0xff, rgb(mid + 2) & 0xff) == ((30, 20, 10)))
+    // JPEG (no real decoder): metadata-only fallback, payload untouched
+    val r2 = out(2L)
+    assert(r2.width == 4 && r2.payload.sameElements(Multimodal.jpegBytes(8, 8, 32, 1L)))
+    // audio passes through untouched
+    val r3 = out(3L)
+    assert(r3.sample_rate == 16000 &&
+      r3.payload.sameElements(Multimodal.wavBytes(16000, 20, 3L)))
+  }
+
+  test("resize round-trips through every real image decoder (BMP, PNG, GIF sources)") {
+    import spark.implicits._
+    val rows = Seq(
+      Multimodal.MediaRow(1L, "image",
+        Multimodal.bmpBytes(8, 8, ((8 * 3 + 3) / 4) * 4 * 8, 9L), 8, 8, 0, 0L),
+      Multimodal.MediaRow(2L, "image", Multimodal.pngBytes(8, 8, 0, 9L), 8, 8, 0, 0L),
+      Multimodal.MediaRow(3L, "image", Multimodal.gifBytes(8, 8, 0, 9L), 8, 8, 0, 0L))
+    val out = Multimodal.resize(spark.createDataset(rows), 3, 5)
+      .collect().map(r => r.media_id -> r).toMap
+    Seq(1L, 2L, 3L).foreach { id =>
+      val (dw, dh, _) = Multimodal.pngDecodeRgb(out(id).payload).get
+      assert(dw == 3 && dh == 5, s"media $id")
+      assert(out(id).width == 3 && out(id).height == 5)
+    }
+  }
+
   test("WAV PCM decoder walks chunk lists with extra chunks before fmt/data") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
