@@ -432,6 +432,29 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  test("PNG encode/decode round-trips seeded random pixels, incl. multi-block stored streams") {
+    val rnd = new scala.util.Random(42)
+    // small odd shapes + one image whose raw scanline data crosses the
+    // 65,535-byte stored-block boundary (200×120 → 72,120 raw bytes, 2
+    // blocks) — the synthetic table never exercises multi-block streams
+    Seq((1, 1), (3, 7), (31, 2), (200, 120)).foreach { case (w, h) =>
+      val pix = Array.fill[Byte](w * 3 * h)(rnd.nextInt(256).toByte)
+      val (dw, dh, got) = Multimodal.pngDecodeRgb(Multimodal.pngFromRgb(w, h, pix)).get
+      assert(dw == w && dh == h, s"${w}x$h dims")
+      assert(got.sameElements(pix), s"${w}x$h pixels")
+    }
+  }
+
+  test("scaleRgb: identity at the same size, block structure when doubling") {
+    val rnd = new scala.util.Random(7)
+    val pix = Array.fill[Byte](5 * 3 * 4)(rnd.nextInt(256).toByte)
+    assert(Multimodal.scaleRgb(pix, 5, 4, 5, 4).sameElements(pix))
+    val up = Multimodal.scaleRgb(pix, 5, 4, 10, 8)
+    // dst (2x, 2y) must equal src (x, y) under floor nearest-neighbor
+    for (y <- 0 until 4; x <- 0 until 5; c <- 0 until 3)
+      assert(up(((2 * y) * 10 + 2 * x) * 3 + c) == pix((y * 5 + x) * 3 + c))
+  }
+
   test("WAV PCM decoder walks chunk lists with extra chunks before fmt/data") {
     def le16(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte)
     def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
