@@ -9,15 +9,17 @@ import org.apache.spark.sql.functions._
   * `mapPartitions` over typed rows.
   *
   * Codec status: 24-bit uncompressed BMP, PNG (JDK zlib inflate + all 5
-  * scanline unfilters), GIF (full variable-width LZW), and 16-bit PCM
+  * scanline unfilters), GIF (full variable-width LZW), baseline JPEG
+  * ([[JpegCodec]]: Huffman + dequant + IDCT + YCbCr), and 16-bit PCM
   * WAV all decode FOR REAL — pure-JVM decoders whose statistics are
   * spec-pinned against hand-computed pixels/samples (MediaSpec), feeding
   * one shared [[rgbStats]] so lane semantics cannot drift between
   * formats; [[resize]] really decodes, scales, and re-encodes them. Only
-  * JPEG (DCT+Huffman) and MP4 (video codec) would need codec libraries
-  * this environment doesn't have; those remain STUBBED with a
-  * deterministic fake (content-hash-seeded features), clearly marked
-  * below. Everything Spark-side is real and tested either way: the
+  * MP4 (a video codec) remains STUBBED with a deterministic fake
+  * (content-hash-seeded features), clearly marked below — along with any
+  * payload a decoder refuses, including this synthetic table's
+  * header-only jpeg rows (real SOI/SOF0 headers, no scan data).
+  * Everything Spark-side is real and tested either way: the
   * schema, binary-column handling, partition-batched processing shape
   * (one decoder init per partition, streamed iterator, no
   * collect-to-driver), and the downstream join-ability of the extracted
@@ -774,18 +776,20 @@ object Multimodal {
   /** Decode + feature-extract, partition-batched: the per-partition block
     * is where a real codec/encoder would be initialized once and reused —
     * the expensive-init-amortized shape that matters at scale. BMP, PNG
-    * (JDK inflate + scanline unfilter), and GIF (full LZW) rows take the
-    * REAL pixel decoders, 16-bit PCM WAV rows the REAL sample decoder;
-    * only JPEG (DCT+Huffman) and MP4 (video codec) fall back to the
-    * simulated one. */
+    * (JDK inflate + scanline unfilter), GIF (full LZW), and baseline
+    * JPEG ([[JpegCodec]]: Huffman + dequant + IDCT) rows take the REAL
+    * pixel decoders through the shared [[decodeRgb]] chain, 16-bit PCM
+    * WAV rows the REAL sample decoder; only payloads no decoder accepts
+    * (MP4 video, truncated/foreign bytes — including this synthetic
+    * table's header-only jpeg rows, which carry no scan data) fall back
+    * to the simulated one. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // per-partition init site (real impl: load codec + model weights once)
       rows.map { r =>
-        val features = bmpPixelFeatures(r.payload, dim)
-          .orElse(pngPixelFeatures(r.payload, dim))
-          .orElse(gifPixelFeatures(r.payload, dim))
+        val features = (if (dim < 16) None
+          else decodeRgb(r.payload).map { case (w, h, rgb) => rgbStats(rgb, w, h, dim) })
           .orElse(wavPcmFeatures(r.payload, dim))
           .getOrElse(fakeDecodeFeatures(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, r.payload.length, features)
@@ -809,6 +813,7 @@ object Multimodal {
     bmpDecodeRgb(payload)
       .orElse(pngDecodeRgb(payload))
       .orElse(gifDecodeRgb(payload))
+      .orElse(JpegCodec.decodeRgb(payload))
 
   /** Deterministic nearest-neighbor scale of a flat top-down RGB array:
     * source pixel (x·sw ∕ w, y·sh ∕ h), integer floor — the standard
@@ -832,10 +837,10 @@ object Multimodal {
     out
   }
 
-  /** REAL resize for every decodable image (BMP/PNG/GIF): decode →
-    * nearest-neighbor scale → re-encode as stored-mode PNG, inside
-    * mapPartitions (the decoder-init-amortized shape). Images no real
-    * decoder accepts (JPEG) keep the metadata-only behavior — the honest
+  /** REAL resize for every decodable image (BMP/PNG/GIF/baseline JPEG):
+    * decode → nearest-neighbor scale → re-encode as stored-mode PNG,
+    * inside mapPartitions (the decoder-init-amortized shape). Images no
+    * real decoder accepts keep the metadata-only behavior — the honest
     * fallback, never a fabricated payload; non-images pass through
     * untouched. */
   def resize(media: Dataset[MediaRow], w: Int, h: Int): Dataset[MediaRow] = {
