@@ -25,6 +25,16 @@ class MediaSpec extends SparkSpec {
     assert(parse(Multimodal.bmpBytes(800, 600, 10, 4L)) === (("bmp", 800, 600, null)))
   }
 
+  test("media_meta parses dimensions from fully-encoded real payloads") {
+    // the codegen'd header parser and the full decoders must agree on the
+    // same real bytes — not just on header-only synthetic payloads
+    val rgb = Array.fill[Byte](24 * 16 * 3)(90.toByte)
+    assert(parse(graft.operators.JpegCodec.encodeBlockMean(24, 16, rgb)) ===
+      (("jpeg", 24, 16, null)))
+    assert(parse(Multimodal.pngBytes(24, 16, 0, 1L)) === (("png", 24, 16, null)))
+    assert(parse(Multimodal.gifBytes(24, 16, 0, 1L)) === (("gif", 24, 16, null)))
+  }
+
   test("wav sample rate comes from the fmt chunk; mp4 sniffs by ftyp") {
     assert(parse(Multimodal.wavBytes(44100, 10, 5L)) === (("wav", null, null, 44100)))
     assert(parse(Multimodal.mp4Bytes(10, 6L)) === (("mp4", null, null, null)))
