@@ -303,8 +303,10 @@ object Bench {
     // never have to reconcile a driver-run index against a builder-run
     // index again (VERDICT r8 item 7). Full JSON only — the slim driver
     // line is byte-budgeted.
+    // strip the label to JSON-inert characters — a quote or backslash in
+    // the env var must not render bench_out.json unparseable
     val runId = sys.env.get("SPARK_GRAFT_RUN_LABEL")
-      .map(l => s"$l-${System.currentTimeMillis / 1000}")
+      .map(l => s"${l.replaceAll("[^A-Za-z0-9._-]", "")}-${System.currentTimeMillis / 1000}")
       .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
       s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""

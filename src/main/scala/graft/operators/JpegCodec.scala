@@ -103,7 +103,9 @@ object JpegCodec {
         val b = readBit()
         if (b < 0) return -1
         code = (code << 1) | b
-        if (h.maxCode(l) >= 0 && code <= h.maxCode(l))
+        // code >= minCode guards the symbol index against corrupt
+        // entropy data / sparse tables — never index below valPtr
+        if (h.maxCode(l) >= 0 && code >= h.minCode(l) && code <= h.maxCode(l))
           return h.symbol(h.valPtr(l) + code - h.minCode(l))
         l += 1
       }
@@ -213,14 +215,22 @@ object JpegCodec {
       val marker = u8(off + 1)
       if (marker == 0xd8) { off += 2 } // stray SOI
       else if (marker == 0xd9) return None // EOI before scan
-      else {
+      else if (marker == 0x01 || (marker >= 0xd0 && marker <= 0xd7)) {
+        // TEM / stray RSTn: standalone 2-byte markers, no length field —
+        // skip them rather than misread the next bytes as a length
+        off += 2
+      } else if (marker == 0xff) {
+        off += 1 // 0xFF fill byte before a marker (T.81 B.1.1.2)
+      } else {
         val len = u16(off + 2)
         if (len < 2 || off + 2 + len > payload.length) return None
         val seg = off + 4
+        val segEnd = off + 2 + len
         marker match {
           case 0xdb => // DQT — possibly several tables per segment
             var p = seg
-            while (p < off + 2 + len) {
+            while (p < segEnd) {
+              if (p + 65 > segEnd) return None // truncated table body
               val pq = u8(p) >> 4
               val tq = u8(p) & 15
               if (pq != 0 || tq > 3) return None // 16-bit tables: refuse
@@ -231,24 +241,27 @@ object JpegCodec {
             }
           case 0xc4 => // DHT — possibly several tables per segment
             var p = seg
-            while (p < off + 2 + len) {
+            while (p < segEnd) {
+              if (p + 17 > segEnd) return None // truncated count list
               val tc = u8(p) >> 4
               val th = u8(p) & 15
               if (tc > 1 || th > 3) return None
               val counts = Array.tabulate(16)(i => u8(p + 1 + i))
               val total = counts.sum
-              if (total > 256 || p + 17 + total > off + 2 + len) return None
+              if (total > 256 || p + 17 + total > segEnd) return None
               val symbols = Array.tabulate(total)(i => u8(p + 17 + i))
               val tbl = new Huff(counts, symbols)
               if (tc == 0) dcH(th) = tbl else acH(th) = tbl
               p += 17 + total
             }
           case 0xc0 | 0xc1 => // SOF0/1: baseline (extended seq. huffman ok)
+            if (len < 8) return None // header up to component count
             if (u8(seg) != 8) return None // 12-bit: refuse
             h = u16(seg + 1)
             w = u16(seg + 3)
             val nc = u8(seg + 5)
             if (nc != 1 && nc != 3) return None
+            if (len < 8 + 3 * nc) return None // truncated component list
             if (w <= 0 || h <= 0 || w.toLong * h > (1L << 26)) return None
             comps = Array.tabulate(nc) { i =>
               val b = seg + 6 + i * 3
@@ -260,11 +273,13 @@ object JpegCodec {
                0xcd | 0xce | 0xcf =>
             return None // progressive / arithmetic / lossless: refuse
           case 0xdd => // DRI
+            if (len < 4) return None
             restartInterval = u16(seg)
           case 0xda => // SOS — entropy data follows
-            if (comps == null) return None
+            if (comps == null || len < 3) return None
             val ns = u8(seg)
             if (ns != comps.length) return None
+            if (len < 6 + 2 * ns) return None // comp selectors + Ss/Se/AhAl
             var p = seg + 1
             var i = 0
             while (i < ns) {

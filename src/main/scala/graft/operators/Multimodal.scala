@@ -702,6 +702,9 @@ object Multimodal {
       off += step.toInt
     }
     if (fmtOff < 0 || dataOff < 0) return None
+    // the walk bounds only the 8-byte chunk header; a tail-truncated fmt
+    // body (declared size >= 16, bytes absent) must refuse, not throw
+    if (fmtOff + 16 > payload.length) return None
     val audioFmt = le16(fmtOff)
     val channels = le16(fmtOff + 2)
     val rate = le32(fmtOff + 4)

@@ -107,6 +107,52 @@ class JpegSpec extends SparkSpec {
     assert(JpegCodec.decodeRgb(Array[Byte](1, 2, 3)).isEmpty)
   }
 
+  test("truncated segment bodies refuse instead of throwing (ADVICE r9)") {
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // DQT whose declared length (3) covers only the Pq/Tq byte: the 65-byte
+    // table body is absent and the payload ends right there
+    assert(JpegCodec.decodeRgb(bytes(0xff, 0xd8, 0xff, 0xdb, 0x00, 0x03, 0x00)).isEmpty)
+    // DHT with 3 body bytes < the 17-byte count list
+    assert(JpegCodec.decodeRgb(
+      bytes(0xff, 0xd8, 0xff, 0xc4, 0x00, 0x05, 0x00, 0x01, 0x02)).isEmpty)
+    // SOF0 header shorter than precision+dims+nc
+    assert(JpegCodec.decodeRgb(
+      bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x07, 0x08, 0x00, 0x08, 0x00, 0x08)).isEmpty)
+    // SOF0 declaring 3 components but a length that only fits the header
+    assert(JpegCodec.decodeRgb(
+      bytes(0xff, 0xd8, 0xff, 0xc0, 0x00, 0x0b, 0x08, 0x00, 0x08, 0x00, 0x08,
+        0x03, 0x01, 0x11, 0x00)).isEmpty)
+    // DRI with no interval field (len 2)
+    assert(JpegCodec.decodeRgb(bytes(0xff, 0xd8, 0xff, 0xdd, 0x00, 0x02)).isEmpty)
+    // SOS whose length cannot fit the component selectors + Ss/Se/AhAl
+    val good = JpegCodec.encodeBlockMean(8, 8, gray(100, 8, 8))
+    val sosAt = {
+      var i = 2
+      while (!((good(i) & 0xff) == 0xff && (good(i + 1) & 0xff) == 0xda)) i += 1
+      i
+    }
+    val shortSos = good.clone()
+    shortSos(sosAt + 2) = 0x00
+    shortSos(sosAt + 3) = 0x05
+    assert(JpegCodec.decodeRgb(shortSos).isEmpty)
+  }
+
+  test("standalone TEM/RSTn markers between segments are skipped, not misparsed") {
+    val good = JpegCodec.encodeBlockMean(8, 8, gray(100, 8, 8))
+    def withAfterSoi(marker: Int): Array[Byte] =
+      good.take(2) ++ Array(0xff.toByte, marker.toByte) ++ good.drop(2)
+    // TEM (0x01) and a stray RST3 carry no length field; the walk must
+    // step over them and still decode the image exactly
+    for (m <- Seq(0x01, 0xd3)) {
+      val (w, h, rgb) = JpegCodec.decodeRgb(withAfterSoi(m)).get
+      assert(w == 8 && h == 8 && rgb.forall(b => (b & 0xff) == 100), s"marker $m")
+    }
+    // 0xFF fill byte before a marker (T.81 B.1.1.2) is padding
+    val filled = good.take(2) ++ Array(0xff.toByte) ++ good.drop(2)
+    val (w, h, rgb) = JpegCodec.decodeRgb(filled).get
+    assert(w == 8 && h == 8 && rgb.forall(b => (b & 0xff) == 100))
+  }
+
   test("resize consumes real JPEGs through the shared decode chain") {
     import spark.implicits._
     val jpg = JpegCodec.encodeBlockMean(16, 16, gray(130, 16, 16))

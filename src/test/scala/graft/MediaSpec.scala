@@ -202,6 +202,16 @@ class MediaSpec extends SparkSpec {
     val whole = pcmWav(8000, 1, 16, 1, Seq(100, 200, 300))
     val trunc = Multimodal.wavPcmFeatures(whole.dropRight(2), 16).get
     assert(trunc(11) == 2f && trunc(3) == 200f)
+    // data chunk first, then a fmt chunk whose 16-byte body is absent past
+    // the payload end: the chunk walk finds both headers but the fmt
+    // fields must refuse, not throw (ADVICE r9)
+    def le32(v: Int) = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    val tailFmt =
+      "RIFF".getBytes("US-ASCII") ++ le32(36) ++ "WAVE".getBytes("US-ASCII") ++
+        "data".getBytes("US-ASCII") ++ le32(16) ++ new Array[Byte](16) ++
+        "fmt ".getBytes("US-ASCII") ++ le32(16) // declared 16, body missing
+    assert(tailFmt.length == 44)
+    assert(Multimodal.wavPcmFeatures(tailFmt, 16).isEmpty)
     // synthetic table: every audio row decodes for real (16-bit PCM)
     val feats = Multimodal.featureFrame(Multimodal.syntheticMedia(spark, 48))
       .filter(col("kind") === "audio").collect()
