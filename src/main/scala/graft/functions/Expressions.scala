@@ -463,13 +463,13 @@ object HashKernels {
 
 /** Container-header parsers for multimodal binary columns. Headers are
   * pure byte arithmetic — no codec library — so format sniffing and
-  * dimension extraction are REAL operators (unlike pixel decode, which
-  * stays stubbed in [[graft.operators.Multimodal]]): magic-byte dispatch,
-  * then the format's own header layout (PNG IHDR big-endian dims, JPEG
+  * dimension extraction are REAL operators: magic-byte dispatch, then
+  * the format's own header layout (PNG IHDR big-endian dims, JPEG
   * marker-segment walk to SOF, GIF/BMP little-endian dims, RIFF chunk
-  * walk to `fmt ` for WAV sample rate, MP4 `ftyp` brand). One static
+  * walk to `fmt ` for WAV sample rate, MP4 box-tree walk to the video
+  * trak's `tkhd` dims via [[graft.operators.Mp4Codec]]). One static
   * call per row from whole-stage codegen; each parse touches only the
-  * first bytes of the payload.
+  * header bytes of the payload.
   */
 object MediaKernels {
 
@@ -546,9 +546,18 @@ object MediaKernels {
       }
       return row("wav", null, null, null)
     }
-    // MP4 family: box size + `ftyp`
+    // MP4 family: box size + `ftyp`; dimensions from the first video
+    // trak's tkhd via the REAL box-tree parser (sharing Mp4Codec keeps
+    // this expression and the decode path structurally incapable of
+    // disagreeing — the same guarantee the image formats get from the
+    // shared decodeRgb chain). Containers without a well-formed video
+    // track (audio-only m4a, truncated boxes) keep null dims.
     if (n >= 12 && ascii(b, 4, "ftyp"))
-      return row("mp4", null, null, null)
+      return graft.operators.Mp4Codec.parse(b) match {
+        case Some(p) if p.width > 0 && p.height > 0 =>
+          row("mp4", p.width, p.height, null)
+        case _ => row("mp4", null, null, null)
+      }
     row("unknown", null, null, null)
   }
 }

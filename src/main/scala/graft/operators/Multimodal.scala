@@ -14,11 +14,14 @@ import org.apache.spark.sql.functions._
   * WAV all decode FOR REAL — pure-JVM decoders whose statistics are
   * spec-pinned against hand-computed pixels/samples (MediaSpec), feeding
   * one shared [[rgbStats]] so lane semantics cannot drift between
-  * formats; [[resize]] really decodes, scales, and re-encodes them. Only
-  * MP4 (a video codec) remains STUBBED with a deterministic fake
-  * (content-hash-seeded features), clearly marked below — along with any
-  * payload a decoder refuses, including this synthetic table's
-  * header-only jpeg rows (real SOI/SOF0 headers, no scan data).
+  * formats; [[resize]] really decodes, scales, and re-encodes them. MP4
+  * containers parse FOR REAL too ([[Mp4Codec]]: full box-tree walk,
+  * movie/track/media headers, stts/stsz sample tables → container
+  * statistics and real per-frame timestamps); only the compressed
+  * video bitstream inside `mdat` (H.264 et al.) is out of scope — a
+  * codec, not a container. The deterministic fake decoder below remains
+  * ONLY for payloads every parser refuses, including this synthetic
+  * table's header-only jpeg rows (real SOI/SOF0 headers, no scan data).
   * Everything Spark-side is real and tested either way: the
   * schema, binary-column handling, partition-batched processing shape
   * (one decoder init per partition, streamed iterator, no
@@ -442,6 +445,56 @@ object Multimodal {
   private[graft] def mp4Bytes(pad: Int, seed: Long): Array[Byte] =
     be32(16) ++ asciiB("ftyp") ++ asciiB("isom") ++ be32(512) ++ filler(pad, seed)
 
+  /** size-prefixed ISO-BMFF box: 32-bit size + fourcc + body parts. */
+  private def mp4Box(tpe: String, parts: Array[Byte]*): Array[Byte] = {
+    val body = parts.flatMap(_.toSeq).toArray
+    be32(8 + body.length) ++ asciiB(tpe) ++ body
+  }
+
+  /** COMPLETE minimal valid MP4 (ISO/IEC 14496-12), closed-form in
+    * (w, h, seed): ftyp + moov(mvhd, trak(tkhd, mdia(mdhd, hdlr `vide`,
+    * minf(vmhd, dinf/dref/url, stbl(stsd `mp4v`, stts, stsc, stsz,
+    * stco))))) + mdat. n = 5 + seed%10 frames; frame k's sample size is
+    * 16 + ((seed·31 + k·7) % 251) — the filler-formula family, so DuckDB
+    * replays the sample-size statistics closed-form; mdhd timescale
+    * 12800 with constant delta 512 (exact 40 ms frames); mvhd timescale
+    * 1000, movie duration n·40. Total file length = 579 + 4n + Σ sizes
+    * (pinned in MediaSpec). [[Mp4Codec]] decodes these FOR REAL. */
+  private[graft] def mp4FullBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val n = (5 + seed % 10).toInt
+    val sizes = Array.tabulate(n)(k => (16 + (seed * 31 + k * 7) % 251).toInt)
+    val total = sizes.sum
+    val z = (c: Int) => new Array[Byte](c)
+    val matrix = be32(0x10000) ++ z(12) ++ be32(0x10000) ++ z(12) ++ be32(0x40000000)
+    val mvhd = mp4Box("mvhd", z(4), z(8), be32(1000), be32(n * 40),
+      be32(0x10000), be16(0x0100), z(10), matrix, z(24), be32(2))
+    val tkhd = mp4Box("tkhd", be32(7) /*v0, enabled|in-movie|in-preview*/,
+      z(8), be32(1), z(4), be32(n * 40), z(8), z(8), matrix,
+      be32(w << 16), be32(h << 16))
+    val mdhd = mp4Box("mdhd", z(4), z(8), be32(12800), be32(n * 512),
+      be16(0x55c4) /*'und'*/, z(2))
+    val hdlr = mp4Box("hdlr", z(4), z(4), asciiB("vide"), z(12), z(1))
+    val vmhd = mp4Box("vmhd", be32(1), z(8))
+    val dinf = mp4Box("dinf",
+      mp4Box("dref", z(4), be32(1), mp4Box("url ", be32(1))))
+    val stsd = mp4Box("stsd", z(4), be32(1),
+      mp4Box("mp4v", z(6), be16(1), z(16), be16(w), be16(h),
+        be32(0x480000), be32(0x480000), z(4), be16(1), z(32),
+        be16(24), be16(0xffff)))
+    val stts = mp4Box("stts", z(4), be32(1), be32(n), be32(512))
+    val stsc = mp4Box("stsc", z(4), be32(1), be32(1), be32(n), be32(1))
+    val stsz = mp4Box("stsz", z(4), be32(0),
+      be32(n), sizes.flatMap(be32))
+    val stbl = mp4Box("stbl", stsd, stts, stsc, stsz,
+      mp4Box("stco", z(4), be32(1), be32(579 + 4 * n)))
+    val moov = mp4Box("moov", mvhd,
+      mp4Box("trak", tkhd,
+        mp4Box("mdia", mdhd, hdlr,
+          mp4Box("minf", vmhd, dinf, stbl))))
+    be32(16) ++ asciiB("ftyp") ++ asciiB("isom") ++ be32(512) ++ moov ++
+      mp4Box("mdat", filler(total, seed))
+  }
+
   /** Deterministic synthetic media table (test stand-in for a real
     * binary-column source such as parquet/webdataset). Image payloads
     * rotate through PNG/JPEG/GIF/BMP; the header-encoded dimensions equal
@@ -465,7 +518,10 @@ object Multimodal {
           case _ => bmpBytes(w, h, ((w * 3 + 3) / 4) * 4 * h, i)
         }
         case "audio" => wavBytes(16000, pad, i)
-        case _ => mp4Bytes(pad, i)
+        // video rows are COMPLETE valid MP4s: real box tree + sample
+        // tables, so the container parser runs end to end (mdat holds
+        // deterministic filler — pixel bitstreams are out of scope)
+        case _ => mp4FullBytes(w, h, i)
       }
       MediaRow(i, kind, payload, w, h, 16000, 1000L + i % 5000)
     }
@@ -758,8 +814,9 @@ object Multimodal {
     Some(out)
   }
 
-  /** ===== STUB ===== (non-BMP formats) A real implementation decodes
-    * payload with an image/audio codec and runs a vision/audio encoder.
+  /** ===== STUB ===== (refused payloads only) A real implementation
+    * decodes payload with a compressed-bitstream codec and runs an
+    * encoder model.
     * Here: a deterministic hash-seeded projection of the bytes so tests
     * can assert exact values. The *shape* (dim-`dim` float vector per
     * row, computed inside a partition iterator with per-partition
@@ -782,8 +839,9 @@ object Multimodal {
     * (JDK inflate + scanline unfilter), GIF (full LZW), and baseline
     * JPEG ([[JpegCodec]]: Huffman + dequant + IDCT) rows take the REAL
     * pixel decoders through the shared [[decodeRgb]] chain, 16-bit PCM
-    * WAV rows the REAL sample decoder; only payloads no decoder accepts
-    * (MP4 video, truncated/foreign bytes — including this synthetic
+    * WAV rows the REAL sample decoder, MP4 rows the REAL container
+    * parser ([[Mp4Codec.mp4Features]]); only payloads every parser
+    * refuses (truncated/foreign bytes — including this synthetic
     * table's header-only jpeg rows, which carry no scan data) fall back
     * to the simulated one. */
   def extractFeatures(media: Dataset[MediaRow], dim: Int = 16): Dataset[MediaFeatures] = {
@@ -794,6 +852,7 @@ object Multimodal {
         val features = (if (dim < 16) None
           else decodeRgb(r.payload).map { case (w, h, rgb) => rgbStats(rgb, w, h, dim) })
           .orElse(wavPcmFeatures(r.payload, dim))
+          .orElse(Mp4Codec.mp4Features(r.payload, dim))
           .getOrElse(fakeDecodeFeatures(r.payload, dim))
         MediaFeatures(r.media_id, r.kind, r.payload.length, features)
       }
@@ -808,6 +867,23 @@ object Multimodal {
       (0L until r.duration_ms by strideMs).zipWithIndex.map { case (ts, i) =>
         FrameSample(r.media_id, i, ts)
       }
+    }
+  }
+
+  /** REAL frame sampling: expand each MP4 container's stts decode deltas
+    * into actual per-frame decode timestamps ([[Mp4Codec.frameTimesMs]]),
+    * not metadata strides — what a frame-level training-data pipeline
+    * joins captions/embeddings against. Payloads the container parser
+    * refuses yield no rows (refuse, never fabricate). Per-row lazy
+    * expansion inside the partition iterator: a 1M-frame container emits
+    * an iterator, never a materialized driver-side list. */
+  def sampleFramesMp4(media: Dataset[MediaRow]): Dataset[FrameSample] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      Mp4Codec.parse(r.payload).iterator.flatMap(info =>
+        Mp4Codec.frameTimesMs(info).map { case (i, ts) =>
+          FrameSample(r.media_id, i, ts)
+        })
     }
   }
 

@@ -377,11 +377,14 @@ object RelationalQueries {
     // then gap-fill per-type daily counts with explicit zeros — calendar
     // densification, the standard prep before any time-series model.
     // The recursion iterates over INT day numbers (a DATE recursion
-    // column trips the loop's row decoder in 4.1) in WEEK strides, each
-    // stride exploded into its ≤7 in-range days: every UnionLoop
+    // column trips the loop's row decoder in 4.1) in 32-DAY strides, each
+    // stride exploded into its ≤32 in-range days: every UnionLoop
     // iteration is a full micro-job, so recursion granularity is a
-    // fixed-cost knob — 7× fewer rounds cut the measured wall time ~5×
-    // with the identical day calendar out. Working set stays one row per
+    // fixed-cost knob — week strides already cut wall time ~5× vs daily,
+    // and 32-day strides drop a month-scale log to ONE anchor row + one
+    // termination probe (r9's driver run showed this query alone drift
+    // 6.5× under JVM contention; fewer rounds shrink that exposure).
+    // Working set stays one row per
     // stride — driver-bounded like a broadcast scalar. The calendar ×
     // event-type cross join is two tiny derived sides (whitelisted in
     // PlanShapeSpec); the count join stays a hash join.
@@ -1151,12 +1154,12 @@ object RelationalQueries {
     """WITH RECURSIVE wk AS (
       |  SELECT (SELECT MIN(unix_date(to_date(ts))) FROM ev) AS w
       |  UNION ALL
-      |  SELECT w + 7 AS w FROM wk
-      |  WHERE w + 7 <= (SELECT MAX(unix_date(to_date(ts))) FROM ev)
+      |  SELECT w + 32 AS w FROM wk
+      |  WHERE w + 32 <= (SELECT MAX(unix_date(to_date(ts))) FROM ev)
       |),
       |cal AS (
       |  SELECT w + o AS d FROM wk
-      |  LATERAL VIEW explode(array(0, 1, 2, 3, 4, 5, 6)) offs AS o
+      |  LATERAL VIEW explode(sequence(0, 31)) offs AS o
       |  WHERE w + o <= (SELECT MAX(unix_date(to_date(ts))) FROM ev)
       |)
       |SELECT t.event_type, date_format(date_from_unix_date(c.d), 'yyyy-MM-dd') AS day,

@@ -155,12 +155,13 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQ), "vec_id", "embedding", K)
     }),
 
-    // Multimodal plumbing: synthetic binary payloads → decode (real for
-    // BMP, deterministic stub otherwise) → feature vectors ready for
-    // similarity ops. Oracle-checked BIT-EXACT: every payload byte is
-    // deterministic, so both decode paths replay in DuckDB
-    // (mediaFeatureOracleSql) — with this, ALL 120 registry queries are
-    // oracle-backed.
+    // Multimodal plumbing: synthetic binary payloads → decode (REAL
+    // pixel/sample/container parse for BMP/PNG/GIF/WAV/MP4 rows;
+    // deterministic stub only for refused payloads — the header-only
+    // jpeg rows) → feature vectors ready for similarity ops.
+    // Oracle-checked BIT-EXACT: every payload byte is deterministic, so
+    // both decode paths replay in DuckDB (mediaFeatureOracleSql) — with
+    // this, ALL registry queries are oracle-backed.
     "q33_media_features" -> ((s, dir) => {
       val media = Multimodal.syntheticMedia(s, 200)
       Multimodal.featureFrame(media)
@@ -193,6 +194,40 @@ object SimilarityQueries {
           element_at(col("features"), 9).as("dur_s"),
           element_at(col("features"), 12).cast("int").as("n_samples"))
     }),
+
+    // REAL ISO-BMFF container parse: the video rows' full feature lanes
+    // — frame count, duration, fps, sample-size mean/std/min/max/total,
+    // tkhd dimensions, track count, movie duration — straight off the
+    // binary column's real box tree (Mp4Codec: mvhd/tkhd/mdhd/hdlr +
+    // stts/stsz walk). Oracle-checked BIT-EXACT: sample sizes are
+    // closed-form in media_id, integer sums are exact in both engines,
+    // and each float lane is one IEEE divide/sqrt + one float round —
+    // the q180 disciplines applied to video. Shuffle-free per-row parse.
+    "q181_mp4_boxes" -> ((s, dir) => {
+      val media = Multimodal.syntheticMedia(s, 200)
+      Multimodal.featureFrame(media)
+        .filter(col("kind") === "video")
+        .select(col("media_id"), col("n_bytes"),
+          element_at(col("features"), 1).cast("int").as("n_frames"),
+          element_at(col("features"), 2).as("dur_s"),
+          element_at(col("features"), 3).as("fps"),
+          element_at(col("features"), 4).as("mean_sz"),
+          element_at(col("features"), 5).as("std_sz"),
+          element_at(col("features"), 6).cast("int").as("min_sz"),
+          element_at(col("features"), 7).cast("int").as("max_sz"),
+          element_at(col("features"), 8).cast("long").as("total_sz"),
+          element_at(col("features"), 9).cast("int").as("width"),
+          element_at(col("features"), 12).as("movie_dur_s"))
+    }),
+
+    // REAL frame-level expansion: one row per ACTUAL frame from each
+    // MP4's stts decode deltas (not metadata strides) — the join spine a
+    // frame-level training pipeline hangs captions/embeddings on.
+    // Oracle-checked BIT-EXACT: constant 512-tick deltas at timescale
+    // 12800 make every timestamp exactly 40·k ms in integer math.
+    "q182_mp4_frames" -> ((s, dir) =>
+      Multimodal.sampleFramesMp4(Multimodal.syntheticMedia(s, 200)).toDF()
+        .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))),
 
     // Frame sampling of video payloads — metadata fan-out shape.
     // Oracle-checked: the closed-form frame count/last-ts per video.
@@ -543,6 +578,17 @@ object SimilarityQueries {
     "q81_ann_ivfpq" -> ivfPqOracleSql,
     "q33_media_features" -> mediaFeatureOracleSql,
     "q180_wav_pcm" -> wavPcmOracleSql,
+    "q181_mp4_boxes" -> mp4BoxOracleSql,
+
+    // Frame expansion: video ids ≡ 2 mod 3, n = 5 + id%10 frames, each
+    // exactly 40 ms apart (512 ticks at timescale 12800).
+    "q182_mp4_frames" ->
+      """WITH v AS (SELECT CAST(t.i AS BIGINT) AS media_id,
+        |                  CAST(5 + (t.i % 10) AS BIGINT) AS n
+        |           FROM range(0, 200) t(i) WHERE t.i % 3 = 2)
+        |SELECT media_id, CAST(k AS INT) AS frame_index,
+        |       CAST(k * 40 AS BIGINT) AS frame_ts_ms
+        |FROM (SELECT media_id, unnest(range(0, n)) AS k FROM v)""".stripMargin,
 
     // The synthetic media table is a pure function of media_id (kind
     // rotation, pad = 200 + id, dims from the id, format rotation every
@@ -565,7 +611,11 @@ object SimilarityQueries {
         |      FROM d)
         |SELECT media_id, kind,
         |  CAST(CASE WHEN kind = 'audio' THEN 44 + pad
-        |            WHEN kind = 'video' THEN 16 + pad
+        |            -- real MP4: 579 fixed box bytes + 4 stsz entries/frame
+        |            -- + the mdat sample bytes (mp4FullBytes closed form)
+        |            WHEN kind = 'video' THEN 579 + 4 * (5 + media_id % 10)
+        |              + list_sum(list_transform(range(0, 5 + media_id % 10),
+        |                  k -> 16 + ((media_id * 31 + k * 7) % 251)))
         |            -- real PNG: 8 sig + 25 IHDR + 12 IEND + (12 + zlib)
         |            -- IDAT, zlib stored-mode = 11 + 64*(1+3w) raw bytes
         |            WHEN sub = 0 THEN 64 * (1 + 3 * w) + 68
@@ -577,8 +627,8 @@ object SimilarityQueries {
         |  CASE WHEN kind = 'audio' THEN 'wav' WHEN kind = 'video' THEN 'mp4'
         |       WHEN sub = 0 THEN 'png' WHEN sub = 1 THEN 'jpeg'
         |       WHEN sub = 2 THEN 'gif' ELSE 'bmp' END AS format,
-        |  CASE WHEN kind = 'image' THEN w END AS width,
-        |  CASE WHEN kind = 'image' THEN CAST(64 AS INT) END AS height,
+        |  CASE WHEN kind IN ('image', 'video') THEN w END AS width,
+        |  CASE WHEN kind IN ('image', 'video') THEN CAST(64 AS INT) END AS height,
         |  CASE WHEN kind = 'audio' THEN CAST(16000 AS INT) END AS sample_rate
         |FROM d2""".stripMargin,
 
@@ -943,6 +993,39 @@ object SimilarityQueries {
        |  CAST(n AS INT) AS n_samples
        |FROM st""".stripMargin
 
+  // ---- q181: the MP4 container statistics replayed closed-form -------
+  // Sample sizes are 16 + ((id·31 + 7k) % 251) over n = 5 + id%10 frames
+  // (the mp4FullBytes builder's formula, pinned in Mp4Spec); integer
+  // sums cross engines exactly; each float lane mirrors the Scala op
+  // tree — one IEEE double divide (and/or correctly-rounded sqrt), one
+  // float round. n_bytes is the builder's 579 + 4n + Σ sizes closed form.
+  private def mp4BoxOracleSql: String =
+    """WITH v AS (SELECT CAST(t.i AS BIGINT) AS media_id,
+      |                  CAST(5 + (t.i % 10) AS BIGINT) AS n,
+      |                  64 + (t.i % 8) * 16 AS w
+      |           FROM range(0, 200) t(i) WHERE t.i % 3 = 2),
+      |s AS (SELECT media_id, n, w,
+      |        list_transform(range(0, n),
+      |          k -> 16 + ((media_id * 31 + k * 7) % 251)) AS sz
+      |      FROM v),
+      |st AS (SELECT media_id, n, w, sz,
+      |        CAST(list_sum(sz) AS DOUBLE) AS ssum,
+      |        CAST(list_sum(list_transform(sz, x -> x * x)) AS DOUBLE) AS ssq
+      |      FROM s)
+      |SELECT media_id,
+      |  CAST(579 + 4 * n + CAST(list_sum(sz) AS BIGINT) AS INT) AS n_bytes,
+      |  CAST(n AS INT) AS n_frames,
+      |  CAST(CAST(n * 512 AS DOUBLE) / 12800.0 AS REAL) AS dur_s,
+      |  CAST(CAST(n AS DOUBLE) / (CAST(n * 512 AS DOUBLE) / 12800.0) AS REAL) AS fps,
+      |  CAST(ssum / n AS REAL) AS mean_sz,
+      |  CAST(sqrt(greatest(ssq / n - (ssum / n) * (ssum / n), 0.0)) AS REAL) AS std_sz,
+      |  CAST(list_min(sz) AS INT) AS min_sz,
+      |  CAST(list_max(sz) AS INT) AS max_sz,
+      |  CAST(list_sum(sz) AS BIGINT) AS total_sz,
+      |  CAST(w AS INT) AS width,
+      |  CAST(CAST(n * 40 AS DOUBLE) / 1000.0 AS REAL) AS movie_dur_s
+      |FROM st""".stripMargin
+
   // ---- q33: media feature extraction replayed end to end -------------
   // Every payload byte is deterministic (real container headers from the
   // same byte builders the table generator runs, filler closed-form from
@@ -977,7 +1060,7 @@ object SimilarityQueries {
           case _ => "stub"
         }
         case "audio" => "wav"
-        case _ => "stub"
+        case _ => "mp4"
       }
       branch match {
         case "bmp" =>
@@ -988,11 +1071,10 @@ object SimilarityQueries {
           s"($i::BIGINT, '$kind', NULL::BIGINT[], 0, 'gif', $w)"
         case "wav" =>
           s"($i::BIGINT, '$kind', NULL::BIGINT[], $pad, 'wav', $w)"
+        case "mp4" =>
+          s"($i::BIGINT, '$kind', NULL::BIGINT[], $pad, 'mp4', $w)"
         case _ =>
-          val payload = ((i / 3) % 4, kind) match {
-            case (1, "image") => Multimodal.jpegBytes(w, 64, pad, i)
-            case _            => Multimodal.mp4Bytes(pad, i)
-          }
+          val payload = Multimodal.jpegBytes(w, 64, pad, i)
           val hdr = payload.dropRight(pad).map(_ & 0xff).mkString("[", ",", "]")
           s"($i::BIGINT, '$kind', $hdr::BIGINT[], $pad, 'stub', $w)"
       }
@@ -1045,10 +1127,20 @@ object SimilarityQueries {
        |    CAST(CAST(list_sum(list_transform(range(0, w * 64), p ->
        |           (((media_id * 31 + p * 7) % 251) * 31) % 256)) AS DOUBLE)
        |         / (w * 64)::DOUBLE AS REAL) AS f0
-       |  FROM meta WHERE branch = 'gif')
+       |  FROM meta WHERE branch = 'gif'),
+       |mp4 AS (
+       |  -- REAL container parse: lane 0 is the stsz frame count; file
+       |  -- length is the builder's closed form 579 + 4n + Σ sizes
+       |  SELECT media_id, kind,
+       |    CAST(579 + 4 * n + list_sum(list_transform(range(0, n),
+       |           k -> 16 + ((media_id * 31 + k * 7) % 251))) AS INT) AS n_bytes,
+       |    CAST(16 AS INT) AS dim,
+       |    CAST(n AS REAL) AS f0
+       |  FROM (SELECT media_id, kind, CAST(5 + (media_id % 10) AS BIGINT) AS n
+       |        FROM meta WHERE branch = 'mp4'))
        |SELECT * FROM stub UNION ALL SELECT * FROM bmp
        |UNION ALL SELECT * FROM wav UNION ALL SELECT * FROM png
-       |UNION ALL SELECT * FROM gif""".stripMargin
+       |UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM mp4""".stripMargin
   }
 
   // ---- q40: full IVF replay, Lloyd training unrolled as CTEs ---------

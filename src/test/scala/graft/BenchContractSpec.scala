@@ -11,11 +11,11 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case per-median width under msSlim(): 99.94 renders "100"
-    // and a pathological 99999 s clamps to "999" — 3 structural chars
+    // worst-case per-median width under msSlimQ(): 9.94 renders "9.9"
+    // and a pathological 99999 s clamps to "99" — ≤3 structural chars
     // in both regimes, so the budget holds for any runtime
     val medians = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i % 2 == 0) 99.94 else 99999.0)
+      n -> (if (i % 2 == 0) 9.94 else 99999.0)
     }
     // worst-case rendering of the abbreviated slim stream section
     // (msSlim clamps sec at 999 — 4-char structural bound)

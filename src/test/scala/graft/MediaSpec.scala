@@ -37,7 +37,10 @@ class MediaSpec extends SparkSpec {
 
   test("wav sample rate comes from the fmt chunk; mp4 sniffs by ftyp") {
     assert(parse(Multimodal.wavBytes(44100, 10, 5L)) === (("wav", null, null, 44100)))
+    // header-only ftyp: format sniffs but carries no track → null dims
     assert(parse(Multimodal.mp4Bytes(10, 6L)) === (("mp4", null, null, null)))
+    // complete container: REAL tkhd dimensions through the shared Mp4Codec walk
+    assert(parse(Multimodal.mp4FullBytes(112, 64, 8L)) === (("mp4", 112, 64, null)))
   }
 
   test("jpeg marker walk skips APPn segments to find SOF") {
