@@ -287,6 +287,9 @@ object JpegCodec {
               val comp = comps.find(_.id == cid).getOrElse(return None)
               comp.dcTbl = u8(p + 1) >> 4
               comp.acTbl = u8(p + 1) & 15
+              // the 4-bit selectors index the 4-entry table arrays: a
+              // forged 4-15 would crash decodeScan, not refuse
+              if (comp.dcTbl > 3 || comp.acTbl > 3) return None
               p += 2
               i += 1
             }

@@ -184,7 +184,11 @@ object Mp4Codec {
     }
 
   /** stsz sample sizes; a nonzero constant `sample_size` means every
-    * sample shares it (expanded here — count is already capped). */
+    * sample shares it. The per-sample table's length is checked against
+    * the box body, so its allocation is input-proportional; the CONST
+    * case would otherwise let a 20-byte box demand a MaxEntries-sized
+    * array (amplification), so its count must also be plausible — n
+    * samples of size `const` cannot exceed the whole file. */
   private def stszSizes(b: Array[Byte], stblKids: List[Box]): Option[Array[Long]] =
     find(stblKids, "stsz").flatMap { s =>
       if (s.end - s.start < 12) None
@@ -192,8 +196,10 @@ object Mp4Codec {
         val const = be32(b, s.start + 4)
         val n = be32(b, s.start + 8)
         if (n > MaxEntries) None
-        else if (const != 0) Some(Array.fill(n.toInt)(const))
-        else if (s.start + 12 + n * 4 > s.end) None
+        else if (const != 0) {
+          if (n * const > b.length) None
+          else Some(Array.fill(n.toInt)(const))
+        } else if (s.start + 12 + n * 4 > s.end) None
         else Some(Array.tabulate(n.toInt)(i => be32(b, s.start + 12 + i * 4)))
       }
     }
