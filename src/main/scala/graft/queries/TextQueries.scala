@@ -117,8 +117,9 @@ object TextQueries {
     // (8-token overlap) — the context-length split that precedes
     // packing. Oracle-checked bit-for-bit (chunk text included).
     "q54_chunks" -> ((s, dir) =>
-      TextOps.chunkByTokens(table(s, dir, "documents"), "doc_id", "text",
-        width = 32, step = 24)),
+      TextOps.chunkByTokens(
+        graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", width = 32, step = 24)),
 
     // SimHash near-dup pairs — oracle-checked bit-for-bit: the 64-bit
     // bit-vote sketch, quarter blocking and Hamming filter replay in
@@ -290,7 +291,8 @@ object TextQueries {
     // re-shuffles only on doc_id, so AQE coalesces the joins; the
     // per-row branches (quality, repetition) are shuffle-free.
     "q44_filter_pipeline" -> ((s, dir) =>
-      filterPipeline(table(s, dir, "documents"))),
+      filterPipeline(graft.util.SparkUtil.fanOutForCpu(
+        table(s, dir, "documents"), "doc_id"))),
 
     // The full corpus-to-training-sequences job: keep-filter (q44) →
     // token-window chunking (q54) → per-language bin packing (q46), one
@@ -301,7 +303,11 @@ object TextQueries {
     // the composition adds no new scale hazards over its parts.
     // Oracle-checked bit-for-bit.
     "q55_clean_chunks" -> ((s, dir) => {
-      val docs = table(s, dir, "documents")
+      // fan the one-row-group scan out to all cores BEFORE the CPU-heavy
+      // kernels: the whole keep-filter + chunker otherwise runs on one
+      // core of 32 (measured 5 s single-threaded vs ~1 s fanned out)
+      val docs = graft.util.SparkUtil.fanOutForCpu(
+        table(s, dir, "documents"), "doc_id")
       val kept = filterPipeline(docs).filter(col("keep")).select(col("doc_id"))
       val chunks = TextOps.chunkByTokens(
         docs.join(kept, Seq("doc_id")), "doc_id", "text", width = 32, step = 24)

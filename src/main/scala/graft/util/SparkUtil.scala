@@ -58,6 +58,25 @@ object SparkUtil {
     }
   }
 
+  /** Fan a scan out to the cluster's core count before CPU-heavy per-row
+    * stages (text kernels, codec decode) when its split count undershoots
+    * it. A parquet file is splittable only at row-group granularity — the
+    * small-SF `documents` table is ONE row group, so every text kernel
+    * upstream of the first shuffle otherwise runs on ONE core of 32 (the
+    * whole q55 pipeline measured 5 s single-threaded vs ~1 s fanned out).
+    * CPU-bound stages want partitions ∝ cores, not ∝ input bytes, and
+    * AQE's size-based coalescing cannot see CPU cost. At production
+    * scale a 100 TB scan already splits into thousands of row groups and
+    * this is a no-op — the shuffle is only paid exactly when the input
+    * is too small for it to matter. Hash-partitioned on `key` (content-
+    * deterministic, unlike round-robin, so retries and both engines see
+    * the same placement). */
+  def fanOutForCpu(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= cores) df
+    else df.repartition(cores, col(key))
+  }
+
   def newLocalSession(appName: String, cores: String): SparkSession = {
     val spark = SparkSession
       .builder()
