@@ -241,7 +241,12 @@ object Bench {
     val stressQueries = Seq(
       "q03_moving_stats_all", "q60_tick_derivatives", "q61_mad_outliers",
       "q62_ewma", "q94_range_frame", "q100_quartiles", "q101_sessionize",
-      "q104_locf", "q75_edit_neardups", "q26_minhash_sigs", "q27_minhash_pairs")
+      "q104_locf", "q75_edit_neardups", "q26_minhash_sigs", "q27_minhash_pairs",
+      // the composed corpus→sequences job at 10× docs: the replicated
+      // table is written multi-partition, so fanOutForCpu no-ops and the
+      // text kernels parallelize off the scan splits alone — the
+      // production shape, stressed
+      "q55_clean_chunks")
     val stressJson = try {
       import org.apache.spark.sql.functions.{col, expr, max, min, timestamp_micros}
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
