@@ -19,8 +19,11 @@ package graft.operators
   * with no floating-point slop. Huffman tables are the T.81 Annex K
   * typical tables.
   *
-  * Companion to the BMP/PNG/GIF/WAV decoders in [[Multimodal]] — with
-  * this, MP4 (a video codec) is the only remaining stubbed format.
+  * Companion to the BMP/PNG/GIF/WAV decoders in [[Multimodal]] — and,
+  * sliced per-frame out of an MP4 via [[Mp4Codec.sampleRanges]], the
+  * pixel decoder for Motion-JPEG video
+  * ([[Multimodal.decodeMjpegFrames]]). With that, only inter-frame
+  * entropy codecs (H.264/H.265) remain out of scope.
   */
 object JpegCodec {
 

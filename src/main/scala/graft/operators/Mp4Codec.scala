@@ -42,7 +42,13 @@ object Mp4Codec {
       timescale: Long,
       duration: Long,
       sampleDeltas: Array[(Long, Long)],
-      sampleSizes: Array[Long])
+      sampleSizes: Array[Long],
+      /** stsc runs (first_chunk, samples_per_chunk), 1-based chunks;
+        * empty when the box is absent/malformed — frame timing and
+        * container stats never need it, only byte-range expansion. */
+      stscRuns: Array[(Long, Long)] = Array.empty,
+      /** stco/co64 absolute file offsets; empty when absent/malformed. */
+      chunkOffsets: Array[Long] = Array.empty)
 
   /** Hard cap on stts/stsz entry counts: refuse headers that would
     * allocate more (a 1M-frame sample table is ~8 MB — fine; a forged
@@ -145,7 +151,8 @@ object Mp4Codec {
       codec <- stsdCodec(b, stblKids)
       deltas <- sttsRuns(b, stblKids)
       sizes <- stszSizes(b, stblKids)
-    } yield Mp4Info("", 0L, 0L, 0, w, h, codec, ts, dur, deltas, sizes)
+    } yield Mp4Info("", 0L, 0L, 0, w, h, codec, ts, dur, deltas, sizes,
+      stscRuns(b, stblKids), chunkOffsetTable(b, stblKids))
 
   /** tkhd width/height: 16.16 fixed point at the end of the box (v0 body
     * 80 bytes, v1 body 92). */
@@ -226,6 +233,79 @@ object Mp4Codec {
         out
       }
     }
+  }
+
+  /** stsc sample-to-chunk runs (first_chunk, samples_per_chunk),
+    * 1-based per ISO/IEC 14496-12 §8.7.4. Lenient: Array.empty (not a
+    * parse refusal) when the box is absent or malformed — only
+    * [[sampleRanges]] needs it, and that returns None on empty. The
+    * sample-description index per run is read past, not kept: this
+    * parser only ever uses the first stsd entry. */
+  private def stscRuns(b: Array[Byte], stblKids: List[Box]): Array[(Long, Long)] =
+    find(stblKids, "stsc").map { s =>
+      if (s.end - s.start < 8) Array.empty[(Long, Long)]
+      else {
+        val n = be32(b, s.start + 4)
+        if (n > MaxEntries || s.start + 8 + n * 12 > s.end) Array.empty[(Long, Long)]
+        else Array.tabulate(n.toInt)(i =>
+          (be32(b, s.start + 8 + i * 12), be32(b, s.start + 12 + i * 12)))
+      }
+    }.getOrElse(Array.empty)
+
+  /** stco (32-bit) or co64 (64-bit) absolute chunk offsets. Lenient like
+    * [[stscRuns]]. */
+  private def chunkOffsetTable(b: Array[Byte], stblKids: List[Box]): Array[Long] = {
+    def table(box: Box, entryBytes: Int, read: Int => Long): Array[Long] = {
+      if (box.end - box.start < 8) return Array.empty
+      val n = be32(b, box.start + 4)
+      if (n > MaxEntries || box.start + 8 + n * entryBytes > box.end) Array.empty
+      else Array.tabulate(n.toInt)(i => read(box.start + 8 + i * entryBytes))
+    }
+    find(stblKids, "stco").map(table(_, 4, be32(b, _)))
+      .orElse(find(stblKids, "co64").map(table(_, 8, be64(b, _))))
+      .getOrElse(Array.empty)
+  }
+
+  /** Per-sample absolute byte ranges (offset, size) in the file, from
+    * stsc×stco×stsz per ISO/IEC 14496-12 §8.7.4-5: walk chunks in order,
+    * each run's samples_per_chunk applying from its first_chunk until
+    * the next run; samples inside a chunk are contiguous from the chunk
+    * offset. None when the tables are absent, inconsistent (non-positive
+    * or non-increasing first_chunk, fewer chunks/samples than declared),
+    * or any range falls outside [0, fileLen) — a range must never be
+    * guessed, it is about to be handed to a frame decoder. */
+  def sampleRanges(info: Mp4Info, fileLen: Long): Option[Array[(Long, Long)]] = {
+    val nSamples = info.sampleSizes.length
+    val runs = info.stscRuns
+    val offs = info.chunkOffsets
+    if (nSamples == 0 || runs.isEmpty || offs.isEmpty) return None
+    if (runs.head._1 != 1L) return None
+    var i = 0
+    while (i < runs.length) {
+      if (runs(i)._2 <= 0L || (i > 0 && runs(i)._1 <= runs(i - 1)._1)) return None
+      i += 1
+    }
+    val out = new Array[(Long, Long)](nSamples)
+    var sample = 0
+    var chunk = 1L
+    var run = 0
+    while (sample < nSamples) {
+      if (chunk > offs.length) return None // sample table outruns stco
+      if (run + 1 < runs.length && chunk >= runs(run + 1)._1) run += 1
+      var off = offs(chunk.toInt - 1)
+      var k = 0L
+      val perChunk = runs(run)._2
+      while (k < perChunk && sample < nSamples) {
+        val sz = info.sampleSizes(sample)
+        if (off < 0 || sz < 0 || off + sz > fileLen) return None
+        out(sample) = (off, sz)
+        off += sz
+        sample += 1
+        k += 1
+      }
+      chunk += 1
+    }
+    Some(out)
   }
 
   /** Container-level feature vector — the video analog of

@@ -47,6 +47,14 @@ object Multimodal {
 
   final case class FrameSample(media_id: Long, frame_index: Int, frame_ts_ms: Long)
 
+  /** One DECODED Motion-JPEG frame: the two vertical band colors of the
+    * synthetic two-band frames, read back off the real pixel array. */
+  final case class MjpegFrame(
+      media_id: Long, frame_index: Int, frame_ts_ms: Long,
+      width: Int, height: Int,
+      rl: Int, gl: Int, bl: Int, // left-band decoded RGB
+      rr: Int, gr: Int, br: Int) // right-band decoded RGB
+
   // ---- real container headers (see functions.MediaKernels) ----
   // The synthetic payloads carry REAL format headers — PNG IHDR, JPEG
   // SOF0, GIF, BMP, WAV fmt-chunk, MP4 ftyp — followed by deterministic
@@ -495,6 +503,95 @@ object Multimodal {
       mp4Box("mdat", filler(total, seed))
   }
 
+  /** Closed-form RGB of band `b` (0 left, 1 right), channel `ch`, of
+    * frame `k` of Motion-JPEG movie `seed` — shared by the byte builder
+    * and the q183 oracle. */
+  private[graft] def mjpegBandColor(seed: Long, k: Int, b: Int, ch: Int): Int =
+    ((seed * 89 + k * 37 + b * 151 + ch * 101) % 256).toInt
+
+  /** A COMPLETE valid Motion-JPEG MP4: the [[mp4FullBytes]] box skeleton
+    * with stsd codec `jpeg` (the ISO sample-entry fourcc for MJPEG) and
+    * an mdat whose samples are REAL baseline JPEGs
+    * ([[JpegCodec.encodeBlockMean]]) — every frame is two vertical
+    * uniform bands ([[mjpegBandColor]], w/2 a block multiple), so the
+    * decoded pixels replay closed-form. Samples are split across TWO
+    * chunks with a 7-byte gap between them, so stsc/stco byte-range
+    * expansion ([[Mp4Codec.sampleRanges]]) is load-bearing, not a
+    * concatenation assumption. n = 4 + seed%6 frames, 512-tick deltas at
+    * timescale 12800 (exact 40 ms frames) like the mp4v builder. */
+  private[graft] def mp4MjpegBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val n = (4 + seed % 6).toInt
+    val frames = Array.tabulate(n) { k =>
+      val rgb = new Array[Byte](w * h * 3)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val b = if (x < w / 2) 0 else 1
+          val d = (y * w + x) * 3
+          rgb(d) = mjpegBandColor(seed, k, b, 0).toByte
+          rgb(d + 1) = mjpegBandColor(seed, k, b, 1).toByte
+          rgb(d + 2) = mjpegBandColor(seed, k, b, 2).toByte
+          x += 1
+        }
+        y += 1
+      }
+      JpegCodec.encodeBlockMean(w, h, rgb)
+    }
+    val sizes = frames.map(_.length)
+    val n1 = (n + 1) / 2 // chunk 1 samples; chunk 2 gets the rest
+    def moovFor(off1: Int, off2: Int): Array[Byte] = {
+      val z = (c: Int) => new Array[Byte](c)
+      val matrix = be32(0x10000) ++ z(12) ++ be32(0x10000) ++ z(12) ++ be32(0x40000000)
+      val mvhd = mp4Box("mvhd", z(4), z(8), be32(1000), be32(n * 40),
+        be32(0x10000), be16(0x0100), z(10), matrix, z(24), be32(2))
+      val tkhd = mp4Box("tkhd", be32(7), z(8), be32(1), z(4), be32(n * 40),
+        z(8), z(8), matrix, be32(w << 16), be32(h << 16))
+      val mdhd = mp4Box("mdhd", z(4), z(8), be32(12800), be32(n * 512),
+        be16(0x55c4), z(2))
+      val hdlr = mp4Box("hdlr", z(4), z(4), asciiB("vide"), z(12), z(1))
+      val vmhd = mp4Box("vmhd", be32(1), z(8))
+      val dinf = mp4Box("dinf",
+        mp4Box("dref", z(4), be32(1), mp4Box("url ", be32(1))))
+      val stsd = mp4Box("stsd", z(4), be32(1),
+        mp4Box("jpeg", z(6), be16(1), z(16), be16(w), be16(h),
+          be32(0x480000), be32(0x480000), z(4), be16(1), z(32),
+          be16(24), be16(0xffff)))
+      val stts = mp4Box("stts", z(4), be32(1), be32(n), be32(512))
+      val stsc = mp4Box("stsc", z(4), be32(2),
+        be32(1), be32(n1), be32(1), // chunk 1: n1 samples, desc 1
+        be32(2), be32(n - n1), be32(1)) // chunk 2: the rest
+      val stsz = mp4Box("stsz", z(4), be32(0), be32(n), sizes.flatMap(be32))
+      val stbl = mp4Box("stbl", stsd, stts, stsc, stsz,
+        mp4Box("stco", z(4), be32(2), be32(off1), be32(off2)))
+      mp4Box("moov", mvhd,
+        mp4Box("trak", tkhd,
+          mp4Box("mdia", mdhd, hdlr,
+            mp4Box("minf", vmhd, dinf, stbl))))
+    }
+    val moovLen = moovFor(0, 0).length // offset fields are fixed-width
+    val off1 = 16 + moovLen + 8
+    val off2 = off1 + sizes.take(n1).sum + 7
+    val mdatBody = frames.take(n1).flatten ++ filler(7, seed) ++
+      frames.drop(n1).flatten
+    be32(16) ++ asciiB("ftyp") ++ asciiB("isom") ++ be32(512) ++
+      moovFor(off1, off2) ++ mp4Box("mdat", mdatBody)
+  }
+
+  /** Deterministic synthetic Motion-JPEG video table: every row a
+    * complete decodable MJPEG MP4 ([[mp4MjpegBytes]]). Kept separate
+    * from [[syntheticMedia]] so the established q33/q34/q63/q181/q182
+    * closed-form oracles over that table are untouched. */
+  def syntheticMjpeg(spark: SparkSession, n: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(n).map { i =>
+      val w = 64 + (i % 8).toInt * 16 // multiples of 16: bands on block edges
+      val h = 32
+      MediaRow(i, "video", mp4MjpegBytes(w, h, i), w, h, 0,
+        (4 + i % 6) * 40L)
+    }
+  }
+
   /** Deterministic synthetic media table (test stand-in for a real
     * binary-column source such as parquet/webdataset). Image payloads
     * rotate through PNG/JPEG/GIF/BMP; the header-encoded dimensions equal
@@ -530,9 +627,11 @@ object Multimodal {
   /** Header-parse stage: REAL multimodal metadata extraction (format
     * sniff + dimensions + sample rate) straight off the binary column,
     * one codegen'd expression per row — no codec, no mapPartitions, no
-    * shuffle. This is the honest boundary: container headers are parsed
-    * for real ([[graft.functions.MediaKernels]]); pixel/sample decode
-    * below stays stubbed. */
+    * shuffle. Container headers are parsed for real
+    * ([[graft.functions.MediaKernels]]); pixel/sample decode is real for
+    * BMP/PNG/GIF/baseline-JPEG/16-bit-PCM-WAV and, per-frame, for
+    * Motion-JPEG MP4 ([[decodeMjpegFrames]]) — only inter-frame video
+    * codecs (the mp4v rows here) remain header/container-only. */
   def parseMeta(media: Dataset[MediaRow]): DataFrame =
     media.toDF().select(
       col("media_id"), col("kind"),
@@ -884,6 +983,59 @@ object Multimodal {
         Mp4Codec.frameTimesMs(info).map { case (i, ts) =>
           FrameSample(r.media_id, i, ts)
         })
+    }
+  }
+
+  /** REAL end-to-end video frame decode for Motion-JPEG MP4s: box-tree
+    * walk → stsc/stco/stsz byte-range expansion → slice each sample out
+    * of mdat → full baseline-JPEG decode (Huffman, DC prediction chain,
+    * dequant, IDCT, YCbCr→RGB) → verify the two-vertical-band structure
+    * by scanning EVERY pixel and emit the band colors with the real stts
+    * frame timestamp. Refusal contract: a payload that is not a
+    * parseable MP4 with codec `jpeg` and consistent sample tables yields
+    * no rows; a frame whose bytes do not decode to a uniform two-band
+    * image of the container-declared dimensions is dropped — never
+    * fabricated. Per-row work inside the partition iterator; one frame's
+    * pixels in memory at a time. */
+  def decodeMjpegFrames(media: Dataset[MediaRow]): Dataset[MjpegFrame] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { r =>
+      (for {
+        info <- Mp4Codec.parse(r.payload)
+        if info.codec == "jpeg"
+        ranges <- Mp4Codec.sampleRanges(info, r.payload.length.toLong)
+      } yield Mp4Codec.frameTimesMs(info).flatMap { case (idx, ts) =>
+        val (off, sz) = ranges(idx)
+        val bytes = java.util.Arrays.copyOfRange(
+          r.payload, off.toInt, (off + sz).toInt)
+        JpegCodec.decodeRgb(bytes).flatMap { case (w, h, rgb) =>
+          if (w != info.width || h != info.height || w % 2 != 0) None
+          else {
+            // verify band uniformity over every pixel — a real read of
+            // the whole decoded frame, not a corner probe
+            val half = w / 2
+            val l = Array(rgb(0) & 0xff, rgb(1) & 0xff, rgb(2) & 0xff)
+            val r0 = half * 3
+            val rt = Array(rgb(r0) & 0xff, rgb(r0 + 1) & 0xff, rgb(r0 + 2) & 0xff)
+            var ok = true
+            var y = 0
+            while (ok && y < h) {
+              var x = 0
+              while (ok && x < w) {
+                val d = (y * w + x) * 3
+                val e = if (x < half) l else rt
+                ok = (rgb(d) & 0xff) == e(0) && (rgb(d + 1) & 0xff) == e(1) &&
+                  (rgb(d + 2) & 0xff) == e(2)
+                x += 1
+              }
+              y += 1
+            }
+            if (!ok) None
+            else Some(MjpegFrame(r.media_id, idx, ts, w, h,
+              l(0), l(1), l(2), rt(0), rt(1), rt(2)))
+          }
+        }
+      }).getOrElse(Iterator.empty)
     }
   }
 

@@ -229,6 +229,21 @@ object SimilarityQueries {
       Multimodal.sampleFramesMp4(Multimodal.syntheticMedia(s, 200)).toDF()
         .select(col("media_id"), col("frame_index"), col("frame_ts_ms"))),
 
+    // REAL end-to-end VIDEO PIXEL decode — the last modality promoted
+    // from container-only to pixels: Motion-JPEG MP4s (stsd fourcc
+    // `jpeg`) → stsc/stco/stsz byte-range expansion across two chunks →
+    // each frame sliced out of mdat and decoded by the full baseline-
+    // JPEG path (Huffman DC chain, dequant, IDCT, YCbCr→RGB) → the two
+    // vertical band colors read back off a whole-frame pixel scan.
+    // Oracle-checked BIT-EXACT: the encoder's 64-pixel block-mean
+    // accumulation is replayed as the IDENTICAL sequential double fold
+    // (DuckDB list_reduce), /64 and the two rounded YCbCr conversions
+    // are one-rounding IEEE ops, and decoded planes are integers — so
+    // every band color crosses engines exactly. Per-row decode inside
+    // the partition iterator, shuffle-free.
+    "q183_mjpeg_decode" -> ((s, dir) =>
+      Multimodal.decodeMjpegFrames(Multimodal.syntheticMjpeg(s, 120)).toDF()),
+
     // Frame sampling of video payloads — metadata fan-out shape.
     // Oracle-checked: the closed-form frame count/last-ts per video.
     "q34_frame_samples" -> ((s, dir) => {
@@ -589,6 +604,8 @@ object SimilarityQueries {
         |SELECT media_id, CAST(k AS INT) AS frame_index,
         |       CAST(k * 40 AS BIGINT) AS frame_ts_ms
         |FROM (SELECT media_id, unnest(range(0, n)) AS k FROM v)""".stripMargin,
+
+    "q183_mjpeg_decode" -> mjpegDecodeOracleSql,
 
     // The synthetic media table is a pure function of media_id (kind
     // rotation, pad = 200 + id, dims from the id, format rotation every
@@ -1025,6 +1042,64 @@ object SimilarityQueries {
       |  CAST(w AS INT) AS width,
       |  CAST(CAST(n * 40 AS DOUBLE) / 1000.0 AS REAL) AS movie_dur_s
       |FROM st""".stripMargin
+
+  // ---- q183: Motion-JPEG frame decode replayed closed-form -----------
+  // The synthetic MJPEG movies are pure functions of media_id: n =
+  // 4 + id%6 two-band frames, band colors (id·89 + k·37 + b·151 +
+  // ch·101) % 256. The decoded band color is the encoder's clamped
+  // block-mean YCbCr pushed through the decoder's rounded YCbCr→RGB —
+  // every step one IEEE double op: the 64-add block accumulation replays
+  // as the IDENTICAL sequential fold via list_reduce (verified bit-exact
+  // against the JVM chain), /64 is an exact exponent shift, and both
+  // engines round with floor(x+0.5). A decoder bug anywhere (Huffman DC
+  // prediction, dequant, IDCT placement, upsample, color convert, stsc/
+  // stco range math) changes a band color or breaks band uniformity and
+  // the hash.
+  private def mjpegDecodeOracleSql: String = {
+    def fold(e: String) =
+      s"list_reduce(list_transform(range(0, 64), x_ -> ($e)), (aa, bb) -> aa + bb)"
+    def clampI(e: String) =
+      s"least(255, greatest(0, CAST(floor(($e) + 0.5) AS INT)))"
+    // encoder meanYcc per band b: quantized-plane ints (y, cb, cr)
+    def enc(b: Int): Seq[String] = {
+      def ch(c: Int) = s"CAST((media_id * 89 + k * 37 + ${b * 151 + c * 101}) % 256 AS INT)"
+      val (r, g, bb) = (ch(0), ch(1), ch(2))
+      Seq(
+        s"0.299::DOUBLE * $r + 0.587::DOUBLE * $g + 0.114::DOUBLE * $bb",
+        s"-0.168736::DOUBLE * $r - 0.331264::DOUBLE * $g + 0.5::DOUBLE * $bb + 128.0",
+        s"0.5::DOUBLE * $r - 0.418688::DOUBLE * $g - 0.081312::DOUBLE * $bb + 128.0")
+        .map(t => clampI(s"${fold(t)} / 64.0"))
+    }
+    // decoder YCbCr→RGB from the integer planes of band b (suffix s)
+    def dec(s: String): Seq[String] = {
+      val (y, cb, cr) =
+        (s"CAST(y$s AS DOUBLE)",
+          s"(CAST(cb$s AS DOUBLE) - 128.0)", s"(CAST(cr$s AS DOUBLE) - 128.0)")
+      Seq(
+        clampI(s"$y + 1.402::DOUBLE * $cr"),
+        clampI(s"$y - 0.344136::DOUBLE * $cb - 0.714136::DOUBLE * $cr"),
+        clampI(s"$y + 1.772::DOUBLE * $cb"))
+    }
+    val Seq(y0, cb0, cr0) = enc(0)
+    val Seq(y1, cb1, cr1) = enc(1)
+    val Seq(rl, gl, bl) = dec("0")
+    val Seq(rr, gr, br) = dec("1")
+    s"""WITH v AS (SELECT CAST(t.i AS BIGINT) AS media_id,
+       |                  CAST(4 + (t.i % 6) AS BIGINT) AS n,
+       |                  CAST(64 + (t.i % 8) * 16 AS INT) AS w
+       |           FROM range(0, 120) t(i)),
+       |f AS (SELECT media_id, w, CAST(unnest(range(0, n)) AS BIGINT) AS k FROM v),
+       |e AS (SELECT media_id, w, k,
+       |        $y0 AS y0, $cb0 AS cb0, $cr0 AS cr0,
+       |        $y1 AS y1, $cb1 AS cb1, $cr1 AS cr1
+       |      FROM f)
+       |SELECT media_id, CAST(k AS INT) AS frame_index,
+       |  CAST(k * 40 AS BIGINT) AS frame_ts_ms,
+       |  w AS width, CAST(32 AS INT) AS height,
+       |  CAST($rl AS INT) AS rl, CAST($gl AS INT) AS gl, CAST($bl AS INT) AS bl,
+       |  CAST($rr AS INT) AS rr, CAST($gr AS INT) AS gr, CAST($br AS INT) AS br
+       |FROM e""".stripMargin
+  }
 
   // ---- q33: media feature extraction replayed end to end -------------
   // Every payload byte is deterministic (real container headers from the

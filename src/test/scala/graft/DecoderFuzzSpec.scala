@@ -21,7 +21,8 @@ class DecoderFuzzSpec extends SparkSpec {
     "jpeg" -> JpegCodec.encodeBlockMean(32, 32, Array.fill[Byte](32 * 32 * 3)(77.toByte)),
     "jpeg_hdr" -> Multimodal.jpegBytes(32, 64, 300, 14L),
     "wav" -> Multimodal.wavBytes(16000, 400, 15L),
-    "mp4" -> Multimodal.mp4FullBytes(96, 64, 16L))
+    "mp4" -> Multimodal.mp4FullBytes(96, 64, 16L),
+    "mjpeg" -> Multimodal.mp4MjpegBytes(64, 32, 17L))
 
   /** Every parser the engine exposes to untrusted bytes, one call site. */
   private def throwNothing(b: Array[Byte], ctx: String): Unit = {
@@ -34,6 +35,16 @@ class DecoderFuzzSpec extends SparkSpec {
         Mp4Codec.mp4Features(b, 16).foreach(f => assert(f.length == 16, ctx))
         // frame expansion on whatever parsed must terminate and be bounded
         assert(Mp4Codec.frameTimesMs(info).size <= info.sampleSizes.length, ctx)
+        // byte-range expansion must stay inside the mutated payload and
+        // whatever it hands the JPEG decoder must decode-or-refuse
+        Mp4Codec.sampleRanges(info, b.length.toLong).foreach { ranges =>
+          assert(ranges.length == info.sampleSizes.length, ctx)
+          for ((off, sz) <- ranges) {
+            assert(off >= 0 && sz >= 0 && off + sz <= b.length, ctx)
+            JpegCodec.decodeRgb(
+              java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt))
+          }
+        }
       }
       MediaKernels.parse(b) // struct row or nulls, never a throw
     } catch {
