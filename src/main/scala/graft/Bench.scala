@@ -125,6 +125,18 @@ object Bench {
       rm(annDir)
     }
 
+    // Dedup index build — same lifecycle as the ANN build above: one
+    // signing job persists the corpus bands + shingles (DedupIndexStore),
+    // q184's reps below are probe-only. Timed separately as dedup_build
+    // (full JSON only; the slim driver line is byte-budgeted).
+    val tDedup0 = System.nanoTime()
+    try graft.queries.TextQueries.dedupIndexPath(spark, sfDir)
+    catch { case e: Throwable =>
+      errors("dedup_build") = s"${e.getClass.getName}: ${e.getMessage}"
+      System.err.println(s"[bench] dedup_build FAILED: ${e.getClass.getName}: ${e.getMessage}")
+    }
+    val dedupBuildSec = (System.nanoTime() - tDedup0) / 1e9
+
     val Reps = 3
     // INTERLEAVED reps: full pass over all queries, repeated `Reps`
     // times, per-query median across passes. Back-to-back reps of one
@@ -320,7 +332,7 @@ object Bench {
       .map(l => s"${l.replaceAll("[^A-Za-z0-9._-]", "")}-${System.currentTimeMillis / 1000}")
       .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir,
       annBuildSec)

@@ -137,8 +137,39 @@ object Dedup {
       bands: Int = 8,
       threshold: Double = 0.5,
       maxBucket: Int = 1000): DataFrame = {
+    val corpusBands = bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
+      .filter(col("bucket_n") <= maxBucket)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_corpus"), col("sig").as("sig_c"))
+    val newBands = bandedSignatures(newDocs, idCol, textCol, k, numHashes, bands)
+      .select(col("band"), col("band_hash"), col("doc_id").as("id_new"), col("sig").as("sig_n"))
+    val candidates = newBands.join(corpusBands, Seq("band", "band_hash"))
+      .filter(GraftFunctions.sig_overlap(col("sig_n"), col("sig_c")) >= threshold / 2)
+      .select(col("id_new"), col("id_corpus"))
+      .distinct()
+    candidates
+      .join(shingleHashTable(newDocs, idCol, textCol, k, "id_new"), Seq("id_new"))
+      .join(shingleHashTable(corpus, idCol, textCol, k, "id_corpus"), Seq("id_corpus"))
+      .select(col("id_new"), col("id_corpus"),
+        GraftFunctions.jaccard_sorted(col("sh_id_new"), col("sh_id_corpus")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** Banded MinHash signature rows (doc_id, sig, band, band_hash) — the
+    * LSH key table. A pure per-row function of the text, which makes it
+    * the natural PERSISTED artifact of a standing corpus: compute once,
+    * store next to the data, and every later probe joins against the
+    * stored table instead of re-signing the corpus
+    * ([[DedupIndexStore]]). */
+  private[graft] def bandedSignatures(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
     val rows = numHashes / bands
-    def banded(docs: DataFrame): DataFrame = docs
+    docs
       .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
       .filter(size(col("toks")) > 0)
       .withColumn("sig", GraftFunctions.minhash_from_tokens(col("toks"), k, numHashes))
@@ -146,26 +177,19 @@ object Dedup {
         posexplode(expr(
           s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))"))
           .as(Seq("band", "band_hash")))
-    val corpusBands = banded(corpus)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .filter(col("bucket_n") <= maxBucket)
-      .select(col("band"), col("band_hash"), col("doc_id").as("id_corpus"), col("sig").as("sig_c"))
-    val newBands = banded(newDocs)
-      .select(col("band"), col("band_hash"), col("doc_id").as("id_new"), col("sig").as("sig_n"))
-    val candidates = newBands.join(corpusBands, Seq("band", "band_hash"))
-      .filter(GraftFunctions.sig_overlap(col("sig_n"), col("sig_c")) >= threshold / 2)
-      .select(col("id_new"), col("id_corpus"))
-      .distinct()
-    def sh(docs: DataFrame, as: String): DataFrame = docs
-      .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("jtoks"))
-      .select(col(as), GraftFunctions.shingle_hashes(col("jtoks"), k).as(s"sh_$as"))
-    candidates
-      .join(sh(newDocs, "id_new"), Seq("id_new"))
-      .join(sh(corpus, "id_corpus"), Seq("id_corpus"))
-      .select(col("id_new"), col("id_corpus"),
-        GraftFunctions.jaccard_sorted(col("sh_id_new"), col("sh_id_corpus")).as("jaccard"))
-      .filter(col("jaccard") >= threshold)
   }
+
+  /** Exact k-shingle hash sets per doc, id aliased to `as` and the set
+    * column to `sh_<as>` — the verify-stage side table shared by
+    * [[minhashPairsAgainst]] and [[DedupIndexStore]]. */
+  private[graft] def shingleHashTable(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      as: String): DataFrame = docs
+    .select(col(idCol).as(as), TextOps.tokens(col(textCol)).as("jtoks"))
+    .select(col(as), GraftFunctions.shingle_hashes(col("jtoks"), k).as(s"sh_$as"))
 
   /** SimHash near-dup: 64-bit sketch (custom expression), bucketed by the
     * four 16-bit sketch quarters — any pair within Hamming distance ≤ 3

@@ -28,6 +28,25 @@ object TextQueries {
     conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
       .cast("long") % cmWidth
 
+  /** Built dedup-index artifact dirs, keyed by dataset dir — the
+    * persisted-index lifecycle for q184 (the dedup analog of
+    * SimilarityQueries' ivfIndex/pqIndex caches): ONE build job per
+    * corpus snapshot signs the corpus (doc_id % 10 != 0) with q52's
+    * parameters and persists bands + shingles + meta; every probe after
+    * that reads the artifacts. */
+  private val dedupIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def dedupIndexPath(s: SparkSession, dir: String): String =
+    dedupIndex.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-dedup-index").toString
+      graft.operators.DedupIndexStore.build(
+        table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
+        "doc_id", "text", path, k = 2, numHashes = 32, bands = 16)
+      path
+    })
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: rank within identical-content groups.
     "q20_dedup_exact" -> ((s, dir) =>
@@ -111,6 +130,22 @@ object TextQueries {
         docs.filter(col("doc_id") % 10 === 0),
         docs.filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", k = 2, numHashes = 32, bands = 16, threshold = 0.2)
+    }),
+
+    // Incremental dedup via the PERSISTED index: same batch-vs-corpus
+    // pairing as q52, but the corpus side comes from DedupIndexStore
+    // artifacts (banded signatures + shingle sets computed once by a
+    // build job) — at 100 TB the probe never re-reads, re-tokenizes, or
+    // re-signs the standing corpus. Output ≡ q52, so the same bit-exact
+    // oracle checks it; equivalence to the from-raw-text path is also
+    // asserted row-for-row in DedupIndexSpec. The build is cached per
+    // dataset (one build job per corpus snapshot — Bench times it
+    // separately as dedup_build, reps below are probe-only).
+    "q184_index_probe" -> ((s, dir) => {
+      val docs = table(s, dir, "documents")
+      graft.operators.DedupIndexStore.probe(
+        s, docs.filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        dedupIndexPath(s, dir), threshold = 0.2)
     }),
 
     // Token-window chunking: 32-token chunks on a 24-token stride
@@ -2047,6 +2082,11 @@ object TextQueries {
     "q28_simhash_pairs" -> HashOracleSql.simhashPairsSql,
     "q43_dup_clusters" -> HashOracleSql.simhashComponentsSql,
     "q52_incremental_dedup" -> HashOracleSql.minhashPairsAgainstSql,
+
+    // q184 probes the persisted index built with q52's parameters over
+    // q52's batch/corpus split, so its output is definitionally the same
+    // pair set — the oracle replay is shared.
+    "q184_index_probe" -> HashOracleSql.minhashPairsAgainstSql,
     "q56_clusters_star" -> HashOracleSql.simhashComponentsSql,
 
     "q44_filter_pipeline" -> filterSql,
