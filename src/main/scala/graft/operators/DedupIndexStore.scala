@@ -33,16 +33,24 @@ import graft.functions.GraftFunctions
   *    avoided exchange is ~10^11 rows per probe; only the batch side
   *    (proportional to the day's ingest) moves.
   *
+  * The index is APPEND-ONLY maintainable ([[append]]/[[appendBucketed]]):
+  * admitted batches add their band + shingle rows as plain parquet
+  * appends — no rewrite, no re-aggregation, no read-modify-write of any
+  * stored statistic. That works because bucket sizes are NOT stored:
+  * each probe computes the CURRENT size of every bucket with a window
+  * over the scanned band table (partitioned exactly by the bucket keys,
+  * so under the bucketed layout it is exchange-free — a per-partition
+  * sort over data the join was reading anyway) and applies its own
+  * degenerate-bucket cap. Probe-after-append therefore equals
+  * rebuild-from-scratch row-for-row (asserted in DedupIndexSpec).
+  *
   * Layout (explicit, engine-portable):
-  *  - `bands`:    (band:int, band_hash:long, doc_id, sig:array<long>,
-  *                 bucket_n:long) — bucket_n is the build-time bucket
-  *                 size, stored so each probe applies ITS OWN degenerate-
-  *                 bucket cap instead of freezing one at build time.
+  *  - `bands`:    (band:int, band_hash:long, doc_id, sig:array<long>)
   *  - `shingles`: (doc_id, sh:array<long>) — sorted exact shingle hashes
   *                 for the verify stage.
   *  - `meta`:     (k:int, num_hashes:int, bands:int) — one row; probes
-  *                 derive their parameters from it, so a probe can never
-  *                 silently disagree with the index it reads.
+  *                 AND appends derive their parameters from it, so
+  *                 neither can ever silently disagree with the index.
   */
 object DedupIndexStore {
 
@@ -56,13 +64,32 @@ object DedupIndexStore {
       numHashes: Int = 32,
       bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    bandsWithSize(corpus, idCol, textCol, k, numHashes, bands)
+    Dedup.bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
       .write.mode("overwrite").parquet(s"$path/bands")
     Dedup.shingleHashTable(corpus, idCol, textCol, k, "doc_id")
       .withColumnRenamed("sh_doc_id", "sh")
       .write.mode("overwrite").parquet(s"$path/shingles")
     metaDf(spark, k, numHashes, bands)
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Add an admitted batch to the index at `path`: plain parquet appends
+    * of its band + shingle rows, signed with the INDEX's parameters
+    * (read from meta, never caller-supplied). After this, probes see the
+    * batch as corpus — identical to having rebuilt from scratch. */
+  def append(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.read.parquet(s"$path/meta").head()
+    val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)
+      .write.mode("append").parquet(s"$path/bands")
+    Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id")
+      .withColumnRenamed("sh_doc_id", "sh")
+      .write.mode("append").parquet(s"$path/shingles")
   }
 
   /** Near-dup pairs of `batch` against the index at `path`: identical
@@ -98,7 +125,7 @@ object DedupIndexStore {
       numHashes: Int = 32,
       bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
-    bandsWithSize(corpus, idCol, textCol, k, numHashes, bands)
+    Dedup.bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
       .format("parquet").saveAsTable(s"${tableBase}_bands")
@@ -110,6 +137,29 @@ object DedupIndexStore {
     metaDf(spark, k, numHashes, bands)
       .write.mode("overwrite").format("parquet")
       .saveAsTable(s"${tableBase}_meta")
+  }
+
+  /** [[append]] for a [[buildBucketed]] index: appended rows land in
+    * their (band, band_hash) buckets as additional per-bucket files, so
+    * the probe join stays exchange-free after any number of appends. */
+  def appendBucketed(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableBase: String,
+      buckets: Int): Unit = {
+    val spark = batch.sparkSession
+    val meta = spark.table(s"${tableBase}_meta").head()
+    val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)
+      .write.mode("append")
+      .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
+      .format("parquet").saveAsTable(s"${tableBase}_bands")
+    Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id")
+      .withColumnRenamed("sh_doc_id", "sh")
+      .write.mode("append")
+      .bucketBy(buckets, "doc_id").sortBy("doc_id")
+      .format("parquet").saveAsTable(s"${tableBase}_shingles")
   }
 
   /** [[probe]] against a [[buildBucketed]] index — same output, corpus
@@ -135,21 +185,11 @@ object DedupIndexStore {
     Seq((k, numHashes, bands)).toDF("k", "num_hashes", "bands")
   }
 
-  /** Corpus band rows with their build-time bucket size attached. */
-  private def bandsWithSize(
-      corpus: DataFrame,
-      idCol: String,
-      textCol: String,
-      k: Int,
-      numHashes: Int,
-      bands: Int): DataFrame =
-    Dedup.bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
-      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
-      .select(col("band"), col("band_hash"), col("doc_id"), col("sig"), col("bucket_n"))
-
   /** The probe pipeline over loaded index tables — the exact candidate +
     * verify stages of [[Dedup.minhashPairsAgainst]], corpus side from
-    * storage. */
+    * storage. Bucket sizes are computed HERE, over the scanned band
+    * table (current as of every append; window partitioning = bucket
+    * keys, so the bucketed layout pays no exchange for it). */
   private def probeFrom(
       bandsTable: DataFrame,
       shinglesTable: DataFrame,
@@ -161,6 +201,7 @@ object DedupIndexStore {
       maxBucket: Int): DataFrame = {
     val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     val corpusBands = bandsTable
+      .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucket)
       .select(col("band"), col("band_hash"), col("doc_id").as("id_corpus"), col("sig").as("sig_c"))
     val newBands = Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)

@@ -46,6 +46,30 @@ class DedupIndexSpec extends SparkSpec {
     assert(probed == direct)
   }
 
+  test("append-only maintenance: probe after append equals rebuild from scratch") {
+    // stand up the index on 60% of the corpus, then append the other 40%
+    val part1 = corpus.filter(col("doc_id") % 5 < 3)
+    val part2 = corpus.filter(col("doc_id") % 5 >= 3)
+    val dir = java.nio.file.Files.createTempDirectory("dedup-index-app").toString
+    DedupIndexStore.build(part1, "doc_id", "text", dir,
+      k = 2, numHashes = 32, bands = 16)
+    DedupIndexStore.append(part2, "doc_id", "text", dir)
+    val appended = pairSet(DedupIndexStore.probe(
+      spark, batch, "doc_id", "text", dir, threshold = 0.2))
+    val direct = pairSet(Dedup.minhashPairsAgainst(
+      batch, corpus, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, threshold = 0.2))
+    assert(appended == direct)
+    // the cap must see CURRENT bucket sizes (build + append merged): a
+    // cap of 1 over the appended index must equal the direct cap of 1
+    val appendedCapped = pairSet(DedupIndexStore.probe(
+      spark, batch, "doc_id", "text", dir, threshold = 0.2, maxBucket = 1))
+    val directCapped = pairSet(Dedup.minhashPairsAgainst(
+      batch, corpus, "doc_id", "text",
+      k = 2, numHashes = 32, bands = 16, threshold = 0.2, maxBucket = 1))
+    assert(appendedCapped == directCapped)
+  }
+
   test("probe maxBucket caps stored degenerate buckets like the direct path") {
     val dir = java.nio.file.Files.createTempDirectory("dedup-index-cap").toString
     DedupIndexStore.build(corpus, "doc_id", "text", dir,
@@ -102,12 +126,44 @@ class DedupIndexSpec extends SparkSpec {
         batch, corpus, "doc_id", "text",
         k = 2, numHashes = 32, bands = 16, threshold = 0.2))
       assert(pairSet(probed) == direct)
+
+      // bucketed append: extra per-bucket files, probe still exact and
+      // the corpus side still exchange-free
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_bands")
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_shingles")
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_meta")
+      DedupIndexStore.buildBucketed(
+        corpus.filter(col("doc_id") % 5 < 3), "doc_id", "text", "dedup_idx2", 8,
+        k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.appendBucketed(
+        corpus.filter(col("doc_id") % 5 >= 3), "doc_id", "text", "dedup_idx2", 8)
+      val probed2 = DedupIndexStore.probeBucketed(
+        spark, batch, "doc_id", "text", "dedup_idx2", threshold = 0.2)
+      val joins2 = probed2.queryExecution.executedPlan.collect {
+        case j: SortMergeJoinExec => j
+        case j: ShuffledHashJoinExec => j
+      }
+      val bandSides2 = joins2.flatMap(_.children)
+        .filter(side => leavesOf(side).exists(_.contains("dedup_idx2_bands")))
+        .filter(side => side.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.isEmpty)
+      assert(bandSides2.nonEmpty)
+      bandSides2.foreach { side =>
+        assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+          s"appended bucketed corpus side shuffles:\n$side")
+      }
+      assert(pairSet(probed2) == direct)
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
       spark.sql("DROP TABLE IF EXISTS dedup_idx_bands")
       spark.sql("DROP TABLE IF EXISTS dedup_idx_shingles")
       spark.sql("DROP TABLE IF EXISTS dedup_idx_meta")
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_bands")
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_shingles")
+      spark.sql("DROP TABLE IF EXISTS dedup_idx2_meta")
     }
   }
 }
