@@ -34,9 +34,12 @@ import graft.functions.GraftFunctions
   *    (proportional to the day's ingest) moves.
   *
   * The index is APPEND-ONLY maintainable ([[append]]/[[appendBucketed]]):
-  * admitted batches add their band + shingle rows as plain parquet
-  * appends — no rewrite, no re-aggregation, no read-modify-write of any
-  * stored statistic. That works because bucket sizes are NOT stored:
+  * admitted batches add their band + shingle rows under their own
+  * `ingest=<id>` partition — no rewrite of existing data, no
+  * re-aggregation, no read-modify-write of any stored statistic, and a
+  * RETRIED ingest overwrites its own partition instead of duplicating
+  * rows (the exactly-once property streaming maintenance needs). That
+  * works because bucket sizes are NOT stored:
   * each probe computes the CURRENT size of every bucket with a window
   * over the scanned band table (partitioned exactly by the bucket keys,
   * so under the bucketed layout it is exchange-free — a per-partition
@@ -54,7 +57,10 @@ import graft.functions.GraftFunctions
   */
 object DedupIndexStore {
 
-  /** Sign the corpus and persist the index under `path`. */
+  /** Sign the corpus and persist the index under `path`. The band and
+    * shingle tables are directory-partitioned by `ingest` (the corpus
+    * lands as `ingest=base`), which is what makes [[append]] idempotent:
+    * each ingest owns its own subdirectory. */
   def build(
       corpus: DataFrame,
       idCol: String,
@@ -65,31 +71,42 @@ object DedupIndexStore {
       bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
     Dedup.bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
-      .write.mode("overwrite").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(s"$path/bands/ingest=base")
     Dedup.shingleHashTable(corpus, idCol, textCol, k, "doc_id")
       .withColumnRenamed("sh_doc_id", "sh")
-      .write.mode("overwrite").parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/shingles/ingest=base")
     metaDf(spark, k, numHashes, bands)
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
   }
 
-  /** Add an admitted batch to the index at `path`: plain parquet appends
-    * of its band + shingle rows, signed with the INDEX's parameters
-    * (read from meta, never caller-supplied). After this, probes see the
-    * batch as corpus — identical to having rebuilt from scratch. */
+  /** Add an admitted batch to the index at `path`: its band + shingle
+    * rows land under `ingest=<ingestId>`, signed with the INDEX's
+    * parameters (read from meta, never caller-supplied). After this,
+    * probes see the batch as corpus — identical to having rebuilt from
+    * scratch.
+    *
+    * IDEMPOTENT per ingestId: re-running the same ingest OVERWRITES its
+    * own partition instead of duplicating rows — the property a
+    * streaming foreachBatch replay needs for exactly-once index
+    * maintenance ([[graft.streaming.StreamOps.streamingIngestDedup]]
+    * passes the checkpointed batchId). Distinct ingests must use
+    * distinct ids; `base` is reserved for [[build]]. */
   def append(
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      path: String): Unit = {
+      path: String,
+      ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "base" && !ingestId.contains("/"),
+      s"ingestId must be a non-empty path segment other than 'base': '$ingestId'")
     val spark = batch.sparkSession
     val meta = spark.read.parquet(s"$path/meta").head()
     val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)
-      .write.mode("append").parquet(s"$path/bands")
+      .write.mode("overwrite").parquet(s"$path/bands/ingest=$ingestId")
     Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id")
       .withColumnRenamed("sh_doc_id", "sh")
-      .write.mode("append").parquet(s"$path/shingles")
+      .write.mode("overwrite").parquet(s"$path/shingles/ingest=$ingestId")
   }
 
   /** Near-dup pairs of `batch` against the index at `path`: identical
@@ -141,7 +158,10 @@ object DedupIndexStore {
 
   /** [[append]] for a [[buildBucketed]] index: appended rows land in
     * their (band, band_hash) buckets as additional per-bucket files, so
-    * the probe join stays exchange-free after any number of appends. */
+    * the probe join stays exchange-free after any number of appends.
+    * Unlike the path variant this is NOT retry-idempotent (catalog
+    * appends have no per-ingest partition to overwrite) — use the path
+    * layout when a replaying writer maintains the index. */
   def appendBucketed(
       batch: DataFrame,
       idCol: String,
@@ -177,6 +197,14 @@ object DedupIndexStore {
       spark.table(s"${tableBase}_shingles"),
       spark.table(s"${tableBase}_meta").head(),
       batch, idCol, textCol, threshold, maxBucket)
+
+  /** The index's (k, numHashes, bands) as stored at build time — for
+    * callers that must sign OTHER data consistently with the index
+    * (e.g. within-batch pairing in the streaming ingest loop). */
+  def params(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val m = spark.read.parquet(s"$path/meta").head()
+    (m.getInt(0), m.getInt(1), m.getInt(2))
+  }
 
   // ---- shared internals -------------------------------------------------
 

@@ -215,6 +215,79 @@ object StreamOps {
       }
       .start()
 
+  /** Self-maintaining streaming ingest dedup — the full admission loop a
+    * training-data pipeline runs on arriving documents, with ALL dedup
+    * state in the persisted index (no Spark state store; restarts resume
+    * from the checkpoint and the index as-is). Per micro-batch:
+    *
+    *  1. within-batch canonicalize: MinHash-LSH pairs inside the batch
+    *     ([[graft.operators.Dedup.minhashPairs]], signed with the
+    *     INDEX's parameters), duplicate clusters, keep the min-id
+    *     representative of each cluster;
+    *  2. index probe: drop representatives that near-dup anything
+    *     already admitted ([[graft.operators.DedupIndexStore.probe]] —
+    *     base corpus plus every earlier batch);
+    *  3. admit: hand survivors to `onAdmitted(batch, batchId)` and
+    *     APPEND them to the index under `ingest=b<batchId>`, so the NEXT
+    *     batch dedups against them too.
+    *
+    * Exactly-once: the append is idempotent per batchId (a replayed
+    * batch overwrites its own ingest partition, never duplicating index
+    * rows), so with an idempotent `onAdmitted` sink the whole loop is
+    * replay-safe. Cost per trigger ∝ batch (within-batch pairing) +
+    * one probe join against stored hashes — the corpus text is never
+    * re-read. First-wins semantics: an earlier batch's doc survives, a
+    * later near-dup of it is dropped; ties inside one batch go to the
+    * smallest id. */
+  def streamingIngestDedup(
+      docsStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      onAdmitted: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = admitBatch(
+          batch, idCol, textCol, indexPath, threshold, maxBucket)
+        admitted.persist()
+        try {
+          onAdmitted(admitted, batchId)
+          graft.operators.DedupIndexStore.append(
+            admitted, idCol, textCol, indexPath, s"b$batchId")
+        } finally admitted.unpersist()
+      }
+      .start()
+
+  /** One admission round of [[streamingIngestDedup]], exposed for batch
+    * replays and tests: within-batch canonicalize then index-probe
+    * filter. Does NOT write to the index. */
+  def admitBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      indexPath: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    import graft.operators.{Dedup, DedupIndexStore}
+    val spark = batch.sparkSession
+    val (k, numHashes, bands) = DedupIndexStore.params(spark, indexPath)
+    val pairs = Dedup.minhashPairs(
+      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val reps = batch.join(clusters, batch(idCol) === clusters("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === batch(idCol))
+      .drop("id", "cluster")
+    val dupOfCorpus = DedupIndexStore
+      .probe(spark, reps, idCol, textCol, indexPath, threshold, maxBucket)
+      .select(col("id_new")).distinct()
+    reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti")
+  }
+
   /** Streaming trending keys: per event-time window, the Misra–Gries
     * heavy-hitter candidates of a key column — "what's hot right now"
     * over an unbounded stream. The sketch is the SAME partial-mergeable

@@ -53,13 +53,21 @@ class DedupIndexSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("dedup-index-app").toString
     DedupIndexStore.build(part1, "doc_id", "text", dir,
       k = 2, numHashes = 32, bands = 16)
-    DedupIndexStore.append(part2, "doc_id", "text", dir)
-    val appended = pairSet(DedupIndexStore.probe(
-      spark, batch, "doc_id", "text", dir, threshold = 0.2))
+    DedupIndexStore.append(part2, "doc_id", "text", dir, "day1")
+    // a replayed ingest must OVERWRITE its own partition, not duplicate
+    // rows — re-run the same append before probing
+    DedupIndexStore.append(part2, "doc_id", "text", dir, "day1")
+    val appendedDf = DedupIndexStore.probe(
+      spark, batch, "doc_id", "text", dir, threshold = 0.2)
+    val appendedRows = appendedDf.collect()
+    val appended = appendedRows.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val direct = pairSet(Dedup.minhashPairsAgainst(
       batch, corpus, "doc_id", "text",
       k = 2, numHashes = 32, bands = 16, threshold = 0.2))
     assert(appended == direct)
+    // replay really overwrote: no duplicate output rows from doubled
+    // index rows (a Set compare alone would hide them)
+    assert(appendedRows.length == appended.size)
     // the cap must see CURRENT bucket sizes (build + append merged): a
     // cap of 1 over the appended index must equal the direct cap of 1
     val appendedCapped = pairSet(DedupIndexStore.probe(
