@@ -85,4 +85,34 @@ object AnnIndexStore {
       .groupBy(_._1).toSeq.sortBy(_._1)
       .map(_._2.map(_._2).toArray)
       .toArray
+
+  /** Persist the CODED CORPUS — (neighbor_id, cell, codes) per vector,
+    * directory-partitioned by cell — the third and largest index
+    * artifact, and the one that changes search I/O at 100 TB: raw
+    * 64-dim float vectors are 256 B/row, m=16 PQ codes are 16 B/row
+    * (16×), and because the store is partitioned by the coarse cell,
+    * [[Similarity.ivfPqTopKFromCodes]]'s probed-cells filter becomes
+    * PARTITION PRUNING — a search touches only its nprobe cells' code
+    * files, never the rest of the corpus (asserted on the scan's
+    * PartitionFilters in AnnIndexStoreSpec). Encoding runs ONCE per
+    * corpus snapshot, next to the centroid/codebook training. */
+  def buildCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCentroids: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]],
+      path: String): Unit =
+    Similarity.pqEncode(
+        corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
+        "v", pqCentroids)
+      .withColumn("cell", Similarity.nearestCell(col("v"), coarseCentroids))
+      .select(col("neighbor_id"), col("cell"), col("codes"))
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** The coded corpus back as (neighbor_id, cell, codes); `cell` is the
+    * partition column, so filters on it prune directories. */
+  def loadCodes(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))
 }

@@ -125,7 +125,7 @@ object Similarity {
     array(cents.map(c => cosine(vecCol, litVec(c))): _*)
 
   /** argmax over [[centroidScores]] — first max wins (deterministic). */
-  private def nearestCell(vecCol: Column, cents: Array[Array[Float]]): Column = {
+  private[operators] def nearestCell(vecCol: Column, cents: Array[Array[Float]]): Column = {
     val s = centroidScores(vecCol, cents)
     (array_position(s, array_max(s)) - 1).cast("int")
   }
@@ -371,16 +371,68 @@ object Similarity {
       trainIvfCentroids(corpus, corpusId, corpusVec, nlist, iters))
     val pcents = pqCentroids.getOrElse(
       trainPq(corpus, corpusId, corpusVec, m, codebook, iters))
-    val cells = ccents.length
-    val probeN = math.min(nprobe, cells)
-    val sub = pcents.head.head.length
-    val flat = pcents.flatMap(_.flatMap(identity))
     // the persisted-index shape: (cell, codes) per corpus row
     val c = pqEncode(
         corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("v")),
         "v", pcents)
       .withColumn("cell", nearestCell(col("v"), ccents))
       .select(col("neighbor_id"), col("cell"), col("codes"))
+    ivfPqSearchTail(c, queries, queryId, queryVec, k, nprobe, ccents, pcents,
+      rerank, corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv")),
+      pruneCells = false)
+  }
+
+  /** IVFADC search over an ALREADY-CODED corpus — the shape a persisted
+    * index actually serves ([[AnnIndexStore.buildCodes]]): `codedCorpus`
+    * is (neighbor_id, cell, codes), e.g. [[AnnIndexStore.loadCodes]]'s
+    * cell-partitioned parquet, and search never touches raw corpus
+    * floats except for the `rerank` shortlist (`corpusForRerank`).
+    * Identical output to [[ivfPqTopK]] with the same centroids (asserted
+    * in AnnIndexStoreSpec). The probed cells — at most `nlist` distinct
+    * ints across the whole query panel — are computed up front and
+    * applied as a static `IN` filter, so a cell-partitioned store scans
+    * ONLY the probed partitions: search I/O is the probed cells' code
+    * bytes, exactly the IVFADC promise. */
+  def ivfPqTopKFromCodes(
+      codedCorpus: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int,
+      coarseCentroids: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]],
+      rerank: Int = 0,
+      corpusForRerank: Option[DataFrame] = None): DataFrame = {
+    require(rerank <= 0 || corpusForRerank.isDefined,
+      "rerank > 0 needs corpusForRerank = (neighbor_id, cv) raw vectors")
+    ivfPqSearchTail(
+      codedCorpus.select(col("neighbor_id"), col("cell"), col("codes")),
+      queries, queryId, queryVec, k, nprobe, coarseCentroids, pqCentroids,
+      rerank, corpusForRerank.orNull, pruneCells = true)
+  }
+
+  /** The shared IVFADC probe/score/rerank tail over a coded corpus.
+    * `pruneCells` collects the panel's probed cells (bounded by nlist —
+    * a scalar-sized driver read, like the centroid loads) and filters
+    * the coded corpus by them before the join, which becomes partition
+    * pruning when the corpus is a cell-partitioned store. */
+  private def ivfPqSearchTail(
+      c: DataFrame,
+      queries: DataFrame,
+      queryId: String,
+      queryVec: String,
+      k: Int,
+      nprobe: Int,
+      ccents: Array[Array[Float]],
+      pcents: Array[Array[Array[Float]]],
+      rerank: Int,
+      rerankRaw: DataFrame,
+      pruneCells: Boolean): DataFrame = {
+    val cells = ccents.length
+    val probeN = math.min(nprobe, cells)
+    val sub = pcents.head.head.length
+    val flat = pcents.flatMap(_.flatMap(identity))
     val q = broadcast(
       queries.select(col(queryId).as("query_id"), col(queryVec).as("qv"))
         .withColumn("scores", centroidScores(col("qv"), ccents))
@@ -389,7 +441,13 @@ object Similarity {
             s"transform(slice(array_sort(transform(sequence(0, ${cells - 1}), " +
               s"i -> struct(-scores[i] AS neg, i AS idx))), 1, $probeN), p -> p.idx)"))
             .as("cell")))
-    val scored = c.join(q, Seq("cell"))
+    val cIn =
+      if (!pruneCells) c
+      else {
+        val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+        c.where(col("cell").isin(probed.toSeq: _*))
+      }
+    val scored = cIn.join(q, Seq("cell"))
       // 4th arg is k (centroids PER SUBSPACE — the flat-codebook stride),
       // not m; they only coincide when m == codebook
       .withColumn("cosine",
@@ -397,8 +455,7 @@ object Similarity {
     if (rerank <= 0) topKPerQuery(scored, k)
     else {
       val shortlist = topKPerQuery(scored, rerank).select("query_id", "neighbor_id")
-      val cRaw = corpus.select(col(corpusId).as("neighbor_id"), col(corpusVec).as("cv"))
-      val rescored = cRaw.join(broadcast(shortlist), Seq("neighbor_id"))
+      val rescored = rerankRaw.join(broadcast(shortlist), Seq("neighbor_id"))
         .join(broadcast(queries.select(col(queryId).as("query_id"),
           col(queryVec).as("qv"))), Seq("query_id"))
         .withColumn("cosine", cosine(col("cv"), col("qv")))

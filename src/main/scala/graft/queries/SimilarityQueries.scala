@@ -30,6 +30,28 @@ object SimilarityQueries {
   private val pqIndex =
     scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
 
+  /** Paths of the persisted CODED-CORPUS stores (cell-partitioned
+    * (neighbor_id, cell, codes) parquet) keyed by dataset dir — q185
+    * searches these instead of re-encoding the corpus per query. */
+  private val codesIndex =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** The coded corpus for `dir`, building (and encoding) it on first
+    * use with q81's trained codebooks — encode-once / search-many. */
+  def codesPath(s: SparkSession, dir: String): String =
+    codesIndex.getOrElseUpdate(dir, {
+      val e = table(s, dir, "embeddings")
+      val cc = ivfIndex.getOrElseUpdate(dir,
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3))
+      val pc = pqIndex.getOrElseUpdate(dir,
+        Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-ann-codes").toString
+      graft.operators.AnnIndexStore.buildCodes(
+        e, "vec_id", "embedding", cc, pc, s"$path/codes")
+      s"$path/codes"
+    })
+
   /** The explicit production lifecycle for the ANN queries: ONE build job
     * trains both codebooks for `dir`, persists them as parquet artifacts
     * under `artifactDir` ([[graft.operators.AnnIndexStore]]), loads them
@@ -44,6 +66,9 @@ object SimilarityQueries {
     AnnIndexStore.buildPq(e, "vec_id", "embedding", m = 16, k = 16, s"$artifactDir/pq")
     ivfIndex(dir) = AnnIndexStore.loadIvf(s, s"$artifactDir/ivf")
     pqIndex(dir) = AnnIndexStore.loadPq(s, s"$artifactDir/pq")
+    // third artifact: the coded corpus (cell-partitioned codes) q185
+    // searches — encoded once here so its reps are probe-only too
+    codesPath(s, dir)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -143,6 +168,27 @@ object SimilarityQueries {
         e.filter(col("vec_id") < NQ), "vec_id", "embedding", K,
         nlist = 16, nprobe = 8, m = 16, rerank = 50,
         coarseCentroids = Some(cc), pqCentroids = Some(pc))
+    }),
+
+    // IVFADC search FROM THE PERSISTED CODED CORPUS — q81's exact search
+    // (same codebooks, same probes, same rerank → same oracle) but the
+    // corpus side is AnnIndexStore's cell-partitioned (id, cell, codes)
+    // store: scan I/O is the probed cells' 16-byte codes, raw floats are
+    // read only for the rerank shortlist. Encode-once / search-many —
+    // the 100 TB search shape, with partition pruning asserted in
+    // AnnIndexStoreSpec.
+    "q185_ann_from_store" -> ((s, dir) => {
+      val e = table(s, dir, "embeddings")
+      val cc = ivfIndex.getOrElseUpdate(dir,
+        Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3))
+      val pc = pqIndex.getOrElseUpdate(dir,
+        Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+      Similarity.ivfPqTopKFromCodes(
+        graft.operators.AnnIndexStore.loadCodes(s, codesPath(s, dir)),
+        e.filter(col("vec_id") < NQ), "vec_id", "embedding", K,
+        nprobe = 8, cc, pc, rerank = 50,
+        corpusForRerank = Some(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))))
     }),
 
     // ANN over the quantized corpus: top-10 int8-cosine neighbors of the
@@ -591,6 +637,10 @@ object SimilarityQueries {
          |GROUP BY b.query_id""".stripMargin,
     "q59_ann_pq" -> pqOracleSql,
     "q81_ann_ivfpq" -> ivfPqOracleSql,
+
+    // q185 is q81's search served from the persisted coded corpus —
+    // same codebooks, probes, and rerank, so the same bit-exact replay.
+    "q185_ann_from_store" -> ivfPqOracleSql,
     "q33_media_features" -> mediaFeatureOracleSql,
     "q180_wav_pcm" -> wavPcmOracleSql,
     "q181_mp4_boxes" -> mp4BoxOracleSql,

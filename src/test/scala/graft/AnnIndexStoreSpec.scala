@@ -36,6 +36,38 @@ class AnnIndexStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("coded corpus: search from the cell-partitioned store == encode-inline, scan prunes to probed cells") {
+    val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-store-codes").toFile
+    try {
+      val cc = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3)
+      val pc = Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16)
+      val path = s"${dir.getAbsolutePath}/codes"
+      AnnIndexStore.buildCodes(e, "vec_id", "embedding", cc, pc, path)
+
+      val q = e.filter(col("vec_id") < 3)
+      val fromStore = Similarity.ivfPqTopKFromCodes(
+        AnnIndexStore.loadCodes(spark, path), q, "vec_id", "embedding",
+        k = 5, nprobe = 4, cc, pc, rerank = 20,
+        corpusForRerank = Some(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))))
+      val inline = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4, m = 16, rerank = 20,
+        coarseCentroids = Some(cc), pqCentroids = Some(pc))
+      assert(fromStore.collect().map(_.toSeq).toSet ==
+        inline.collect().map(_.toSeq).toSet,
+        "search from persisted codes must equal the encode-inline search")
+
+      // the probed-cells IN filter must reach the store scan as a
+      // PARTITION filter — search I/O is the probed cells' files only
+      val plan = fromStore.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*cell".r
+      assert(pf.findFirstIn(plan).isDefined,
+        s"no partition filter on cell in the codes scan:\n$plan")
+    } finally rmrf(dir)
+  }
+
   test("buildAnnIndexes writes both artifacts and the registered ANN queries run probe-only") {
     val dir = java.nio.file.Files.createTempDirectory("ann-build").toFile
     try {
