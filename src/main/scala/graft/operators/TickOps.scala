@@ -179,7 +179,26 @@ object TickOps {
       (0 until (c.durationMs / c.slideMs).toInt).map(k =>
         struct(lit(c.name).as("_1"), lit(c.durationMs - k * c.slideMs).as("_2")))
     }: _*)
-    val merged = partial
+    // The partials are tiny (one decimal row per bucket × symbol), so
+    // AQE coalesces the phase-1 shuffle down to 1-2 partitions — and the
+    // 360-offset explode below, FUSED onto those partitions, would then
+    // run on 1-2 cores (observed: 4 s → 40+ s on a slow host). AQE
+    // cannot know a stage's output explodes 360×, so pin the fan-out
+    // width with an explicit repartition. The partition key matters
+    // twice over: hashing on the phase-1 keys is statically elided as
+    // redundant with the aggregation's own exchange (which AQE then
+    // coalesces anyway), and round-robin defeats phase 2's map-side
+    // combine (one window's buckets scatter over every task → the next
+    // shuffle carries ~the full exploded row count). Hashing on a
+    // COARSE TIME CHUNK — 12× the largest window — keeps each window's
+    // buckets in ≤2 tasks (combine compresses, ≤8% group duplication),
+    // spreads chunks evenly across cores, and is a derived expression
+    // the optimizer cannot collapse into either neighboring exchange.
+    val chunkMs = 12L * cfgs.map(_.durationMs).max
+    val spread = partial.repartition(
+      ticks.sparkSession.sparkContext.defaultParallelism,
+      expr(s"bucket_ms div ${chunkMs}L"))
+    val merged = spread
       .select(col("symbol"), col("pn"), col("ps"), col("pq"), col("bucket_ms"),
         explode(offsets).as("w"))
       .groupBy((col("bucket_ms") + col("w._2")).as("end_ms"),
