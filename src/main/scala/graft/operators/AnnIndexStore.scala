@@ -95,23 +95,71 @@ object AnnIndexStore {
     * PARTITION PRUNING — a search touches only its nprobe cells' code
     * files, never the rest of the corpus (asserted on the scan's
     * PartitionFilters in AnnIndexStoreSpec). Encoding runs ONCE per
-    * corpus snapshot, next to the centroid/codebook training. */
+    * corpus snapshot, next to the centroid/codebook training.
+    *
+    * Layout: `path/ingest=base/cell=N/…` — the outer `ingest=`
+    * directory level makes the store APPEND-ONLY maintainable
+    * ([[appendCodes]]) with the same idempotent-retry contract as
+    * [[DedupIndexStore.append]]; `cell` stays a partition column at the
+    * second level, so probed-cells pruning is unaffected (it prunes
+    * across every ingest). */
   def buildCodes(
       corpus: DataFrame,
       idCol: String,
       vecCol: String,
       coarseCentroids: Array[Array[Float]],
       pqCentroids: Array[Array[Array[Float]]],
-      path: String): Unit =
+      path: String): Unit = {
+    // a rebuild is a NEW corpus snapshot: clear every prior ingest too —
+    // overwriting only ingest=base would leave stale appended batches
+    // coded in the OLD geometry
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(corpus.sparkSession.sparkContext.hadoopConfiguration)
+      .delete(p, true)
+    writeCodes(corpus, idCol, vecCol, coarseCentroids, pqCentroids,
+      s"$path/ingest=base")
+  }
+
+  /** Add an admitted batch to the coded corpus at `path`: its PQ codes
+    * land under `ingest=<ingestId>`, cell-partitioned like the base.
+    * IDEMPOTENT per ingestId (a replayed streaming batch overwrites its
+    * own ingest partition) — the exactly-once property the composed
+    * ingest loop ([[graft.streaming.StreamOps.streamingIngestDedupWithAnn]])
+    * needs. The centroids/codebook are the STORE's trained artifacts
+    * (load them via [[loadIvf]]/[[loadPq]]); appended vectors are coded
+    * in the existing geometry — retraining on ingest would silently
+    * re-cell the standing corpus. */
+  def appendCodes(
+      batch: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCentroids: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]],
+      path: String,
+      ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "base" && !ingestId.contains("/"),
+      s"ingestId must be a non-empty path segment other than 'base': '$ingestId'")
+    writeCodes(batch, idCol, vecCol, coarseCentroids, pqCentroids,
+      s"$path/ingest=$ingestId")
+  }
+
+  private def writeCodes(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      coarseCentroids: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]],
+      dir: String): Unit =
     Similarity.pqEncode(
         corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("v")),
         "v", pqCentroids)
       .withColumn("cell", Similarity.nearestCell(col("v"), coarseCentroids))
       .select(col("neighbor_id"), col("cell"), col("codes"))
-      .write.mode("overwrite").partitionBy("cell").parquet(path)
+      .write.mode("overwrite").partitionBy("cell").parquet(dir)
 
-  /** The coded corpus back as (neighbor_id, cell, codes); `cell` is the
-    * partition column, so filters on it prune directories. */
+  /** The coded corpus back as (neighbor_id, cell, codes); `cell` is a
+    * partition column (under every `ingest=` level), so filters on it
+    * prune directories across the base and all appended batches. */
   def loadCodes(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
       .select(col("neighbor_id"), col("cell").cast("int").as("cell"), col("codes"))

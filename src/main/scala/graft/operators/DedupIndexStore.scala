@@ -112,7 +112,18 @@ object DedupIndexStore {
   /** Near-dup pairs of `batch` against the index at `path`: identical
     * output to `Dedup.minhashPairsAgainst(batch, corpus, ...)` with the
     * build-time parameters — (id_new, id_corpus, jaccard ≥ threshold) —
-    * but the corpus side comes entirely from the stored artifact. */
+    * but the corpus side comes entirely from the stored artifact.
+    *
+    * `excludeIngest`: skip one `ingest=` partition on the corpus side —
+    * the REPLAY-SAFETY knob for a maintaining writer. A foreachBatch
+    * restart re-runs a batch whose previous attempt already appended
+    * `ingest=b<batchId>`; probing against that partition makes every
+    * previously admitted doc match ITSELF (jaccard 1.0), empties the
+    * admission, and the idempotent re-append then overwrites the
+    * partition with zero rows — silent loss (ADVICE r10). Excluding the
+    * batch's own partition makes the replayed probe see exactly the
+    * index state of the first attempt. The filter is on the partition
+    * column, so it prunes directories rather than scanning them. */
   def probe(
       spark: SparkSession,
       batch: DataFrame,
@@ -120,12 +131,41 @@ object DedupIndexStore {
       textCol: String,
       path: String,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame =
+      maxBucket: Int = 1000,
+      excludeIngest: Option[String] = None): DataFrame = {
+    // an initEmpty'd index (meta only, no appends yet) has no band dirs:
+    // probing it means "nothing admitted so far" — an empty pair set
+    if (!dirExists(spark, s"$path/bands"))
+      return batch.select(
+        col(idCol).as("id_new"), col(idCol).as("id_corpus"),
+        lit(0.0).as("jaccard")).limit(0)
+    def drop(t: DataFrame): DataFrame =
+      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
     probeFrom(
-      spark.read.parquet(s"$path/bands"),
-      spark.read.parquet(s"$path/shingles"),
+      drop(spark.read.parquet(s"$path/bands")),
+      drop(spark.read.parquet(s"$path/shingles")),
       spark.read.parquet(s"$path/meta").head(),
       batch, idCol, textCol, threshold, maxBucket)
+  }
+
+  /** Initialize an EMPTY path-layout index: meta only, parameters fixed
+    * now, band/shingle partitions arrive through [[append]]. This is the
+    * ingest-tail shape ([[graft.streaming.StreamOps.streamingIngestDedupBucketed]]):
+    * a small idempotently-maintained index in front of a bucketed
+    * standing corpus. Idempotent (meta overwrite). */
+  def initEmpty(
+      spark: SparkSession,
+      path: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int): Unit =
+    metaDf(spark, k, numHashes, bands)
+      .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+
+  private def dirExists(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** [[build]] into catalog tables `<tableBase>_bands` /
     * `<tableBase>_shingles` / `<tableBase>_meta`, the band table bucketed
@@ -180,6 +220,47 @@ object DedupIndexStore {
       .write.mode("append")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${tableBase}_shingles")
+  }
+
+  /** Fold a path-layout ingest TAIL into a [[buildBucketed]] standing
+    * index, then clear the tail. The hybrid layout's maintenance step:
+    * the streaming writer appends idempotently to the tail (per-batch
+    * `ingest=` partitions), probes pay a shuffle only for the SMALL tail
+    * side, and this offline job periodically moves the accumulated
+    * band/shingle rows into the bucketed tables (one bucketed write —
+    * the rows are already signed, no re-tokenization) so the tail stays
+    * small. NOT retry-idempotent (a catalog append has no partition to
+    * overwrite) — run it as an exclusive maintenance job with the
+    * streaming writer quiesced, exactly like an OPTIMIZE/compaction on
+    * any LSM-shaped store. Requires tail and table parameters to match
+    * (asserted against both metas). */
+  def compactTail(
+      spark: SparkSession,
+      tableBase: String,
+      tailPath: String,
+      buckets: Int): Unit = {
+    val tm = spark.table(s"${tableBase}_meta").head()
+    val pm = spark.read.parquet(s"$tailPath/meta").head()
+    require((pm.getInt(0), pm.getInt(1), pm.getInt(2)) ==
+      (tm.getInt(0), tm.getInt(1), tm.getInt(2)),
+      s"tail/table parameter mismatch: tail=$pm table=$tm")
+    if (dirExists(spark, s"$tailPath/bands")) {
+      spark.read.parquet(s"$tailPath/bands")
+        .select("band", "band_hash", "doc_id", "sig")
+        .write.mode("append")
+        .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
+        .format("parquet").saveAsTable(s"${tableBase}_bands")
+      spark.read.parquet(s"$tailPath/shingles")
+        .select("doc_id", "sh")
+        .write.mode("append")
+        .bucketBy(buckets, "doc_id").sortBy("doc_id")
+        .format("parquet").saveAsTable(s"${tableBase}_shingles")
+      val conf = spark.sparkContext.hadoopConfiguration
+      Seq(s"$tailPath/bands", s"$tailPath/shingles").foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        p.getFileSystem(conf).delete(p, true)
+      }
+    }
   }
 
   /** [[probe]] against a [[buildBucketed]] index — same output, corpus

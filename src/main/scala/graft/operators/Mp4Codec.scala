@@ -297,7 +297,10 @@ object Mp4Codec {
       val perChunk = runs(run)._2
       while (k < perChunk && sample < nSamples) {
         val sz = info.sampleSizes(sample)
-        if (off < 0 || sz < 0 || off + sz > fileLen) return None
+        // `off + sz > fileLen` would wrap for a forged co64 offset near
+        // Long.MaxValue (be64 yields any positive Long) and admit an
+        // out-of-file range; subtract on the bounded side instead
+        if (off < 0 || sz < 0 || sz > fileLen || off > fileLen - sz) return None
         out(sample) = (off, sz)
         off += sz
         sample += 1

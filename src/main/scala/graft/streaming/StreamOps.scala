@@ -233,12 +233,18 @@ object StreamOps {
     *
     * Exactly-once: the append is idempotent per batchId (a replayed
     * batch overwrites its own ingest partition, never duplicating index
-    * rows), so with an idempotent `onAdmitted` sink the whole loop is
-    * replay-safe. Cost per trigger ∝ batch (within-batch pairing) +
-    * one probe join against stored hashes — the corpus text is never
-    * re-read. First-wins semantics: an earlier batch's doc survives, a
-    * later near-dup of it is dropped; ties inside one batch go to the
-    * smallest id. */
+    * rows) AND the probe excludes the batch's OWN ingest partition — a
+    * restarted foreachBatch re-runs a batchId whose first attempt may
+    * already have appended, and probing against that partition would
+    * make every previously admitted doc self-match and be silently
+    * dropped from both the sink and the re-appended partition (ADVICE
+    * r10). With the exclusion, a replayed batch sees exactly the index
+    * state of the first attempt, so with an idempotent `onAdmitted`
+    * sink the whole loop is replay-safe. Cost per trigger ∝ batch
+    * (within-batch pairing) + one probe join against stored hashes —
+    * the corpus text is never re-read. First-wins semantics: an earlier
+    * batch's doc survives, a later near-dup of it is dropped; ties
+    * inside one batch go to the smallest id. */
   def streamingIngestDedup(
       docsStream: DataFrame,
       idCol: String,
@@ -253,7 +259,8 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val admitted = admitBatch(
-          batch, idCol, textCol, indexPath, threshold, maxBucket)
+          batch, idCol, textCol, indexPath, threshold, maxBucket,
+          excludeIngest = Some(s"b$batchId"))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
@@ -265,28 +272,180 @@ object StreamOps {
 
   /** One admission round of [[streamingIngestDedup]], exposed for batch
     * replays and tests: within-batch canonicalize then index-probe
-    * filter. Does NOT write to the index. */
+    * filter. Does NOT write to the index. `excludeIngest` skips one
+    * corpus-side ingest partition — pass the CURRENT batch's own id
+    * when replay may have already appended it (see
+    * [[streamingIngestDedup]]). */
   def admitBatch(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       indexPath: String,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    import graft.operators.{Dedup, DedupIndexStore}
+      maxBucket: Int = 1000,
+      excludeIngest: Option[String] = None): DataFrame = {
+    import graft.operators.DedupIndexStore
     val spark = batch.sparkSession
     val (k, numHashes, bands) = DedupIndexStore.params(spark, indexPath)
-    val pairs = Dedup.minhashPairs(
+    val reps = canonicalizeBatch(
       batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
-    val clusters = Dedup.duplicateClusters(pairs)
-    val reps = batch.join(clusters, batch(idCol) === clusters("id"), "left")
-      .filter(col("cluster").isNull || col("cluster") === batch(idCol))
-      .drop("id", "cluster")
     val dupOfCorpus = DedupIndexStore
-      .probe(spark, reps, idCol, textCol, indexPath, threshold, maxBucket)
+      .probe(spark, reps, idCol, textCol, indexPath, threshold, maxBucket,
+        excludeIngest)
       .select(col("id_new")).distinct()
     reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti")
   }
+
+  /** Within-batch canonicalization shared by the admission variants:
+    * MinHash-LSH pairs inside the batch (signed with the index's
+    * parameters), duplicate clusters, keep the min-id representative. */
+  private def canonicalizeBatch(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      numHashes: Int,
+      bands: Int,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
+    import graft.operators.Dedup
+    val pairs = Dedup.minhashPairs(
+      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+    val clusters = Dedup.duplicateClusters(pairs)
+    batch.join(clusters, batch(idCol) === clusters("id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === batch(idCol))
+      .drop("id", "cluster")
+  }
+
+  /** [[streamingIngestDedup]] against the HYBRID index layout — the
+    * shape that holds at a 100 TB standing corpus:
+    *
+    *  - the STANDING CORPUS lives in a [[graft.operators.DedupIndexStore.buildBucketed]]
+    *    catalog index, so the per-batch probe against it reads
+    *    co-located buckets and the corpus side shuffles NOTHING per
+    *    trigger (the plain-parquet path re-shuffles ~10^11 corpus band
+    *    keys every micro-batch at that scale);
+    *  - ADMITTED BATCHES append to a small path-layout TAIL index
+    *    (`tailPath`, per-batch `ingest=` partitions) — idempotent under
+    *    replay, probed with the batch's own partition excluded, and the
+    *    only probe side that pays a (tail-sized) shuffle;
+    *  - [[graft.operators.DedupIndexStore.compactTail]] periodically
+    *    folds the tail into the bucketed tables offline, keeping the
+    *    tail bounded by the compaction interval, not the stream's
+    *    lifetime.
+    *
+    * First-wins semantics identical to [[streamingIngestDedup]]
+    * (asserted batch-for-batch in StreamingIngestDedupSpec). The tail
+    * must be [[graft.operators.DedupIndexStore.initEmpty]]-initialized
+    * with the SAME parameters as the bucketed index (asserted). */
+  def streamingIngestDedupBucketed(
+      docsStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableBase: String,
+      tailPath: String,
+      checkpointDir: String,
+      onAdmitted: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = admitBatchBucketed(
+          batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
+          excludeTailIngest = Some(s"b$batchId"))
+        admitted.persist()
+        try {
+          onAdmitted(admitted, batchId)
+          graft.operators.DedupIndexStore.append(
+            admitted, idCol, textCol, tailPath, s"b$batchId")
+        } finally admitted.unpersist()
+      }
+      .start()
+
+  /** One admission round of [[streamingIngestDedupBucketed]]: within-
+    * batch canonicalize, then drop representatives matching EITHER the
+    * bucketed standing corpus (exchange-free probe) or the ingest tail.
+    * Does NOT write to either index. */
+  def admitBatchBucketed(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableBase: String,
+      tailPath: String,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000,
+      excludeTailIngest: Option[String] = None): DataFrame = {
+    import graft.operators.DedupIndexStore
+    val spark = batch.sparkSession
+    val m = spark.table(s"${tableBase}_meta").head()
+    val (k, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val tp = DedupIndexStore.params(spark, tailPath)
+    require(tp == ((k, numHashes, bands)),
+      s"tail/table parameter mismatch: tail=$tp table=${(k, numHashes, bands)}")
+    val reps = canonicalizeBatch(
+      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+    val dupOfCorpus = DedupIndexStore
+      .probeBucketed(spark, reps, idCol, textCol, tableBase, threshold, maxBucket)
+      .select(col("id_new"))
+      .union(DedupIndexStore
+        .probe(spark, reps, idCol, textCol, tailPath, threshold, maxBucket,
+          excludeTailIngest)
+        .select(col("id_new")))
+      .distinct()
+    reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti")
+  }
+
+  /** The COMPOSED ingest pipeline: [[streamingIngestDedup]] plus ANN
+    * index maintenance in the same foreachBatch — each micro-batch of
+    * (id, text, embedding) documents is within-batch canonicalized,
+    * probed against the persisted dedup index, and the ADMITTED docs are
+    * (a) handed to `onAdmitted`, (b) appended to the dedup index, and
+    * (c) PQ-coded in the ANN store's existing geometry and appended to
+    * its coded corpus — so a document admitted in batch N is both dedup-
+    * visible AND similarity-searchable
+    * ([[graft.operators.Similarity.ivfPqTopKFromCodes]]) from batch N+1
+    * on, with zero Spark state: both indexes ARE the state.
+    *
+    * Exactly-once end to end: the dedup probe excludes the batch's own
+    * ingest partition (replay-safe admission), and BOTH appends are
+    * idempotent per batchId (each overwrites its own `ingest=b<id>`
+    * partition), so a crash anywhere in the body replays to the
+    * identical index states. The centroids/codebook are the store's
+    * trained artifacts, passed in once — appended vectors are coded in
+    * the standing geometry, never retrained per trigger. */
+  def streamingIngestDedupWithAnn(
+      docsStream: DataFrame,
+      idCol: String,
+      textCol: String,
+      vecCol: String,
+      indexPath: String,
+      codesPath: String,
+      coarseCentroids: Array[Array[Float]],
+      pqCentroids: Array[Array[Array[Float]]],
+      checkpointDir: String,
+      onAdmitted: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+    docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val admitted = admitBatch(
+          batch, idCol, textCol, indexPath, threshold, maxBucket,
+          excludeIngest = Some(s"b$batchId"))
+        admitted.persist()
+        try {
+          onAdmitted(admitted, batchId)
+          graft.operators.DedupIndexStore.append(
+            admitted, idCol, textCol, indexPath, s"b$batchId")
+          graft.operators.AnnIndexStore.appendCodes(
+            admitted, idCol, vecCol, coarseCentroids, pqCentroids,
+            codesPath, s"b$batchId")
+        } finally admitted.unpersist()
+      }
+      .start()
 
   /** Streaming trending keys: per event-time window, the Misra–Gries
     * heavy-hitter candidates of a key column — "what's hot right now"

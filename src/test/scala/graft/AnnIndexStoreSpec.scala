@@ -68,6 +68,44 @@ class AnnIndexStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("appendCodes: idempotent per ingest; appended store == encode-inline over the full corpus") {
+    val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+    val dir = java.nio.file.Files.createTempDirectory("ann-store-append").toFile
+    try {
+      val cc = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3)
+      val pc = Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16)
+      val path = s"${dir.getAbsolutePath}/codes"
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+      val day1 = e.filter(col("vec_id") % 5 === 0)
+      AnnIndexStore.buildCodes(base, "vec_id", "embedding", cc, pc, path)
+      AnnIndexStore.appendCodes(day1, "vec_id", "embedding", cc, pc, path, "day1")
+      // a replayed ingest must OVERWRITE its own partition, not duplicate
+      AnnIndexStore.appendCodes(day1, "vec_id", "embedding", cc, pc, path, "day1")
+      val codes = AnnIndexStore.loadCodes(spark, path)
+      assert(codes.count() == e.count(), "replay duplicated coded rows")
+
+      val q = e.filter(col("vec_id") < 3)
+      val fromStore = Similarity.ivfPqTopKFromCodes(
+        codes, q, "vec_id", "embedding",
+        k = 5, nprobe = 4, cc, pc, rerank = 20,
+        corpusForRerank = Some(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv"))))
+      val inline = Similarity.ivfPqTopK(e, "vec_id", "embedding",
+        q, "vec_id", "embedding", 5,
+        nlist = 16, nprobe = 4, m = 16, rerank = 20,
+        coarseCentroids = Some(cc), pqCentroids = Some(pc))
+      assert(fromStore.collect().map(_.toSeq).toSet ==
+        inline.collect().map(_.toSeq).toSet,
+        "search over base+appended store must equal full-corpus inline search")
+
+      // cell pruning must survive the two-level (ingest=, cell=) layout
+      val plan = fromStore.queryExecution.executedPlan.toString
+      val pf = "PartitionFilters: \\[[^\\]]*cell".r
+      assert(pf.findFirstIn(plan).isDefined,
+        s"no partition filter on cell in the appended codes scan:\n$plan")
+    } finally rmrf(dir)
+  }
+
   test("buildAnnIndexes writes both artifacts and the registered ANN queries run probe-only") {
     val dir = java.nio.file.Files.createTempDirectory("ann-build").toFile
     try {

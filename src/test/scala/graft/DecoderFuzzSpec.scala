@@ -40,7 +40,9 @@ class DecoderFuzzSpec extends SparkSpec {
         Mp4Codec.sampleRanges(info, b.length.toLong).foreach { ranges =>
           assert(ranges.length == info.sampleSizes.length, ctx)
           for ((off, sz) <- ranges) {
-            assert(off >= 0 && sz >= 0 && off + sz <= b.length, ctx)
+            // overflow-safe form: off + sz would wrap for a forged co64
+            // offset near Long.MaxValue and let a bad range pass silently
+            assert(off >= 0 && sz >= 0 && sz <= b.length && off <= b.length - sz, ctx)
             JpegCodec.decodeRgb(
               java.util.Arrays.copyOfRange(b, off.toInt, (off + sz).toInt))
           }
@@ -80,6 +82,26 @@ class DecoderFuzzSpec extends SparkSpec {
         throwNothing(b, s"$name truncated+flipped at $keep")
       }
     }
+  }
+
+  test("forged co64 offset near Long.MaxValue cannot wrap the range check") {
+    // a crafted chunk offset where off + sz overflows Long: the naive
+    // `off + sz > fileLen` bound wraps negative and ADMITS the range,
+    // which decodeMjpegFrames would then hand to Arrays.copyOfRange —
+    // an uncaught executor throw on untrusted bytes (ADVICE r10)
+    val base = Mp4Codec.parse(Multimodal.mp4MjpegBytes(64, 32, 21L)).get
+    val forged = base.copy(
+      stscRuns = Array((1L, base.sampleSizes.length.toLong)),
+      chunkOffsets = Array(Long.MaxValue - 1))
+    assert(Mp4Codec.sampleRanges(forged, 10000L).isEmpty,
+      "wrapped off+sz must refuse, not admit an out-of-file range")
+    // and a size that alone exceeds the file must refuse even at off 0
+    val bigSz = base.copy(
+      stscRuns = Array((1L, 1L)),
+      sampleSizes = Array(0xFFFFFFFFL),
+      sampleDeltas = Array((1L, 1L)),
+      chunkOffsets = Array(0L))
+    assert(Mp4Codec.sampleRanges(bigSz, 10000L).isEmpty)
   }
 
   test("forged constant-size stsz cannot amplify allocation") {

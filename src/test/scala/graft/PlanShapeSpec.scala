@@ -53,6 +53,54 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("q03 two-phase fan-out keeps its pinned repartition width under AQE") {
+    // commit 450ebf3: AQE coalesces the tiny phase-1 partials to 1-2
+    // partitions, and the fused 360-offset explode inherits that width —
+    // observed 4 s → 40+ s. slidingStatsMultiTwoPhaseExact pins the
+    // fan-out with repartition(defaultParallelism, bucket_ms div chunk),
+    // whose REPARTITION_BY_NUM origin AQE may not coalesce. This test
+    // fails if the repartition is removed, widened to a column-only
+    // repartition (coalescable REPARTITION_BY_COL), or a Spark upgrade
+    // starts coalescing it anyway.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AQEShuffleReadExec, AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.{REPARTITION_BY_NUM, ShuffleExchangeExec}
+    val df = SparkEntry.queries("q03_moving_stats_all")(spark, sf())
+    df.count() // materialize so AQE finalizes every stage
+    def all(p: SparkPlan): Seq[SparkPlan] =
+      p +: (p.children ++ (p match {
+        case q: QueryStageExec => Seq(q.plan)
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case _ => Nil
+      })).flatMap(all)
+    val nodes = all(df.queryExecution.executedPlan)
+    val pinned = nodes.collect {
+      case s: ShuffleExchangeExec if s.shuffleOrigin == REPARTITION_BY_NUM => s
+    }
+    assert(pinned.nonEmpty,
+      "q03's explicit fan-out repartition is gone from the executed plan")
+    val par = spark.sparkContext.defaultParallelism
+    pinned.foreach { s =>
+      assert(s.outputPartitioning.numPartitions == par,
+        s"fan-out pinned to ${s.outputPartitioning.numPartitions}, expected $par")
+      assert(s.outputPartitioning.toString.contains("div"),
+        s"fan-out no longer hashes the coarse time chunk: ${s.outputPartitioning}")
+    }
+    // the 360× explode must CONSUME the pinned exchange (sit above it in
+    // the final plan), and the shuffle read over it must not be coalesced
+    val gens = nodes.collect {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.exists(g => all(g).exists(pinned.contains)),
+      "the offset explode no longer runs over the pinned repartition")
+    nodes.collect {
+      case r: AQEShuffleReadExec if all(r).exists(pinned.contains) => r
+    }.foreach { r =>
+      assert(!r.hasCoalescedPartition,
+        s"AQE coalesced the pinned fan-out exchange: $r")
+    }
+  }
+
   test("no registered query plans a window partitioned only by lang (per-language funnel)") {
     // `partition by lang` caps a window's parallelism at the language
     // count — at 100 TB each language is a single-task sort of most of

@@ -68,6 +68,145 @@ class StreamingIngestDedupSpec extends SparkSpec {
     assert(hits == Set(5L), s"post-stream index probe hits: $hits")
   }
 
+  test("replayed batch (crash between append and commit) re-admits identically") {
+    // ADVICE r10 (high): a foreachBatch restart re-runs a batchId whose
+    // first attempt already appended ingest=b0; probing against that
+    // partition makes every admitted doc self-match (jaccard 1.0), the
+    // admission comes back empty, and the idempotent re-append then
+    // overwrites b0 with ZERO rows — silent loss. The probe must exclude
+    // the batch's own partition.
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_rp").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    val batch = Seq(
+      (1L, freshText),
+      (2L, freshText + " omega"),
+      (3L, corpusText + " phi"),
+      (5L, otherText)).toDF("doc_id", "text")
+    def admit() = StreamOps.admitBatch(
+      batch, "doc_id", "text", idx, threshold = 0.2,
+      excludeIngest = Some("b0"))
+    val first = admit()
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    DedupIndexStore.append(first, "doc_id", "text", idx, "b0")
+    // -- crash here: append done, streaming commit lost; b0 replays --
+    val replay = admit()
+    assert(replay.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L),
+      "replayed admission must equal the first attempt")
+    // negative control: WITHOUT the exclusion the replayed probe sees the
+    // first attempt's own partition and drops everything — the r10 bug
+    val naive = StreamOps.admitBatch(batch, "doc_id", "text", idx, threshold = 0.2)
+    assert(naive.select("doc_id").collect().isEmpty,
+      "control: un-excluded replay self-matches (the failure this fix pins)")
+    DedupIndexStore.append(replay, "doc_id", "text", idx, "b0")
+    // index state after replay == state after a single clean run
+    val hits = DedupIndexStore.probe(
+      spark, Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.2)
+      .select("id_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(5L), s"post-replay index probe hits: $hits")
+  }
+
+  test("bucketed hybrid: first-wins through bucketed corpus + tail; corpus probe exchange-free") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+    val tail = java.nio.file.Files.createTempDirectory("graft_sid_tail").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_bkt_ckpt").toFile
+    ckpt.deleteOnExit()
+    try {
+      DedupIndexStore.buildBucketed(
+        Seq((100L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", "sid_idx", 4, k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
+
+      val in = MemoryStream[(Long, String)](spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = StreamOps.streamingIngestDedupBucketed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "sid_idx", tail,
+        ckpt.getAbsolutePath,
+        (df, bid) => admitted.synchronized {
+          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+        },
+        threshold = 0.2)
+      try {
+        // same batch script as the plain-path test: the hybrid layout
+        // must make the identical first-wins decisions
+        in.addData(
+          (1L, freshText),
+          (2L, freshText + " omega"),
+          (3L, corpusText + " phi"))
+        q.processAllAvailable()
+        assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L)),
+          s"batch 0 admissions: ${admitted.toSet}")
+        in.addData(
+          (4L, freshText + " psi"),
+          (5L, otherText))
+        q.processAllAvailable()
+        assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (1L, 5L)),
+          s"batch 1 admissions: ${admitted.toSet}")
+      } finally q.stop()
+
+      // the per-batch probe plan (admitBatchBucketed IS the foreachBatch
+      // body): the standing-corpus side of the candidate join must not
+      // shuffle — its scan is hash-placed by the bucketing; only the
+      // batch and the small tail pay exchanges
+      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        val probe = StreamOps.admitBatchBucketed(
+          Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+          "doc_id", "text", "sid_idx", tail, threshold = 0.2)
+        // doc 9 near-dups doc 5 — admitted via the TAIL, visible only
+        // through the store
+        assert(probe.collect().isEmpty, "tail near-dup must be dropped")
+        val plan = probe.queryExecution.executedPlan
+        def leavesOf(p: SparkPlan): Seq[String] = p.collectLeaves().map(_.toString)
+        val bandSides = plan.collect {
+          case j: SortMergeJoinExec => j
+          case j: ShuffledHashJoinExec => j
+        }.flatMap(_.children)
+          .filter(side => leavesOf(side).exists(_.contains("sid_idx_bands")))
+          .filter(side => side.collect {
+            case j: SortMergeJoinExec => j
+            case j: ShuffledHashJoinExec => j
+          }.isEmpty)
+        assert(bandSides.nonEmpty, s"no join over sid_idx_bands found:\n$plan")
+        bandSides.foreach { side =>
+          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+            s"bucketed corpus side shuffles in the streaming probe:\n$side")
+        }
+      } finally {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      }
+
+      // compaction: fold the tail into the bucketed tables; decisions
+      // unchanged (docs 1/5 now match via the standing corpus), tail gone
+      DedupIndexStore.compactTail(spark, "sid_idx", tail, 4)
+      assert(!new java.io.File(s"$tail/bands").exists, "tail must be cleared")
+      val after = StreamOps.admitBatchBucketed(
+        Seq((9L, otherText + " extra"), (10L, freshText + " chi")).toDF("doc_id", "text"),
+        "doc_id", "text", "sid_idx", tail, threshold = 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(after == Set.empty[Long],
+        s"post-compaction: both near-dups must still be dropped, got $after")
+      val fresh = StreamOps.admitBatchBucketed(
+        Seq((11L, "completely novel sentence about database vacuum " +
+          "autovacuum analyze statistics planner estimates")).toDF("doc_id", "text"),
+        "doc_id", "text", "sid_idx", tail, threshold = 0.2)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(fresh == Set(11L), s"novel doc must be admitted, got $fresh")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sid_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS sid_idx_shingles")
+      spark.sql("DROP TABLE IF EXISTS sid_idx_meta")
+    }
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
