@@ -37,7 +37,9 @@ object SimilarityQueries {
     scala.collection.concurrent.TrieMap.empty[String, String]
 
   /** The coded corpus for `dir`, building (and encoding) it on first
-    * use with q81's trained codebooks — encode-once / search-many. */
+    * use with q81's trained codebooks — encode-once / search-many.
+    * The temp artifact dir is reaped at JVM exit (ADVICE r10: repeated
+    * bench runs were accumulating coded-corpus parquet under /tmp). */
   def codesPath(s: SparkSession, dir: String): String =
     codesIndex.getOrElseUpdate(dir, {
       val e = table(s, dir, "embeddings")
@@ -47,10 +49,48 @@ object SimilarityQueries {
         Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
       val path = java.nio.file.Files
         .createTempDirectory("graft-ann-codes").toString
+      graft.util.SparkUtil.deleteDirOnExit(path)
       graft.operators.AnnIndexStore.buildCodes(
         e, "vec_id", "embedding", cc, pc, s"$path/codes")
       s"$path/codes"
     })
+
+  /** nprobe sweep over the PERSISTED coded corpus: for each nprobe,
+    * (search seconds, recall@K vs exact brute force) — the measurement
+    * that prices the cell-partition-pruning claim with numbers (fewer
+    * probed cells = fewer partitions scanned = faster, at a recall
+    * cost the sweep makes explicit). Probe-only: trained artifacts and
+    * the coded store come from the caches/disk; only the search runs
+    * per step. Bench emits this as the `ann_sweep` section. */
+  def annSweepFromCodes(
+      s: SparkSession,
+      dir: String,
+      nprobes: Seq[Int]): Seq[(Int, Double, Double)] = {
+    val e = table(s, dir, "embeddings")
+    val cc = ivfIndex.getOrElseUpdate(dir,
+      Similarity.trainIvfCentroids(e, "vec_id", "embedding", 16, 3))
+    val pc = pqIndex.getOrElseUpdate(dir,
+      Similarity.trainPq(e, "vec_id", "embedding", m = 16, k = 16))
+    val path = codesPath(s, dir)
+    val qs = e.filter(col("vec_id") < NQ)
+    val exact = Similarity.bruteForceTopK(
+        e, "vec_id", "embedding", qs, "vec_id", "embedding", K)
+      .select("query_id", "neighbor_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    nprobes.map { np =>
+      val t0 = System.nanoTime()
+      val got = Similarity.ivfPqTopKFromCodes(
+          graft.operators.AnnIndexStore.loadCodes(s, path),
+          qs, "vec_id", "embedding", K, np, cc, pc,
+          rerank = 4 * K,
+          corpusForRerank = Some(e.select(
+            col("vec_id").as("neighbor_id"), col("embedding").as("cv"))))
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val sec = (System.nanoTime() - t0) / 1e9
+      (np, sec, got.intersect(exact).size.toDouble / exact.size)
+    }
+  }
 
   /** The explicit production lifecycle for the ANN queries: ONE build job
     * trains both codebooks for `dir`, persists them as parquet artifacts

@@ -41,6 +41,9 @@ object TextQueries {
     dedupIndex.getOrElseUpdate(dir, {
       val path = java.nio.file.Files
         .createTempDirectory("graft-dedup-index").toString
+      // reaped at JVM exit — repeated bench runs were accumulating
+      // index parquet under /tmp (ADVICE r10)
+      graft.util.SparkUtil.deleteDirOnExit(path)
       graft.operators.DedupIndexStore.build(
         table(s, dir, "documents").filter(col("doc_id") % 10 =!= 0),
         "doc_id", "text", path, k = 2, numHashes = 32, bands = 16)

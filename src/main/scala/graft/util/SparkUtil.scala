@@ -77,6 +77,21 @@ object SparkUtil {
     else df.repartition(cores, col(key))
   }
 
+  /** Recursively delete `dir` when the JVM exits — for session-lifetime
+    * temp artifacts (built index stores) that `File.deleteOnExit` cannot
+    * reap (it refuses non-empty directories). */
+  def deleteDirOnExit(dir: String): Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) {
+          val kids = f.listFiles()
+          if (kids != null) kids.foreach(rm)
+        }
+        f.delete()
+      }
+      rm(new java.io.File(dir))
+    }))
+
   def newLocalSession(appName: String, cores: String): SparkSession = {
     val spark = SparkSession
       .builder()

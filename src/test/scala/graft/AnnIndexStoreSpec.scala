@@ -118,6 +118,18 @@ class AnnIndexStoreSpec extends SparkSpec {
     } finally rmrf(dir)
   }
 
+  test("annSweepFromCodes measures the nprobe/recall tradeoff from the persisted store") {
+    val sw = graft.queries.SimilarityQueries.annSweepFromCodes(spark, sf(), Seq(1, 4, 8))
+    assert(sw.map(_._1) == Seq(1, 4, 8))
+    sw.foreach { case (np, sec, rec) =>
+      assert(sec > 0.0, s"non-positive search time at nprobe=$np")
+      assert(rec >= 0.0 && rec <= 1.0, s"recall out of range at nprobe=$np: $rec")
+    }
+    val r = sw.map(_._3)
+    assert(r(1) >= 0.5, s"nprobe=4 recall ${r(1)} fell below the q81 floor")
+    assert(r(2) >= r(0), s"recall fell as nprobe widened 1 -> 8: $r")
+  }
+
   test("PQ codebook roundtrips parquet bit-for-bit; loaded-artifact IVF-PQ search == inline") {
     val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
     val dir = java.nio.file.Files.createTempDirectory("ann-store-pq").toFile

@@ -207,6 +207,72 @@ class StreamingIngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("composed ingest: admitted docs are immediately ANN-searchable from the coded store") {
+    import org.apache.spark.sql.functions.col
+    import graft.operators.{AnnIndexStore, Similarity}
+    // geometry trained once on the standing embeddings table — appended
+    // vectors are coded in the EXISTING cells/codebook, never retrained
+    val e = graft.util.SparkUtil.table(spark, sf(), "embeddings")
+    val cc = Similarity.trainIvfCentroids(e, "vec_id", "embedding", 4, 2)
+    val pc = Similarity.trainPq(e, "vec_id", "embedding", m = 8, k = 8)
+    val vecs = e.filter(col("vec_id") < 8).orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1))
+
+    val root = java.nio.file.Files.createTempDirectory("graft_sid_ann").toString
+    val idx = s"$root/dedup"
+    val codes = s"$root/codes"
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    AnnIndexStore.buildCodes(
+      Seq((100L, vecs(0))).toDF("doc_id", "embedding"),
+      "doc_id", "embedding", cc, pc, codes)
+
+    val in = MemoryStream[(Long, String, Seq[Float])](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_ann_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = StreamOps.streamingIngestDedupWithAnn(
+      in.toDF().toDF("doc_id", "text", "embedding"),
+      "doc_id", "text", "embedding", idx, codes, cc, pc,
+      ckpt.getAbsolutePath,
+      (df, bid) => admitted.synchronized {
+        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+      },
+      threshold = 0.2)
+    def searchTop1(vec: Seq[Float]): Long = {
+      val stored = AnnIndexStore.loadCodes(spark, codes)
+      val raw = stored.select(col("neighbor_id")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+        .map(id => (id, if (id == 100L) vecs(0) else vecs(id.toInt)))
+      Similarity.ivfPqTopKFromCodes(
+        stored, Seq((0L, vec)).toDF("vec_id", "embedding"),
+        "vec_id", "embedding", k = 1, nprobe = 4, cc, pc, rerank = 4,
+        corpusForRerank = Some(raw.toDF("neighbor_id", "cv")))
+        .select("neighbor_id").head().getLong(0)
+    }
+    try {
+      // batch 0: doc 1 fresh (admitted), doc 3 near-dups the corpus
+      in.addData((1L, freshText, vecs(1)), (3L, corpusText + " phi", vecs(3)))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L)))
+      // doc 1 is ANN-findable from the store the moment its batch commits
+      assert(searchTop1(vecs(1)) == 1L,
+        "admitted doc must be the exact-rerank top-1 for its own vector")
+
+      // batch 1: doc 4 near-dups doc 1 (drop), doc 5 fresh (admit)
+      in.addData((4L, freshText + " psi", vecs(4)), (5L, otherText, vecs(5)))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (1L, 5L)))
+      assert(searchTop1(vecs(5)) == 5L)
+      // the coded corpus holds EXACTLY base + admitted — dropped docs
+      // (3, 4) never enter the ANN store
+      val stored = AnnIndexStore.loadCodes(spark, codes)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(stored == Set(100L, 1L, 5L), s"coded store holds: $stored")
+    } finally q.stop()
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
