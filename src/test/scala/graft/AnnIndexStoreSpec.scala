@@ -127,7 +127,11 @@ class AnnIndexStoreSpec extends SparkSpec {
     }
     val r = sw.map(_._3)
     assert(r(1) >= 0.5, s"nprobe=4 recall ${r(1)} fell below the q81 floor")
-    assert(r(2) >= r(0), s"recall fell as nprobe widened 1 -> 8: $r")
+    // no strict monotonicity: with a fixed rerank shortlist, widening
+    // the probe can crowd a few true neighbors out of the ADC top-100
+    // (measured 1.0 -> 0.92 from np4 to np8 at sf0.1) — assert a floor
+    // at the widest probe instead
+    assert(r(2) >= 0.7, s"nprobe=8 recall ${r(2)} collapsed: $r")
   }
 
   test("PQ codebook roundtrips parquet bit-for-bit; loaded-artifact IVF-PQ search == inline") {
