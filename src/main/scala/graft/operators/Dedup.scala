@@ -72,20 +72,30 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): DataFrame = {
-    val rows = numHashes / bands
+      maxBucket: Int = 1000): DataFrame =
     // Signatures come straight from tokens (fused kernel, no shingle
     // strings); exact shingle sets are materialized only for the few
-    // verify-stage survivors inside ngramJaccard.
-    val withSig = docs
-      .select(col(idCol).as("doc_id"), TextOps.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) > 0)
-      .withColumn("sig", GraftFunctions.minhash_from_tokens(col("toks"), k, numHashes))
-    val banded = withSig.select(
-      col("doc_id"), col("sig"),
-      posexplode(expr(
-        s"transform(sequence(0, ${bands - 1}), b -> xxhash64(array_join(slice(sig, b * $rows + 1, $rows), ',')))"))
-        .as(Seq("band", "band_hash")))
+    // verify-stage survivors inside the pairing tail.
+    minhashPairsFromSigned(
+      bandedSignatures(docs, idCol, textCol, k, numHashes, bands),
+      shingleHashTable(docs, idCol, textCol, k, "doc_id"),
+      threshold, maxBucket)
+
+  /** [[minhashPairs]] over PRE-SIGNED inputs: `banded` is
+    * [[bandedSignatures]] output, `shingles` is
+    * [[shingleHashTable]](docs, …, "doc_id") output. For callers that
+    * consume the SAME batch signatures more than once per job — the
+    * streaming admission loop pairs within the batch AND probes one or
+    * two persisted indexes every trigger, and signing is the dominant
+    * batch-side CPU — so it signs once, persists for the trigger, and
+    * routes every consumer through the signed variants
+    * ([[graft.streaming.StreamOps]]). Identical output to
+    * [[minhashPairs]]. */
+  private[graft] def minhashPairsFromSigned(
+      banded: DataFrame,
+      shingles: DataFrame,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     // bucket size cap: degenerate buckets would go quadratic in one task
     val sized = banded
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
@@ -103,9 +113,7 @@ object Dedup {
       .filter(GraftFunctions.sig_overlap(col("sig_a"), col("sig_b")) >= threshold / 2)
       .select(col("id_a"), col("id_b"))
       .distinct()
-    val sh = docs
-      .select(col(idCol).as("jid"), TextOps.tokens(col(textCol)).as("jtoks"))
-      .select(col("jid"), GraftFunctions.shingle_hashes(col("jtoks"), k).as("jsh"))
+    val sh = shingles.select(col("doc_id").as("jid"), col("sh_doc_id").as("jsh"))
     candidates
       .join(sh.select(col("jid").as("id_a"), col("jsh").as("sh_a")), Seq("id_a"))
       .join(sh.select(col("jid").as("id_b"), col("jsh").as("sh_b")), Seq("id_b"))

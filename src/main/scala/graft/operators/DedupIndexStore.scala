@@ -296,9 +296,8 @@ object DedupIndexStore {
 
   /** The probe pipeline over loaded index tables — the exact candidate +
     * verify stages of [[Dedup.minhashPairsAgainst]], corpus side from
-    * storage. Bucket sizes are computed HERE, over the scanned band
-    * table (current as of every append; window partitioning = bucket
-    * keys, so the bucketed layout pays no exchange for it). */
+    * storage. Signs the batch with the index's meta parameters, then
+    * delegates to [[probeFromSigned]]. */
   private def probeFrom(
       bandsTable: DataFrame,
       shinglesTable: DataFrame,
@@ -309,18 +308,77 @@ object DedupIndexStore {
       threshold: Double,
       maxBucket: Int): DataFrame = {
     val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
+    probeFromSigned(
+      bandsTable, shinglesTable,
+      Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands),
+      Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id"),
+      threshold, maxBucket)
+  }
+
+  /** [[probe]] over a PRE-SIGNED batch: `newBands` is
+    * [[Dedup.bandedSignatures]] output and `newShingles` is
+    * [[Dedup.shingleHashTable]](batch, …, "doc_id") output, BOTH signed
+    * with this index's meta parameters (the caller got them from
+    * [[params]]). For per-trigger callers that feed the same batch
+    * signatures to several consumers — see
+    * [[Dedup.minhashPairsFromSigned]]. */
+  private[graft] def probeSignedPath(
+      spark: SparkSession,
+      newBands: DataFrame,
+      newShingles: DataFrame,
+      path: String,
+      threshold: Double,
+      maxBucket: Int,
+      excludeIngest: Option[String]): DataFrame = {
+    if (!dirExists(spark, s"$path/bands"))
+      return newBands.select(
+        col("doc_id").as("id_new"), col("doc_id").as("id_corpus"),
+        lit(0.0).as("jaccard")).limit(0)
+    def drop(t: DataFrame): DataFrame =
+      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
+    probeFromSigned(
+      drop(spark.read.parquet(s"$path/bands")),
+      drop(spark.read.parquet(s"$path/shingles")),
+      newBands, newShingles, threshold, maxBucket)
+  }
+
+  /** [[probeBucketed]] over a PRE-SIGNED batch (see [[probeSignedPath]]). */
+  private[graft] def probeBucketedSigned(
+      spark: SparkSession,
+      newBands: DataFrame,
+      newShingles: DataFrame,
+      tableBase: String,
+      threshold: Double,
+      maxBucket: Int): DataFrame =
+    probeFromSigned(
+      spark.table(s"${tableBase}_bands"),
+      spark.table(s"${tableBase}_shingles"),
+      newBands, newShingles, threshold, maxBucket)
+
+  /** The candidate + verify tail over a signed batch. Bucket sizes are
+    * computed HERE, over the scanned band table (current as of every
+    * append; window partitioning = bucket keys, so the bucketed layout
+    * pays no exchange for it). */
+  private def probeFromSigned(
+      bandsTable: DataFrame,
+      shinglesTable: DataFrame,
+      newBandsSigned: DataFrame,
+      newShinglesSigned: DataFrame,
+      threshold: Double,
+      maxBucket: Int): DataFrame = {
     val corpusBands = bandsTable
       .withColumn("bucket_n", count(lit(1)).over(Window.partitionBy("band", "band_hash")))
       .filter(col("bucket_n") <= maxBucket)
       .select(col("band"), col("band_hash"), col("doc_id").as("id_corpus"), col("sig").as("sig_c"))
-    val newBands = Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)
+    val newBands = newBandsSigned
       .select(col("band"), col("band_hash"), col("doc_id").as("id_new"), col("sig").as("sig_n"))
     val candidates = newBands.join(corpusBands, Seq("band", "band_hash"))
       .filter(GraftFunctions.sig_overlap(col("sig_n"), col("sig_c")) >= threshold / 2)
       .select(col("id_new"), col("id_corpus"))
       .distinct()
     candidates
-      .join(Dedup.shingleHashTable(batch, idCol, textCol, k, "id_new"), Seq("id_new"))
+      .join(newShinglesSigned.select(
+        col("doc_id").as("id_new"), col("sh_doc_id").as("sh_id_new")), Seq("id_new"))
       .join(shinglesTable.select(col("doc_id").as("id_corpus"), col("sh").as("sh_id_corpus")),
         Seq("id_corpus"))
       .select(col("id_new"), col("id_corpus"),

@@ -258,15 +258,22 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val admitted = admitBatch(
-          batch, idCol, textCol, indexPath, threshold, maxBucket,
-          excludeIngest = Some(s"b$batchId"))
+        val spark = batch.sparkSession
+        val params = graft.operators.DedupIndexStore.params(spark, indexPath)
+        val (admitted, signed) = admitSigned(
+          batch, idCol, textCol, params, threshold, maxBucket, cache = true,
+          probe = (bb, sb) => graft.operators.DedupIndexStore
+            .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
+              Some(s"b$batchId")))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, indexPath, s"b$batchId")
-        } finally admitted.unpersist()
+        } finally {
+          admitted.unpersist()
+          signed.foreach(_.unpersist())
+        }
       }
       .start()
 
@@ -286,35 +293,57 @@ object StreamOps {
       excludeIngest: Option[String] = None): DataFrame = {
     import graft.operators.DedupIndexStore
     val spark = batch.sparkSession
-    val (k, numHashes, bands) = DedupIndexStore.params(spark, indexPath)
-    val reps = canonicalizeBatch(
-      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
-    val dupOfCorpus = DedupIndexStore
-      .probe(spark, reps, idCol, textCol, indexPath, threshold, maxBucket,
-        excludeIngest)
-      .select(col("id_new")).distinct()
-    reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti")
+    val params = DedupIndexStore.params(spark, indexPath)
+    admitSigned(batch, idCol, textCol, params, threshold, maxBucket,
+      cache = false,
+      probe = (bb, sb) => DedupIndexStore.probeSignedPath(
+        spark, bb, sb, indexPath, threshold, maxBucket, excludeIngest))._1
   }
 
-  /** Within-batch canonicalization shared by the admission variants:
-    * MinHash-LSH pairs inside the batch (signed with the index's
-    * parameters), duplicate clusters, keep the min-id representative. */
-  private def canonicalizeBatch(
+  /** The shared admission round over a ONCE-SIGNED batch: compute the
+    * batch's banded signatures + shingle-hash table a single time, pair
+    * within the batch from them, keep min-id cluster representatives,
+    * and drop representatives the `probe` callback (also fed the signed
+    * tables) matches against the standing index(es). Signing is the
+    * dominant batch-side CPU of a trigger, and the admission loop
+    * consumes the signatures two or three times (pairing + 1-2 index
+    * probes) — `cache = true` persists the two signed tables for the
+    * trigger so they compute once; the caller MUST unpersist the
+    * returned handles after materializing `admitted` (the streaming
+    * loops do, in their foreachBatch finally). `cache = false` keeps
+    * the plain recompute-per-consumer behavior for one-shot batch
+    * callers, with no cache-lifetime obligation. */
+  private def admitSigned(
       batch: DataFrame,
       idCol: String,
       textCol: String,
-      k: Int,
-      numHashes: Int,
-      bands: Int,
+      params: (Int, Int, Int),
       threshold: Double,
-      maxBucket: Int): DataFrame = {
+      maxBucket: Int,
+      cache: Boolean,
+      probe: (DataFrame, DataFrame) => DataFrame): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.Dedup
-    val pairs = Dedup.minhashPairs(
-      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
+    val (k, numHashes, bands) = params
+    val signedBands = Dedup.bandedSignatures(
+      batch, idCol, textCol, k, numHashes, bands)
+    val signedShingles = Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id")
+    val cached =
+      if (!cache) Nil
+      else { signedBands.persist(); signedShingles.persist(); Seq(signedBands, signedShingles) }
+    val pairs = Dedup.minhashPairsFromSigned(
+      signedBands, signedShingles, threshold, maxBucket)
     val clusters = Dedup.duplicateClusters(pairs)
-    batch.join(clusters, batch(idCol) === clusters("id"), "left")
+    val reps = batch.join(clusters, batch(idCol) === clusters("id"), "left")
       .filter(col("cluster").isNull || col("cluster") === batch(idCol))
       .drop("id", "cluster")
+    // probing the FULL batch's signatures (not just the representatives)
+    // is equivalent: the anti-join below keys on rep ids, so extra
+    // non-rep hits simply never match — and it lets the probe reuse the
+    // already-signed tables instead of re-signing the rep subset
+    val dupOfCorpus = probe(signedBands, signedShingles)
+      .select(col("id_new")).distinct()
+    (reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti"),
+      cached)
   }
 
   /** [[streamingIngestDedup]] against the HYBRID index layout — the
@@ -352,15 +381,19 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val admitted = admitBatchBucketed(
+        val spark = batch.sparkSession
+        val (admitted, signed) = admitBucketedSigned(
           batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
-          excludeTailIngest = Some(s"b$batchId"))
+          excludeTailIngest = Some(s"b$batchId"), cache = true)
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, tailPath, s"b$batchId")
-        } finally admitted.unpersist()
+        } finally {
+          admitted.unpersist()
+          signed.foreach(_.unpersist())
+        }
       }
       .start()
 
@@ -376,25 +409,36 @@ object StreamOps {
       tailPath: String,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      excludeTailIngest: Option[String] = None): DataFrame = {
+      excludeTailIngest: Option[String] = None): DataFrame =
+    admitBucketedSigned(batch, idCol, textCol, tableBase, tailPath,
+      threshold, maxBucket, excludeTailIngest, cache = false)._1
+
+  /** [[admitSigned]] wired to the hybrid layout: one signing pass feeds
+    * the within-batch pairing, the exchange-free bucketed-corpus probe,
+    * AND the tail probe. */
+  private def admitBucketedSigned(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      tableBase: String,
+      tailPath: String,
+      threshold: Double,
+      maxBucket: Int,
+      excludeTailIngest: Option[String],
+      cache: Boolean): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.DedupIndexStore
     val spark = batch.sparkSession
     val m = spark.table(s"${tableBase}_meta").head()
-    val (k, numHashes, bands) = (m.getInt(0), m.getInt(1), m.getInt(2))
+    val params = (m.getInt(0), m.getInt(1), m.getInt(2))
     val tp = DedupIndexStore.params(spark, tailPath)
-    require(tp == ((k, numHashes, bands)),
-      s"tail/table parameter mismatch: tail=$tp table=${(k, numHashes, bands)}")
-    val reps = canonicalizeBatch(
-      batch, idCol, textCol, k, numHashes, bands, threshold, maxBucket)
-    val dupOfCorpus = DedupIndexStore
-      .probeBucketed(spark, reps, idCol, textCol, tableBase, threshold, maxBucket)
-      .select(col("id_new"))
-      .union(DedupIndexStore
-        .probe(spark, reps, idCol, textCol, tailPath, threshold, maxBucket,
-          excludeTailIngest)
-        .select(col("id_new")))
-      .distinct()
-    reps.join(dupOfCorpus, reps(idCol) === dupOfCorpus("id_new"), "left_anti")
+    require(tp == params,
+      s"tail/table parameter mismatch: tail=$tp table=$params")
+    admitSigned(batch, idCol, textCol, params, threshold, maxBucket, cache,
+      probe = (bb, sb) => DedupIndexStore
+        .probeBucketedSigned(spark, bb, sb, tableBase, threshold, maxBucket)
+        .select(col("id_new"), col("id_corpus"), col("jaccard"))
+        .union(DedupIndexStore.probeSignedPath(
+          spark, bb, sb, tailPath, threshold, maxBucket, excludeTailIngest)))
   }
 
   /** The COMPOSED ingest pipeline: [[streamingIngestDedup]] plus ANN
@@ -432,9 +476,13 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val admitted = admitBatch(
-          batch, idCol, textCol, indexPath, threshold, maxBucket,
-          excludeIngest = Some(s"b$batchId"))
+        val spark = batch.sparkSession
+        val params = graft.operators.DedupIndexStore.params(spark, indexPath)
+        val (admitted, signed) = admitSigned(
+          batch, idCol, textCol, params, threshold, maxBucket, cache = true,
+          probe = (bb, sb) => graft.operators.DedupIndexStore
+            .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
+              Some(s"b$batchId")))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
@@ -443,7 +491,10 @@ object StreamOps {
           graft.operators.AnnIndexStore.appendCodes(
             admitted, idCol, vecCol, coarseCentroids, pqCentroids,
             codesPath, s"b$batchId")
-        } finally admitted.unpersist()
+        } finally {
+          admitted.unpersist()
+          signed.foreach(_.unpersist())
+        }
       }
       .start()
 
