@@ -62,6 +62,50 @@ object Probe {
         val n = graft.operators.Dedup.ngramJaccard(cand, docs, "doc_id", "text", 2)
           .filter(col("jaccard") >= 0.2).count()
         println(s"PROBE final=$n t=${(System.nanoTime() - t3) / 1e9}")
+      case "dedup_probe_cmp" =>
+        // per-trigger admission cost, plain path-layout index vs the
+        // hybrid (bucketed standing corpus + empty tail): same batch,
+        // same corpus, same decisions — the delta is the corpus-side
+        // band-key shuffle the bucketed layout eliminates
+        import org.apache.spark.sql.functions.{col, max}
+        import graft.operators.DedupIndexStore
+        import graft.streaming.StreamOps
+        val docs = SparkUtil.table(spark, dir, "documents")
+        // optional 3rd arg: corpus replication factor — the corpus-side
+        // shuffle the hybrid eliminates grows with the STANDING corpus
+        // while the batch stays fixed, so the plain/bucketed delta only
+        // becomes visible once the corpus dwarfs the per-job overhead
+        val mult = if (args.length > 2) args(2).toInt else 1
+        val corpus0 = docs.filter(col("doc_id") % 10 =!= 0)
+        val corpus = if (mult == 1) corpus0 else {
+          val span = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+          corpus0.crossJoin(spark.range(mult).toDF("__k"))
+            .withColumn("doc_id", col("doc_id") + col("__k") * span)
+            .drop("__k")
+        }
+        val batch = docs.filter(col("doc_id") % 10 === 0).limit(100).cache()
+        batch.count()
+        val plainIdx = java.nio.file.Files.createTempDirectory("cmp_plain").toString
+        DedupIndexStore.build(corpus, "doc_id", "text", plainIdx, 2, 32, 16)
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_shingles")
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_meta")
+        DedupIndexStore.buildBucketed(corpus, "doc_id", "text", "cmp_idx", 8, 2, 32, 16)
+        val tail = java.nio.file.Files.createTempDirectory("cmp_tail").toString
+        DedupIndexStore.initEmpty(spark, tail, 2, 32, 16)
+        def secs(f: => Long): Double = {
+          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+        }
+        (0 until 4).foreach { r =>
+          val p = secs(StreamOps.admitBatch(
+            batch, "doc_id", "text", plainIdx, 0.2).count())
+          val b = secs(StreamOps.admitBatchBucketed(
+            batch, "doc_id", "text", "cmp_idx", tail, 0.2).count())
+          println(f"PROBE dedup_probe_cmp rep$r plain=$p%.2f bucketed=$b%.2f")
+        }
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_bands")
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_shingles")
+        spark.sql("DROP TABLE IF EXISTS cmp_idx_meta")
       case "recall" =>
         // measured recall of the three LSH queries vs exact ground truth,
         // with the exact driver-query parameters (q27/q31/q32)

@@ -273,6 +273,43 @@ class StreamingIngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("all-duplicate batch appends an empty ingest partition without poisoning later probes") {
+    // a batch where EVERY doc near-dups the corpus admits nothing; its
+    // append writes an empty ingest partition, and the index must stay
+    // fully probe-able for the batches after it
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_empty").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+
+    val in = MemoryStream[(Long, String)](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_empty_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = StreamOps.streamingIngestDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      ckpt.getAbsolutePath,
+      (df, bid) => admitted.synchronized {
+        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+      },
+      threshold = 0.2)
+    try {
+      in.addData((1L, corpusText + " phi"), (2L, corpusText + " chi"))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.isEmpty),
+        s"batch 0 must admit nothing: ${admitted.toSet}")
+      in.addData((3L, freshText))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set((1L, 3L)),
+        s"batch 1 admissions after an empty append: ${admitted.toSet}")
+    } finally q.stop()
+    val hits = DedupIndexStore.probe(
+      spark, Seq((9L, freshText + " psi")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.2)
+      .select("id_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(3L), s"post-empty-append probe hits: $hits")
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
