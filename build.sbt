@@ -33,6 +33,22 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Long-lived-session JIT hygiene (round-12 q55 variance root cause).
+  // The codegen class cache defaults to 100 entries; this registry
+  // compiles ~900 distinct codegen units, so in a bench/production JVM
+  // every query's every run RE-COMPILED its generated classes (measured:
+  // 61 janino compiles per q55 rep under churn, 0 standalone) and ran
+  // them cold — HotSpot profiles die with the evicted class, so the
+  // hottest fused kernels never reached C2 and the same plan read
+  // anywhere from 5 s to 55 s. Static conf, must be set before the
+  // session exists; sized to hold the whole registry with headroom.
+  "-Dspark.sql.codegen.cache.maxEntries=5000",
+  // ... and the retained classes' compiled code must FIT: 182 queries ×
+  // stages × (C1+C2 tiers) approaches the default 240 MB code cache,
+  // whose exhaustion silently disables the JIT compiler for the rest of
+  // the session (the 10×-vs-standalone dilation signature). 512 MB keeps
+  // the whole registry compiled; flushing stays on as the backstop.
+  "-XX:ReservedCodeCacheSize=512m",
   // 48g default: the bench/verify JVM is a local[32] driver+executor
   // running 45+ queries back-to-back in one process — iterative operators
   // checkpoint blocks, broadcasts pile up until the ContextCleaner's next

@@ -90,6 +90,11 @@ object Bench {
       // may not GC for minutes while a 45-query session accumulates them
       // — force a periodic sweep so late queries run in a clean JVM
       .config("spark.cleaner.periodicGC.interval", "2min")
+      // hold the WHOLE registry's generated classes (default 100 entries
+      // churns on ~900 codegen units → every rep re-compiles and re-runs
+      // unprofiled classes; see build.sbt's javaOptions note — this
+      // duplicate covers a Bench launched outside sbt)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

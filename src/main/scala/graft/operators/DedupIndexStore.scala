@@ -182,12 +182,23 @@ object DedupIndexStore {
       numHashes: Int = 32,
       bands: Int = 8): Unit = {
     val spark = corpus.sparkSession
+    // `ingest` is carried as a PLAIN column (not a bucket key): the
+    // bucketed layout has no per-ingest partition to overwrite, so ingest
+    // lineage must ride the rows themselves for (a) [[compactTail]] to
+    // detect already-folded ingests on a crashed re-run and (b)
+    // [[probeBucketedSigned]]'s excludeIngest to keep a replayed batch
+    // from self-matching against its own rows after a compaction folded
+    // them out of the tail (ADVICE r11). A filter on it is a pushed scan
+    // predicate and preserves the bucketed output partitioning, so the
+    // exchange-free probe claim is untouched.
     Dedup.bandedSignatures(corpus, idCol, textCol, k, numHashes, bands)
+      .withColumn("ingest", lit("base"))
       .write.mode("overwrite")
       .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
       .format("parquet").saveAsTable(s"${tableBase}_bands")
     Dedup.shingleHashTable(corpus, idCol, textCol, k, "doc_id")
       .withColumnRenamed("sh_doc_id", "sh")
+      .withColumn("ingest", lit("base"))
       .write.mode("overwrite")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${tableBase}_shingles")
@@ -201,22 +212,30 @@ object DedupIndexStore {
     * the probe join stays exchange-free after any number of appends.
     * Unlike the path variant this is NOT retry-idempotent (catalog
     * appends have no per-ingest partition to overwrite) — use the path
-    * layout when a replaying writer maintains the index. */
+    * layout when a replaying writer maintains the index. `ingestId`
+    * labels the appended rows' lineage (must be unique per append and
+    * not "base"); it is what [[compactTail]]'s fold detection and
+    * [[probeBucketedSigned]]'s excludeIngest key on. */
   def appendBucketed(
       batch: DataFrame,
       idCol: String,
       textCol: String,
       tableBase: String,
-      buckets: Int): Unit = {
+      buckets: Int,
+      ingestId: String): Unit = {
+    require(ingestId.nonEmpty && ingestId != "base",
+      s"ingestId must be non-empty and not 'base': '$ingestId'")
     val spark = batch.sparkSession
     val meta = spark.table(s"${tableBase}_meta").head()
     val (k, numHashes, bands) = (meta.getInt(0), meta.getInt(1), meta.getInt(2))
     Dedup.bandedSignatures(batch, idCol, textCol, k, numHashes, bands)
+      .withColumn("ingest", lit(ingestId))
       .write.mode("append")
       .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
       .format("parquet").saveAsTable(s"${tableBase}_bands")
     Dedup.shingleHashTable(batch, idCol, textCol, k, "doc_id")
       .withColumnRenamed("sh_doc_id", "sh")
+      .withColumn("ingest", lit(ingestId))
       .write.mode("append")
       .bucketBy(buckets, "doc_id").sortBy("doc_id")
       .format("parquet").saveAsTable(s"${tableBase}_shingles")
@@ -229,11 +248,34 @@ object DedupIndexStore {
     * side, and this offline job periodically moves the accumulated
     * band/shingle rows into the bucketed tables (one bucketed write —
     * the rows are already signed, no re-tokenization) so the tail stays
-    * small. NOT retry-idempotent (a catalog append has no partition to
-    * overwrite) — run it as an exclusive maintenance job with the
-    * streaming writer quiesced, exactly like an OPTIMIZE/compaction on
-    * any LSM-shaped store. Requires tail and table parameters to match
-    * (asserted against both metas). */
+    * small. Requires tail and table parameters to match (asserted
+    * against both metas).
+    *
+    * Folded rows KEEP their tail `ingest` ids, which buys two safety
+    * properties (ADVICE r11):
+    *  - RETRY-IDEMPOTENT: each table's fold first reads the distinct
+    *    `ingest` ids already present (one column-pruned, dictionary-
+    *    encoded scan — cheap for an offline maintenance job) and skips
+    *    tail partitions already folded, so a re-run after a crash
+    *    between the two appends (or between append and tail delete)
+    *    converges instead of duplicating rows. In the crash window
+    *    itself a probe may see a band row in both stores — admission
+    *    decisions are unaffected (candidate pairs are `distinct`ed
+    *    before the verify join) and only `bucket_n` counts the row
+    *    twice, which can only make the degenerate-bucket cap more
+    *    conservative.
+    *  - CRASH-REPLAY SAFE UNDER A MAINTAINING STREAM: if the stream
+    *    crashed after appending `ingest=bN` to the tail but before the
+    *    streaming commit, and compaction folds bN before the restart,
+    *    the replayed batch N's probe still excludes its own rows —
+    *    [[probeBucketedSigned]]'s excludeIngest matches the folded id
+    *    in the bucketed tables exactly as it matched the tail
+    *    partition. Without the lineage, the replay would self-match
+    *    and an idempotent sink would overwrite batch N's output with
+    *    zero rows (the r10 silent-loss seam, re-opened by compaction).
+    * Run it between triggers or with the writer quiesced — it is an
+    * OPTIMIZE-style maintenance job — but a crash anywhere no longer
+    * loses data. */
   def compactTail(
       spark: SparkSession,
       tableBase: String,
@@ -245,13 +287,20 @@ object DedupIndexStore {
       (tm.getInt(0), tm.getInt(1), tm.getInt(2)),
       s"tail/table parameter mismatch: tail=$pm table=$tm")
     if (dirExists(spark, s"$tailPath/bands")) {
-      spark.read.parquet(s"$tailPath/bands")
-        .select("band", "band_hash", "doc_id", "sig")
+      def notFolded(tail: DataFrame, table: String): DataFrame = {
+        val folded = spark.table(table).select("ingest").distinct()
+          .collect().map(_.getString(0)).toSet
+        val t = tail.withColumn("ingest", col("ingest").cast("string"))
+        if (folded.isEmpty) t
+        else t.filter(!col("ingest").isin(folded.toSeq: _*))
+      }
+      notFolded(spark.read.parquet(s"$tailPath/bands"), s"${tableBase}_bands")
+        .select("band", "band_hash", "doc_id", "sig", "ingest")
         .write.mode("append")
         .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
         .format("parquet").saveAsTable(s"${tableBase}_bands")
-      spark.read.parquet(s"$tailPath/shingles")
-        .select("doc_id", "sh")
+      notFolded(spark.read.parquet(s"$tailPath/shingles"), s"${tableBase}_shingles")
+        .select("doc_id", "sh", "ingest")
         .write.mode("append")
         .bucketBy(buckets, "doc_id").sortBy("doc_id")
         .format("parquet").saveAsTable(s"${tableBase}_shingles")
@@ -342,18 +391,28 @@ object DedupIndexStore {
       newBands, newShingles, threshold, maxBucket)
   }
 
-  /** [[probeBucketed]] over a PRE-SIGNED batch (see [[probeSignedPath]]). */
+  /** [[probeBucketed]] over a PRE-SIGNED batch (see [[probeSignedPath]]).
+    * `excludeIngest` drops corpus rows whose `ingest` lineage matches —
+    * the replay-safety knob's bucketed-table form, needed when
+    * [[compactTail]] may have folded the replaying batch's own tail
+    * partition into the standing tables. A plain pushed filter on a
+    * non-bucket column: it preserves the bucketed scan's output
+    * partitioning, so the probe stays exchange-free. */
   private[graft] def probeBucketedSigned(
       spark: SparkSession,
       newBands: DataFrame,
       newShingles: DataFrame,
       tableBase: String,
       threshold: Double,
-      maxBucket: Int): DataFrame =
+      maxBucket: Int,
+      excludeIngest: Option[String] = None): DataFrame = {
+    def drop(t: DataFrame): DataFrame =
+      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
     probeFromSigned(
-      spark.table(s"${tableBase}_bands"),
-      spark.table(s"${tableBase}_shingles"),
+      drop(spark.table(s"${tableBase}_bands")),
+      drop(spark.table(s"${tableBase}_shingles")),
       newBands, newShingles, threshold, maxBucket)
+  }
 
   /** The candidate + verify tail over a signed batch. Bucket sizes are
     * computed HERE, over the scanned band table (current as of every

@@ -253,29 +253,50 @@ object StreamOps {
       checkpointDir: String,
       onAdmitted: (DataFrame, Long) => Unit,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = ingestNs(checkpointDir)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val ingestId = s"${ns}_b$batchId"
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              Some(s"b$batchId")))
+              Some(ingestId)))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
-            admitted, idCol, textCol, indexPath, s"b$batchId")
+            admitted, idCol, textCol, indexPath, ingestId)
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
         }
       }
       .start()
+  }
+
+  /** Namespace for a maintaining stream's ingest ids: a stable 8-hex
+    * digest of the checkpoint location. Bare batchIds collide across
+    * stream INCARNATIONS (ADVICE r11): pointing a NEW checkpoint at an
+    * existing index restarts batchIds at 0, so a bare `b0` ingest would
+    * make the new stream's batch 0 exclude — and then idempotently
+    * OVERWRITE — the old incarnation's `ingest=b0` partition, silently
+    * replacing previously admitted docs. Keyed to the checkpoint dir,
+    * the id is stable across RESTARTS of the same query (replay still
+    * overwrites its own partition) and distinct across incarnations
+    * (a new checkpoint's batch 0 probes the old rows like any other
+    * corpus and never touches their partition). The digest is of the
+    * raw string: callers must pass the same checkpoint path spelling
+    * across restarts — the same requirement the checkpoint itself has. */
+  private[graft] def ingestNs(checkpointDir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(checkpointDir.getBytes("UTF-8"))
+      .take(4).map(b => f"$b%02x").mkString
 
   /** One admission round of [[streamingIngestDedup]], exposed for batch
     * replays and tests: within-batch canonicalize then index-probe
@@ -376,31 +397,38 @@ object StreamOps {
       checkpointDir: String,
       onAdmitted: (DataFrame, Long) => Unit,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = ingestNs(checkpointDir)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
+        val ingestId = s"${ns}_b$batchId"
         val (admitted, signed) = admitBucketedSigned(
           batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
-          excludeTailIngest = Some(s"b$batchId"), cache = true)
+          excludeIngest = Some(ingestId), cache = true)
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
-            admitted, idCol, textCol, tailPath, s"b$batchId")
+            admitted, idCol, textCol, tailPath, ingestId)
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
         }
       }
       .start()
+  }
 
   /** One admission round of [[streamingIngestDedupBucketed]]: within-
     * batch canonicalize, then drop representatives matching EITHER the
     * bucketed standing corpus (exchange-free probe) or the ingest tail.
-    * Does NOT write to either index. */
+    * Does NOT write to either index. `excludeIngest` (the replaying
+    * batch's own ingest id) is honored on BOTH probe sides: the rows of
+    * a half-committed batch live in the tail normally, but a compaction
+    * that ran between crash and restart has folded them — with their
+    * ingest lineage — into the bucketed tables (see
+    * [[graft.operators.DedupIndexStore.compactTail]]). */
   def admitBatchBucketed(
       batch: DataFrame,
       idCol: String,
@@ -409,9 +437,9 @@ object StreamOps {
       tailPath: String,
       threshold: Double = 0.5,
       maxBucket: Int = 1000,
-      excludeTailIngest: Option[String] = None): DataFrame =
+      excludeIngest: Option[String] = None): DataFrame =
     admitBucketedSigned(batch, idCol, textCol, tableBase, tailPath,
-      threshold, maxBucket, excludeTailIngest, cache = false)._1
+      threshold, maxBucket, excludeIngest, cache = false)._1
 
   /** [[admitSigned]] wired to the hybrid layout: one signing pass feeds
     * the within-batch pairing, the exchange-free bucketed-corpus probe,
@@ -424,10 +452,19 @@ object StreamOps {
       tailPath: String,
       threshold: Double,
       maxBucket: Int,
-      excludeTailIngest: Option[String],
+      excludeIngest: Option[String],
       cache: Boolean): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.DedupIndexStore
     val spark = batch.sparkSession
+    // foreachBatch executes in a CLONED session whose relation cache can
+    // hold a STALE file listing of the catalog tables: a compaction (or
+    // any external append) that ran between triggers is invisible to the
+    // probe until the table is refreshed — batch admissions would then
+    // silently re-admit docs the fold just made corpus (caught live in
+    // StreamingIngestDedupSpec's mid-stream compaction test). Refresh is
+    // a metadata-only op; the tail needs none (path reads re-list).
+    spark.catalog.refreshTable(s"${tableBase}_bands")
+    spark.catalog.refreshTable(s"${tableBase}_shingles")
     val m = spark.table(s"${tableBase}_meta").head()
     val params = (m.getInt(0), m.getInt(1), m.getInt(2))
     val tp = DedupIndexStore.params(spark, tailPath)
@@ -435,10 +472,11 @@ object StreamOps {
       s"tail/table parameter mismatch: tail=$tp table=$params")
     admitSigned(batch, idCol, textCol, params, threshold, maxBucket, cache,
       probe = (bb, sb) => DedupIndexStore
-        .probeBucketedSigned(spark, bb, sb, tableBase, threshold, maxBucket)
+        .probeBucketedSigned(spark, bb, sb, tableBase, threshold, maxBucket,
+          excludeIngest)
         .select(col("id_new"), col("id_corpus"), col("jaccard"))
         .union(DedupIndexStore.probeSignedPath(
-          spark, bb, sb, tailPath, threshold, maxBucket, excludeTailIngest)))
+          spark, bb, sb, tailPath, threshold, maxBucket, excludeIngest)))
   }
 
   /** The COMPOSED ingest pipeline: [[streamingIngestDedup]] plus ANN
@@ -471,32 +509,35 @@ object StreamOps {
       checkpointDir: String,
       onAdmitted: (DataFrame, Long) => Unit,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery =
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val ns = ingestNs(checkpointDir)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
+        val ingestId = s"${ns}_b$batchId"
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              Some(s"b$batchId")))
+              Some(ingestId)))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
-            admitted, idCol, textCol, indexPath, s"b$batchId")
+            admitted, idCol, textCol, indexPath, ingestId)
           graft.operators.AnnIndexStore.appendCodes(
             admitted, idCol, vecCol, coarseCentroids, pqCentroids,
-            codesPath, s"b$batchId")
+            codesPath, ingestId)
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
         }
       }
       .start()
+  }
 
   /** Streaming trending keys: per event-time window, the Misra–Gries
     * heavy-hitter candidates of a key column — "what's hot right now"

@@ -86,12 +86,14 @@ object Probe {
         val batch = docs.filter(col("doc_id") % 10 === 0).limit(100).cache()
         batch.count()
         val plainIdx = java.nio.file.Files.createTempDirectory("cmp_plain").toString
+        SparkUtil.deleteDirOnExit(plainIdx)
         DedupIndexStore.build(corpus, "doc_id", "text", plainIdx, 2, 32, 16)
         spark.sql("DROP TABLE IF EXISTS cmp_idx_bands")
         spark.sql("DROP TABLE IF EXISTS cmp_idx_shingles")
         spark.sql("DROP TABLE IF EXISTS cmp_idx_meta")
         DedupIndexStore.buildBucketed(corpus, "doc_id", "text", "cmp_idx", 8, 2, 32, 16)
         val tail = java.nio.file.Files.createTempDirectory("cmp_tail").toString
+        SparkUtil.deleteDirOnExit(tail)
         DedupIndexStore.initEmpty(spark, tail, 2, 32, 16)
         def secs(f: => Long): Double = {
           val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -278,6 +280,76 @@ object Probe {
         t("distinct_only")(docs.agg(sum(size(array_distinct(graft.operators.TextOps.tokens(lower(col("text"))))))).collect().head.get(0))
         t("stop_only")(docs.agg(sum(graft.functions.GraftFunctions.token_set_count(
           graft.operators.TextOps.tokens(lower(col("text"))), graft.operators.TextOps.stopwords))).collect().head.get(0))
+      case w if w.startsWith("diag:") || w.startsWith("diagchurn:") =>
+        // Deep per-rep diagnosis of run-to-run variance (VERDICT r11 item
+        // 1): for each rep of <query>, report wall time alongside every
+        // counter that can name a dilation cause —
+        //   exRun/exCpu/exGC  task-summed executor run / CPU / GC millis
+        //                     (run >> cpu = scheduling or lock stalls;
+        //                      gc high = allocation storm),
+        //   jit              HotSpot total JIT compilation-time delta
+        //                     (high + falling wall = warmup; ~0 + high
+        //                      wall = interpreter stuck / code cache full),
+        //   janinoN/janinoMs codegen compilations delta (nonzero on a
+        //                     rep >1 = codegen cache eviction → fresh
+        //                     unprofiled classes),
+        //   codeheap         JIT code-cache occupancy (near the reserve =
+        //                     compiler disabled, everything interprets).
+        // diagchurn: additionally runs a ~40-query slice of the registry
+        // between reps — the bench's interleaved shape — to reproduce the
+        // in-bench dilation under instrumentation.
+        val churn = w.startsWith("diagchurn:")
+        val name = w.split(":", 2)(1)
+        val reps = if (args.length > 2) args(2).toInt else 10
+        val exRun = new java.util.concurrent.atomic.AtomicLong
+        val exCpu = new java.util.concurrent.atomic.AtomicLong
+        val exGc = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val tm = s.stageInfo.taskMetrics
+              if (tm != null) {
+                exRun.addAndGet(tm.executorRunTime)
+                exCpu.addAndGet(tm.executorCpuTime / 1000000L)
+                exGc.addAndGet(tm.jvmGCTime)
+              }
+            }
+          })
+        def jitMs: Long = java.lang.management.ManagementFactory
+          .getCompilationMXBean.getTotalCompilationTime
+        def gcMs: Long = java.lang.management.ManagementFactory
+          .getGarbageCollectorMXBeans.toArray
+          .map(_.asInstanceOf[java.lang.management.GarbageCollectorMXBean]
+            .getCollectionTime).sum
+        def codeHeapMb: Long = java.lang.management.ManagementFactory
+          .getMemoryPoolMXBeans.toArray
+          .map(_.asInstanceOf[java.lang.management.MemoryPoolMXBean])
+          .filter(_.getName.startsWith("CodeHeap"))
+          .map(_.getUsage.getUsed).sum / 1024 / 1024
+        val cg = org.apache.spark.metrics.source.CodegenMetrics
+        val churnSet = if (churn)
+          graft.SparkEntry.queries.keys.toSeq.sorted.zipWithIndex
+            .filter(_._2 % 4 == 0).map(_._1).filterNot(_ == name)
+        else Seq.empty
+        (1 to reps).foreach { i =>
+          if (churn) churnSet.foreach { c =>
+            try graft.SparkEntry.queries(c)(spark, dir).count()
+            catch { case _: Throwable => () }
+          }
+          val (r0, c0, g0) = (exRun.get, exCpu.get, exGc.get)
+          val j0: Long = jitMs
+          val d0: Long = gcMs
+          val cn0: Long = cg.METRIC_COMPILATION_TIME.getCount
+          val t0 = System.nanoTime()
+          val n = graft.SparkEntry.queries(name)(spark, dir).count()
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"PROBE diag $name rep$i rows=$n wall=$wall%.2f " +
+            f"exRun=${exRun.get - r0}ms exCpu=${exCpu.get - c0}ms " +
+            f"exGC=${exGc.get - g0}ms jit=${jitMs - j0}ms gc=${gcMs - d0}ms " +
+            f"janinoN=${cg.METRIC_COMPILATION_TIME.getCount - cn0} " +
+            f"codeheap=${codeHeapMb}MB")
+        }
       case w if w.startsWith("x3:") =>
         // three timed runs in one JVM — shows warm-cache / post-codegen cost
         val name = w.stripPrefix("x3:")

@@ -101,6 +101,10 @@ object SparkUtil {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // registry-sized codegen class cache (see build.sbt): the default
+      // 100 entries churns in any session that runs many queries, and an
+      // evicted class's JIT profile dies with it
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     configure(spark)

@@ -144,7 +144,8 @@ class DedupIndexSpec extends SparkSpec {
         corpus.filter(col("doc_id") % 5 < 3), "doc_id", "text", "dedup_idx2", 8,
         k = 2, numHashes = 32, bands = 16)
       DedupIndexStore.appendBucketed(
-        corpus.filter(col("doc_id") % 5 >= 3), "doc_id", "text", "dedup_idx2", 8)
+        corpus.filter(col("doc_id") % 5 >= 3), "doc_id", "text", "dedup_idx2", 8,
+        ingestId = "a1")
       val probed2 = DedupIndexStore.probeBucketed(
         spark, batch, "doc_id", "text", "dedup_idx2", threshold = 0.2)
       val joins2 = probed2.queryExecution.executedPlan.collect {

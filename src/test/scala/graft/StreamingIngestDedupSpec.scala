@@ -121,6 +121,43 @@ class StreamingIngestDedupSpec extends SparkSpec {
         "doc_id", "text", "sid_idx", 4, k = 2, numHashes = 32, bands = 16)
       DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
 
+      // plan shape of a probe round: the standing-corpus side of the
+      // candidate join must not shuffle — its scan is hash-placed by the
+      // bucketing; only the batch and the small tail pay exchanges
+      def assertCorpusSideExchangeFree(label: String): Unit = {
+        val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        try {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+          spark.conf.set("spark.sql.adaptive.enabled", "false")
+          val probe = StreamOps.admitBatchBucketed(
+            Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+            "doc_id", "text", "sid_idx", tail, threshold = 0.2)
+          // doc 9 near-dups doc 5 — admitted by the stream, visible only
+          // through the store (tail before compaction, folded rows after)
+          assert(probe.collect().isEmpty, s"$label: near-dup of 5 must drop")
+          val plan = probe.queryExecution.executedPlan
+          def leavesOf(p: SparkPlan): Seq[String] = p.collectLeaves().map(_.toString)
+          val bandSides = plan.collect {
+            case j: SortMergeJoinExec => j
+            case j: ShuffledHashJoinExec => j
+          }.flatMap(_.children)
+            .filter(side => leavesOf(side).exists(_.contains("sid_idx_bands")))
+            .filter(side => side.collect {
+              case j: SortMergeJoinExec => j
+              case j: ShuffledHashJoinExec => j
+            }.isEmpty)
+          assert(bandSides.nonEmpty, s"$label: no join over sid_idx_bands:\n$plan")
+          bandSides.foreach { side =>
+            assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
+              s"$label: bucketed corpus side shuffles:\n$side")
+          }
+        } finally {
+          spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+          spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+        }
+      }
+
       val in = MemoryStream[(Long, String)](spark)
       val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
       val q = StreamOps.streamingIngestDedupBucketed(
@@ -146,60 +183,35 @@ class StreamingIngestDedupSpec extends SparkSpec {
         q.processAllAvailable()
         assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (1L, 5L)),
           s"batch 1 admissions: ${admitted.toSet}")
+
+        assertCorpusSideExchangeFree("pre-compaction")
+
+        // compaction MID-STREAM (VERDICT r11 item 4): fold the tail into
+        // the bucketed tables between triggers while the query is live —
+        // the maintenance cadence a production ingest runs. Admission
+        // decisions must be unchanged across the boundary: docs 1/5 now
+        // match via the standing corpus instead of the tail.
+        DedupIndexStore.compactTail(spark, "sid_idx", tail, 4)
+        assert(!new java.io.File(s"$tail/bands").exists, "tail must be cleared")
+        in.addData(
+          (6L, otherText + " extra"), // near-dups doc 5 — folded rows
+          (7L, "completely novel sentence about database vacuum " +
+            "autovacuum analyze statistics planner estimates"))
+        q.processAllAvailable()
+        assert(admitted.synchronized(admitted.toSet) ==
+          Set((0L, 1L), (1L, 5L), (2L, 7L)),
+          s"post-compaction batch admissions: ${admitted.toSet}")
       } finally q.stop()
 
-      // the per-batch probe plan (admitBatchBucketed IS the foreachBatch
-      // body): the standing-corpus side of the candidate join must not
-      // shuffle — its scan is hash-placed by the bucketing; only the
-      // batch and the small tail pay exchanges
-      val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-      val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
-      try {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        val probe = StreamOps.admitBatchBucketed(
-          Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
-          "doc_id", "text", "sid_idx", tail, threshold = 0.2)
-        // doc 9 near-dups doc 5 — admitted via the TAIL, visible only
-        // through the store
-        assert(probe.collect().isEmpty, "tail near-dup must be dropped")
-        val plan = probe.queryExecution.executedPlan
-        def leavesOf(p: SparkPlan): Seq[String] = p.collectLeaves().map(_.toString)
-        val bandSides = plan.collect {
-          case j: SortMergeJoinExec => j
-          case j: ShuffledHashJoinExec => j
-        }.flatMap(_.children)
-          .filter(side => leavesOf(side).exists(_.contains("sid_idx_bands")))
-          .filter(side => side.collect {
-            case j: SortMergeJoinExec => j
-            case j: ShuffledHashJoinExec => j
-          }.isEmpty)
-        assert(bandSides.nonEmpty, s"no join over sid_idx_bands found:\n$plan")
-        bandSides.foreach { side =>
-          assert(side.collect { case e: ShuffleExchangeExec => e }.isEmpty,
-            s"bucketed corpus side shuffles in the streaming probe:\n$side")
-        }
-      } finally {
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
-        spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
-      }
-
-      // compaction: fold the tail into the bucketed tables; decisions
-      // unchanged (docs 1/5 now match via the standing corpus), tail gone
-      DedupIndexStore.compactTail(spark, "sid_idx", tail, 4)
-      assert(!new java.io.File(s"$tail/bands").exists, "tail must be cleared")
+      // the probe after compaction reads the folded rows from the
+      // bucketed tables — still exchange-free on the corpus side
+      assertCorpusSideExchangeFree("post-compaction")
       val after = StreamOps.admitBatchBucketed(
-        Seq((9L, otherText + " extra"), (10L, freshText + " chi")).toDF("doc_id", "text"),
+        Seq((10L, freshText + " chi")).toDF("doc_id", "text"),
         "doc_id", "text", "sid_idx", tail, threshold = 0.2)
         .select("doc_id").collect().map(_.getLong(0)).toSet
       assert(after == Set.empty[Long],
-        s"post-compaction: both near-dups must still be dropped, got $after")
-      val fresh = StreamOps.admitBatchBucketed(
-        Seq((11L, "completely novel sentence about database vacuum " +
-          "autovacuum analyze statistics planner estimates")).toDF("doc_id", "text"),
-        "doc_id", "text", "sid_idx", tail, threshold = 0.2)
-        .select("doc_id").collect().map(_.getLong(0)).toSet
-      assert(fresh == Set(11L), s"novel doc must be admitted, got $fresh")
+        s"post-compaction: near-dup of doc 1 must still be dropped, got $after")
     } finally {
       spark.sql("DROP TABLE IF EXISTS sid_idx_bands")
       spark.sql("DROP TABLE IF EXISTS sid_idx_shingles")
@@ -308,6 +320,153 @@ class StreamingIngestDedupSpec extends SparkSpec {
       "doc_id", "text", idx, threshold = 0.2)
       .select("id_corpus").collect().map(_.getLong(0)).toSet
     assert(hits == Set(3L), s"post-empty-append probe hits: $hits")
+  }
+
+  test("admission signs each batch exactly once per trigger") {
+    // VERDICT r11 item 3: the r11 sign-once refactor (admitSigned caches
+    // the banded-signature and shingle tables for the trigger) is pinned
+    // by COUNTING evaluations of the batch's text column. Consumers of
+    // the raw batch per trigger: the bands signing scan, the shingles
+    // signing scan, and the admitted-rows cache build — 3 evaluations
+    // per row. The pre-r11 shape (the probe re-signing the batch from
+    // text) adds two more scans; a future edit that feeds the raw batch
+    // to another consumer fails this bound.
+    import org.apache.spark.sql.functions.{col, udf}
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_cnt").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    val evals = spark.sparkContext.longAccumulator("text-evals")
+    val countedText = udf { s: String => evals.add(1L); s }
+    val in = MemoryStream[(Long, String)](spark)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_cnt_ckpt").toFile
+    ckpt.deleteOnExit()
+    val q = StreamOps.streamingIngestDedup(
+      in.toDF().toDF("doc_id", "text")
+        .withColumn("text", countedText(col("text"))),
+      "doc_id", "text", idx, ckpt.getAbsolutePath,
+      (df, _) => { df.count(); () },
+      threshold = 0.2)
+    try {
+      in.addData(
+        (1L, freshText),
+        (2L, freshText + " omega"),
+        (3L, corpusText + " phi"),
+        (5L, otherText))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(evals.value <= 3L * 4,
+      s"text evaluated ${evals.value} times for a 4-row batch — " +
+        "expected ≤ 12 (bands sign + shingles sign + admitted cache); " +
+        "a second signing pass has been reintroduced")
+    assert(evals.value >= 2L * 4,
+      s"text evaluated only ${evals.value} times — the counting probe " +
+        "is no longer wired to the signing path; fix the test")
+  }
+
+  test("replay across a compaction boundary re-admits identically (folded lineage)") {
+    // ADVICE r11 (medium): stream crashes after appending ingest=bN to
+    // the tail but before the streaming commit; compaction runs before
+    // the restart and folds bN into the bucketed tables. The replayed
+    // batch must still exclude its own rows — now via their ingest
+    // lineage in the bucketed tables — or it self-matches, admits
+    // nothing, and an idempotent sink overwrites batch N with zero rows.
+    val tail = java.nio.file.Files.createTempDirectory("graft_sid_rc").toString
+    try {
+      DedupIndexStore.buildBucketed(
+        Seq((100L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", "sidrc_idx", 4, k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
+      val batch = Seq(
+        (1L, freshText),
+        (3L, corpusText + " phi"),
+        (5L, otherText)).toDF("doc_id", "text")
+      val ingestId = "deadbeef_b0"
+      def admit(exclude: Option[String]) = StreamOps.admitBatchBucketed(
+        batch, "doc_id", "text", "sidrc_idx", tail, threshold = 0.2,
+        excludeIngest = exclude)
+      val first = admit(Some(ingestId))
+      assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+      DedupIndexStore.append(first, "doc_id", "text", tail, ingestId)
+      // -- crash: append done, commit lost. Maintenance folds the tail --
+      DedupIndexStore.compactTail(spark, "sidrc_idx", tail, 4)
+      assert(!new java.io.File(s"$tail/bands").exists)
+      // replay: its rows now live in the BUCKETED tables, under their id
+      val replay = admit(Some(ingestId))
+      assert(replay.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L),
+        "replayed admission must equal the first attempt across the " +
+          "compaction boundary")
+      // negative control: without the lineage exclusion the replay
+      // self-matches against its own folded rows — the seam this pins
+      val naive = admit(None)
+      assert(naive.select("doc_id").collect().isEmpty,
+        "control: un-excluded replay must self-match against folded rows")
+      // the replay re-appends to the tail (idempotent path); a second
+      // compaction detects the already-folded id and SKIPS it instead of
+      // duplicating rows (ADVICE r11: fold/delete fencing)
+      DedupIndexStore.append(replay, "doc_id", "text", tail, ingestId)
+      val bandRows = spark.table("sidrc_idx_bands").count()
+      val shingleRows = spark.table("sidrc_idx_shingles").count()
+      DedupIndexStore.compactTail(spark, "sidrc_idx", tail, 4)
+      assert(spark.table("sidrc_idx_bands").count() == bandRows,
+        "re-compaction of an already-folded ingest must not duplicate band rows")
+      assert(spark.table("sidrc_idx_shingles").count() == shingleRows,
+        "re-compaction of an already-folded ingest must not duplicate shingle rows")
+      assert(!new java.io.File(s"$tail/bands").exists, "tail must be cleared")
+      // and the store still answers correctly
+      val hits = StreamOps.admitBatchBucketed(
+        Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text", "sidrc_idx", tail, threshold = 0.2)
+      assert(hits.collect().isEmpty, "near-dup of admitted doc 5 must drop")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS sidrc_idx_bands")
+      spark.sql("DROP TABLE IF EXISTS sidrc_idx_shingles")
+      spark.sql("DROP TABLE IF EXISTS sidrc_idx_meta")
+    }
+  }
+
+  test("a new stream incarnation over an existing index cannot clobber prior admissions") {
+    // ADVICE r11: batchIds restart at 0 under a NEW checkpoint, so bare
+    // b<batchId> ingest ids would make the new incarnation's batch 0
+    // exclude — then idempotently OVERWRITE — the old incarnation's b0
+    // partition. Ingest ids are namespaced by the checkpoint location:
+    // the new stream's batch 0 treats the old rows as ordinary corpus.
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_inc").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    def runIncarnation(ckptName: String, data: Seq[(Long, String)]): Set[(Long, Long)] = {
+      val in = MemoryStream[(Long, String)](spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory(ckptName).toFile
+      ckpt.deleteOnExit()
+      val q = StreamOps.streamingIngestDedup(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        ckpt.getAbsolutePath,
+        (df, bid) => admitted.synchronized {
+          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+        },
+        threshold = 0.2)
+      try {
+        in.addData(data: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      admitted.synchronized(admitted.toSet)
+    }
+    // incarnation A: batch 0 admits doc 1
+    assert(runIncarnation("graft_sid_inc_a", Seq((1L, freshText))) == Set((0L, 1L)))
+    // incarnation B (fresh checkpoint, batchId 0 again): doc 7 near-dups
+    // doc 1 — it must be DROPPED (doc 1's partition is ordinary corpus to
+    // this stream, not "its own" b0); doc 8 is fresh
+    assert(runIncarnation("graft_sid_inc_b",
+      Seq((7L, freshText + " psi"), (8L, otherText))) == Set((0L, 8L)))
+    // doc 1 must still be in the index — the old partition was not
+    // overwritten by the new incarnation's batch 0
+    val hits = DedupIndexStore.probe(
+      spark, Seq((9L, freshText + " chi")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.2)
+      .select("id_corpus").collect().map(_.getLong(0)).toSet
+    assert(hits == Set(1L), s"doc 1 must survive the new incarnation: $hits")
   }
 
   test("admitBatch replays the admission rule deterministically in batch") {
