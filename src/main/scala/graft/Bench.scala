@@ -299,36 +299,8 @@ object Bench {
       // production shape, stressed
       "q55_clean_chunks")
     val stressJson = try {
-      import org.apache.spark.sql.functions.{col, expr, max, min, timestamp_micros}
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
-      // SparkUtil.events normalizes whatever physical type events.ts has
-      // this testdata generation into a ts_ns Long — shift copies with
-      // integer math, then write back as TIMESTAMP_MICROS (the current
-      // testdata shape, so the stressed run reads what production reads).
-      val ev = graft.util.SparkUtil.events(spark, sfDir)
-      val b = ev.agg(min(col("ts_ns")), max(col("ts_ns")), max(col("event_id"))).head()
-      val span = b.getLong(1) - b.getLong(0) + 86400L * 1000000000L
-      val idSpan = b.getLong(2) + 1
-      ev.drop("ts")
-        .crossJoin(spark.range(10).toDF("__k"))
-        .withColumn("ts_ns", col("ts_ns") + col("__k") * span)
-        .withColumn("event_id", col("event_id") + col("__k") * idSpan)
-        .drop("__k")
-        .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
-        .drop("ts_ns")
-        .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/events.parquet")
-      val pt = graft.util.SparkUtil.table(spark, sfDir, "part")
-      val pSpan = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1
-      pt.crossJoin(spark.range(10).toDF("__k"))
-        .withColumn("p_partkey", col("p_partkey") + col("__k") * pSpan)
-        .drop("__k")
-        .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/part.parquet")
-      val dt = graft.util.SparkUtil.table(spark, sfDir, "documents")
-      val dSpan = dt.agg(max(col("doc_id"))).head().getLong(0) + 1
-      dt.crossJoin(spark.range(10).toDF("__k"))
-        .withColumn("doc_id", col("doc_id") + col("__k") * dSpan)
-        .drop("__k")
-        .write.mode("overwrite").parquet(s"${sdir.getAbsolutePath}/documents.parquet")
+      graft.util.SparkUtil.buildStress10x(spark, sfDir, sdir.getAbsolutePath)
       val entries = stressQueries.map { name =>
         val t0 = System.nanoTime()
         try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()

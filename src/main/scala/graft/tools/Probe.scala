@@ -304,6 +304,9 @@ object Probe {
         val exRun = new java.util.concurrent.atomic.AtomicLong
         val exCpu = new java.util.concurrent.atomic.AtomicLong
         val exGc = new java.util.concurrent.atomic.AtomicLong
+        // per-stage detail ring: (stageId, name-head, tasks, runMs, cpuMs)
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, String, Int, Long, Long)]()
         spark.sparkContext.addSparkListener(
           new org.apache.spark.scheduler.SparkListener {
             override def onStageCompleted(
@@ -313,6 +316,10 @@ object Probe {
                 exRun.addAndGet(tm.executorRunTime)
                 exCpu.addAndGet(tm.executorCpuTime / 1000000L)
                 exGc.addAndGet(tm.jvmGCTime)
+                stages.add((s.stageInfo.stageId,
+                  s.stageInfo.name.takeWhile(_ != '\n').take(60),
+                  s.stageInfo.numTasks, tm.executorRunTime,
+                  tm.executorCpuTime / 1000000L))
               }
             }
           })
@@ -349,7 +356,77 @@ object Probe {
             f"exGC=${exGc.get - g0}ms jit=${jitMs - j0}ms gc=${gcMs - d0}ms " +
             f"janinoN=${cg.METRIC_COMPILATION_TIME.getCount - cn0} " +
             f"codeheap=${codeHeapMb}MB")
+          // top stages of THIS rep by task-summed run time: names which
+          // stage serializes or dilates (wall >> sum/32 = skew/few tasks)
+          import scala.jdk.CollectionConverters._
+          val reps5 = stages.asScala.toSeq.sortBy(-_._4).take(5)
+          reps5.foreach { case (sid, nm, nt, run, cpu) =>
+            println(f"PROBE diag-stage rep$i s$sid tasks=$nt run=${run}ms cpu=${cpu}ms  $nm")
+          }
+          stages.clear()
         }
+      case "q55_repro" =>
+        // reproduce the q55_stages full2 blowup (897 s at 10×) under the
+        // diag counters: same prelude (kept/join/chunks/chunks_lang
+        // materializations), then full ×3, top stages printed per step
+        import org.apache.spark.sql.functions.col
+        val exRun = new java.util.concurrent.atomic.AtomicLong
+        val exCpu = new java.util.concurrent.atomic.AtomicLong
+        val stages = new java.util.concurrent.ConcurrentLinkedQueue[
+          (Int, String, Int, Long, Long)]()
+        spark.sparkContext.addSparkListener(
+          new org.apache.spark.scheduler.SparkListener {
+            override def onStageCompleted(
+                s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+              val tm = s.stageInfo.taskMetrics
+              if (tm != null) {
+                exRun.addAndGet(tm.executorRunTime)
+                exCpu.addAndGet(tm.executorCpuTime / 1000000L)
+                // name serialized hot stages by their RDD scopes (the SQL
+                // operator tree this stage executes), not the callsite
+                val scope = if (s.stageInfo.numTasks == 1 && tm.executorRunTime > 5000)
+                  s.stageInfo.rddInfos.map(r =>
+                    r.scope.map(_.name).getOrElse(r.name)).mkString("<-").take(300)
+                else ""
+                stages.add((s.stageInfo.stageId,
+                  (s.stageInfo.name.takeWhile(_ != '\n').take(40) +
+                    (if (scope.nonEmpty) s"  RDDs:$scope" else "")),
+                  s.stageInfo.numTasks, tm.executorRunTime,
+                  tm.executorCpuTime / 1000000L))
+              }
+            }
+          })
+        def step(label: String)(f: => Long): Unit = {
+          val (r0, c0) = (exRun.get, exCpu.get)
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"PROBE q55repro $label rows=$n wall=${(System.nanoTime() - t0) / 1e9}%.2f " +
+            f"exRun=${exRun.get - r0}ms exCpu=${exCpu.get - c0}ms")
+          import scala.jdk.CollectionConverters._
+          stages.asScala.toSeq.sortBy(-_._4).take(4).foreach {
+            case (sid, nm, nt, run, cpu) =>
+              println(f"PROBE q55repro-stage $label s$sid tasks=$nt run=${run}ms cpu=${cpu}ms  $nm")
+          }
+          stages.clear()
+        }
+        val docs = SparkUtil.table(spark, dir, "documents")
+        val q44 = graft.SparkEntry.queries("q44_filter_pipeline")(spark, dir)
+        step("kept")(q44.filter(col("keep")).select(col("doc_id")).count())
+        val kept = q44.filter(col("keep")).select(col("doc_id"))
+        step("join")(docs.join(kept, Seq("doc_id")).count())
+        val chunks = graft.operators.TextOps.chunkByTokens(
+          docs.join(kept, Seq("doc_id")), "doc_id", "text", 32, 24)
+        step("chunks")(chunks.count())
+        step("chunks_lang")(chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id")).count())
+        (1 to 3).foreach { i =>
+          step(s"full$i")(graft.SparkEntry.queries("q55_clean_chunks")(spark, dir).count())
+        }
+      case "stress_build" =>
+        // materialize the bench's 10× stress tables at a FIXED path so
+        // diag/x3 runs can measure the stressed queries in a cold JVM
+        val out = if (args.length > 2) args(2) else "/tmp/graft_stress10x"
+        graft.util.SparkUtil.buildStress10x(spark, dir, out)
+        println(s"PROBE stress_build -> $out")
       case w if w.startsWith("x3:") =>
         // three timed runs in one JVM — shows warm-cache / post-codegen cost
         val name = w.stripPrefix("x3:")

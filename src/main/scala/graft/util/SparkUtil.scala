@@ -70,11 +70,28 @@ object SparkUtil {
     * this is a no-op — the shuffle is only paid exactly when the input
     * is too small for it to matter. Hash-partitioned on `key` (content-
     * deterministic, unlike round-robin, so retries and both engines see
-    * the same placement). */
+    * the same placement).
+    *
+    * The fanned-out result is a LAZY local checkpoint, which matters as
+    * much as the repartition (round-12 root cause): a bare repartition is
+    * TRANSPARENT to the optimizer, so a downstream filter on a computed
+    * column (q55's keep-gate: quality/repetition of the text) is alias-
+    * substituted and PUSHED below the exchange onto the 1-split scan —
+    * the expensive kernels run serialized on one core, exactly what this
+    * helper exists to prevent (measured: a 39 s single-task stage
+    * carrying ~70% of q55@10× wall time). The checkpoint is an optimizer
+    * barrier (LogicalRDD leaf): predicates evaluate after the exchange,
+    * on all cores. It also materializes the fanned rows ONCE per query,
+    * so the 3-4 branches that re-derive signals from the same documents
+    * (quality, grams, contamination, chunker) read cached blocks instead
+    * of re-scanning. Both effects apply only in the small-input regime
+    * where this helper fires at all; at scale the unchanged `df` keeps
+    * full scan pushdown — which is then the OPTIMAL shape (filter at the
+    * scan, shuffle survivors only). */
   def fanOutForCpu(df: org.apache.spark.sql.DataFrame, key: String): org.apache.spark.sql.DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions >= cores) df
-    else df.repartition(cores, col(key))
+    else df.repartition(cores, col(key)).localCheckpoint(false)
   }
 
   /** Recursively delete `dir` when the JVM exits — for session-lifetime
@@ -91,6 +108,52 @@ object SparkUtil {
       }
       rm(new java.io.File(dir))
     }))
+
+  /** Materialize the 10×-replicated stress tables (events/part/documents)
+    * under `outDir` — copies shifted in time and id (a longer history,
+    * not pathological duplicates, except `documents`, which replicates
+    * as EXACT copies on purpose: the worst case for MinHash LSH).
+    * Shared by Bench's stress10x section and Probe's standalone
+    * diagnosis so the two always measure the same dataset. */
+  def buildStress10x(spark: SparkSession, sfDir: String, outDir: String, mult: Int = 10): Unit = {
+    // events.ts normalizes through [[events]] into a ts_ns Long — shift
+    // copies with integer math, then write back as TIMESTAMP_MICROS (the
+    // current testdata shape, so the stressed run reads what production
+    // reads)
+    val ev = events(spark, sfDir)
+    val b = ev.agg(min(col("ts_ns")), max(col("ts_ns")), max(col("event_id"))).head()
+    val span = b.getLong(1) - b.getLong(0) + 86400L * 1000000000L
+    val idSpan = b.getLong(2) + 1
+    ev.drop("ts")
+      .crossJoin(spark.range(mult).toDF("__k"))
+      .withColumn("ts_ns", col("ts_ns") + col("__k") * span)
+      .withColumn("event_id", col("event_id") + col("__k") * idSpan)
+      .drop("__k")
+      .withColumn("ts", timestamp_micros(expr("ts_ns div 1000")))
+      .drop("ts_ns")
+      .write.mode("overwrite").parquet(s"$outDir/events.parquet")
+    // part and documents are written MULTI-FILE (hash on their keys): the
+    // production shape a 10×-and-growing table actually has — a crossJoin
+    // preserves the 1-file source's single partition, and a one-row-group
+    // parquet file is UNSPLITTABLE, which silently serialized every scan
+    // of the stressed tables onto one core (round 12: this was most of
+    // q55@10×'s wall time, hidden behind the bench's own claim that the
+    // replicated table was "written multi-partition")
+    val pt = table(spark, sfDir, "part")
+    val pSpan = pt.agg(max(col("p_partkey"))).head().getLong(0) + 1
+    pt.crossJoin(spark.range(mult).toDF("__k"))
+      .withColumn("p_partkey", col("p_partkey") + col("__k") * pSpan)
+      .drop("__k")
+      .repartition(32, col("p_partkey"))
+      .write.mode("overwrite").parquet(s"$outDir/part.parquet")
+    val dt = table(spark, sfDir, "documents")
+    val dSpan = dt.agg(max(col("doc_id"))).head().getLong(0) + 1
+    dt.crossJoin(spark.range(mult).toDF("__k"))
+      .withColumn("doc_id", col("doc_id") + col("__k") * dSpan)
+      .drop("__k")
+      .repartition(32, col("doc_id"))
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
 
   def newLocalSession(appName: String, cores: String): SparkSession = {
     val spark = SparkSession
