@@ -49,6 +49,14 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the session (the 10×-vs-standalone dilation signature). 512 MB keeps
   // the whole registry compiled; flushing stays on as the backstop.
   "-XX:ReservedCodeCacheSize=512m",
+  // NOT set: -XX:+ExplicitGCInvokesConcurrent. The periodic cleaner GC's
+  // full STW compaction does cause the occasional multi-second stall
+  // that inflates ONE interleaved rep of a few queries (median-absorbed
+  // by design) — but the r12run3 A/B measured the concurrent variant
+  // trading those stalls for 5-10× dilation of the END of the session
+  // (the 10× stress battery on a garbage-saturated 48g heap). A
+  // long-lived data-build JVM wants the heap periodically compacted;
+  // per-rep maxima are the cheaper symptom.
   // 48g default: the bench/verify JVM is a local[32] driver+executor
   // running 45+ queries back-to-back in one process — iterative operators
   // checkpoint blocks, broadcasts pile up until the ContextCleaner's next
