@@ -279,7 +279,7 @@ object Bench {
 
     // ---- 10× scale-stress section (full JSON only) ----
     // The sf0.1 reps run in a fixed-overhead regime that hides
-    // super-linear shuffle/skew costs. One pass of the scale-sensitive
+    // super-linear shuffle/skew costs. The scale-sensitive
     // time-series/window/selection family over a 10×-replicated events
     // table (copies shifted in time and id — a longer history, not
     // pathological duplicates; per-user history ×10 stresses sessionize/
@@ -298,29 +298,53 @@ object Bench {
       // text kernels parallelize off the scan splits alone — the
       // production shape, stressed
       "q55_clean_chunks")
-    val stressJson = try {
+    // MEDIAN-OF-3 passes per stress query (spread kept alongside): any
+    // single pass of a heavy 10× plan is exposed to a HotSpot
+    // deoptimization storm — measured standalone in a fresh JVM, the
+    // same q27@10× plan over the same data read 16.7/4.6/16.5/88.7/7.0/
+    // 3.7 s across six reps, the 88.7 s rep burning 40× the CPU at zero
+    // GC, zero new classes, and a 24 s JIT-recompile spike (hot shared
+    // kernels fall back to the interpreter mid-run, then recover). One
+    // pass is a lottery draw; the median absorbs one storm the same way
+    // the main section's interleaved 3-rep median absorbs host stalls.
+    // (A two-pass cold/warm split was tried first and INVERTED — the
+    // storm hit the warm pass — so the robust estimator, not pass
+    // position, is what matters.)
+    val (stressJson, stressSpreadJson) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
       graft.util.SparkUtil.buildStress10x(spark, sfDir, sdir.getAbsolutePath)
       val entries = stressQueries.map { name =>
-        val t0 = System.nanoTime()
-        try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()
-        catch { case e: Throwable =>
-          errors(s"stress_$name") = s"${e.getClass.getName}: ${e.getMessage}"
-          System.err.println(s"[bench] stress $name FAILED: ${e.getMessage}")
+        def onePass(): Double = {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()
+          catch { case e: Throwable =>
+            errors(s"stress_$name") = s"${e.getClass.getName}: ${e.getMessage}"
+            System.err.println(s"[bench] stress $name FAILED: ${e.getMessage}")
+          }
+          spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+          (System.nanoTime() - t0) / 1e9
         }
-        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-        "\"" + name + "\":" + (System.nanoTime() - t0) / 1e9
+        val first = onePass()
+        // a failed query reports once; don't pay (or double-report)
+        // further passes for it
+        val times =
+          if (errors.contains(s"stress_$name")) Seq(first)
+          else (first +: Seq.fill(2)(onePass())).sorted
+        (name, times(times.size / 2), times.head, times.last)
       }
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)
         f.delete()
       }
       rm(sdir)
-      entries.mkString("{", ",", "}")
+      (entries.map { case (n, med, _, _) => "\"" + n + "\":" + med }
+        .mkString("{", ",", "}"),
+        entries.map { case (n, _, lo, hi) => "\"" + n + "\":[" + lo + "," + hi + "]" }
+          .mkString("{", ",", "}"))
     } catch { case e: Throwable =>
       errors("stress10x") = s"${e.getClass.getName}: ${e.getMessage}"
       System.err.println(s"[bench] stress10x FAILED: ${e.getMessage}")
-      "null"
+      ("null", "null")
     }
 
     val errJson = errors.map { case (k, v) =>
@@ -343,7 +367,7 @@ object Bench {
       .map(l => s"${l.replaceAll("[^A-Za-z0-9._-]", "")}-${System.currentTimeMillis / 1000}")
       .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir,
       annBuildSec)
