@@ -313,7 +313,7 @@ object Bench {
     val (stressJson, stressSpreadJson) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
       graft.util.SparkUtil.buildStress10x(spark, sfDir, sdir.getAbsolutePath)
-      val entries = stressQueries.map { name =>
+      val entries = stressQueries.flatMap { name =>
         def onePass(): Double = {
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()
@@ -324,13 +324,21 @@ object Bench {
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
           (System.nanoTime() - t0) / 1e9
         }
+        // a failed pass's fast-fail wall must NOT enter the median — a
+        // query that errors reports through `errors` only, never as a
+        // misleadingly low timing (ADVICE r12). A query that fails on a
+        // LATER pass drops entirely too: its earlier passes are real, but
+        // publishing them alongside a stress_<name> error would read as
+        // "timed AND failed"; the error is the truthful record.
         val first = onePass()
         // a failed query reports once; don't pay (or double-report)
         // further passes for it
-        val times =
-          if (errors.contains(s"stress_$name")) Seq(first)
-          else (first +: Seq.fill(2)(onePass())).sorted
-        (name, times(times.size / 2), times.head, times.last)
+        if (errors.contains(s"stress_$name")) None
+        else {
+          val times = (first +: Seq.fill(2)(onePass())).sorted
+          if (errors.contains(s"stress_$name")) None
+          else Some((name, times(times.size / 2), times.head, times.last))
+        }
       }
       def rm(f: java.io.File): Unit = {
         if (f.isDirectory) f.listFiles().foreach(rm)

@@ -139,13 +139,39 @@ object DedupIndexStore {
       return batch.select(
         col(idCol).as("id_new"), col(idCol).as("id_corpus"),
         lit(0.0).as("jaccard")).limit(0)
-    def drop(t: DataFrame): DataFrame =
-      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
+    def drop(t: DataFrame): DataFrame = dropIngests(t, excludeIngest.toSeq)
     probeFrom(
       drop(spark.read.parquet(s"$path/bands")),
       drop(spark.read.parquet(s"$path/shingles")),
       spark.read.parquet(s"$path/meta").head(),
       batch, idCol, textCol, threshold, maxBucket)
+  }
+
+  /** Filter out corpus rows whose `ingest` lineage matches any of `ids` —
+    * a pushed partition-column (path layout) or plain-column (bucketed
+    * layout) predicate either way, so it prunes/skips rather than
+    * re-shapes the plan. Empty `ids` is the identity. */
+  private def dropIngests(t: DataFrame, ids: Seq[String]): DataFrame =
+    if (ids.isEmpty) t else t.filter(!col("ingest").isin(ids: _*))
+
+  /** Delete one `ingest=` partition from a path-layout index, if present
+    * — the retirement step for LEGACY ingest-id spellings (see
+    * [[graft.streaming.StreamOps.legacyIngestIds]]): a maintaining stream
+    * upgraded across an id-format change appends its replayed batch under
+    * the NEW id, then drops the crashed pre-upgrade attempt's partition
+    * so the index converges to the clean-run state instead of holding the
+    * same docs' rows twice. No-op (two existence checks) when the
+    * partition is absent — the steady state after the first post-upgrade
+    * trigger. */
+  def dropIngest(spark: SparkSession, path: String, ingestId: String): Unit = {
+    require(ingestId != "base", "refusing to drop the base corpus partition")
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq(s"$path/bands/ingest=$ingestId", s"$path/shingles/ingest=$ingestId")
+      .foreach { d =>
+        val p = new org.apache.hadoop.fs.Path(d)
+        val fs = p.getFileSystem(conf)
+        if (fs.exists(p)) fs.delete(p, true)
+      }
   }
 
   /** Initialize an EMPTY path-layout index: meta only, parameters fixed
@@ -158,9 +184,19 @@ object DedupIndexStore {
       path: String,
       k: Int,
       numHashes: Int,
-      bands: Int): Unit =
+      bands: Int): Unit = {
     metaDf(spark, k, numHashes, bands)
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
+    // seed empty fold manifests (only if none exist — re-running initEmpty
+    // over a live lifecycle must not erase fold history): a tail born with
+    // manifests never pays [[compactTail]]'s one-time audit bootstrap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val folded = new org.apache.hadoop.fs.Path(s"$path/_folded")
+    val fs = folded.getFileSystem(conf)
+    if (!fs.exists(folded))
+      Seq("bands", "shingles").foreach(t =>
+        writeManifest(spark, path, t, Set.empty))
+  }
 
   private def dirExists(spark: SparkSession, dir: String): Boolean = {
     val p = new org.apache.hadoop.fs.Path(dir)
@@ -253,26 +289,52 @@ object DedupIndexStore {
     *
     * Folded rows KEEP their tail `ingest` ids, which buys two safety
     * properties (ADVICE r11):
-    *  - RETRY-IDEMPOTENT: each table's fold first reads the distinct
-    *    `ingest` ids already present (one column-pruned, dictionary-
-    *    encoded scan — cheap for an offline maintenance job) and skips
-    *    tail partitions already folded, so a re-run after a crash
-    *    between the two appends (or between append and tail delete)
-    *    converges instead of duplicating rows. In the crash window
-    *    itself a probe may see a band row in both stores — admission
-    *    decisions are unaffected (candidate pairs are `distinct`ed
-    *    before the verify join) and only `bucket_n` counts the row
-    *    twice, which can only make the degenerate-bucket cap more
-    *    conservative.
+    *  - RETRY-IDEMPOTENT: each table's fold skips tail partitions
+    *    already folded (see the manifest mechanics below), so a re-run
+    *    after a crash between the two appends (or between append and
+    *    tail delete) converges instead of duplicating rows. In the
+    *    crash window itself a probe may see a band row in both stores —
+    *    admission decisions are unaffected (candidate pairs are
+    *    `distinct`ed before the verify join) and only `bucket_n` counts
+    *    the row twice, which can only make the degenerate-bucket cap
+    *    more conservative.
     *  - CRASH-REPLAY SAFE UNDER A MAINTAINING STREAM: if the stream
     *    crashed after appending `ingest=bN` to the tail but before the
     *    streaming commit, and compaction folds bN before the restart,
     *    the replayed batch N's probe still excludes its own rows —
-    *    [[probeBucketedSigned]]'s excludeIngest matches the folded id
+    *    [[probeBucketedSigned]]'s excludeIngests matches the folded id
     *    in the bucketed tables exactly as it matched the tail
     *    partition. Without the lineage, the replay would self-match
     *    and an idempotent sink would overwrite batch N's output with
     *    zero rows (the r10 silent-loss seam, re-opened by compaction).
+    *
+    * FOLD DETECTION IS MANIFEST-BASED (ADVICE/VERDICT r12): already-
+    * folded ids are read from tiny per-table sidecar manifests under
+    * `tailPath/_folded/`, written transactionally with each fold — the
+    * normal path does ZERO corpus-proportional reads (r12's detection
+    * scanned the full bands/shingles tables for distinct ingest ids on
+    * every compaction; at a 100 TB standing corpus that was a corpus-
+    * sized column read per maintenance run). Mechanics:
+    *  - an `_inflight` marker fences each run: created before the first
+    *    append, removed after the tail delete. A crash anywhere leaves
+    *    it behind, and the NEXT run falls back to the exact audit (the
+    *    old distinct scan) for that one recovery, rewriting the
+    *    manifests to ground truth — so the append-then-manifest write
+    *    order can never double-fold.
+    *  - a missing `_folded/` dir (an index from before the manifest
+    *    era) triggers the same one-time audit bootstrap.
+    *    [[initEmpty]] seeds empty manifests, so fresh tails never pay
+    *    it.
+    *  - manifests stay O(live streams), not O(folded ingests): a
+    *    foreachBatch writer runs batches serially, so once `<ns>_bN+1`
+    *    exists, `<ns>_bN` has committed and can never re-enter the tail
+    *    — each write prunes every id per namespace except the
+    *    max-numbered one (ids that don't parse are kept forever).
+    *  - `verify = true` runs the audit scan anyway and cross-checks the
+    *    manifest against ground truth for every tail id (throws on
+    *    divergence), then folds from truth — the audit path kept as an
+    *    explicitly priced integrity check.
+    *
     * Run it between triggers or with the writer quiesced — it is an
     * OPTIMIZE-style maintenance job — but a crash anywhere no longer
     * loses data. */
@@ -280,36 +342,125 @@ object DedupIndexStore {
       spark: SparkSession,
       tableBase: String,
       tailPath: String,
-      buckets: Int): Unit = {
+      buckets: Int,
+      verify: Boolean = false): Unit = {
     val tm = spark.table(s"${tableBase}_meta").head()
     val pm = spark.read.parquet(s"$tailPath/meta").head()
     require((pm.getInt(0), pm.getInt(1), pm.getInt(2)) ==
       (tm.getInt(0), tm.getInt(1), tm.getInt(2)),
       s"tail/table parameter mismatch: tail=$pm table=$tm")
     if (dirExists(spark, s"$tailPath/bands")) {
-      def notFolded(tail: DataFrame, table: String): DataFrame = {
-        val folded = spark.table(table).select("ingest").distinct()
-          .collect().map(_.getString(0)).toSet
-        val t = tail.withColumn("ingest", col("ingest").cast("string"))
-        if (folded.isEmpty) t
-        else t.filter(!col("ingest").isin(folded.toSeq: _*))
-      }
-      notFolded(spark.read.parquet(s"$tailPath/bands"), s"${tableBase}_bands")
-        .select("band", "band_hash", "doc_id", "sig", "ingest")
-        .write.mode("append")
-        .bucketBy(buckets, "band", "band_hash").sortBy("band", "band_hash")
-        .format("parquet").saveAsTable(s"${tableBase}_bands")
-      notFolded(spark.read.parquet(s"$tailPath/shingles"), s"${tableBase}_shingles")
-        .select("doc_id", "sh", "ingest")
-        .write.mode("append")
-        .bucketBy(buckets, "doc_id").sortBy("doc_id")
-        .format("parquet").saveAsTable(s"${tableBase}_shingles")
       val conf = spark.sparkContext.hadoopConfiguration
+      val inflight = new org.apache.hadoop.fs.Path(s"$tailPath/_folded/_inflight")
+      val fs = inflight.getFileSystem(conf)
+      val recover = fs.exists(inflight) || !dirExists(spark, s"$tailPath/_folded")
+      val tailIds = listIngestIds(spark, s"$tailPath/bands")
+      def audit(table: String): Set[String] =
+        spark.table(table).select("ingest").distinct()
+          .collect().map(_.getString(0)).toSet
+      def foldedIn(table: String, manifestName: String): Set[String] = {
+        val manifest = readManifest(spark, tailPath, manifestName)
+        if (recover) audit(table)
+        else if (verify) {
+          val truth = audit(table)
+          val diverged = tailIds.filter(id => manifest.contains(id) != truth.contains(id))
+          require(diverged.isEmpty,
+            s"fold manifest diverges from $table for tail ids $diverged " +
+              s"(manifest=${manifest.intersect(tailIds.toSet)}, " +
+              s"actual=${truth.intersect(tailIds.toSet)})")
+          truth
+        } else manifest
+      }
+      val bandsFolded = foldedIn(s"${tableBase}_bands", "bands")
+      val shinglesFolded = foldedIn(s"${tableBase}_shingles", "shingles")
+      fs.mkdirs(inflight.getParent)
+      fs.create(inflight, true).close()
+      def fold(
+          table: String,
+          manifestName: String,
+          folded: Set[String],
+          cols: Seq[String],
+          bucketCols: Seq[String]): Unit = {
+        val fresh = tailIds.filterNot(folded)
+        if (fresh.nonEmpty)
+          spark.read.parquet(s"$tailPath/$manifestName")
+            .withColumn("ingest", col("ingest").cast("string"))
+            .filter(col("ingest").isin(fresh: _*))
+            .select(cols.map(col).toIndexedSeq: _*)
+            .write.mode("append")
+            .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+            .sortBy(bucketCols.head, bucketCols.tail: _*)
+            .format("parquet").saveAsTable(table)
+        writeManifest(spark, tailPath, manifestName, folded ++ fresh)
+      }
+      fold(s"${tableBase}_bands", "bands", bandsFolded,
+        Seq("band", "band_hash", "doc_id", "sig", "ingest"), Seq("band", "band_hash"))
+      fold(s"${tableBase}_shingles", "shingles", shinglesFolded,
+        Seq("doc_id", "sh", "ingest"), Seq("doc_id"))
       Seq(s"$tailPath/bands", s"$tailPath/shingles").foreach { d =>
         val p = new org.apache.hadoop.fs.Path(d)
         p.getFileSystem(conf).delete(p, true)
       }
+      fs.delete(inflight, false)
     }
+  }
+
+  /** The tail's ingest ids, from its partition DIRECTORY NAMES — a
+    * listing, never a scan. */
+  private def listIngestIds(spark: SparkSession, dir: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ingest="))
+      .map(_.stripPrefix("ingest="))
+  }
+
+  private def manifestPath(tailPath: String, table: String) =
+    new org.apache.hadoop.fs.Path(s"$tailPath/_folded/$table.txt")
+
+  private def readManifest(
+      spark: SparkSession, tailPath: String, table: String): Set[String] = {
+    val p = manifestPath(tailPath, table)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().filter(_.nonEmpty).toSet
+      finally in.close()
+    }
+  }
+
+  /** Write a fold manifest atomically (temp + rename), PRUNED to the
+    * max-numbered id per namespace: a serial foreachBatch writer commits
+    * batch N before starting N+1, so once `<ns>_bN+1` is folded,
+    * `<ns>_bN` can never replay into the tail and its manifest entry is
+    * dead weight. Ids that don't parse as `<ns>_b<number>` are kept —
+    * correctness over compactness for foreign id schemes. */
+  private def writeManifest(
+      spark: SparkSession, tailPath: String, table: String, ids: Set[String]): Unit = {
+    val IdForm = "(.*)_b([0-9]+)".r
+    val (parsed, opaque) = ids.partition {
+      case IdForm(_, _) => true
+      case _ => false
+    }
+    val kept = parsed
+      .map { case IdForm(ns, n) => (ns, n.toLong) }
+      .groupBy(_._1).values
+      .map(g => g.maxBy(_._2))
+      .map { case (ns, n) => s"${ns}_b$n" }
+      .toSet ++ opaque
+    val p = manifestPath(tailPath, table)
+    val tmp = new org.apache.hadoop.fs.Path(s"$tailPath/_folded/.$table.tmp")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write((kept.toSeq.sorted.mkString("\n") + "\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    fs.rename(tmp, p)
   }
 
   /** [[probe]] against a [[buildBucketed]] index — same output, corpus
@@ -378,21 +529,19 @@ object DedupIndexStore {
       path: String,
       threshold: Double,
       maxBucket: Int,
-      excludeIngest: Option[String]): DataFrame = {
+      excludeIngests: Seq[String]): DataFrame = {
     if (!dirExists(spark, s"$path/bands"))
       return newBands.select(
         col("doc_id").as("id_new"), col("doc_id").as("id_corpus"),
         lit(0.0).as("jaccard")).limit(0)
-    def drop(t: DataFrame): DataFrame =
-      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
     probeFromSigned(
-      drop(spark.read.parquet(s"$path/bands")),
-      drop(spark.read.parquet(s"$path/shingles")),
+      dropIngests(spark.read.parquet(s"$path/bands"), excludeIngests),
+      dropIngests(spark.read.parquet(s"$path/shingles"), excludeIngests),
       newBands, newShingles, threshold, maxBucket)
   }
 
   /** [[probeBucketed]] over a PRE-SIGNED batch (see [[probeSignedPath]]).
-    * `excludeIngest` drops corpus rows whose `ingest` lineage matches —
+    * `excludeIngests` drops corpus rows whose `ingest` lineage matches —
     * the replay-safety knob's bucketed-table form, needed when
     * [[compactTail]] may have folded the replaying batch's own tail
     * partition into the standing tables. A plain pushed filter on a
@@ -405,14 +554,11 @@ object DedupIndexStore {
       tableBase: String,
       threshold: Double,
       maxBucket: Int,
-      excludeIngest: Option[String] = None): DataFrame = {
-    def drop(t: DataFrame): DataFrame =
-      excludeIngest.fold(t)(id => t.filter(col("ingest") =!= id))
+      excludeIngests: Seq[String] = Nil): DataFrame =
     probeFromSigned(
-      drop(spark.table(s"${tableBase}_bands")),
-      drop(spark.table(s"${tableBase}_shingles")),
+      dropIngests(spark.table(s"${tableBase}_bands"), excludeIngests),
+      dropIngests(spark.table(s"${tableBase}_shingles"), excludeIngests),
       newBands, newShingles, threshold, maxBucket)
-  }
 
   /** The candidate + verify tail over a signed batch. Bucket sizes are
     * computed HERE, over the scanned band table (current as of every

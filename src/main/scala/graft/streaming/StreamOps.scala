@@ -261,17 +261,20 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
+        val legacy = legacyIngestIds(checkpointDir, batchId)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              Some(ingestId)))
+              ingestId +: legacy))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, indexPath, ingestId)
+          legacy.foreach(graft.operators.DedupIndexStore
+            .dropIngest(spark, indexPath, _))
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
@@ -280,7 +283,7 @@ object StreamOps {
       .start()
   }
 
-  /** Namespace for a maintaining stream's ingest ids: a stable 8-hex
+  /** Namespace for a maintaining stream's ingest ids: a stable 16-hex
     * digest of the checkpoint location. Bare batchIds collide across
     * stream INCARNATIONS (ADVICE r11): pointing a NEW checkpoint at an
     * existing index restarts batchIds at 0, so a bare `b0` ingest would
@@ -292,11 +295,58 @@ object StreamOps {
     * (a new checkpoint's batch 0 probes the old rows like any other
     * corpus and never touches their partition). The digest is of the
     * raw string: callers must pass the same checkpoint path spelling
-    * across restarts — the same requirement the checkpoint itself has. */
+    * across restarts — the same requirement the checkpoint itself has.
+    * 8 digest bytes, not 4 (ADVICE r12): a 32-bit namespace collision
+    * between two checkpoints maintaining the same index would silently
+    * reintroduce the cross-incarnation clobber this exists to prevent —
+    * birthday-bound ~50% at ~77k incarnations; 64 bits pushes that past
+    * 5×10^9, and the id is just a path segment, so length is free. */
   private[graft] def ingestNs(checkpointDir: String): String =
     java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
-      .take(4).map(b => f"$b%02x").mkString
+      .take(8).map(b => f"$b%02x").mkString
+
+  /** LEGACY spellings of a batch's ingest id, for upgrade compatibility
+    * across id-format changes (ADVICE r12): currently the 4-byte-
+    * namespace era's `<8-hex-ns>_b<batchId>` — the 8-hex ns is a prefix
+    * of today's 16-hex one (same digest, shorter take), so it provably
+    * belongs to THIS checkpoint and no other incarnation.
+    *
+    * Deliberately NOT listed: the pre-namespace bare `b<batchId>`. A
+    * bare id carries no ownership — an existing `ingest=b0` partition
+    * may equally be ANOTHER incarnation's committed batch 0, and
+    * auto-excluding (then retiring) it would reintroduce the exact
+    * cross-incarnation clobber the namespace exists to prevent (the
+    * clobber test pins that a new stream must treat foreign partitions
+    * as ordinary corpus). Upgrading a pre-namespace maintaining stream
+    * therefore REQUIRES a quiesced drain: stop the stream after a
+    * committed batch, then upgrade — every bare-id partition is then
+    * ordinary corpus that nothing ever references again.
+    *
+    * INDEX FORMAT MIGRATION NOTE (the full contract history):
+    *
+    *  - BUCKETED standing tables built before the `ingest` lineage
+    *    column fail LOUDLY on probe/compact (missing column) — rebuild
+    *    with [[graft.operators.DedupIndexStore.buildBucketed]]; there is
+    *    no silent mode.
+    *  - bare → namespaced ids (r12): quiesced drain REQUIRED (above).
+    *  - 4-byte → 8-byte namespace (r13): no drain needed. A stream
+    *    upgraded with an IN-FLIGHT uncommitted batch replays it under
+    *    the new spelling; without compatibility it would fail to
+    *    exclude its old partition, self-match every doc, admit nothing,
+    *    and an idempotent sink would overwrite the batch's output with
+    *    zero rows. The streaming loops exclude this list's spellings on
+    *    the probe side alongside the current id and, after the
+    *    re-append commits under the new id, retire the legacy
+    *    partitions ([[graft.operators.DedupIndexStore.dropIngest]]) so
+    *    the index converges to the clean-run state. An id that was
+    *    never written matches nothing — steady-state cost is zero.
+    *
+    * Scoped to the one replayed batch: committed pre-upgrade batches
+    * keep their old ids forever as ordinary corpus partitions (correct —
+    * they are never excluded, never rewritten). */
+  private[graft] def legacyIngestIds(checkpointDir: String, batchId: Long): Seq[String] =
+    Seq(s"${ingestNs(checkpointDir).take(8)}_b$batchId")
 
   /** One admission round of [[streamingIngestDedup]], exposed for batch
     * replays and tests: within-batch canonicalize then index-probe
@@ -318,7 +368,7 @@ object StreamOps {
     admitSigned(batch, idCol, textCol, params, threshold, maxBucket,
       cache = false,
       probe = (bb, sb) => DedupIndexStore.probeSignedPath(
-        spark, bb, sb, indexPath, threshold, maxBucket, excludeIngest))._1
+        spark, bb, sb, indexPath, threshold, maxBucket, excludeIngest.toSeq))._1
   }
 
   /** The shared admission round over a ONCE-SIGNED batch: compute the
@@ -403,15 +453,23 @@ object StreamOps {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
+        val legacy = legacyIngestIds(checkpointDir, batchId)
         val (admitted, signed) = admitBucketedSigned(
           batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
-          excludeIngest = Some(ingestId), cache = true)
+          excludeIngests = ingestId +: legacy, cache = true)
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, tailPath, ingestId)
+          // legacy partitions are retirable only in the path-layout tail;
+          // a legacy-era row already FOLDED into the bucketed tables stays
+          // (excluded above, so the replay is still correct) with the
+          // crash-window semantics compactTail documents
+          legacy.foreach(graft.operators.DedupIndexStore
+            .dropIngest(spark, tailPath, _))
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
@@ -439,7 +497,7 @@ object StreamOps {
       maxBucket: Int = 1000,
       excludeIngest: Option[String] = None): DataFrame =
     admitBucketedSigned(batch, idCol, textCol, tableBase, tailPath,
-      threshold, maxBucket, excludeIngest, cache = false)._1
+      threshold, maxBucket, excludeIngest.toSeq, cache = false)._1
 
   /** [[admitSigned]] wired to the hybrid layout: one signing pass feeds
     * the within-batch pairing, the exchange-free bucketed-corpus probe,
@@ -452,7 +510,7 @@ object StreamOps {
       tailPath: String,
       threshold: Double,
       maxBucket: Int,
-      excludeIngest: Option[String],
+      excludeIngests: Seq[String],
       cache: Boolean): (DataFrame, Seq[DataFrame]) = {
     import graft.operators.DedupIndexStore
     val spark = batch.sparkSession
@@ -473,10 +531,10 @@ object StreamOps {
     admitSigned(batch, idCol, textCol, params, threshold, maxBucket, cache,
       probe = (bb, sb) => DedupIndexStore
         .probeBucketedSigned(spark, bb, sb, tableBase, threshold, maxBucket,
-          excludeIngest)
+          excludeIngests)
         .select(col("id_new"), col("id_corpus"), col("jaccard"))
         .union(DedupIndexStore.probeSignedPath(
-          spark, bb, sb, tailPath, threshold, maxBucket, excludeIngest)))
+          spark, bb, sb, tailPath, threshold, maxBucket, excludeIngests)))
   }
 
   /** The COMPOSED ingest pipeline: [[streamingIngestDedup]] plus ANN
@@ -517,12 +575,13 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
+        val legacy = legacyIngestIds(checkpointDir, batchId)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              Some(ingestId)))
+              ingestId +: legacy))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
@@ -531,6 +590,10 @@ object StreamOps {
           graft.operators.AnnIndexStore.appendCodes(
             admitted, idCol, vecCol, coarseCentroids, pqCentroids,
             codesPath, ingestId)
+          legacy.foreach { id =>
+            graft.operators.DedupIndexStore.dropIngest(spark, indexPath, id)
+            graft.operators.AnnIndexStore.dropIngest(spark, codesPath, id)
+          }
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())

@@ -469,6 +469,63 @@ class StreamingIngestDedupSpec extends SparkSpec {
     assert(hits == Set(1L), s"doc 1 must survive the new incarnation: $hits")
   }
 
+  test("in-flight upgrade across the namespace widening replays convergently") {
+    // ADVICE r12 (medium): the ingest-id contract changed (4-byte -> 8-byte
+    // checkpoint namespace). A stream upgraded with an UNCOMMITTED batch
+    // replays it under the new spelling; without compatibility the replay
+    // fails to exclude the old partition, self-matches every doc, admits
+    // nothing, and an idempotent sink overwrites the batch with zero rows.
+    // The loop must (a) admit identically and (b) retire the legacy
+    // partition so the index converges to the clean-run state.
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_up").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_up_ckpt").toFile
+    ckpt.deleteOnExit()
+    val data = Seq(
+      (1L, freshText),
+      (3L, corpusText + " phi"),
+      (5L, otherText))
+    // pre-upgrade first attempt: appended under the OLD (4-byte-ns) id,
+    // crash before the streaming commit
+    val legacyId = StreamOps.ingestNs(ckpt.getAbsolutePath).take(8) + s"_b0"
+    val newId = StreamOps.ingestNs(ckpt.getAbsolutePath) + "_b0"
+    assert(legacyId != newId, "the widening must actually change the id")
+    val first = StreamOps.admitBatch(
+      data.toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.2)
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    DedupIndexStore.append(first, "doc_id", "text", idx, legacyId)
+    // -- upgrade happens here; the restarted stream replays batch 0 --
+    val in = MemoryStream[(Long, String)](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = StreamOps.streamingIngestDedup(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+      ckpt.getAbsolutePath,
+      (df, bid) => admitted.synchronized {
+        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+      },
+      threshold = 0.2)
+    try {
+      in.addData(data: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (0L, 5L)),
+      s"upgraded replay must admit like the first attempt: ${admitted.toSet}")
+    // the index converged: new partition present, legacy partition retired
+    assert(new java.io.File(s"$idx/bands/ingest=$newId").exists,
+      "re-append under the new id spelling is missing")
+    assert(!new java.io.File(s"$idx/bands/ingest=$legacyId").exists,
+      "legacy partition must be retired after the re-append commits")
+    // and each admitted doc's rows exist exactly once: a near-dup of doc 5
+    // matches ONE corpus row, not two
+    val pairs = DedupIndexStore.probe(
+      spark, Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, threshold = 0.2).collect()
+    assert(pairs.length == 1 && pairs.head.getLong(1) == 5L,
+      s"probe after upgrade: ${pairs.mkString(", ")}")
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
