@@ -355,6 +355,22 @@ object Bench {
       ("null", "null")
     }
 
+    // ---- ingest-loop soak (full JSON only) ----
+    // The hybrid streaming ingest's LONGEVITY curve (the 50×-corpus
+    // price point said one trigger is cheap; this says trigger 60 still
+    // is): 60 triggers of 30-doc batches through
+    // streamingIngestDedupBucketed against a documents-table corpus,
+    // compactTail every 20 triggers, per-trigger wall published raw so
+    // the round report can show slope ~ 0. IngestSoakSpec runs the
+    // scaled-down CI version with exact-admission asserts.
+    val soakJson = try soakIngest(spark, sfDir, triggers = 60, batchDocs = 30,
+      compactEvery = 20)
+    catch { case e: Throwable =>
+      errors("soak") = s"${e.getClass.getName}: ${e.getMessage}"
+      System.err.println(s"[bench] soak FAILED: ${e.getClass.getName}: ${e.getMessage}")
+      "null"
+    }
+
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"")
         .replaceAll("[\\x00-\\x1f]", " ") + "\""
@@ -375,7 +391,7 @@ object Bench {
       .map(l => s"${l.replaceAll("[^A-Za-z0-9._-]", "")}-${System.currentTimeMillis / 1000}")
       .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"soak":$soakJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir,
       annBuildSec)
@@ -391,6 +407,91 @@ object Bench {
       System.out.flush()
     }))
     spark.stop()
+  }
+
+  /** The ingest-loop soak: `triggers` micro-batches of `batchDocs` real
+    * documents (id-shifted per trigger so every batch is fresh) through
+    * the hybrid bucketed ingest, [[graft.operators.DedupIndexStore.compactTail]]
+    * every `compactEvery` triggers. Returns a JSON object with the raw
+    * per-trigger seconds plus first/last-decile medians — the longevity
+    * evidence (slope ~ 0) the 100 TB claim needs. */
+  private[graft] def soakIngest(
+      spark: SparkSession,
+      sfDir: String,
+      triggers: Int,
+      batchDocs: Int,
+      compactEvery: Int): String = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    import graft.operators.DedupIndexStore
+    val docs = graft.util.SparkUtil.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idSpan = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+    // corpus = even ids; batches = odd ids, id-shifted per trigger — every
+    // trigger carries REAL text (the signing cost the loop pays in
+    // production) that is genuinely fresh, so admissions land, the tail
+    // grows, and the compactions fold real rows. If the table is small
+    // enough that slices cycle, the salted re-use near-dups its EARLIER
+    // admitted incarnation and is dropped through the store — realistic
+    // dedup work either way.
+    val slices = docs.filter(col("doc_id") % 2 === 1)
+      .limit(batchDocs * triggers)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    require(slices.length >= batchDocs,
+      s"documents table too small for a $batchDocs-doc soak batch")
+    val tail = java.nio.file.Files.createTempDirectory("graft-soak-tail").toString
+    graft.util.SparkUtil.deleteDirOnExit(tail)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-soak-ckpt").toString
+    graft.util.SparkUtil.deleteDirOnExit(ckpt)
+    Seq("bands", "shingles", "meta").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_soak_idx_$t"))
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      DedupIndexStore.buildBucketed(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        "graft_soak_idx", 8)
+      DedupIndexStore.initEmpty(spark, tail, k = 3, numHashes = 32, bands = 8)
+      val in = org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, String)](spark)
+      val q = graft.streaming.StreamOps.streamingIngestDedupBucketed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        "graft_soak_idx", tail, ckpt,
+        (df, _) => { df.count(); () })
+      val wall = Array.fill(triggers)(0.0)
+      val compactSec = scala.collection.mutable.ArrayBuffer.empty[Double]
+      try {
+        (0 until triggers).foreach { t =>
+          val batch = (0 until batchDocs).map { j =>
+            val (id, text) = slices((t * batchDocs + j) % slices.length)
+            // fresh identity AND fresh content per trigger: a unique salt
+            // token keeps replayed slices from near-dupping their earlier
+            // incarnations, so every batch pays full admission work
+            (id + (t + 1) * idSpan, s"$text soaksalt${t}x$j")
+          }
+          val t0 = System.nanoTime()
+          in.addData(batch: _*)
+          q.processAllAvailable()
+          wall(t) = (System.nanoTime() - t0) / 1e9
+          if ((t + 1) % compactEvery == 0 && t + 1 < triggers) {
+            val c0 = System.nanoTime()
+            DedupIndexStore.compactTail(spark, "graft_soak_idx", tail, 8)
+            compactSec += (System.nanoTime() - c0) / 1e9
+          }
+        }
+      } finally q.stop()
+      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      val firstMed = med(wall.slice(2, 12).toSeq)
+      val lastMed = med(wall.takeRight(10).toSeq)
+      s"""{"triggers":$triggers,"batch_docs":$batchDocs,""" +
+        s""""per_trigger":[${wall.map(w => f"$w%.3f").mkString(",")}],""" +
+        s""""first10_med":$firstMed,"last10_med":$lastMed,""" +
+        s""""compact_sec":[${compactSec.map(c => f"$c%.3f").mkString(",")}]}"""
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      Seq("bands", "shingles", "meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS graft_soak_idx_$t"))
+    }
   }
 
   /** Kafka-to-Kafka throughput through the fakekafka DSv2 double: JSON
