@@ -49,6 +49,24 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // the session (the 10×-vs-standalone dilation signature). 512 MB keeps
   // the whole registry compiled; flushing stays on as the backstop.
   "-XX:ReservedCodeCacheSize=512m",
+  // NOT set (round-13 deopt-storm A/B, 10-12 runs x 8-10 reps of
+  // q27@10x per arm on a quiet host): the sporadic HotSpot deopt storm
+  // (unstable_if -> action=reinterpret traps on the fused whole-
+  // partition kernels — one trap leaves the REMAINDER of that
+  // whole-partition invocation in the interpreter, which is why a storm
+  // rep burns ~40x CPU at zero GC while the JIT recompiles behind it)
+  // has NO knob that beats the defaults:
+  //   default                         med 2.33s p90 3.34 max 9.5  >6s 1/70
+  //   PerMethod/BytecodeRecompCutoff  med 2.80s p90 6.72 max 17.1 >6s 7/70
+  //     (strands hot kernels below C2 — worse everywhere)
+  //   PerBytecodeTrapLimit=1          med 2.24s p90 4.18 max 9.7  >6s 4/108
+  //     (within host drift of default — no measurable benefit)
+  //   codegen fast-hash-map disabled  med 2.23s p90 5.30 max 12.8 >6s 8/108
+  //     (every rep pays the slow map; storms not prevented)
+  // Measured-best mitigation is therefore the default JVM + median-of-3
+  // reporting (Bench) + speculative execution on a real cluster (the
+  // storm is a single-task straggler, the exact shape speculation
+  // re-launches onto compiled code).
   // NOT set: -XX:+ExplicitGCInvokesConcurrent. The periodic cleaner GC's
   // full STW compaction does cause the occasional multi-second stall
   // that inflates ONE interleaved rep of a few queries (median-absorbed

@@ -88,8 +88,13 @@ object Bench {
       // shuffle files, broadcasts, and checkpoint blocks are reclaimed by
       // the ContextCleaner only after their handles are GC'd; a big heap
       // may not GC for minutes while a 45-query session accumulates them
-      // — force a periodic sweep so late queries run in a clean JVM
-      .config("spark.cleaner.periodicGC.interval", "2min")
+      // — force a periodic sweep so late queries run in a clean JVM.
+      // Env-overridable for the interval A/B (VERDICT r12 item 5: the
+      // 2min sweep's full STW compaction causes occasional single-rep
+      // maxima; a shorter interval trades one big stall for several
+      // smaller ones).
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_CLEANER_GC", "2min"))
       // hold the WHOLE registry's generated classes (default 100 entries
       // churns on ~900 codegen units → every rep re-compiles and re-runs
       // unprofiled classes; see build.sbt's javaOptions note — this
