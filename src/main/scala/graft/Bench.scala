@@ -89,12 +89,15 @@ object Bench {
       // the ContextCleaner only after their handles are GC'd; a big heap
       // may not GC for minutes while a 45-query session accumulates them
       // — force a periodic sweep so late queries run in a clean JVM.
-      // Env-overridable for the interval A/B (VERDICT r12 item 5: the
-      // 2min sweep's full STW compaction causes occasional single-rep
-      // maxima; a shorter interval trades one big stall for several
-      // smaller ones).
+      // 30s, not 2min (VERDICT r12 item 5, A/B'd r13run1 vs r13run2):
+      // the 2min cadence lets so much garbage accumulate that each sweep
+      // is a multi-second STW compaction landing on one unlucky rep
+      // (measured: single-rep ratios of 20-29x on sub-second queries);
+      // at 30s each sweep is small — worst main-section rep ratio fell
+      // to 2.0x, total 106->91 s, and every stream section sped up
+      // (two-phase 5.9k->11.3k rows/s). Env-overridable for re-runs.
       .config("spark.cleaner.periodicGC.interval",
-        sys.env.getOrElse("SPARK_GRAFT_CLEANER_GC", "2min"))
+        sys.env.getOrElse("SPARK_GRAFT_CLEANER_GC", "30s"))
       // hold the WHOLE registry's generated classes (default 100 entries
       // churns on ~900 codegen units → every rep re-compiles and re-runs
       // unprofiled classes; see build.sbt's javaOptions note — this

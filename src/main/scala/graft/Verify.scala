@@ -18,6 +18,10 @@ object Verify {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // small frequent cleaner sweeps, not 2min monsters — same rationale
+      // and A/B as Bench (a 182-query dump session accumulates the same
+      // shuffle/broadcast garbage)
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
