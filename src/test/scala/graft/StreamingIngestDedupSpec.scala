@@ -526,6 +526,61 @@ class StreamingIngestDedupSpec extends SparkSpec {
       s"probe after upgrade: ${pairs.mkString(", ")}")
   }
 
+  test("in-flight upgrade in the hybrid layout survives a pre-restart compaction") {
+    // the compounded seam: the pre-upgrade attempt appended its batch to
+    // the TAIL under the old 4-byte-ns id, a compaction then folded those
+    // rows - with their legacy lineage - into the bucketed tables, and
+    // only then did the upgraded stream restart. The replay must exclude
+    // the legacy spelling in the BUCKETED tables (no tail partition
+    // exists anymore) or it self-matches and admits nothing.
+    val tail = java.nio.file.Files.createTempDirectory("graft_sid_upb").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_upb_ckpt").toFile
+    ckpt.deleteOnExit()
+    try {
+      DedupIndexStore.buildBucketed(
+        Seq((100L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", "sidup_idx", 4, k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
+      val data = Seq((1L, freshText), (3L, corpusText + " phi"), (5L, otherText))
+      val legacyId = StreamOps.ingestNs(ckpt.getAbsolutePath).take(8) + "_b0"
+      val first = StreamOps.admitBatchBucketed(
+        data.toDF("doc_id", "text"), "doc_id", "text", "sidup_idx", tail,
+        threshold = 0.2)
+      assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+      DedupIndexStore.append(first, "doc_id", "text", tail, legacyId)
+      // crash before commit; maintenance folds the legacy tail partition
+      DedupIndexStore.compactTail(spark, "sidup_idx", tail, 4)
+      assert(!new java.io.File(s"$tail/bands").exists)
+      // -- upgrade happens here; the restarted stream replays batch 0 --
+      val in = MemoryStream[(Long, String)](spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val q = StreamOps.streamingIngestDedupBucketed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "sidup_idx", tail,
+        ckpt.getAbsolutePath,
+        (df, bid) => admitted.synchronized {
+          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+        },
+        threshold = 0.2)
+      try {
+        in.addData(data: _*)
+        q.processAllAvailable()
+      } finally q.stop()
+      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (0L, 5L)),
+        s"upgraded hybrid replay must admit like the first attempt: ${admitted.toSet}")
+      // the folded legacy rows stay in the bucketed tables (rows are not
+      // retirable there - documented crash-window semantics); later
+      // batches still dedup correctly against them
+      val next = StreamOps.admitBatchBucketed(
+        Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text", "sidup_idx", tail, threshold = 0.2)
+      assert(next.collect().isEmpty,
+        "near-dup of the re-admitted doc 5 must still drop")
+    } finally {
+      Seq("bands", "shingles", "meta").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS sidup_idx_$t"))
+    }
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
