@@ -189,7 +189,10 @@ object DedupIndexStore {
       .repartition(1).write.mode("overwrite").parquet(s"$path/meta")
     // seed empty fold manifests (only if none exist — re-running initEmpty
     // over a live lifecycle must not erase fold history): a tail born with
-    // manifests never pays [[compactTail]]'s one-time audit bootstrap
+    // manifests never pays [[compactTail]]'s one-time audit bootstrap,
+    // unless the standing table it compacts into already records fold
+    // history from an earlier tail at another path (then the empty
+    // manifest is a DISCARDED history and compactTail audits once)
     val conf = spark.sparkContext.hadoopConfiguration
     val folded = new org.apache.hadoop.fs.Path(s"$path/_folded")
     val fs = folded.getFileSystem(conf)
@@ -324,7 +327,15 @@ object DedupIndexStore {
     *  - a missing `_folded/` dir (an index from before the manifest
     *    era) triggers the same one-time audit bootstrap.
     *    [[initEmpty]] seeds empty manifests, so fresh tails never pay
-    *    it.
+    *    it — EXCEPT when the standing table already records fold history
+    *    (its `graft.folded_ingests` catalog property): an empty manifest
+    *    there means the tail path was recreated and its fold history
+    *    discarded, so the audit bootstrap runs once (ADVICE r13).
+    *  - ids are listed PER TABLE from each table's own tail partitions
+    *    (ADVICE r13): a stream crash between [[append]]'s bands and
+    *    shingles writes leaves an id present only in bands, and it must
+    *    not enter the shingles manifest until its shingle partition
+    *    actually exists and folds.
     *  - manifests stay O(live streams), not O(folded ingests): a
     *    foreachBatch writer runs batches serially, so once `<ns>_bN+1`
     *    exists, `<ns>_bN` has committed and can never re-enter the tail
@@ -349,17 +360,30 @@ object DedupIndexStore {
     require((pm.getInt(0), pm.getInt(1), pm.getInt(2)) ==
       (tm.getInt(0), tm.getInt(1), tm.getInt(2)),
       s"tail/table parameter mismatch: tail=$pm table=$tm")
-    if (dirExists(spark, s"$tailPath/bands")) {
+    if (dirExists(spark, s"$tailPath/bands") || dirExists(spark, s"$tailPath/shingles")) {
       val conf = spark.sparkContext.hadoopConfiguration
       val inflight = new org.apache.hadoop.fs.Path(s"$tailPath/_folded/_inflight")
       val fs = inflight.getFileSystem(conf)
       val recover = fs.exists(inflight) || !dirExists(spark, s"$tailPath/_folded")
-      val tailIds = listIngestIds(spark, s"$tailPath/bands")
+      // PER-TABLE tail listings (ADVICE r13): append() writes bands before
+      // shingles, so a stream crash between the two leaves an id with a
+      // bands partition and NO shingles partition. Folding both tables
+      // from a single bands-side listing marked such an id folded for
+      // shingles with zero rows folded — the replay's re-appended shingle
+      // rows were then skipped forever and near-dups of those docs
+      // silently admitted. Each table folds (and records in its manifest)
+      // only ids whose partition exists in ITS OWN tail listing.
+      val tailIdsOf: Map[String, Seq[String]] =
+        Seq("bands", "shingles").map { t =>
+          t -> (if (dirExists(spark, s"$tailPath/$t"))
+            listIngestIds(spark, s"$tailPath/$t") else Seq.empty[String])
+        }.toMap
       def audit(table: String): Set[String] =
         spark.table(table).select("ingest").distinct()
           .collect().map(_.getString(0)).toSet
       def foldedIn(table: String, manifestName: String): Set[String] = {
         val manifest = readManifest(spark, tailPath, manifestName)
+        val tailIds = tailIdsOf(manifestName)
         if (recover) audit(table)
         else if (verify) {
           val truth = audit(table)
@@ -369,7 +393,16 @@ object DedupIndexStore {
               s"(manifest=${manifest.intersect(tailIds.toSet)}, " +
               s"actual=${truth.intersect(tailIds.toSet)})")
           truth
-        } else manifest
+        } else if (manifest.isEmpty && hasFoldHistory(spark, table))
+          // an EMPTY manifest in front of a standing table that records
+          // folded ingests means the tail path was recreated/replaced
+          // (initEmpty re-seeded manifests, discarding fold history —
+          // ADVICE r13): trusting it would re-fold a replayed batch whose
+          // rows already stand. The history marker is a catalog property,
+          // so the normal-path detection stays metadata-only; the audit
+          // runs once here and the manifest is rewritten to ground truth.
+          audit(table)
+        else manifest
       }
       val bandsFolded = foldedIn(s"${tableBase}_bands", "bands")
       val shinglesFolded = foldedIn(s"${tableBase}_shingles", "shingles")
@@ -381,8 +414,8 @@ object DedupIndexStore {
           folded: Set[String],
           cols: Seq[String],
           bucketCols: Seq[String]): Unit = {
-        val fresh = tailIds.filterNot(folded)
-        if (fresh.nonEmpty)
+        val fresh = tailIdsOf(manifestName).filterNot(folded)
+        if (fresh.nonEmpty) {
           spark.read.parquet(s"$tailPath/$manifestName")
             .withColumn("ingest", col("ingest").cast("string"))
             .filter(col("ingest").isin(fresh: _*))
@@ -391,6 +424,8 @@ object DedupIndexStore {
             .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
             .sortBy(bucketCols.head, bucketCols.tail: _*)
             .format("parquet").saveAsTable(table)
+          markFoldHistory(spark, table)
+        }
         writeManifest(spark, tailPath, manifestName, folded ++ fresh)
       }
       fold(s"${tableBase}_bands", "bands", bandsFolded,
@@ -404,6 +439,21 @@ object DedupIndexStore {
       fs.delete(inflight, false)
     }
   }
+
+  /** Catalog property recording that at least one compaction has folded
+    * tail ingests into the table. [[compactTail]] reads it to tell a
+    * LEGITIMATELY empty manifest (fresh lifecycle, nothing folded yet —
+    * trust it, zero reads) from a RE-SEEDED one (the tail path was
+    * recreated over a standing table with fold history — audit once).
+    * A property, not a scan: the distinction costs one catalog lookup. */
+  private val FoldHistoryProp = "graft.folded_ingests"
+
+  private def hasFoldHistory(spark: SparkSession, table: String): Boolean =
+    spark.sql(s"SHOW TBLPROPERTIES $table").collect()
+      .exists(r => r.getString(0) == FoldHistoryProp && r.getString(1) == "true")
+
+  private def markFoldHistory(spark: SparkSession, table: String): Unit =
+    spark.sql(s"ALTER TABLE $table SET TBLPROPERTIES ('$FoldHistoryProp'='true')")
 
   /** The tail's ingest ids, from its partition DIRECTORY NAMES — a
     * listing, never a scan. */

@@ -178,6 +178,94 @@ class DedupIndexManifestSpec extends SparkSpec {
     }
   }
 
+  test("an id crashed between bands and shingles tail writes is not marked shingles-folded") {
+    // ADVICE r13 (medium): append() writes bands before shingles. A stream
+    // crash between the two leaves ingest=X with a bands partition and no
+    // shingles partition; compaction folding both tables from a bands-side
+    // listing marked X folded for shingles with ZERO rows folded — after
+    // the replay re-appended both tables, the next compaction skipped X
+    // and deleted the tail, losing the shingle rows permanently (and with
+    // them the verify stage's corpus side for those docs).
+    withTables("mf_hc") {
+      DedupIndexStore.buildBucketed(
+        uniqueDocs(5, "corpus"), "doc_id", "text", "mf_hc", 4,
+        k = 2, numHashes = 8, bands = 4)
+      val tail = newTail()
+      val batch = uniqueDocs(2, "halfbatch").withColumn(
+        "doc_id", org.apache.spark.sql.functions.col("doc_id") + 7000L)
+      DedupIndexStore.append(batch, "doc_id", "text", tail, "abad_b0")
+      // simulate the append crash: bands written, died before shingles
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+        f.delete()
+      }
+      rm(new java.io.File(s"$tail/shingles/ingest=abad_b0"))
+      DedupIndexStore.compactTail(spark, "mf_hc", tail, 4)
+      assert(manifestLines(tail, "bands").contains("abad_b0"),
+        "the bands half folded — its manifest must record it")
+      assert(!manifestLines(tail, "shingles").contains("abad_b0"),
+        "an id with no shingles tail partition must NOT enter the " +
+          "shingles manifest — that is the silent-loss seam")
+      // the stream replays the batch: idempotent re-append of BOTH tables
+      DedupIndexStore.append(batch, "doc_id", "text", tail, "abad_b0")
+      DedupIndexStore.compactTail(spark, "mf_hc", tail, 4)
+      // shingle rows landed exactly once; band rows were not re-folded
+      assert(spark.table("mf_hc_shingles")
+        .filter($"ingest" === "abad_b0").count() == 2,
+        "the replayed shingle rows must fold (they were lost before the fix)")
+      assert(spark.table("mf_hc_bands")
+        .filter($"ingest" === "abad_b0").count() == 2L * 4,
+        "the bands half must fold exactly once across the two compactions")
+      // and the verify stage has its corpus side back: a near-dup of a
+      // halfbatch doc is found with a real jaccard
+      val hits = DedupIndexStore.probeBucketed(
+        spark, uniqueDocs(1, "halfbatch").withColumn(
+          "doc_id", org.apache.spark.sql.functions.col("doc_id") + 9000L),
+        "doc_id", "text", "mf_hc", threshold = 0.5)
+        .select("id_corpus").collect().map(_.getLong(0)).toSet
+      // (corpus doc 0 shares the template text minus its tag token and
+      // also matches — the load-bearing hit is 7000, whose shingle rows
+      // the pre-fix fold lost)
+      assert(hits.contains(7000L), s"near-dup probe after the replay fold: $hits")
+    }
+  }
+
+  test("a recreated tail's seeded manifests do not forget standing folds") {
+    // ADVICE r13 (low): fold history lives in the tail-path manifests; an
+    // operator who replaces the tail directory (initEmpty at a fresh path)
+    // over a standing table that already holds folded ingests would, with
+    // the seeded-empty manifests trusted, double-fold a replayed batch.
+    // The standing table's fold-history property triggers a one-time audit.
+    withTables("mf_rt") {
+      DedupIndexStore.buildBucketed(
+        uniqueDocs(5, "corpus"), "doc_id", "text", "mf_rt", 4,
+        k = 2, numHashes = 8, bands = 4)
+      val tailA = newTail()
+      val batch = uniqueDocs(2, "movedbatch").withColumn(
+        "doc_id", org.apache.spark.sql.functions.col("doc_id") + 8000L)
+      DedupIndexStore.append(batch, "doc_id", "text", tailA, "feed_b0")
+      DedupIndexStore.compactTail(spark, "mf_rt", tailA, 4)
+      // the operator replaces the tail path; the crashed stream replays
+      // batch 0 into the NEW tail under the same (checkpoint-keyed) id
+      val tailB = newTail()
+      DedupIndexStore.append(batch, "doc_id", "text", tailB, "feed_b0")
+      val before = spark.table("mf_rt_bands").count()
+      DedupIndexStore.compactTail(spark, "mf_rt", tailB, 4)
+      assert(spark.table("mf_rt_bands").count() == before,
+        "the already-folded replay must not fold again from the new tail")
+      assert(manifestLines(tailB, "bands").contains("feed_b0"),
+        "the audit bootstrap must rewrite the new tail's manifest to truth")
+      // a genuinely new ingest through the new tail still folds normally
+      DedupIndexStore.append(
+        uniqueDocs(2, "newbatch").withColumn(
+          "doc_id", org.apache.spark.sql.functions.col("doc_id") + 9500L),
+        "doc_id", "text", tailB, "feed_b1")
+      DedupIndexStore.compactTail(spark, "mf_rt", tailB, 4)
+      assert(spark.table("mf_rt_bands").count() == before + 2 * 4,
+        "a fresh ingest must still fold after the bootstrap")
+    }
+  }
+
   test("verify=true throws when the manifest diverges from the tables") {
     withTables("mf_vf") {
       DedupIndexStore.buildBucketed(
