@@ -262,6 +262,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
         val legacy = legacyIngestIds(checkpointDir, batchId)
+        guardBareIdReplay(spark, batch, idCol, batchId, indexPath)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
@@ -321,7 +322,13 @@ object StreamOps {
     * as ordinary corpus). Upgrading a pre-namespace maintaining stream
     * therefore REQUIRES a quiesced drain: stop the stream after a
     * committed batch, then upgrade — every bare-id partition is then
-    * ordinary corpus that nothing ever references again.
+    * ordinary corpus that nothing ever references again. Since r14 a
+    * VIOLATION of the drain requirement fails loudly instead of losing
+    * data silently: [[guardBareIdReplay]] detects the replay-self-match
+    * signature (a bare `b<batchId>` corpus partition holding a subset of
+    * the replaying batch's own doc ids) and aborts the batch with the
+    * drain instruction, while genuinely foreign bare-id partitions pass
+    * through untouched (both pinned in StreamingIngestDedupSpec).
     *
     * INDEX FORMAT MIGRATION NOTE (the full contract history):
     *
@@ -344,9 +351,73 @@ object StreamOps {
     *
     * Scoped to the one replayed batch: committed pre-upgrade batches
     * keep their old ids forever as ordinary corpus partitions (correct —
-    * they are never excluded, never rewritten). */
+    * they are never excluded, never rewritten).
+    *
+    * RETIREMENT SCHEDULE (VERDICT r13 item 5): the 8-hex legacy spelling
+    * stops being excluded in ROUND 17 — delete this method's entry (and
+    * the post-commit [[graft.operators.DedupIndexStore.dropIngest]]
+    * retirement calls) then. An in-flight 4-byte-era batch can exist only
+    * in the FIRST post-upgrade trigger of a stream, so any stream that
+    * has run at all under r13+ has already replayed or retired it; two
+    * further rounds is a generous window. Until then the exclusion is
+    * zero-cost by construction: excluding an id that was never written is
+    * a partition-pruning predicate that matches no directory and a scan
+    * predicate that matches no row (pinned by the "excluding a
+    * never-written ingest id is free and changes nothing" spec). */
   private[graft] def legacyIngestIds(checkpointDir: String, batchId: Long): Seq[String] =
     Seq(s"${ingestNs(checkpointDir).take(8)}_b$batchId")
+
+  /** Fail LOUDLY on the one upgrade violation that is otherwise silent
+    * data loss (VERDICT r13 item 1): a maintaining stream from the
+    * PRE-NAMESPACE id era (bare `b<batchId>` ingest ids) upgraded with an
+    * IN-FLIGHT uncommitted batch, without the quiesced drain the contract
+    * requires. The replayed batch then fails to exclude its own old
+    * partition, self-matches every doc, admits nothing, and an idempotent
+    * sink overwrites the batch's output with zero rows.
+    *
+    * The violation's signature is unmistakable and cheap to test: a
+    * corpus-side partition named exactly `ingest=b<replaying batchId>`
+    * whose doc_ids are a non-empty SUBSET of the replaying batch's own
+    * (the crashed attempt appended the admitted subset of this very
+    * batch). A genuinely FOREIGN bare-id partition — another
+    * incarnation's committed batch, different doc_ids — does not match
+    * the signature and passes through as ordinary corpus (auto-excluding
+    * it would reintroduce the cross-incarnation clobber the namespace
+    * exists to prevent; the clobber spec pins that). The coincidence this
+    * can false-positive on — a foreign `b<N>` partition holding exactly a
+    * subset of this batch's doc ids at this batch number — is precisely
+    * the state an operator must untangle by hand anyway.
+    *
+    * Steady-state cost: one directory-existence check per trigger; the
+    * partition is read (a pruned, partition-local scan) only when a bare
+    * `b<batchId>` directory actually exists. */
+  private def guardBareIdReplay(
+      spark: org.apache.spark.sql.SparkSession,
+      batch: DataFrame,
+      idCol: String,
+      batchId: Long,
+      indexPath: String): Unit = {
+    val bare = s"$indexPath/bands/ingest=b$batchId"
+    val p = new org.apache.hadoop.fs.Path(bare)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val part = spark.read.parquet(bare).select(col("doc_id")).distinct()
+      val own = batch.select(col(idCol).as("doc_id")).distinct()
+      val nonEmpty = part.limit(1).count() == 1
+      val foreign = part.join(own, Seq("doc_id"), "left_anti").limit(1).count()
+      if (nonEmpty && foreign == 0)
+        throw new IllegalStateException(
+          s"pre-namespace in-flight replay detected: index partition " +
+            s"'$bare' holds a subset of the replaying batch $batchId's own " +
+            "doc ids — this stream was upgraded across the bare-id -> " +
+            "namespaced-id format change with an UNCOMMITTED batch in " +
+            "flight. Admitting would self-match every doc and overwrite " +
+            "the batch with zero rows. Required upgrade path (quiesced " +
+            "drain): roll back to the pre-namespace build, restart the " +
+            "stream, stop it cleanly AFTER this batch commits, then " +
+            "upgrade — every bare-id partition is then ordinary corpus.")
+    }
+  }
 
   /** One admission round of [[streamingIngestDedup]], exposed for batch
     * replays and tests: within-batch canonicalize then index-probe
@@ -456,6 +527,12 @@ object StreamOps {
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
         val legacy = legacyIngestIds(checkpointDir, batchId)
+        // the tail is where a pre-namespace hybrid writer's in-flight
+        // append would live (unless a compaction folded it — the folded
+        // copy keeps its lineage and is simply never excluded, which the
+        // probe below surfaces as a zero admission on genuinely identical
+        // history; the tail check catches the standard un-drained case)
+        guardBareIdReplay(spark, batch, idCol, batchId, tailPath)
         val (admitted, signed) = admitBucketedSigned(
           batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
           excludeIngests = ingestId +: legacy, cache = true)
@@ -576,6 +653,7 @@ object StreamOps {
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
         val legacy = legacyIngestIds(checkpointDir, batchId)
+        guardBareIdReplay(spark, batch, idCol, batchId, indexPath)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,

@@ -581,6 +581,138 @@ class StreamingIngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("un-drained bare-id upgrade fails loudly; a foreign bare-id partition passes through") {
+    // VERDICT r13 item 1: upgrading a PRE-NAMESPACE maintaining stream
+    // with an in-flight uncommitted batch (no quiesced drain) used to
+    // self-match every doc, admit nothing, and idempotently overwrite the
+    // batch's output with zero rows — silent loss, documented but
+    // unenforced. The guard must abort the batch with the drain
+    // instruction instead, while a genuinely foreign bare-id partition
+    // (another incarnation's committed batch, different doc ids) stays
+    // ordinary corpus.
+    val data = Seq(
+      (1L, freshText),
+      (3L, corpusText + " phi"),
+      (5L, otherText))
+    def newIndex(name: String): String = {
+      val idx = java.nio.file.Files.createTempDirectory(name).toString
+      DedupIndexStore.build(
+        Seq((100L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+      idx
+    }
+    def runStream(idx: String): (Either[Throwable, Unit], Set[(Long, Long)]) = {
+      val in = MemoryStream[(Long, String)](spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_bare_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = StreamOps.streamingIngestDedup(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
+        ckpt.getAbsolutePath,
+        (df, bid) => admitted.synchronized {
+          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+        },
+        threshold = 0.2)
+      val outcome =
+        try { in.addData(data: _*); q.processAllAvailable(); Right(()) }
+        catch { case e: Throwable => Left(e) }
+        finally q.stop()
+      (outcome, admitted.synchronized(admitted.toSet))
+    }
+
+    // VIOLATION: the pre-namespace attempt appended its admitted subset
+    // under bare b0 and crashed before the commit; the operator upgrades
+    // without draining and the stream replays batch 0
+    val idxV = newIndex("graft_sid_bare_v")
+    val first = StreamOps.admitBatch(
+      data.toDF("doc_id", "text"), "doc_id", "text", idxV, threshold = 0.2)
+    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
+    DedupIndexStore.append(first, "doc_id", "text", idxV, "b0")
+    val (outcomeV, admittedV) = runStream(idxV)
+    val err = outcomeV.swap.getOrElse(fail(
+      "un-drained bare-id replay must fail the streaming query loudly"))
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(e => Option(e.getMessage).getOrElse(""))
+    assert(messages(err).exists(m =>
+      m.contains("quiesced") && m.contains("pre-namespace")),
+      s"failure must carry the drain instruction, got: ${messages(err)}")
+    assert(admittedV.isEmpty, s"no admission may land: $admittedV")
+    // the crashed attempt's partition is untouched — nothing overwrote it
+    // with zero rows; its docs remain probe-able corpus
+    val survivors = DedupIndexStore.probe(
+      spark, Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+      "doc_id", "text", idxV, threshold = 0.2)
+      .select("id_corpus").collect().map(_.getLong(0)).toSet
+    assert(survivors == Set(5L),
+      s"the bare partition's rows must survive the abort: $survivors")
+
+    // FALSE-POSITIVE CONTROL: a foreign incarnation's committed bare b0
+    // with DIFFERENT doc ids — the stream must run clean, treat it as
+    // corpus (doc 5 near-dups foreign doc 50 and drops), admit doc 1
+    val idxF = newIndex("graft_sid_bare_f")
+    DedupIndexStore.append(
+      Seq((50L, otherText + " legacy")).toDF("doc_id", "text"),
+      "doc_id", "text", idxF, "b0")
+    val (outcomeF, admittedF) = runStream(idxF)
+    assert(outcomeF.isRight,
+      s"foreign bare-id partition must not trip the guard: $outcomeF")
+    assert(admittedF == Set((0L, 1L)),
+      s"foreign bare-id corpus must dedup normally: $admittedF")
+    assert(new java.io.File(s"$idxF/bands/ingest=b0").exists,
+      "the foreign partition must stay untouched")
+  }
+
+  test("excluding a never-written ingest id is free and changes nothing") {
+    // pins the legacyIngestIds retirement contract (VERDICT r13 item 5):
+    // until the 8-hex spelling is removed (round 17), excluding an id
+    // that was never written must cost nothing — same admissions, same
+    // rows read (the filter prunes partitions instead of scanning them)
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_free").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    DedupIndexStore.append(
+      Seq((1L, freshText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, "cafe0123cafe0123_b0")
+    val batch = Seq(
+      (7L, freshText + " psi"),
+      (8L, otherText)).toDF("doc_id", "text")
+    def admittedWith(exclude: Option[String]): (Set[Long], Long) = {
+      val read = new java.util.concurrent.atomic.AtomicLong
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val out = StreamOps.admitBatch(
+          batch, "doc_id", "text", idx, threshold = 0.2,
+          excludeIngest = exclude)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+        var last = -1L
+        var settled = 0
+        while (settled < 3) {
+          Thread.sleep(200)
+          if (read.get == last) settled += 1 else { settled = 0; last = read.get }
+        }
+        (out, read.get)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val (without, readWithout) = admittedWith(None)
+    val (withNever, readWithNever) =
+      admittedWith(Some("ffffffffdeadbeef_b7"))
+    assert(without == Set(8L), s"baseline admissions: $without")
+    assert(withNever == without,
+      "excluding a never-written id must not change admissions")
+    assert(readWithNever == readWithout,
+      s"excluding a never-written id must read the same rows " +
+        s"($readWithNever vs $readWithout) — the exclusion must prune, " +
+        "not scan")
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(
