@@ -3,9 +3,13 @@ package graft.tools
 import graft.operators.TickOps
 import graft.util.SparkUtil
 
-/** Ad-hoc timing/plan probe: runMain graft.tools.Probe <what> [sfDir].
+/** Ad-hoc timing/plan probe: Test/runMain graft.tools.Probe <what> [sfDir].
   * what = query name from SparkEntry.queries, "multi_exact",
-  * "multi_fast", "union_exact", or "explain:<query>". */
+  * "multi_fast", "union_exact", or "explain:<query>".
+  *
+  * Lives under src/test (VERDICT r13 item 7): it is driver-side
+  * diagnostics, not engine code — keeping it out of src/main keeps the
+  * non-test LoC figure measuring only the engine. */
 object Probe {
   def main(args: Array[String]): Unit = {
     val what = args(0)
