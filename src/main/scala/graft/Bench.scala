@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main: one warmup pass at sf0.001 (JIT + codegen compile +
   * parquet footer caches), then three timed passes per query at the target
   * scale factor (median reported; min/max spread retained), in sorted name
-  * order for run-to-run stability.
+  * order for run-to-run stability. Stream sections run five interleaved
+  * reps (their per-rep walls are seconds long, so a 3-rep median was one
+  * stall away from poisoned); stress passes are JIT-storm-tagged and
+  * publish the clean-pass median.
   *
   * Output contract (driver-parseable): the JSON metric line is
   *   1. written to `bench_out.json` next to the repo root,
@@ -218,9 +221,14 @@ object Bench {
     // End-to-end streaming throughput: events replayed through the full
     // parse → 6-sliding-window moving-stats pipeline in micro-batch mode
     // (the reference's own design point is ~10 msg/s; this measures ours).
-    // Median-of-3 like the batch section — round-1→2 showed single-run
-    // stream numbers wobble 1.7× on unchanged code. Caps are sized so the
-    // 3-rep stream section costs about what the 1-rep section did.
+    // Median-of-5, interleaved like the batch section — round-1→2 showed
+    // single-run stream numbers wobble 1.7× on unchanged code, and the
+    // five r13 runs still showed ~1.9× CROSS-run swing on two_phase at 3
+    // reps (VERDICT r13 item 3): a stream rep is seconds long, so one GC
+    // sweep or host stall lands on a third of the sample. Five reps
+    // tolerate two poisoned ones; the extra wall (~25 s) is outside the
+    // headline total, which sums only the main-section query medians.
+    val StreamReps = 5
     val stream = try {
       // single_window: the reference-fidelity one-window topology.
       // six_windows_union: output-identical to the reference's 6-agg
@@ -241,8 +249,8 @@ object Bench {
       // rep of each config, not 2/3 reps of one config's median
       val rowsBy = scala.collection.mutable.Map[String, Long]()
       val timesBy = (cfgs.map(_._1) :+ "kafka_roundtrip")
-        .map(_ -> Array.fill(Reps)(0.0)).toMap
-      (0 until Reps).foreach { rep =>
+        .map(_ -> Array.fill(StreamReps)(0.0)).toMap
+      (0 until StreamReps).foreach { rep =>
         cfgs.foreach { case (name, ws, cap, topology) =>
           val t0 = System.nanoTime()
           rowsBy(name) = streamThroughput(spark, sfDir, ws, cap, topology)
@@ -269,12 +277,12 @@ object Bench {
         "single_window" -> "sw", "six_windows_union" -> "swu",
         "six_windows_two_phase" -> "swtp", "kafka_roundtrip" -> "krt")
       val slim = wrap(slimStreamName) { (rows, times) =>
-        val med = times(Reps / 2)
+        val med = times(StreamReps / 2)
         val rps = String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / med))
         s"""{"r":$rows,"s":${msSlim(med)},"rps":$rps}"""
       }
       val full = wrap(identity) { (rows, times) =>
-        val med = times(Reps / 2)
+        val med = times(StreamReps / 2)
         s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
           s""""spread":[${times.head},${times.last}]}"""
       }
@@ -318,11 +326,42 @@ object Bench {
     // (A two-pass cold/warm split was tried first and INVERTED — the
     // storm hit the warm pass — so the robust estimator, not pass
     // position, is what matters.)
-    val (stressJson, stressSpreadJson) = try {
+    //
+    // STORM REPS ARE MACHINE-TAGGED (VERDICT r13 item 2): each pass
+    // samples CompilationMXBean.getTotalCompilationTime and cumulative GC
+    // time. A pass is a storm when EITHER its JIT delta exceeds
+    // StormJitMs (the fresh-JVM storms measured r13 carried 20 s+
+    // recompile spikes) OR its wall excess over the query's fastest pass
+    // is large and NOT accounted for by GC — the in-session storm
+    // signature measured r14run1: a 35.8 s q55 pass (fastest pass 4.7 s)
+    // carrying only a 4.0 s JIT delta and 3.8 s of GC, i.e. the
+    // re-compile is quick and the cost is the INTERPRETED re-execution of
+    // a deopted partition, which no JVM counter bills directly. The
+    // excess rule (> max(min-wall, 3 s) with GC under half of it) is
+    // deliberately relative: it also catches a host stall, and the
+    // published per-pass wall/jit/gc arrays let a reader attribute each
+    // tagged pass. The published median is the CLEAN-pass median (falling
+    // back to the all-pass median in the no-clean-pass corner), so a
+    // query's round-over-round number no longer swings 3.4→24.9 s (the
+    // measured r13 q55 cross-run range) on whether the ~3% JVM residual
+    // landed in its reps; the storm count stays auditable, not eyeballed.
+    // Known bias, accepted and visible in the spreads: a genuinely
+    // bimodal query (an AQE plan flip) would report its fast mode.
+    val StormJitMs = 5000L
+    val (stressJson, stressSpreadJson, stressStormsJson) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
       graft.util.SparkUtil.buildStress10x(spark, sfDir, sdir.getAbsolutePath)
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcTotalMs: Long = {
+        var s = 0L
+        gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0L))
+        s
+      }
       val entries = stressQueries.flatMap { name =>
-        def onePass(): Double = {
+        def onePass(): (Double, Long, Long) = {
+          val j0 = jit.getTotalCompilationTime
+          val g0 = gcTotalMs
           val t0 = System.nanoTime()
           try SparkEntry.queries(name)(spark, sdir.getAbsolutePath).count()
           catch { case e: Throwable =>
@@ -330,7 +369,8 @@ object Bench {
             System.err.println(s"[bench] stress $name FAILED: ${e.getMessage}")
           }
           spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
-          (System.nanoTime() - t0) / 1e9
+          ((System.nanoTime() - t0) / 1e9,
+            jit.getTotalCompilationTime - j0, gcTotalMs - g0)
         }
         // a failed pass's fast-fail wall must NOT enter the median — a
         // query that errors reports through `errors` only, never as a
@@ -343,9 +383,23 @@ object Bench {
         // further passes for it
         if (errors.contains(s"stress_$name")) None
         else {
-          val times = (first +: Seq.fill(2)(onePass())).sorted
+          val passes = first +: Seq.fill(2)(onePass())
           if (errors.contains(s"stress_$name")) None
-          else Some((name, times(times.size / 2), times.head, times.last))
+          else {
+            val all = passes.map(_._1).sorted
+            val minWall = all.head
+            def isStorm(p: (Double, Long, Long)): Boolean = {
+              val excess = p._1 - minWall
+              p._2 > StormJitMs ||
+                (excess > math.max(minWall, 3.0) && p._3 / 1000.0 < 0.5 * excess)
+            }
+            val clean = passes.filterNot(isStorm).map(_._1).sorted
+            val med =
+              if (clean.nonEmpty) clean(clean.size / 2) else all(all.size / 2)
+            Some((name, med, all.head, all.last,
+              passes.count(isStorm),
+              passes.map(_._1), passes.map(_._2), passes.map(_._3)))
+          }
         }
       }
       def rm(f: java.io.File): Unit = {
@@ -353,14 +407,21 @@ object Bench {
         f.delete()
       }
       rm(sdir)
-      (entries.map { case (n, med, _, _) => "\"" + n + "\":" + med }
+      (entries.map { case (n, med, _, _, _, _, _, _) => "\"" + n + "\":" + med }
         .mkString("{", ",", "}"),
-        entries.map { case (n, _, lo, hi) => "\"" + n + "\":[" + lo + "," + hi + "]" }
-          .mkString("{", ",", "}"))
+        entries.map { case (n, _, lo, hi, _, _, _, _) =>
+          "\"" + n + "\":[" + lo + "," + hi + "]"
+        }.mkString("{", ",", "}"),
+        entries.map { case (n, _, _, _, storms, walls, jits, gcs) =>
+          "\"" + n + "\":{\"storm_reps\":" + storms +
+            ",\"sec\":[" + walls.map(w => f"$w%.3f").mkString(",") + "]" +
+            ",\"jit_ms\":[" + jits.mkString(",") + "]" +
+            ",\"gc_ms\":[" + gcs.mkString(",") + "]}"
+        }.mkString("{", ",", "}"))
     } catch { case e: Throwable =>
       errors("stress10x") = s"${e.getClass.getName}: ${e.getMessage}"
       System.err.println(s"[bench] stress10x FAILED: ${e.getMessage}")
-      ("null", "null")
+      ("null", "null", "null")
     }
 
     // ---- ingest-loop soak (full JSON only) ----
@@ -399,7 +460,7 @@ object Bench {
       .map(l => s"${l.replaceAll("[^A-Za-z0-9._-]", "")}-${System.currentTimeMillis / 1000}")
       .getOrElse(s"t${System.currentTimeMillis / 1000}")
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"soak":$soakJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"stress10x_storms":$stressStormsJson,"soak":$soakJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errJson, stream._1, sfDir,
       annBuildSec)
@@ -488,12 +549,17 @@ object Bench {
           }
         }
       } finally q.stop()
-      def med(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+      // a tiny standalone soak (Probe's soak:1/soak:2) has empty decile
+      // windows; med on an empty Seq threw IndexOutOfBounds (ADVICE r13)
+      // — degrade to JSON null instead of failing the whole section
+      def med(xs: Seq[Double]): Option[Double] =
+        if (xs.isEmpty) None else Some(xs.sorted.apply(xs.size / 2))
+      def orNull(o: Option[Double]): String = o.map(_.toString).getOrElse("null")
       val firstMed = med(wall.slice(2, 12).toSeq)
       val lastMed = med(wall.takeRight(10).toSeq)
       s"""{"triggers":$triggers,"batch_docs":$batchDocs,""" +
         s""""per_trigger":[${wall.map(w => f"$w%.3f").mkString(",")}],""" +
-        s""""first10_med":$firstMed,"last10_med":$lastMed,""" +
+        s""""first10_med":${orNull(firstMed)},"last10_med":${orNull(lastMed)},""" +
         s""""compact_sec":[${compactSec.map(c => f"$c%.3f").mkString(",")}]}"""
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
