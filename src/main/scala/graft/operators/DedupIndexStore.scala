@@ -470,7 +470,10 @@ object DedupIndexStore {
   private def manifestPath(tailPath: String, table: String) =
     new org.apache.hadoop.fs.Path(s"$tailPath/_folded/$table.txt")
 
-  private def readManifest(
+  /** private[operators]: [[AnnIndexStore.compactCodes]] shares the
+    * manifest format (same fence, same pruning discipline) rather than
+    * growing a second, subtly different one. */
+  private[operators] def readManifest(
       spark: SparkSession, tailPath: String, table: String): Set[String] = {
     val p = manifestPath(tailPath, table)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -489,7 +492,7 @@ object DedupIndexStore {
     * `<ns>_bN` can never replay into the tail and its manifest entry is
     * dead weight. Ids that don't parse as `<ns>_b<number>` are kept —
     * correctness over compactness for foreign id schemes. */
-  private def writeManifest(
+  private[operators] def writeManifest(
       spark: SparkSession, tailPath: String, table: String, ids: Set[String]): Unit = {
     val IdForm = "(.*)_b([0-9]+)".r
     val (parsed, opaque) = ids.partition {

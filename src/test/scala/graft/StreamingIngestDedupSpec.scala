@@ -282,6 +282,25 @@ class StreamingIngestDedupSpec extends SparkSpec {
       val stored = AnnIndexStore.loadCodes(spark, codes)
         .select("neighbor_id").collect().map(_.getLong(0)).toSet
       assert(stored == Set(100L, 1L, 5L), s"coded store holds: $stored")
+
+      // MID-STREAM maintenance: fold the per-batch ingest dirs into a
+      // generation (AnnIndexStore.compactCodes) while the query is live —
+      // admitted docs must stay searchable and later batches must keep
+      // appending next to the generation
+      AnnIndexStore.compactCodes(spark, codes)
+      assert(searchTop1(vecs(1)) == 1L,
+        "doc 1 must stay searchable from the folded generation")
+      assert(searchTop1(vecs(5)) == 5L)
+      in.addData((6L, "vacuum analyze planner estimates statistics hints", vecs(6)))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) ==
+        Set((0L, 1L), (1L, 5L), (2L, 6L)))
+      assert(searchTop1(vecs(6)) == 6L,
+        "a post-compaction batch must be searchable from its fresh ingest dir")
+      val storedAfter = AnnIndexStore.loadCodes(spark, codes)
+        .select("neighbor_id").collect().map(_.getLong(0)).toSet
+      assert(storedAfter == Set(100L, 1L, 5L, 6L),
+        s"coded store after fold + append holds: $storedAfter")
     } finally q.stop()
   }
 
