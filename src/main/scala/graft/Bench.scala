@@ -378,12 +378,24 @@ object Bench {
         // LATER pass drops entirely too: its earlier passes are real, but
         // publishing them alongside a stress_<name> error would read as
         // "timed AND failed"; the error is the truthful record.
-        val first = onePass()
+        // One UNTIMED warm pass first: the storms are not a per-pass
+        // lottery but a RECOVERY RAMP — in all four r14 runs the FIRST
+        // q55 pass was the storm (17-36 s, deopted by the preceding
+        // q26/q27 minhash passes sharing the fused hash-agg kernels) and
+        // passes 2-3 ramped back down (measured 26.2 -> 16.7 -> 3.4 s),
+        // while a fresh-JVM diag shows q55@10x STEADY at 3.9-4.6 s after
+        // one warmup rep (BENCH_r14_full `r14diag-q55-standalone`). The
+        // timed passes measure the steady-state scale behavior this
+        // section exists for; the warm pass absorbs the ramp and its
+        // wall is published as warm_sec so the storm price stays visible,
+        // with the composite tagger kept as the backstop for storms that
+        // outlast it.
+        val warm = onePass()
         // a failed query reports once; don't pay (or double-report)
         // further passes for it
         if (errors.contains(s"stress_$name")) None
         else {
-          val passes = first +: Seq.fill(2)(onePass())
+          val passes = Seq.fill(3)(onePass())
           if (errors.contains(s"stress_$name")) None
           else {
             val all = passes.map(_._1).sorted
@@ -397,7 +409,7 @@ object Bench {
             val med =
               if (clean.nonEmpty) clean(clean.size / 2) else all(all.size / 2)
             Some((name, med, all.head, all.last,
-              passes.count(isStorm),
+              passes.count(isStorm), warm._1,
               passes.map(_._1), passes.map(_._2), passes.map(_._3)))
           }
         }
@@ -407,13 +419,14 @@ object Bench {
         f.delete()
       }
       rm(sdir)
-      (entries.map { case (n, med, _, _, _, _, _, _) => "\"" + n + "\":" + med }
+      (entries.map { case (n, med, _, _, _, _, _, _, _) => "\"" + n + "\":" + med }
         .mkString("{", ",", "}"),
-        entries.map { case (n, _, lo, hi, _, _, _, _) =>
+        entries.map { case (n, _, lo, hi, _, _, _, _, _) =>
           "\"" + n + "\":[" + lo + "," + hi + "]"
         }.mkString("{", ",", "}"),
-        entries.map { case (n, _, _, _, storms, walls, jits, gcs) =>
+        entries.map { case (n, _, _, _, storms, warmSec, walls, jits, gcs) =>
           "\"" + n + "\":{\"storm_reps\":" + storms +
+            ",\"warm_sec\":" + f"$warmSec%.3f" +
             ",\"sec\":[" + walls.map(w => f"$w%.3f").mkString(",") + "]" +
             ",\"jit_ms\":[" + jits.mkString(",") + "]" +
             ",\"gc_ms\":[" + gcs.mkString(",") + "]}"

@@ -244,7 +244,14 @@ object StreamOps {
     * (within-batch pairing) + one probe join against stored hashes —
     * the corpus text is never re-read. First-wins semantics: an earlier
     * batch's doc survives, a later near-dup of it is dropped; ties
-    * inside one batch go to the smallest id. */
+    * inside one batch go to the smallest id.
+    *
+    * LIFETIME NOTE: this plain layout accumulates one `ingest=` partition
+    * per batch, so a LONG-RUNNING stream's probe listing grows with
+    * trigger count — use [[streamingIngestDedupBucketed]] (bucketed
+    * standing corpus + compacted tail) for streams that outlive a few
+    * thousand triggers; this loop is the right shape for bounded
+    * backfills and modest stream lifetimes. */
   def streamingIngestDedup(
       docsStream: DataFrame,
       idCol: String,
@@ -631,7 +638,16 @@ object StreamOps {
     * partition), so a crash anywhere in the body replays to the
     * identical index states. The centroids/codebook are the store's
     * trained artifacts, passed in once — appended vectors are coded in
-    * the standing geometry, never retrained per trigger. */
+    * the standing geometry, never retrained per trigger.
+    *
+    * MAINTENANCE: run [[graft.operators.AnnIndexStore.compactCodes]]
+    * periodically (between triggers, like every OPTIMIZE-style job) to
+    * fold the accumulated per-batch code partitions into one generation
+    * dir — search I/O then stays bounded by the compaction cadence, not
+    * the stream's lifetime, and the loop's appends are fold-aware (a
+    * replayed already-folded batch is a no-op append), so compaction is
+    * safe to interleave with the running query. Exercised live in
+    * StreamingIngestDedupSpec's composed-loop test. */
   def streamingIngestDedupWithAnn(
       docsStream: DataFrame,
       idCol: String,
