@@ -38,6 +38,51 @@ object Bench {
     * resolution is below this box's run-to-run noise for everything but
     * the sub-second queries, and those round to the nearest decisecond;
     * full precision lives in bench_out.json / BENCH_r*_full.json. */
+  /** Locale-independent 3-decimal rendering for the full-JSON contract's
+    * per-pass fields (warm_sec, sec[], per_trigger[], compact_sec[]): the
+    * `f` interpolator formats with the JVM DEFAULT locale, so a
+    * comma-decimal host (de_DE) would render `1,234` and break the
+    * driver's JSON parse (ADVICE r14) — same failure mode [[ms]] already
+    * documents for the stdout line. */
+  def j3(x: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(x))
+
+  /** Published estimate for a storm-tagged multi-pass section: the LOWER
+    * median of the clean (untagged) passes, falling back to all passes
+    * when the tagger rejected every rep. Lower — not upper — on even
+    * counts (VERDICT r14 item 3): with 3 reps and 1 tagged storm,
+    * `clean(size/2)` picked the LARGER of the 2 clean passes, so a
+    * single storm still swung the published number to the worse clean
+    * pass (r14run5 q27: published 6.71 s against clean passes of
+    * 4.11/6.71) — re-introducing the pessimistic wobble the tagger was
+    * built to remove. Odd counts are the true middle either way. */
+  def cleanMedian(clean: Seq[Double], all: Seq[Double]): Double = {
+    val xs = (if (clean.nonEmpty) clean else all).sorted
+    xs((xs.size - 1) / 2)
+  }
+
+  /** JIT-delta threshold for the composite storm tagger (VERDICT r13
+    * item 2): the fresh-JVM storms measured r13 carried 20 s+ recompile
+    * spikes, steady-state reps a few hundred ms — 5 s separates them with
+    * margin on both sides. */
+  val StormJitMs = 5000L
+
+  /** Composite storm rule shared by the stress and stream sections: a
+    * pass is a storm when EITHER its JIT delta exceeds [[StormJitMs]] OR
+    * its wall excess over the section's fastest pass is large and NOT
+    * accounted for by GC — the in-session deopt signature measured
+    * r14run1 (a 35.8 s pass over a 4.7 s floor carrying only 4.0 s JIT +
+    * 3.8 s GC: the recompile is quick and the cost is INTERPRETED
+    * re-execution of a deopted partition, which no JVM counter bills
+    * directly). The excess rule is deliberately relative so it also
+    * catches a host stall; the published per-pass wall/jit/gc arrays let
+    * a reader attribute each tagged pass. */
+  def isStormPass(wall: Double, jitMs: Long, gcMs: Long, minWall: Double): Boolean = {
+    val excess = wall - minWall
+    jitMs > StormJitMs ||
+      (excess > math.max(minWall, 3.0) && gcMs / 1000.0 < 0.5 * excess)
+  }
+
   def msSlim(x: Double): String =
     if (x < 10.0)
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(x))
@@ -246,28 +291,64 @@ object Bench {
         ("six_windows_union", graft.operators.TickOps.defaultWindows, 40000, "multi"),
         ("six_windows_two_phase", graft.operators.TickOps.defaultWindows, 40000, "two_phase"))
       // INTERLEAVED like the batch section: a machine stall poisons one
-      // rep of each config, not 2/3 reps of one config's median
+      // rep of each config, not 2/3 reps of one config's median.
+      // STORM-TAGGED like the stress section (VERDICT r14 item 5): each
+      // rep brackets JIT/GC deltas and the published median is the
+      // clean-rep lower median, with per-rep wall/jit/gc arrays + storm
+      // count in the full JSON so the committed stream numbers carry the
+      // same attribution story as the stress passes.
       val rowsBy = scala.collection.mutable.Map[String, Long]()
-      val timesBy = (cfgs.map(_._1) :+ "kafka_roundtrip")
-        .map(_ -> Array.fill(StreamReps)(0.0)).toMap
+      val allCfgs = cfgs.map(_._1) :+ "kafka_roundtrip"
+      val timesBy = allCfgs.map(_ -> Array.fill(StreamReps)(0.0)).toMap
+      val jitBy = allCfgs.map(_ -> Array.fill(StreamReps)(0L)).toMap
+      val gcBy = allCfgs.map(_ -> Array.fill(StreamReps)(0L)).toMap
+      val jitBean = java.lang.management.ManagementFactory.getCompilationMXBean
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcTotalMs: Long = {
+        var s = 0L
+        gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0L))
+        s
+      }
       (0 until StreamReps).foreach { rep =>
         cfgs.foreach { case (name, ws, cap, topology) =>
+          val j0 = jitBean.getTotalCompilationTime
+          val g0 = gcTotalMs
           val t0 = System.nanoTime()
           rowsBy(name) = streamThroughput(spark, sfDir, ws, cap, topology)
           timesBy(name)(rep) = (System.nanoTime() - t0) / 1e9
+          jitBy(name)(rep) = jitBean.getTotalCompilationTime - j0
+          gcBy(name)(rep) = gcTotalMs - g0
         }
         // the executed-Kafka path: source offsets + sink publish through
         // the fakekafka DSv2 double, single-window stats in between.
         // kafkaRoundtrip times ONLY its streaming section — the frame
-        // render/publish prep is setup, not the measured path
+        // render/publish prep is setup, not the measured path. The
+        // jit/gc deltas bracket the WHOLE call (prep included): a storm
+        // landing in prep tags the rep conservatively — its wall still
+        // never enters the clean median, and the arrays show why.
+        val j0 = jitBean.getTotalCompilationTime
+        val g0 = gcTotalMs
         val (rtRows, rtSec) = kafkaRoundtrip(spark, sfDir, 20000)
         rowsBy("kafka_roundtrip") = rtRows
         timesBy("kafka_roundtrip")(rep) = rtSec
+        jitBy("kafka_roundtrip")(rep) = jitBean.getTotalCompilationTime - j0
+        gcBy("kafka_roundtrip")(rep) = gcTotalMs - g0
       }
-      val allCfgs = cfgs.map(_._1) :+ "kafka_roundtrip"
-      def wrap(nameOf: String => String)(render: (Long, Seq[Double]) => String) =
+      def stormsOf(name: String): IndexedSeq[Boolean] = {
+        val walls = timesBy(name)
+        val minWall = walls.min
+        (0 until StreamReps).map(i =>
+          isStormPass(walls(i), jitBy(name)(i), gcBy(name)(i), minWall))
+      }
+      def medOf(name: String): Double = {
+        val storms = stormsOf(name)
+        val walls = timesBy(name).toSeq
+        cleanMedian(
+          walls.zip(storms).collect { case (w, false) => w }, walls)
+      }
+      def wrap(nameOf: String => String)(render: (String, Long, Double) => String) =
         allCfgs.map { name =>
-          "\"" + nameOf(name) + "\":" + render(rowsBy(name), timesBy(name).sorted.toSeq)
+          "\"" + nameOf(name) + "\":" + render(name, rowsBy(name), medOf(name))
         }.mkString("{", ",", "}")
       // slim uses abbreviated section/field names (sw/swu/swtp/krt,
       // r/s/rps) — the registry's growth eats the driver-tail budget and
@@ -276,15 +357,18 @@ object Bench {
       val slimStreamName = Map(
         "single_window" -> "sw", "six_windows_union" -> "swu",
         "six_windows_two_phase" -> "swtp", "kafka_roundtrip" -> "krt")
-      val slim = wrap(slimStreamName) { (rows, times) =>
-        val med = times(StreamReps / 2)
+      val slim = wrap(slimStreamName) { (_, rows, med) =>
         val rps = String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / med))
         s"""{"r":$rows,"s":${msSlim(med)},"rps":$rps}"""
       }
-      val full = wrap(identity) { (rows, times) =>
-        val med = times(StreamReps / 2)
-        s"""{"input_rows":$rows,"sec":$med,"rows_per_sec":${rows / med},""" +
-          s""""spread":[${times.head},${times.last}]}"""
+      val full = wrap(identity) { (name, rows, med) =>
+        val walls = timesBy(name).toSeq
+        s"""{"input_rows":$rows,"sec":${j3(med)},"rows_per_sec":${(rows / med).toLong},""" +
+          s""""spread":[${j3(walls.min)},${j3(walls.max)}],""" +
+          s""""storm_reps":${stormsOf(name).count(identity)},""" +
+          s""""wall":[${walls.map(j3).mkString(",")}],""" +
+          s""""jit_ms":[${jitBy(name).mkString(",")}],""" +
+          s""""gc_ms":[${gcBy(name).mkString(",")}]}"""
       }
       (slim, full)
     } catch { case e: Throwable =>
@@ -327,27 +411,17 @@ object Bench {
     // storm hit the warm pass — so the robust estimator, not pass
     // position, is what matters.)
     //
-    // STORM REPS ARE MACHINE-TAGGED (VERDICT r13 item 2): each pass
-    // samples CompilationMXBean.getTotalCompilationTime and cumulative GC
-    // time. A pass is a storm when EITHER its JIT delta exceeds
-    // StormJitMs (the fresh-JVM storms measured r13 carried 20 s+
-    // recompile spikes) OR its wall excess over the query's fastest pass
-    // is large and NOT accounted for by GC — the in-session storm
-    // signature measured r14run1: a 35.8 s q55 pass (fastest pass 4.7 s)
-    // carrying only a 4.0 s JIT delta and 3.8 s of GC, i.e. the
-    // re-compile is quick and the cost is the INTERPRETED re-execution of
-    // a deopted partition, which no JVM counter bills directly. The
-    // excess rule (> max(min-wall, 3 s) with GC under half of it) is
-    // deliberately relative: it also catches a host stall, and the
-    // published per-pass wall/jit/gc arrays let a reader attribute each
-    // tagged pass. The published median is the CLEAN-pass median (falling
-    // back to the all-pass median in the no-clean-pass corner), so a
-    // query's round-over-round number no longer swings 3.4→24.9 s (the
-    // measured r13 q55 cross-run range) on whether the ~3% JVM residual
-    // landed in its reps; the storm count stays auditable, not eyeballed.
+    // STORM REPS ARE MACHINE-TAGGED (VERDICT r13 item 2) via the shared
+    // [[isStormPass]] composite rule — each pass samples
+    // CompilationMXBean.getTotalCompilationTime and cumulative GC time.
+    // The published median is the CLEAN-pass median ([[cleanMedian]]:
+    // lower middle on even counts, all-pass fallback in the
+    // no-clean-pass corner), so a query's round-over-round number no
+    // longer swings 3.4→24.9 s (the measured r13 q55 cross-run range) on
+    // whether the ~3% JVM residual landed in its reps; the storm count
+    // stays auditable, not eyeballed.
     // Known bias, accepted and visible in the spreads: a genuinely
     // bimodal query (an AQE plan flip) would report its fast mode.
-    val StormJitMs = 5000L
     val (stressJson, stressSpreadJson, stressStormsJson) = try {
       val sdir = java.nio.file.Files.createTempDirectory("graft-stress10x").toFile
       graft.util.SparkUtil.buildStress10x(spark, sfDir, sdir.getAbsolutePath)
@@ -400,14 +474,10 @@ object Bench {
           else {
             val all = passes.map(_._1).sorted
             val minWall = all.head
-            def isStorm(p: (Double, Long, Long)): Boolean = {
-              val excess = p._1 - minWall
-              p._2 > StormJitMs ||
-                (excess > math.max(minWall, 3.0) && p._3 / 1000.0 < 0.5 * excess)
-            }
-            val clean = passes.filterNot(isStorm).map(_._1).sorted
-            val med =
-              if (clean.nonEmpty) clean(clean.size / 2) else all(all.size / 2)
+            def isStorm(p: (Double, Long, Long)): Boolean =
+              isStormPass(p._1, p._2, p._3, minWall)
+            val clean = passes.filterNot(isStorm).map(_._1)
+            val med = cleanMedian(clean, all)
             Some((name, med, all.head, all.last,
               passes.count(isStorm), warm._1,
               passes.map(_._1), passes.map(_._2), passes.map(_._3)))
@@ -426,8 +496,8 @@ object Bench {
         }.mkString("{", ",", "}"),
         entries.map { case (n, _, _, _, storms, warmSec, walls, jits, gcs) =>
           "\"" + n + "\":{\"storm_reps\":" + storms +
-            ",\"warm_sec\":" + f"$warmSec%.3f" +
-            ",\"sec\":[" + walls.map(w => f"$w%.3f").mkString(",") + "]" +
+            ",\"warm_sec\":" + j3(warmSec) +
+            ",\"sec\":[" + walls.map(j3).mkString(",") + "]" +
             ",\"jit_ms\":[" + jits.mkString(",") + "]" +
             ",\"gc_ms\":[" + gcs.mkString(",") + "]}"
         }.mkString("{", ",", "}"))
@@ -571,9 +641,9 @@ object Bench {
       val firstMed = med(wall.slice(2, 12).toSeq)
       val lastMed = med(wall.takeRight(10).toSeq)
       s"""{"triggers":$triggers,"batch_docs":$batchDocs,""" +
-        s""""per_trigger":[${wall.map(w => f"$w%.3f").mkString(",")}],""" +
+        s""""per_trigger":[${wall.map(j3).mkString(",")}],""" +
         s""""first10_med":${orNull(firstMed)},"last10_med":${orNull(lastMed)},""" +
-        s""""compact_sec":[${compactSec.map(c => f"$c%.3f").mkString(",")}]}"""
+        s""""compact_sec":[${compactSec.map(j3).mkString(",")}]}"""
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       Seq("bands", "shingles", "meta").foreach(t =>

@@ -213,7 +213,18 @@ object AnnIndexStore {
     val gens = listIngests().filter(_.startsWith("gen-"))
     val sources = listIngests()
       .filterNot(id => id == "base" || id.startsWith("gen-"))
-    if (sources.isEmpty) return
+    if (sources.isEmpty) {
+      // empty sources with a lingering fence = a prior run crashed
+      // between its final source delete and the fence delete (the
+      // manifest was already committed — deletes happen after it).
+      // Recovery is complete at this point (partial gens dropped, no
+      // sources left to fold), so clear the fence here: otherwise every
+      // subsequent call re-enters recovery and pays the full generation
+      // src-lineage scan until a run with fresh sources completes —
+      // indefinitely, if the stream is stopped
+      if (fs.exists(inflight)) fs.delete(inflight, false)
+      return
+    }
     val folded: Set[String] =
       if (!recover) manifest
       else if (gens.isEmpty) Set.empty

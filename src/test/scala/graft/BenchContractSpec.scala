@@ -54,6 +54,46 @@ class BenchContractSpec extends AnyFunSuite {
     assert(sec > 0.0, "streaming section must be timed")
   }
 
+  test("cleanMedian takes the fast-side middle on even clean counts") {
+    // VERDICT r14 item 3: with 3 reps and 1 tagged storm, the old
+    // `clean(size/2)` picked the LARGER of the 2 clean passes — one
+    // storm still swung the published number to the worse clean pass
+    // (r14run5 q27: published 6.71 s against clean 4.11/6.71). The rule
+    // is the LOWER median: even counts take the fast-side middle.
+    assert(Bench.cleanMedian(Seq(6.71, 4.11), Seq(4.11, 6.71, 24.3)) == 4.11)
+    // odd counts are the true middle either way
+    assert(Bench.cleanMedian(Seq(3.0, 1.0, 2.0), Seq(1.0, 2.0, 3.0)) == 2.0)
+    // no clean pass: fall back to the all-pass lower median
+    assert(Bench.cleanMedian(Nil, Seq(9.0, 7.0, 8.0, 6.0)) == 7.0)
+    // single clean pass is itself
+    assert(Bench.cleanMedian(Seq(5.5), Seq(5.5, 30.0, 31.0)) == 5.5)
+  }
+
+  test("j3 JSON number rendering is locale-independent") {
+    // ADVICE r14: the full-JSON per-pass arrays rendered through the `f`
+    // interpolator, which uses the JVM default locale — a comma-decimal
+    // host emitted `1,234` and broke the driver's JSON parse
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      assert(Bench.j3(1.2345) == "1.234" || Bench.j3(1.2345) == "1.235")
+      assert(!Bench.j3(1.2345).contains(","))
+      assert(Bench.j3(0.5) == "0.500")
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("isStormPass tags the measured storm signatures and nothing else") {
+    // the fresh-JVM recompile spike: JIT delta alone tags it
+    assert(Bench.isStormPass(wall = 24.3, jitMs = 21000, gcMs = 500, minWall = 4.0))
+    // the in-session deopt (r14run1 q55): big excess, small JIT, GC
+    // under half the excess
+    assert(Bench.isStormPass(wall = 35.8, jitMs = 4000, gcMs = 3800, minWall = 4.7))
+    // a GC-bound slow pass is NOT a storm — the cost is attributed
+    assert(!Bench.isStormPass(wall = 12.0, jitMs = 100, gcMs = 7000, minWall = 4.0))
+    // ordinary jitter is not a storm
+    assert(!Bench.isStormPass(wall = 4.6, jitMs = 300, gcMs = 200, minWall = 4.0))
+  }
+
   test("ms renderer emits valid minimal JSON numbers") {
     assert(Bench.ms(0.0) == "0")
     assert(Bench.ms(1.0) == "1")

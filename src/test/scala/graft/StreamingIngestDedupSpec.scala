@@ -682,6 +682,126 @@ class StreamingIngestDedupSpec extends SparkSpec {
       "the foreign partition must stay untouched")
   }
 
+  test("un-drained bare-id upgrade fails loudly when a compaction folded the tail (hybrid)") {
+    // VERDICT r14 item 2 / ADVICE r14: the bare-id guard's tail-directory
+    // check has a SECOND home to cover on the hybrid layout — a
+    // maintenance compactTail that ran between the pre-upgrade crash and
+    // the upgraded restart folds the bare in-flight partition into the
+    // STANDING bucketed table (lineage intact, tail directory gone). The
+    // tail-only guard then passed, the replay self-matched, and the
+    // idempotent sink overwrote the batch with zero rows — the exact
+    // silent-loss mode the guard exists to kill, plausible wherever
+    // compaction runs on a cron. The guard must find the folded copy
+    // through the fold manifest (bare ids never parse as <ns>_b<N>, so
+    // manifest pruning keeps them forever) and abort with the same drain
+    // instruction; a FOREIGN folded bare-id lineage (another
+    // incarnation's committed batch, different doc ids) must pass through
+    // as ordinary corpus.
+    val data = Seq(
+      (1L, freshText),
+      (3L, corpusText + " phi"),
+      (5L, otherText))
+    def messages(t: Throwable): Seq[String] =
+      Iterator.iterate(t)(_.getCause).takeWhile(_ != null).toSeq
+        .map(e => Option(e.getMessage).getOrElse(""))
+    def setupFolded(tag: String, bareRows: org.apache.spark.sql.DataFrame): String = {
+      val tail = java.nio.file.Files.createTempDirectory(s"graft_sid_fold_$tag").toString
+      DedupIndexStore.buildBucketed(
+        Seq((100L, corpusText)).toDF("doc_id", "text"),
+        "doc_id", "text", s"sidfold_${tag}_idx", 4, k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
+      DedupIndexStore.append(bareRows, "doc_id", "text", tail, "b0")
+      DedupIndexStore.compactTail(spark, s"sidfold_${tag}_idx", tail, 4)
+      assert(!new java.io.File(s"$tail/bands").exists,
+        "the fold must have cleared the tail (the guard's directory check passes)")
+      tail
+    }
+    def runStream(tag: String, tail: String): (Either[Throwable, Unit], Set[(Long, Long)]) = {
+      val in = MemoryStream[(Long, String)](spark)
+      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      val ckpt = java.nio.file.Files
+        .createTempDirectory(s"graft_sid_fold_${tag}_ckpt").toFile
+      ckpt.deleteOnExit()
+      val q = StreamOps.streamingIngestDedupBucketed(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        s"sidfold_${tag}_idx", tail, ckpt.getAbsolutePath,
+        (df, bid) => admitted.synchronized {
+          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+        },
+        threshold = 0.2)
+      val outcome =
+        try { in.addData(data: _*); q.processAllAvailable(); Right(()) }
+        catch { case e: Throwable => Left(e) }
+        finally q.stop()
+      (outcome, admitted.synchronized(admitted.toSet))
+    }
+    try {
+      // VIOLATION: the pre-namespace attempt appended its admitted subset
+      // of THIS data under bare b0, crashed before the commit, and a
+      // cron'd compaction folded the tail before the upgraded restart
+      val first = Seq((1L, freshText), (5L, otherText)).toDF("doc_id", "text")
+      val tailV = setupFolded("v", first)
+      val (outcomeV, admittedV) = runStream("v", tailV)
+      val err = outcomeV.swap.getOrElse(fail(
+        "un-drained bare-id replay against a FOLDED copy must fail loudly"))
+      assert(messages(err).exists(m =>
+        m.contains("quiesced") && m.contains("pre-namespace") &&
+          m.contains("compaction")),
+        s"failure must carry the drain instruction and name the fold, " +
+          s"got: ${messages(err)}")
+      assert(admittedV.isEmpty, s"no admission may land: $admittedV")
+      // the folded rows are untouched corpus — still probe-able
+      val survivors = DedupIndexStore.probeBucketed(
+        spark, Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
+        "doc_id", "text", "sidfold_v_idx", threshold = 0.2)
+        .select("id_corpus").collect().map(_.getLong(0)).toSet
+      assert(survivors == Set(5L),
+        s"the folded rows must survive the abort: $survivors")
+
+      // FALSE-POSITIVE CONTROL: a foreign incarnation's committed bare b0
+      // folded into the standing table with DIFFERENT doc ids — the
+      // stream must run clean and treat the folded lineage as corpus
+      // (doc 5 near-dups foreign doc 50 and drops; doc 1 admits)
+      val tailF = setupFolded("f",
+        Seq((50L, otherText + " legacy")).toDF("doc_id", "text"))
+      val (outcomeF, admittedF) = runStream("f", tailF)
+      assert(outcomeF.isRight,
+        s"foreign folded bare-id lineage must not trip the guard: $outcomeF")
+      assert(admittedF == Set((0L, 1L)),
+        s"foreign folded lineage must dedup normally: $admittedF")
+    } finally {
+      Seq("v", "f").foreach(tag =>
+        Seq("bands", "shingles", "meta").foreach(t =>
+          spark.sql(s"DROP TABLE IF EXISTS sidfold_${tag}_idx_$t")))
+    }
+  }
+
+  test("RETIRE IN ROUND 17: legacyIngestIds is exactly the one 8-hex spelling") {
+    // The retirement checklist as a failing-if-forgotten marker, not
+    // prose (VERDICT r14 item 4). In ROUND 17, delete — mechanically, by
+    // grepping `legacyIngestIds`:
+    //   1. StreamOps.legacyIngestIds and every call site (the `legacy`
+    //      vals and the post-commit DedupIndexStore.dropIngest /
+    //      AnnIndexStore.dropIngest retirement calls in
+    //      streamingIngestDedup, streamingIngestDedupBucketed, and
+    //      streamingIngestDedupWithAnn),
+    //   2. THIS test,
+    //   3. the "excluding a never-written ingest id is free" pin below,
+    //   4. the "in-flight upgrade ... replays convergently" /
+    //      "survives a pre-restart compaction" upgrade-era specs.
+    // This test EXISTING in round 17's diff review = the retirement was
+    // missed; the exclusion list growing past one entry = someone added
+    // a new legacy spelling without a schedule — both are the failure
+    // modes this pin exists to make loud.
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_sid_retire").toString
+    val ids = StreamOps.legacyIngestIds(ckpt, 7L)
+    val ns8 = StreamOps.ingestNs(ckpt).take(8)
+    assert(ids == Seq(s"${ns8}_b7"),
+      s"legacyIngestIds must be exactly the scheduled 8-hex spelling " +
+        s"(retires round 17), got: $ids")
+  }
+
   test("excluding a never-written ingest id is free and changes nothing") {
     // pins the legacyIngestIds retirement contract (VERDICT r13 item 5):
     // until the 8-hex spelling is removed (round 17), excluding an id
