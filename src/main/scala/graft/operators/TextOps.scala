@@ -198,4 +198,164 @@ object TextOps {
         size(col("chunk_toks")).as("n_tok"),
         array_join(col("chunk_toks"), " ").as("chunk"))
   }
+
+  /** One step of the [[htmlTextSteps]] / [[unicodeCanonSteps]] chains:
+    * either a portable-regex replace (no lookaround, no backreferences,
+    * inline flags only — the Java-regex ∩ RE2 subset every pattern in
+    * this file lives in) or a literal replace. The chain IS the operator
+    * spec: both the Spark Column pipeline and the DuckDB oracle SQL are
+    * FOLDED from the same step list ([[chainColumn]]/[[chainSql]]), so
+    * the two engines execute the same sequence by construction and
+    * hash-exact replay can never drift from the implementation. */
+  sealed trait ChainStep
+  final case class Rx(pattern: String, replacement: String) extends ChainStep
+  final case class Lit(from: String, to: String) extends ChainStep
+
+  def chainColumn(steps: Seq[ChainStep], c: Column): Column =
+    steps.foldLeft(c) {
+      case (e, Rx(p, r)) => regexp_replace(e, p, r)
+      case (e, Lit(f, t)) => replace(e, lit(f), lit(t))
+    }
+
+  /** The identical chain as DuckDB SQL over expression text `e`.
+    * Replacements render as literals except newline (DuckDB standard
+    * strings don't process escapes — `chr(10)` is the portable spelling);
+    * DuckDB `regexp_replace` needs the explicit 'g' flag to match
+    * Spark's replace-all default. */
+  def chainSql(steps: Seq[ChainStep], e: String): String = {
+    def q(s: String) = "'" + s.replace("'", "''") + "'"
+    def rep(s: String) = if (s == "\n") "chr(10)" else q(s)
+    steps.foldLeft(e) {
+      case (acc, Rx(p, r)) => s"regexp_replace($acc, ${q(p)}, ${rep(r)}, 'g')"
+      case (acc, Lit(f, t)) => s"replace($acc, ${q(f)}, ${rep(t)})"
+    }
+  }
+
+  /** Raw-web text extraction (VERDICT r14 item 1) — the first operator
+    * every real pretraining pipeline runs: a 100 TB web corpus arrives
+    * as HTML, and everything downstream in this file (the q44
+    * keep-filter, the q54 chunker, the dedup shinglers) assumes clean
+    * text. Deterministic codepoint-level rules, expressed as a
+    * sequential replace chain so the DuckDB oracle replays it exactly
+    * (see [[ChainStep]]); no JDK HTML parser, no engine Unicode tables.
+    *
+    * The contract, in chain order:
+    *  - comments and script/style ELEMENTS die with their content; an
+    *    unclosed opener swallows to end of input (HTML5 treats an
+    *    unterminated raw-text element the same way);
+    *  - every other complete tag is markup: block-level tags become a
+    *    newline (block segmentation), the rest a space (so `a<b>c`
+    *    never word-joins); a `<` never closed by a `>` is literal text;
+    *  - the deterministic entity subset decodes AFTER tag removal
+    *    (entity-encoded markup is content, not markup): the five XML
+    *    named entities + nbsp, and their decimal spellings. The
+    *    ampersand-PRODUCING decodes (`&#38;` `&amp;`) run LAST so their
+    *    output is never re-scanned as an entity opener — sequential-
+    *    replace semantics, deliberately, because both engines implement
+    *    exactly that. Other entities (named Latin-1, hex numerics) stay
+    *    literal: decoding them needs character tables this repo bans
+    *    for cross-engine bit-exactness;
+    *  - whitespace discipline: horizontal runs collapse to one space,
+    *    newline runs (with flanking spaces) to one newline, ends
+    *    trimmed — the output is trimmed block-per-line text.
+    *
+    * Cost shape: ~20 codegen'd linear passes per row (regexp_replace /
+    * replace built-ins — no UDF, no CodegenFallback), shuffle-free,
+    * embarrassingly parallel: the scrubbing-pass shape that holds at
+    * 100 TB. A single-scan custom kernel would halve the constant but
+    * could not be replayed by any SQL oracle; the chain is the spec. */
+  val htmlTextSteps: Seq[ChainStep] = Seq(
+    Rx("(?s)<!--.*?-->", " "),
+    Rx("(?s)<!--.*", " "),
+    Rx("(?is)<script\\b[^>]*>.*?</script[^>]*>", " "),
+    Rx("(?is)<script\\b[^>]*>.*", " "),
+    Rx("(?is)<style\\b[^>]*>.*?</style[^>]*>", " "),
+    Rx("(?is)<style\\b[^>]*>.*", " "),
+    Rx("(?is)</?(p|div|br|hr|li|ul|ol|dl|dt|dd|h[1-6]|tr|td|th|table|thead" +
+      "|tbody|blockquote|pre|section|article|aside|header|footer|nav|form" +
+      "|figure|figcaption|main|title)\\b[^>]*>", "\n"),
+    Rx("(?s)<[^>]*>", " "),
+    Lit("&lt;", "<"), Lit("&#60;", "<"),
+    Lit("&gt;", ">"), Lit("&#62;", ">"),
+    Lit("&quot;", "\""), Lit("&#34;", "\""),
+    Lit("&apos;", "'"), Lit("&#39;", "'"),
+    Lit("&nbsp;", " "), Lit("&#160;", " "),
+    Lit("&#38;", "&"), Lit("&amp;", "&"),
+    Rx("[ \\t\\r\\f\\x0B]+", " "),
+    Rx(" ?\\n[\\n ]*", "\n"),
+    Rx("^[\\n ]+", ""),
+    Rx("[\\n ]+$", ""))
+
+  def htmlText(html: Column): Column = chainColumn(htmlTextSteps, html)
+
+  /** [[htmlText]] as DuckDB SQL over expression text `e` — generated
+    * from the same step list, for the q186 oracle. */
+  def htmlTextSql(e: String): String = chainSql(htmlTextSteps, e)
+
+  /** Unicode canonicalization subset (VERDICT r14 item 6) for the
+    * canonical-dedup path: NFC composition for the deterministic
+    * Latin-1 combining-mark pairs plus a confusable map for the
+    * high-confidence Cyrillic/Greek homoglyphs — the dedup family
+    * (script-level near-dups: Cyrillic `а` vs Latin `a`) that
+    * case/punct folding alone cannot see. TABLE-DRIVEN, never
+    * `java.text.Normalizer`: engine Unicode tables drift across JDKs
+    * and don't exist in DuckDB, and an explicit codepoint map in the
+    * repo is replayable bit-for-bit in both engines (same [[ChainStep]]
+    * discipline as [[htmlText]]).
+    *
+    * Order matters and is part of the spec: combining pairs compose
+    * FIRST (so `а` + U+0301 would first become the precomposed form if
+    * mapped), then precomposed homoglyphs fold to their Latin targets.
+    * The tables are deliberately small and high-precision — confusable
+    * folding trades a tiny false-merge risk for catching deliberate
+    * homoglyph spam, so only visually-identical-in-every-font pairs are
+    * listed. */
+  val unicodeCanonSteps: Seq[ChainStep] = {
+    // NFC subset: ASCII base + combining acute(0301)/grave(0300)/
+    // diaeresis(0308)/tilde(0303)/cedilla(0327) -> the precomposed
+    // Latin-1 codepoint. Explicit \\u escapes, NEVER raw source chars:
+    // any tool that NFC-normalizes this file would silently compose the
+    // decomposed left-hand sides and the whole table would no-op.
+    val combining = Seq(
+      "a\u0301" -> "\u00e1", "e\u0301" -> "\u00e9",
+      "i\u0301" -> "\u00ed", "o\u0301" -> "\u00f3",
+      "u\u0301" -> "\u00fa", "a\u0300" -> "\u00e0",
+      "e\u0300" -> "\u00e8", "a\u0308" -> "\u00e4",
+      "o\u0308" -> "\u00f6", "u\u0308" -> "\u00fc",
+      "n\u0303" -> "\u00f1", "a\u0303" -> "\u00e3",
+      "o\u0303" -> "\u00f5", "c\u0327" -> "\u00e7",
+      "A\u0301" -> "\u00c1", "E\u0301" -> "\u00c9",
+      "O\u0301" -> "\u00d3", "U\u0308" -> "\u00dc",
+      "N\u0303" -> "\u00d1", "C\u0327" -> "\u00c7")
+    // Confusables: Cyrillic (04xx) and Greek (03xx) codepoints whose
+    // reference glyph is indistinguishable from the Latin target in
+    // standard fonts (Unicode TR39 intentional-confusable class,
+    // spelled out here rather than read from any table file).
+    val confusable = Seq(
+      "\u0430" -> "a", "\u0435" -> "e",
+      "\u043e" -> "o", "\u0440" -> "p",
+      "\u0441" -> "c", "\u0443" -> "y",
+      "\u0445" -> "x", "\u0456" -> "i",
+      "\u0455" -> "s", "\u0458" -> "j",
+      "\u0410" -> "A", "\u0412" -> "B",
+      "\u0415" -> "E", "\u041a" -> "K",
+      "\u041c" -> "M", "\u041d" -> "H",
+      "\u041e" -> "O", "\u0420" -> "P",
+      "\u0421" -> "C", "\u0422" -> "T",
+      "\u0425" -> "X", "\u03bf" -> "o",
+      "\u039f" -> "O", "\u0391" -> "A",
+      "\u0392" -> "B", "\u0395" -> "E",
+      "\u0397" -> "H", "\u039a" -> "K",
+      "\u039c" -> "M", "\u039d" -> "N",
+      "\u03a1" -> "P", "\u03a4" -> "T",
+      "\u03a7" -> "X")
+    (combining ++ confusable).map { case (f, t) => Lit(f, t) }
+  }
+
+  def canonicalizeUnicode(text: Column): Column =
+    chainColumn(unicodeCanonSteps, text)
+
+  /** [[canonicalizeUnicode]] as DuckDB SQL — for the q187 oracle. */
+  def canonicalizeUnicodeSql(e: String): String =
+    chainSql(unicodeCanonSteps, e)
 }

@@ -17,6 +17,51 @@ object TextQueries {
 
   private val stopIn = TextOps.stopwords.map(w => s"'$w'").mkString("(", ", ", ")")
 
+  /** q186's synthesized-markup template, shared verbatim by the Spark
+    * query and the DuckDB oracle (Left = literal markup, Right = a
+    * documents column spliced in as text): head noise that must die
+    * (title tag, style, script whose body contains `<`, `&&` and a
+    * quoted string), a comment, block + inline body tags, every entity
+    * the [[TextOps.htmlTextSteps]] subset decodes, entity-ENCODED markup
+    * that must stay literal text, an unclosed inline element, and a
+    * trailing unclosed script that swallows to end of input. One shared
+    * structure ⇒ the two engines strip byte-identical inputs. */
+  private val htmlParts: Seq[Either[String, String]] = Seq(
+    Left("<!DOCTYPE html><html lang=\"en\"><head><title>Doc "),
+    Right("doc_id"),
+    Left(" :: corpus</title><style type=\"text/css\">body { margin: 0 }" +
+      "</style><script>var docId = "),
+    Right("doc_id"),
+    Left("; track(docId && docId < 9, \"x>y\");</script></head>" +
+      "<body><!-- begin doc "),
+    Right("doc_id"),
+    Left(" --><h1 class=\"hd\">Doc &quot;"),
+    Right("doc_id"),
+    Left("&quot;</h1><p>"),
+    Right("text"),
+    Left("</p><div id=\"meta\">source &#38; lang: "),
+    Right("source"),
+    Left(" / "),
+    Right("lang"),
+    Left("</div><ul><li>chars: "),
+    Right("n_chars"),
+    Left("&nbsp;total</li><li>tail &lt;b&gt;marked&#39;up&lt;/b&gt;" +
+      "</li></ul><p>unclosed <em>emphasis</body></html><script>leak()"))
+
+  private def htmlMarkupSql: String =
+    htmlParts.map {
+      case Left(s) => "'" + s.replace("'", "''") + "'"
+      case Right(c) => s"CAST($c AS VARCHAR)"
+    }.mkString(" || ")
+
+  /** q187's homoglyph alphabet: Latin chars and the Cyrillic codepoints
+    * [[TextOps.unicodeCanonSteps]]'s confusable table folds back —
+    * `translate` over these pairs manufactures the script-level
+    * near-dup. Explicit \u escapes (same rationale as the table). */
+  private val homoglyphLatin = "aeopcyx"
+  private val homoglyphCyrillic =
+    "\u0430\u0435\u043e\u0440\u0441\u0443\u0445"
+
   // q96 Count-Min parameters: the bucket family is the md5-hex-prefix
   // value mod width, seeded by appending "#<row>" — pure string/hash
   // expressions DuckDB replays verbatim (same trick as q93's sample
@@ -1455,6 +1500,55 @@ object TextQueries {
           sum(coalesce(col("can_dup"), lit(0))).as("canon_dup_docs"))
     }),
 
+    // Raw-web text extraction (VERDICT r14 item 1): markup is
+    // synthesized DETERMINISTICALLY from the documents fixture (the
+    // [[htmlParts]] template — title/style/script/comment head, block
+    // and inline body tags, the entity subset, an unclosed element, a
+    // trailing unclosed script), then [[TextOps.htmlText]] strips it.
+    // Both the template and the strip chain render into the DuckDB
+    // oracle from the same data structures, so the hash-exact compare
+    // covers the full pipeline: tag/script/style/comment removal, block
+    // segmentation, entity decode order, whitespace discipline. Per-row
+    // codegen'd replace chain — shuffle-free, linear in bytes, the
+    // 100 TB scrubbing-pass shape.
+    "q186_html_extract" -> ((s, dir) => {
+      val markup = concat(htmlParts.map {
+        case Left(s0) => lit(s0)
+        case Right(c) => col(c).cast("string")
+      }: _*)
+      table(s, dir, "documents")
+        .select(col("doc_id"), TextOps.htmlText(markup).as("x"))
+        .select(col("doc_id"),
+          md5(col("x")).as("extracted_md5"),
+          length(col("x")).as("x_chars"),
+          TextOps.tokenCount(col("x")).as("x_tokens"))
+    }),
+
+    // Homoglyph-canonical dedup (VERDICT r14 item 6): the dedup family
+    // case/punct folding cannot see — script-level near-dups (Cyrillic
+    // `а` for Latin `a`) and NFC-form splits (decomposed a+U+0301 vs
+    // precomposed á). Four deterministic variants per document: the
+    // original, a Cyrillic-homoglyph copy, a precomposed-accent copy,
+    // and its decomposed spelling. Raw md5s are 4·docs distinct;
+    // [[TextOps.canonicalizeUnicode]] must collapse them 2:1 (original
+    // ≡ homoglyph, precomposed ≡ decomposed) — the per-source distinct
+    // counts pin exactly that, hash-exact against the same table-driven
+    // chain in DuckDB.
+    "q187_homoglyph_dedup" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(array(
+            col("text"),
+            translate(col("text"), homoglyphLatin, homoglyphCyrillic),
+            replace(col("text"), lit("a"), lit("\u00e1")),
+            replace(col("text"), lit("a"), lit("a\u0301")))).as("vtext"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(md5(col("vtext"))).as("raw_distinct"),
+          countDistinct(md5(TextOps.canonicalizeUnicode(col("vtext"))))
+            .as("canon_distinct"))
+    }),
+
     // Pareto FRONTIER (skyline) per source: docs not dominated on the
     // (shorter, more alphabetic) preference pair — the multi-objective
     // selection query class (preference/skyline queries), distinct from
@@ -2692,6 +2786,37 @@ object TextQueries {
         |FROM d LEFT JOIN rd ON d.raw_h = rd.raw_h
         |       LEFT JOIN cd ON d.can_h = cd.can_h
         |GROUP BY d.source""".stripMargin,
+
+    // the markup template AND the strip chain are generated from the
+    // same Scala structures the Spark query folds over
+    // (htmlParts / TextOps.htmlTextSteps) — symmetry by construction
+    "q186_html_extract" ->
+      s"""WITH m AS (SELECT doc_id, $htmlMarkupSql AS markup FROM documents),
+         |x AS (SELECT doc_id, ${TextOps.htmlTextSql("markup")} AS x FROM m)
+         |SELECT doc_id, md5(x) AS extracted_md5,
+         |  CAST(length(x) AS INT) AS x_chars,
+         |  CAST(CASE WHEN length(trim(x)) = 0 THEN 0
+         |       ELSE len(string_split_regex(trim(x), '\\s+')) END AS INT)
+         |    AS x_tokens
+         |FROM x""".stripMargin,
+
+    // chr(769) = U+0301 combining acute — the decomposed spelling; the
+    // canonicalization chain is generated from TextOps.unicodeCanonSteps
+    "q187_homoglyph_dedup" ->
+      s"""WITH v AS (
+         |  SELECT source, text AS vtext FROM documents
+         |  UNION ALL SELECT source,
+         |    translate(text, '$homoglyphLatin', '$homoglyphCyrillic')
+         |    FROM documents
+         |  UNION ALL SELECT source, replace(text, 'a', 'á')
+         |    FROM documents
+         |  UNION ALL SELECT source, replace(text, 'a', 'a' || chr(769))
+         |    FROM documents)
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_rows,
+         |  CAST(COUNT(DISTINCT md5(vtext)) AS BIGINT) AS raw_distinct,
+         |  CAST(COUNT(DISTINCT md5(${TextOps.canonicalizeUnicodeSql("vtext")}))
+         |    AS BIGINT) AS canon_distinct
+         |FROM v GROUP BY source""".stripMargin,
 
     // Same sort-scan skyline: strict running-max dominance over the
     // identical (n_chars, alpha_ppm DESC, doc_id) order.

@@ -28,6 +28,34 @@ class DedupSpec extends SparkSpec {
     assert(out(3L) == (1, false)) // unique text → rank 1
   }
 
+  test("exactDuplicates composed with canonicalizeUnicode catches planted homoglyphs") {
+    // VERDICT r14 item 6: the dedup family case/punct folding cannot see
+    // - a homoglyph-spam copy (Cyrillic lookalikes) and an NFC-form
+    // split (decomposed accents) of the same document. Raw exact dedup
+    // misses both; routing the text through canonicalizeUnicode first
+    // makes them exact duplicates of the original, while a genuinely
+    // different document stays unique.
+    import graft.operators.TextOps
+    val planted = Seq(
+      (1L, base),
+      // Cyrillic \u0430/\u043e for a/o - pixel-identical, byte-different
+      (2L, base.replace('a', '\u0430').replace('o', '\u043e')),
+      // decomposed accent spelling of an accented copy vs its NFC form
+      (3L, base + " caf\u00e9"),
+      (4L, base + " cafe\u0301"),
+      (5L, "totally different text about spark catalyst optimizer rules")
+    ).toDF("doc_id", "text")
+    val raw = Dedup.exactDuplicates(planted, "doc_id", "text")
+      .filter(col("is_duplicate")).count()
+    assert(raw == 0L, s"byte-level dedup must MISS all planted variants, flagged $raw")
+    val canon = planted.select(col("doc_id"),
+      TextOps.canonicalizeUnicode(col("text")).as("text"))
+    val out = Dedup.exactDuplicates(canon, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(out == Map(1L -> false, 2L -> true, 3L -> false, 4L -> true, 5L -> false),
+      s"canonical dedup must keep the lowest id of each homoglyph cluster: $out")
+  }
+
   test("minhashPairs: planted near-dups found, unrelated absent") {
     val pairs = Dedup.minhashPairs(corpus, "doc_id", "text",
       k = 3, numHashes = 32, bands = 16, threshold = 0.5)

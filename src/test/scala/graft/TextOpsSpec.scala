@@ -129,4 +129,84 @@ class TextOpsSpec extends SparkSpec {
     assert(HashKernels.hamming64(hs(0), hs(1)) <= 12)
     assert(HashKernels.hamming64(hs(0), hs(2)) > 12)
   }
+  private def extract(html: String): String = {
+    import spark.implicits._
+    Seq(html).toDF("h").select(TextOps.htmlText(col("h"))).as[String].collect().head
+  }
+
+  test("htmlText: tags strip, blocks segment, inline tags space-join") {
+    assert(extract("<html><body><h1>Title</h1><p>one <b>two</b> three</p>" +
+      "<div>four</div></body></html>") == "Title\none two three\nfour")
+    // inline tag replacement is a SPACE, never a word-join
+    assert(extract("a<b>c</b>d") == "a c d")
+    // attribute-bearing and uppercase tags strip the same way
+    assert(extract("<P CLASS=\"lead\" data-x='1'>para</P>") == "para")
+  }
+
+  test("htmlText: script/style/comment bodies are dropped, closed or not") {
+    assert(extract("<script>var x = \"<p>leak</p>\";</script>kept") == "kept")
+    assert(extract("<style>p { color: red }</style>kept") == "kept")
+    assert(extract("<!-- secret -->kept") == "kept")
+    // unclosed raw-text elements swallow to end of input (HTML5 rule)
+    assert(extract("kept<script>leak() forever") == "kept")
+    assert(extract("kept<style>p{") == "kept")
+    assert(extract("kept<!-- dangling") == "kept")
+    // case-insensitive, attribute-bearing openers
+    assert(extract("<SCRIPT type=\"text/javascript\">leak</SCRIPT>kept") == "kept")
+  }
+
+  test("htmlText: entity subset decodes after tag removal; others stay literal") {
+    // entity-encoded markup is CONTENT, not markup
+    assert(extract("<p>&lt;b&gt;not a tag&lt;/b&gt;</p>") == "<b>not a tag</b>")
+    assert(extract("a &amp; b &#38; c") == "a & b & c")
+    assert(extract("&quot;q&quot; &#39;a&#39; x&nbsp;y") == "\"q\" 'a' x y")
+    // amp-producing decodes run LAST: their output is never re-scanned
+    assert(extract("&amp;lt;") == "&lt;")
+    // outside the deterministic subset -> literal (needs engine tables)
+    assert(extract("caf&eacute; &#x41;") == "caf&eacute; &#x41;")
+  }
+
+  test("htmlText: nested/unclosed tags and degenerate '<'-only text") {
+    // unclosed inline element: the open tag strips, text survives
+    assert(extract("<p>unclosed <em>emphasis</p>") == "unclosed emphasis")
+    // a '<' never closed by '>' is literal text
+    assert(extract("price < 100") == "price < 100")
+    assert(extract("trailing <") == "trailing <")
+    // a '<' WITH a later '>' is consumed as one (garbage) tag - the
+    // documented chain semantics: deterministic, replayable, and the
+    // price of no speculative parser
+    assert(extract("a < b > c") == "a c")
+    // nested blocks collapse to clean block-per-line output
+    assert(extract("<div><ul><li> one </li><li>two</li></ul></div>") ==
+      "one\ntwo")
+  }
+
+  test("htmlText: whitespace discipline") {
+    assert(extract("  a\t\tb\r\n<p>  c  </p>\n\n") == "a b\nc")
+    assert(extract("<br><br><br>") == "")
+    assert(extract("") == "")
+    assert(extract("   \t  ") == "")
+  }
+
+  test("canonicalizeUnicode: NFC subset composes, homoglyphs fold") {
+    import spark.implicits._
+    def canon(s: String): String =
+      Seq(s).toDF("t").select(TextOps.canonicalizeUnicode(col("t")))
+        .as[String].collect().head
+    // decomposed base+combining composes to the precomposed codepoint
+    assert(canon("cafe\u0301") == "caf\u00e9")
+    assert(canon("man\u0303ana") == "ma\u00f1ana")
+    assert(canon("u\u0308ber U\u0308BER") == "\u00fcber \u00dcBER")
+    // Cyrillic homoglyphs fold to Latin (the planted near-dup family)
+    assert(canon("p\u0430yp\u0430l") == "paypal")
+    assert(canon("\u0421\u043epy") == "Copy")
+    // Greek omicron folds; genuinely distinct Greek (lambda) does not
+    assert(canon("l\u03bfg") == "log")
+    assert(canon("\u03bb") == "\u03bb")
+    // ASCII is a fixed point
+    assert(canon("plain ascii 123") == "plain ascii 123")
+    // composition runs BEFORE confusable folding (chain order is spec):
+    // a decomposed homoglyph pair stays composed, not half-folded
+    assert(canon("a\u0301 \u0430") == "\u00e1 a")
+  }
 }
