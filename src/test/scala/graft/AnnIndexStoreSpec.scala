@@ -234,6 +234,19 @@ class AnnIndexStoreSpec extends SparkSpec {
         "recovery must delete the already-folded source dir")
       assert(!new java.io.File(s"$path/ingest=gen-3").exists,
         "recovery must not mint a new generation for already-folded rows")
+
+      // CRASH SHAPE 3 — killed between the FINAL source delete and the
+      // fence delete: sources gone, manifest committed, fence behind.
+      // Recovery has nothing to do, so the next call must CLEAR the
+      // stale fence instead of leaving every subsequent maintenance run
+      // re-entering recovery and paying the full generation src-lineage
+      // scan until fresh sources arrive (ADVICE r14).
+      new java.io.File(s"$path/_folded/_inflight").createNewFile()
+      AnnIndexStore.compactCodes(spark, path)
+      assert(!new java.io.File(s"$path/_folded/_inflight").exists,
+        "an empty-sources run must clear the stale fence, not persist it")
+      assert(AnnIndexStore.loadCodes(spark, path).count() == total3,
+        "the fence-clearing no-op run must not touch any rows")
     } finally rmrf(dir)
   }
 
