@@ -54,6 +54,12 @@ object TextQueries {
       case Right(c) => s"CAST($c AS VARCHAR)"
     }.mkString(" || ")
 
+  private def htmlMarkupCol: org.apache.spark.sql.Column =
+    concat(htmlParts.map {
+      case Left(s) => lit(s)
+      case Right(c) => col(c).cast("string")
+    }: _*)
+
   /** q187's homoglyph alphabet: Latin chars and the Cyrillic codepoints
     * [[TextOps.unicodeCanonSteps]]'s confusable table folds back —
     * `translate` over these pairs manufactures the script-level
@@ -1512,16 +1518,35 @@ object TextQueries {
     // codegen'd replace chain — shuffle-free, linear in bytes, the
     // 100 TB scrubbing-pass shape.
     "q186_html_extract" -> ((s, dir) => {
-      val markup = concat(htmlParts.map {
-        case Left(s0) => lit(s0)
-        case Right(c) => col(c).cast("string")
-      }: _*)
       table(s, dir, "documents")
-        .select(col("doc_id"), TextOps.htmlText(markup).as("x"))
+        .select(col("doc_id"), TextOps.htmlText(htmlMarkupCol).as("x"))
         .select(col("doc_id"),
           md5(col("x")).as("extracted_md5"),
           length(col("x")).as("x_chars"),
           TextOps.tokenCount(col("x")).as("x_tokens"))
+    }),
+
+    // The composed WEB-CORPUS INGEST shape: raw markup → htmlText →
+    // quality gate on the EXTRACTED text → integer mass accounting per
+    // source — q186's operator in its production position, upstream of
+    // the same keep-filter family as q44. The gate compares a fixed IEEE
+    // quality tree per row (the q22 formula, already bit-exact cross-
+    // engine) and both thresholds split the fixture non-trivially
+    // (measured ~230/500 above quality, ~329/500 above the token floor);
+    // only integers aggregate, so the output hash-matches exactly. One
+    // shuffle total (the final source rollup) — everything upstream is
+    // per-row codegen.
+    "q188_web_pipeline" -> ((s, dir) => {
+      table(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextOps.htmlText(htmlMarkupCol).as("x"))
+        .select(col("source"),
+          TextOps.qualityScore(col("x")).as("quality"),
+          TextOps.tokenCount(col("x")).as("n_tokens"))
+        .filter(col("quality") > 0.55 && col("n_tokens") >= 60)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("kept_docs"),
+          sum(col("n_tokens").cast("long")).as("token_mass"))
     }),
 
     // Homoglyph-canonical dedup (VERDICT r14 item 6): the dedup family
@@ -2799,6 +2824,31 @@ object TextQueries {
          |       ELSE len(string_split_regex(trim(x), '\\s+')) END AS INT)
          |    AS x_tokens
          |FROM x""".stripMargin,
+
+    // the q22 quality formula replayed over the EXTRACTED text; only
+    // integers aggregate past the per-row IEEE gate
+    "q188_web_pipeline" ->
+      s"""WITH m AS (SELECT doc_id, source, $htmlMarkupSql AS markup
+         |           FROM documents),
+         |x AS (SELECT doc_id, source, ${TextOps.htmlTextSql("markup")} AS x
+         |      FROM m),
+         |t AS (SELECT doc_id, source,
+         |    CASE WHEN length(trim(x)) = 0 THEN 0
+         |         ELSE len(string_split_regex(trim(lower(x)), '\\s+')) END AS n,
+         |    len(list_distinct(string_split_regex(trim(lower(x)), '\\s+'))) AS nd,
+         |    len(list_filter(string_split_regex(trim(lower(x)), '\\s+'),
+         |        w -> w IN $stopIn)) AS stop
+         |  FROM x),
+         |q AS (SELECT source, n,
+         |    CASE WHEN n = 0 THEN 0.0 ELSE
+         |      0.4 * least(1.0, n / 100.0) +
+         |      0.3 * (nd / CAST(n AS DOUBLE)) +
+         |      0.3 * least(1.0, 5.0 * stop / CAST(n AS DOUBLE)) END AS quality
+         |  FROM t)
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS kept_docs,
+         |  CAST(SUM(n) AS BIGINT) AS token_mass
+         |FROM q WHERE quality > 0.55 AND n >= 60
+         |GROUP BY source""".stripMargin,
 
     // chr(769) = U+0301 combining acute — the decomposed spelling; the
     // canonicalization chain is generated from TextOps.unicodeCanonSteps
