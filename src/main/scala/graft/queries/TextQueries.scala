@@ -1537,7 +1537,11 @@ object TextQueries {
     // shuffle total (the final source rollup) — everything upstream is
     // per-row codegen.
     "q188_web_pipeline" -> ((s, dir) => {
-      table(s, dir, "documents")
+      // fanOutForCpu like q44/q55: the extract+score chain is CPU-bound
+      // per-row work, and a single-file fixture scan would otherwise run
+      // it on one core (production multi-split scans make this a no-op —
+      // both directions pinned by FanOutSpec)
+      graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("source"),
           TextOps.htmlText(htmlMarkupCol).as("x"))
         .select(col("source"),

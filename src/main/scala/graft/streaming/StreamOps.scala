@@ -415,7 +415,13 @@ object StreamOps {
     * [[graft.operators.DedupIndexStore.mayHoldFoldedIngest]] — a
     * small-file read + at most one catalog lookup — gates the one
     * lineage scan, which is paid only when a bare `b<batchId>` fold
-    * demonstrably may exist.
+    * demonstrably may exist. The one state that pays the scan WITHOUT a
+    * recorded fold is an empty manifest in front of a table with fold
+    * history (a recreated tail discarded its manifest — the absence
+    * proves nothing); that window lasts until the next
+    * [[graft.operators.DedupIndexStore.compactTail]] audit-bootstraps
+    * the manifest back to ground truth, and a healthy lifecycle never
+    * enters it (compaction deletes tail DIRS, never `_folded/`).
     *
     * Steady-state cost: one directory-existence check per trigger (plus
     * the manifest read on the hybrid path); the partition is read (a
