@@ -303,9 +303,9 @@ object TextOps {
     * repo is replayable bit-for-bit in both engines (same [[ChainStep]]
     * discipline as [[htmlText]]).
     *
-    * Order matters and is part of the spec: combining pairs compose
-    * FIRST (so `а` + U+0301 would first become the precomposed form if
-    * mapped), then precomposed homoglyphs fold to their Latin targets.
+    * Order matters and is part of the spec: confusables fold FIRST,
+    * then combining pairs compose — so a homoglyph base under a
+    * combining mark canonicalizes fully (see the step-list comment).
     * The tables are deliberately small and high-precision — confusable
     * folding trades a tiny false-merge risk for catching deliberate
     * homoglyph spam, so only visually-identical-in-every-font pairs are
@@ -349,7 +349,16 @@ object TextOps {
       "\u039c" -> "M", "\u039d" -> "N",
       "\u03a1" -> "P", "\u03a4" -> "T",
       "\u03a7" -> "X")
-    (combining ++ confusable).map { case (f, t) => Lit(f, t) }
+    // CONFUSABLES FOLD FIRST, composition second: folding maps foreign
+    // bases to ASCII, which is exactly what the combining table's
+    // left-hand sides start with — so a homoglyph base under a combining
+    // mark (Cyrillic \u0430 + U+0301) folds to `a` + U+0301 and THEN
+    // composes to \u00e1, fully canonical in one pass. The reverse order
+    // left that compound half-canonicalized (the composition step had
+    // already run when the fold produced its ASCII base). No combining
+    // left-hand side contains a confusable codepoint, so folding first
+    // can only create compose opportunities, never destroy them.
+    (confusable ++ combining).map { case (f, t) => Lit(f, t) }
   }
 
   def canonicalizeUnicode(text: Column): Column =

@@ -101,4 +101,70 @@ class PropertySpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(again.forall { case (id, c) => lm(id) == c })
   }
+
+  /** Independent driver-side evaluator for the TextOps replace chains
+    * (java.util.regex directly, no Catalyst) - the cross-check that the
+    * Column fold executes the step lists it claims to. */
+  private def refChain(steps: Seq[graft.operators.TextOps.ChainStep], s: String): String =
+    steps.foldLeft(s) {
+      case (acc, graft.operators.TextOps.Rx(p, r)) =>
+        java.util.regex.Pattern.compile(p).matcher(acc).replaceAll(r)
+      case (acc, graft.operators.TextOps.Lit(f, t)) => acc.replace(f, t)
+    }
+
+  test("htmlText: column chain == driver-side reference on random markup soup; invariants hold") {
+    import graft.operators.TextOps
+    val token: Gen[String] = Gen.frequency(
+      6 -> Gen.choose(1, 5).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      2 -> Gen.oneOf(" ", "  ", "\t", "\n", "\r\n", " \n "),
+      3 -> Gen.oneOf("<", ">", "</", "<p>", "</p>", "<div class=\"x\">", "<br>",
+        "<script>", "</script>", "<style>", "</style>", "<!--", "-->", "<em>",
+        "<SCRIPT t=1>", "</SCRIPT>", "<h2>", "</li>", "<pre >",
+        "&amp;", "&lt;", "&gt;", "&#39;", "&#38;", "&nbsp;", "&bogus;", "&#x41;",
+        "&", ";", "&amp;lt;"))
+    val html: Gen[String] =
+      Gen.choose(0, 40).flatMap(n => Gen.listOfN(n, token).map(_.mkString))
+    val inputs = samples(html, 250)
+    val got = inputs.toDF("h")
+      .select(TextOps.htmlText(col("h"))).as[String].collect()
+    inputs.zip(got).foreach { case (in, out) =>
+      val ref = refChain(TextOps.htmlTextSteps, in)
+      assert(out == ref,
+        s"column chain diverged from the step-list reference\n in=${in.replace("\n", "\\n")}\nout=${out.replace("\n", "\\n")}\nref=${ref.replace("\n", "\\n")}")
+      // whitespace discipline invariants: only spaces and newlines
+      // survive, never doubled, never at the ends; extraction only shrinks
+      assert(!out.exists(c => c == '\t' || c == '\r' || c == '\f' || c == 0x0B.toChar), s"raw ws in: $out")
+      assert(!out.contains("  "), s"double space in: $out")
+      assert(out.isEmpty || (!" \n".contains(out.head) && !" \n".contains(out.last)), s"untrimmed: '$out'")
+      assert(out.length <= in.length, s"extraction grew the text: '$in' -> '$out'")
+    }
+  }
+
+  test("canonicalizeUnicode: column chain == reference on random homoglyph soup; idempotent") {
+    import graft.operators.TextOps
+    val token: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaChar.map(_.toString),
+      3 -> Gen.oneOf("\u0430", "\u043e", "\u0440", "\u0421", "\u041e", "\u03bf", "\u039f"),
+      2 -> Gen.oneOf("\u0301", "\u0300", "\u0308", "\u0303", "\u0327"),
+      2 -> Gen.oneOf("a\u0301", "e\u0300", "u\u0308", "n\u0303", "\u0430\u0301", "\u00e1"),
+      1 -> Gen.const(" "))
+    val text: Gen[String] =
+      Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, token).map(_.mkString))
+    val inputs = samples(text, 250)
+    val got = inputs.toDF("t")
+      .select(TextOps.canonicalizeUnicode(col("t"))).as[String].collect()
+    inputs.zip(got).foreach { case (in, out) =>
+      val ref = refChain(TextOps.unicodeCanonSteps, in)
+      assert(out == ref, s"column chain diverged from reference: in=$in out=$out ref=$ref")
+      // fold-then-compose makes the chain IDEMPOTENT: folds emit ASCII,
+      // composition output (precomposed Latin-1) matches no left-hand
+      // side, and every mapped decomposed pair is gone after one pass -
+      // the stability a dedup canonical form requires
+      assert(refChain(TextOps.unicodeCanonSteps, out) == out, s"not idempotent: $in -> $out")
+      // confusable targets and composed forms only: no mapped Cyrillic/
+      // Greek codepoint survives
+      assert(!out.exists(c => (c >= 0x0400 && c <= 0x045f) || c == 0x03bf || c == 0x039f),
+        s"mapped homoglyph survived: $out")
+    }
+  }
 }

@@ -205,8 +205,14 @@ class TextOpsSpec extends SparkSpec {
     assert(canon("\u03bb") == "\u03bb")
     // ASCII is a fixed point
     assert(canon("plain ascii 123") == "plain ascii 123")
-    // composition runs BEFORE confusable folding (chain order is spec):
-    // a decomposed homoglyph pair stays composed, not half-folded
+    // confusables fold BEFORE composition (chain order is spec): a
+    // homoglyph base under a combining mark folds to the ASCII base and
+    // THEN composes - fully canonical in one pass
     assert(canon("a\u0301 \u0430") == "\u00e1 a")
+    assert(canon("\u0430\u0301") == "\u00e1")
+    // the fold-then-compose pipeline works mid-word; a combining mark
+    // over an unmapped base (y+0301) stays decomposed
+    assert(canon("p\u0430\u0301y") == "p\u00e1y")
+    assert(canon("y\u0301") == "y\u0301")
   }
 }
