@@ -53,6 +53,22 @@ class PlanShapeSpec extends SparkSpec {
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
 
+  test("the text replace chains plan inside whole-stage codegen") {
+    // htmlText/canonicalizeUnicode are regexp_replace/replace built-in
+    // folds precisely so a 100 TB scrubbing pass stays codegen'd (the
+    // scaladoc's cost-shape claim); this pins that the ~20-step chain
+    // doesn't trip codegen size limits into interpreted eval. q186 is
+    // exchange-free, so the executed plan shows the final codegen marks
+    // without AQE re-planning.
+    val plan = SparkEntry.queries("q186_html_extract")(spark, sf())
+      .queryExecution.executedPlan.toString
+    val chainLines = plan.linesIterator
+      .filter(l => l.contains("Project") && l.contains("regexp_replace")).toSeq
+    assert(chainLines.nonEmpty, s"expected the chain projection in:\n$plan")
+    assert(chainLines.forall(_.contains("*(")),
+      s"chain projection fell out of whole-stage codegen:\n$plan")
+  }
+
   test("q03 two-phase fan-out keeps its pinned repartition width under AQE") {
     // commit 450ebf3: AQE coalesces the tiny phase-1 partials to 1-2
     // partitions, and the fused 360-offset explode inherits that width —
