@@ -776,6 +776,54 @@ class StreamingIngestDedupSpec extends SparkSpec {
     }
   }
 
+  test("web-ingest composition: markup stream -> htmlText -> dedup admission") {
+    // the production ingestion topology for a web corpus: documents
+    // arrive as raw HTML, extraction runs INSIDE the streaming plan
+    // (htmlText is a fold of codegen'd built-ins - nothing stateful, so
+    // it streams), and admission dedups on the EXTRACTED text. Two
+    // differently-marked-up copies of the same content (different tags,
+    // entity spellings, whitespace) must collapse to one admission;
+    // byte-level dedup on the raw markup could never see that.
+    import graft.operators.TextOps
+    val idx = java.nio.file.Files.createTempDirectory("graft_sid_web").toString
+    DedupIndexStore.build(
+      Seq((100L, corpusText)).toDF("doc_id", "text"),
+      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
+    val in = MemoryStream[(Long, String)](spark)
+    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_web_ckpt").toFile
+    ckpt.deleteOnExit()
+    import org.apache.spark.sql.functions.col
+    val docs = in.toDF().toDF("doc_id", "markup")
+      .select(col("doc_id"), TextOps.htmlText(col("markup")).as("text"))
+    val q = StreamOps.streamingIngestDedup(
+      docs, "doc_id", "text", idx, ckpt.getAbsolutePath,
+      (df, bid) => admitted.synchronized {
+        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
+      },
+      threshold = 0.2)
+    try {
+      // doc 1 and doc 2 carry the SAME extracted content under different
+      // markup; doc 3 is the corpus text wrapped in tags (index hit)
+      in.addData(
+        (1L, s"<html><body><p>$freshText</p></body></html>"),
+        (2L, s"<DIV CLASS='wrap'>  $freshText  </DIV><!-- tracked -->"),
+        (3L, s"<article><h1>copy</h1><p>$corpusText phi</p></article>"))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L)),
+        s"batch 0: one admission for two markups of one text: ${admitted.toSet}")
+      // batch 1: an entity-encoded near-dup of doc 1's content must drop
+      // against the index (the admitted doc was indexed by its EXTRACTED
+      // text); a genuinely new doc admits
+      in.addData(
+        (4L, s"<p>$freshText &amp; more</p>"),
+        (5L, s"<p>$otherText</p>"))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (1L, 5L)),
+        s"batch 1 admissions: ${admitted.toSet}")
+    } finally q.stop()
+  }
+
   test("RETIRE IN ROUND 17: legacyIngestIds is exactly the one 8-hex spelling") {
     // The retirement checklist as a failing-if-forgotten marker, not
     // prose (VERDICT r14 item 4). In ROUND 17, delete — mechanically, by
