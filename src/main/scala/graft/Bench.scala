@@ -321,18 +321,15 @@ object Bench {
         }
         // the executed-Kafka path: source offsets + sink publish through
         // the fakekafka DSv2 double, single-window stats in between.
-        // kafkaRoundtrip times ONLY its streaming section — the frame
-        // render/publish prep is setup, not the measured path. The
-        // jit/gc deltas bracket the WHOLE call (prep included): a storm
-        // landing in prep tags the rep conservatively — its wall still
-        // never enters the clean median, and the arrays show why.
-        val j0 = jitBean.getTotalCompilationTime
-        val g0 = gcTotalMs
-        val (rtRows, rtSec) = kafkaRoundtrip(spark, sfDir, 20000)
+        // kafkaRoundtrip times ONLY its streaming section and brackets
+        // its jit/gc deltas around that SAME region — whole-call
+        // bracketing let prep GC exceed half an in-section storm's
+        // excess and un-tag it (see kafkaRoundtrip's scaladoc)
+        val (rtRows, rtSec, rtJit, rtGc) = kafkaRoundtrip(spark, sfDir, 20000)
         rowsBy("kafka_roundtrip") = rtRows
         timesBy("kafka_roundtrip")(rep) = rtSec
-        jitBy("kafka_roundtrip")(rep) = jitBean.getTotalCompilationTime - j0
-        gcBy("kafka_roundtrip")(rep) = gcTotalMs - g0
+        jitBy("kafka_roundtrip")(rep) = rtJit
+        gcBy("kafka_roundtrip")(rep) = rtGc
       }
       def stormsOf(name: String): IndexedSeq[Boolean] = {
         val walls = timesBy(name)
@@ -659,7 +656,15 @@ object Bench {
     * windowed aggregation single_window measures from files. Returns
     * (rows, seconds) where the clock covers ONLY the streaming query —
     * frame rendering and broker publish are setup, not the measurement. */
-  private[graft] def kafkaRoundtrip(spark: SparkSession, sfDir: String, cap: Int): (Long, Double) = {
+  /** Returns (input rows, measured-section seconds, JIT delta ms, GC
+    * delta ms) — the JVM deltas bracket EXACTLY the timed streaming
+    * section, so the storm tagger judges the same region the published
+    * wall covers. Bracketing the whole call instead let heavy GC in the
+    * untimed frame-render prep exceed half of a genuine in-section deopt
+    * storm's excess and UN-tag it (the excess rule reads "not explained
+    * by GC"), putting the storm wall into the clean median. */
+  private[graft] def kafkaRoundtrip(
+      spark: SparkSession, sfDir: String, cap: Int): (Long, Double, Long, Long) = {
     import org.apache.spark.sql.functions._
     val inTopic = s"bench-rt-in-${System.nanoTime()}"
     val outTopic = s"bench-rt-out-${System.nanoTime()}"
@@ -682,6 +687,8 @@ object Bench {
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     var streamSec = 0.0
+    var jitDelta = 0L
+    var gcDelta = 0L
     try {
       val raw = graft.streaming.KafkaIO.source(
         spark, "bench:9092", inTopic, "earliest", "fakekafka")
@@ -689,6 +696,15 @@ object Bench {
         graft.operators.TickOps.parseTicks(raw)
           .withWatermark("event_time", "10 seconds"),
         graft.operators.TickOps.defaultWindows.take(1))
+      val jit = java.lang.management.ManagementFactory.getCompilationMXBean
+      val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      def gcTotalMs: Long = {
+        var s = 0L
+        gcBeans.forEach(b => s += math.max(b.getCollectionTime, 0L))
+        s
+      }
+      val j0 = jit.getTotalCompilationTime
+      val g0 = gcTotalMs
       val t0 = System.nanoTime()
       val q = graft.streaming.KafkaIO.sink(
         graft.operators.TickOps.toKafkaJson(stats,
@@ -698,6 +714,8 @@ object Bench {
       q.processAllAvailable()
       q.stop()
       streamSec = (System.nanoTime() - t0) / 1e9
+      jitDelta = jit.getTotalCompilationTime - j0
+      gcDelta = gcTotalMs - g0
     } finally {
       spark.conf.set("spark.sql.shuffle.partitions", prevParts)
       graft.streaming.fake.FakeBroker.deleteTopic(inTopic)
@@ -708,7 +726,7 @@ object Bench {
       }
       rm(ckpt)
     }
-    (frames.length.toLong, streamSec)
+    (frames.length.toLong, streamSec, jitDelta, gcDelta)
   }
 
   private def streamThroughput(

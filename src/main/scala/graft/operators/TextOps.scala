@@ -249,10 +249,11 @@ object TextOps {
     *  - the deterministic entity subset decodes AFTER tag removal
     *    (entity-encoded markup is content, not markup): the five XML
     *    named entities + nbsp, and their decimal spellings. The
-    *    ampersand-PRODUCING decodes (`&#38;` `&amp;`) run LAST so their
-    *    output is never re-scanned as an entity opener — sequential-
-    *    replace semantics, deliberately, because both engines implement
-    *    exactly that. Other entities (named Latin-1, hex numerics) stay
+    *    ampersand-PRODUCING decodes (`&#38;` `&amp;`) run LAST and as
+    *    ONE global regex pass, so their output is never re-scanned as an
+    *    entity opener — `&#38;amp;` decodes to `&amp;`, not `&` (a global
+    *    replace never re-reads its own replacement, in Java and RE2
+    *    alike). Other entities (named Latin-1, hex numerics) stay
     *    literal: decoding them needs character tables this repo bans
     *    for cross-engine bit-exactness;
     *  - whitespace discipline: horizontal runs collapse to one space,
@@ -280,7 +281,11 @@ object TextOps {
     Lit("&quot;", "\""), Lit("&#34;", "\""),
     Lit("&apos;", "'"), Lit("&#39;", "'"),
     Lit("&nbsp;", " "), Lit("&#160;", " "),
-    Lit("&#38;", "&"), Lit("&amp;", "&"),
+    // ONE global pass for both ampersand spellings, not two Lit steps: a
+    // global regex never re-scans its own replacement (Java and RE2
+    // alike), so `&#38;amp;` decodes to `&amp;` — two sequential
+    // replaces would re-read the first step's `&` and double-decode
+    Rx("&(amp|#38);", "&"),
     Rx("[ \\t\\r\\f\\x0B]+", " "),
     Rx(" ?\\n[\\n ]*", "\n"),
     Rx("^[\\n ]+", ""),

@@ -2862,7 +2862,7 @@ object TextQueries {
          |  UNION ALL SELECT source,
          |    translate(text, '$homoglyphLatin', '$homoglyphCyrillic')
          |    FROM documents
-         |  UNION ALL SELECT source, replace(text, 'a', 'á')
+         |  UNION ALL SELECT source, replace(text, 'a', chr(225))
          |    FROM documents
          |  UNION ALL SELECT source, replace(text, 'a', 'a' || chr(769))
          |    FROM documents)

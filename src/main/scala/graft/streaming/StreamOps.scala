@@ -423,6 +423,21 @@ object StreamOps {
     * the manifest back to ground truth, and a healthy lifecycle never
     * enters it (compaction deletes tail DIRS, never `_folded/`).
     *
+    * Known costs of the folded-copy check, accepted until the bare-id
+    * era retires: (a) an index whose pre-namespace batches b0..bK were
+    * folded pays one lineage scan per batch number ≤ K per incarnation
+    * (the manifest keeps bare ids forever); (b) unlike the tail
+    * signature — which the next compaction retires — a folded lineage
+    * is PERMANENT, so the acknowledged false-positive coincidence (a
+    * fresh-checkpoint reprocess whose batch N ids superset a committed
+    * folded bare bN) would abort forever; the abort message therefore
+    * carries an explicit operator escape hatch — create the marker file
+    * `<tail>/_folded/guard_allow_b<N>` after verifying the folded rows
+    * are committed corpus. A marker, NOT a manifest edit: the fold
+    * manifest is compaction's bookkeeping (an audit would re-add the
+    * id, and deleting the only entry would leave the empty-manifest +
+    * fold-history state that re-triggers the scan anyway).
+    *
     * Steady-state cost: one directory-existence check per trigger (plus
     * the manifest read on the hybrid path); the partition is read (a
     * pruned, partition-local scan) only when a bare `b<batchId>`
@@ -439,7 +454,7 @@ object StreamOps {
       val nonEmpty = part.limit(1).count() == 1
       nonEmpty && part.join(own, Seq("doc_id"), "left_anti").limit(1).count() == 0
     }
-    def abort(where: String): Nothing =
+    def abort(where: String, untangle: String): Nothing =
       throw new IllegalStateException(
         s"pre-namespace in-flight replay detected: $where holds a subset " +
           s"of the replaying batch $batchId's own doc ids — this stream " +
@@ -449,16 +464,24 @@ object StreamOps {
           "Required upgrade path (quiesced drain): roll back to the " +
           "pre-namespace build, restart the stream, stop it cleanly " +
           "AFTER this batch commits, then upgrade — every bare-id " +
-          "partition is then ordinary corpus.")
+          "partition is then ordinary corpus. " + untangle)
     val bareId = s"b$batchId"
     val bare = s"$indexPath/bands/ingest=$bareId"
     val p = new org.apache.hadoop.fs.Path(bare)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(p) &&
         ownSubsetOf(spark.read.parquet(bare).select(col("doc_id")).distinct()))
-      abort(s"index partition '$bare'")
+      abort(s"index partition '$bare'",
+        "If this is instead a FOREIGN committed batch that happens to " +
+          "coincide (same batch number, subset doc ids), untangle by " +
+          "hand: verify the partition's provenance, then resume.")
     standingTableBase.foreach { tableBase =>
-      if (graft.operators.DedupIndexStore
+      // operator escape hatch for the permanent false-positive
+      // coincidence (see the class scaladoc): a verified legitimate
+      // reprocess opts this batch number out of the folded-copy check
+      val allow = new org.apache.hadoop.fs.Path(
+        s"$indexPath/_folded/guard_allow_$bareId")
+      if (!fs.exists(allow) && graft.operators.DedupIndexStore
           .mayHoldFoldedIngest(spark, indexPath, tableBase, bareId)) {
         // the lineage scan reads through the session's relation cache —
         // refresh so a fold committed since the last trigger is visible
@@ -468,9 +491,22 @@ object StreamOps {
           .filter(col("ingest") === bareId)
           .select(col("doc_id")).distinct()
         if (ownSubsetOf(folded))
+          // unlike the tail-directory signature (which the next
+          // compaction retires), a folded lineage is permanent — so the
+          // coincidence case (a fresh-checkpoint reprocess of data whose
+          // COMMITTED pre-namespace batch N was folded, with overlapping
+          // doc ids at the same batch number) needs an explicit operator
+          // escape hatch or it aborts forever
           abort(s"standing table ${tableBase}_bands lineage " +
             s"ingest='$bareId' (a compaction folded the crashed " +
-            "attempt's tail partition)")
+            "attempt's tail partition)",
+            "If this is instead a NEW incarnation legitimately " +
+              "reprocessing data whose pre-namespace batches were " +
+              s"committed, drained, and folded: verify the '$bareId' " +
+              "rows are committed corpus, then create the marker file " +
+              s"'$indexPath/_folded/guard_allow_$bareId' to opt this " +
+              "batch number out of the folded-copy check — the folded " +
+              "rows stay probe-able corpus either way.")
       }
     }
   }

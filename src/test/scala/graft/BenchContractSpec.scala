@@ -49,9 +49,12 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("kafka_roundtrip bench path runs end-to-end and returns the input count") {
-    val (n, sec) = Bench.kafkaRoundtrip(TestSpark.spark, "/root/testdata/sf0.001", 500)
+    val (n, sec, jitMs, gcMs) =
+      Bench.kafkaRoundtrip(TestSpark.spark, "/root/testdata/sf0.001", 500)
     assert(n == 500, s"roundtrip must report the replayed row count, got $n")
     assert(sec > 0.0, "streaming section must be timed")
+    assert(jitMs >= 0L && gcMs >= 0L,
+      "jit/gc deltas bracket the measured section and can never be negative")
   }
 
   test("cleanMedian takes the fast-side middle on even clean counts") {

@@ -757,6 +757,19 @@ class StreamingIngestDedupSpec extends SparkSpec {
         .select("id_corpus").collect().map(_.getLong(0)).toSet
       assert(survivors == Set(5L),
         s"the folded rows must survive the abort: $survivors")
+      // ESCAPE HATCH: the folded lineage is permanent (no compaction
+      // retires it), so a verified legitimate reprocess opts the batch
+      // number out with the documented marker file - the re-run must
+      // then complete cleanly with ZERO admissions (the docs ARE corpus:
+      // correct reprocess semantics, loss only in the true violation)
+      assert(messages(err).exists(_.contains("guard_allow_b0")),
+        s"the folded-copy abort must name the escape hatch: ${messages(err)}")
+      new java.io.File(s"$tailV/_folded/guard_allow_b0").createNewFile()
+      val (outcomeV2, admittedV2) = runStream("v", tailV)
+      assert(outcomeV2.isRight,
+        s"the allow marker must unblock the stream: $outcomeV2")
+      assert(admittedV2.isEmpty,
+        s"reprocess over folded corpus must admit nothing: $admittedV2")
 
       // FALSE-POSITIVE CONTROL: a foreign incarnation's committed bare b0
       // folded into the standing table with DIFFERENT doc ids — the

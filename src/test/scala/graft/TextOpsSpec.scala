@@ -160,8 +160,11 @@ class TextOpsSpec extends SparkSpec {
     assert(extract("<p>&lt;b&gt;not a tag&lt;/b&gt;</p>") == "<b>not a tag</b>")
     assert(extract("a &amp; b &#38; c") == "a & b & c")
     assert(extract("&quot;q&quot; &#39;a&#39; x&nbsp;y") == "\"q\" 'a' x y")
-    // amp-producing decodes run LAST: their output is never re-scanned
+    // amp-producing decodes run LAST as one global pass: output is
+    // never re-scanned, for either spelling or their concatenation
     assert(extract("&amp;lt;") == "&lt;")
+    assert(extract("&#38;amp;") == "&amp;")
+    assert(extract("&amp;#38;") == "&#38;")
     // outside the deterministic subset -> literal (needs engine tables)
     assert(extract("caf&eacute; &#x41;") == "caf&eacute; &#x41;")
   }
