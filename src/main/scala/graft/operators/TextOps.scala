@@ -199,6 +199,80 @@ object TextOps {
         array_join(col("chunk_toks"), " ").as("chunk"))
   }
 
+  /** Cross-document LINE-level boilerplate removal (the CCNet /
+    * RefinedWeb paragraph-dedup pass): drop every line whose document
+    * frequency exceeds `maxDocFreq` — cookie banners, nav bars, legal
+    * footers repeat across a site's pages verbatim, and document-level
+    * dedup never sees them because the surrounding content differs. The
+    * natural position is right after [[htmlText]] (whose block
+    * segmentation produces exactly the line unit this consumes) and
+    * before the quality/chunking passes.
+    *
+    * Scale shape: lines travel as md5 hashes through the doc-frequency
+    * aggregation and the membership join — the corpus's text bytes are
+    * never shuffled (same discipline as the dedup shinglers). The
+    * frequency table is one map-side-combinable aggregate; reassembly is
+    * one shuffle keyed by the doc id with per-doc state bounded by
+    * document size (sort_array over the doc's own (pos, line) pairs, no
+    * window). A doc whose every line is boilerplate survives as an
+    * EMPTY string with `n_removed` = its line count — corpus accounting
+    * must not silently lose rows.
+    *
+    * Output: (idCol, clean_text, n_kept, n_removed). Line order is
+    * preserved by position, so the result is deterministic under any
+    * partitioning. */
+  def stripBoilerplateLines(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    // countDistinct(id), not count(1): a line repeated WITHIN one doc is
+    // that document's own structure, not cross-site boilerplate
+    val freq = lines.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("docfreq"))
+    val tagged = lines.join(freq, Seq("h"))
+      .withColumn("keep", col("docfreq") <= maxDocFreq)
+    val rebuilt = tagged
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("keep"), struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("clean_text"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
+    // collect_list drops the null structs of removed lines, so the
+    // all-boilerplate doc keeps its row with clean_text = ""
+    rebuilt.select(col(idCol), col("clean_text"), col("n_kept"), col("n_removed"))
+  }
+
+  /** URL host: the authority between `scheme://` and the first
+    * `/ ? #` or `:port`, lowercased (hosts are case-insensitive; paths
+    * are not, so the WHOLE url is never lowercased). Engine-portable
+    * regex, no java.net.URI (whose parsing rules differ across JDKs and
+    * don't exist in DuckDB). Null/invalid urls yield an empty string —
+    * regexp_extract's no-match value in both engines. */
+  val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, urlHostPattern, 1))
+
+  /** Registrable domain, NAIVE two-label rule (the last two dot labels):
+    * `en.src3press.com` → `src3press.com`. Deliberately NOT the Public
+    * Suffix List — that is a mutable external table (co.uk, github.io,
+    * …) whose snapshot would drift between engines and over time; the
+    * two-label rule is exact for generic TLDs and documented-wrong for
+    * ccSLDs, the right trade for a deterministic cross-engine quota
+    * key. Single-label hosts (localhost) yield an empty string. */
+    val registrableDomainPattern = "([^.]+\\.[^.]+)$"
+  def registrableDomain(host: Column): Column =
+    regexp_extract(host, registrableDomainPattern, 1)
+
   /** One step of the [[htmlTextSteps]] / [[unicodeCanonSteps]] chains:
     * either a portable-regex replace (no lookaround, no backreferences,
     * inline flags only — the Java-regex ∩ RE2 subset every pattern in

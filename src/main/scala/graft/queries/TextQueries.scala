@@ -1526,6 +1526,51 @@ object TextQueries {
           TextOps.tokenCount(col("x")).as("x_tokens"))
     }),
 
+    // Cross-document line-level boilerplate removal (CCNet/RefinedWeb
+    // paragraph dedup): lines are synthesized deterministically — a
+    // global cookie banner (docfreq = corpus), a per-source legal footer
+    // (docfreq = source size), the unique body and a unique id line —
+    // and every line with docfreq > 10 drops. Line hashes shuffle, text
+    // bodies never; reassembly is one doc-keyed aggregate with per-doc
+    // state bounded by document size. The op document-level dedup can't
+    // express: the surrounding content differs on every page.
+    "q189_boilerplate_lines" -> ((s, dir) => {
+      val docs = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat_ws("\n",
+          lit("please accept cookies to continue"),
+          col("text"),
+          concat(lit("copyright "), col("source"), lit(" all rights reserved")),
+          concat(lit("document "), col("doc_id").cast("string"))).as("t"))
+      TextOps.stripBoilerplateLines(docs, "doc_id", "t", maxDocFreq = 10)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_removed"))
+    }),
+
+    // Domain quotas (the C4/RefinedWeb per-site cap): synthesize each
+    // doc's URL deterministically (subdomain from lang, registrable
+    // domain from source), extract host → registrable domain with the
+    // engine-portable regex ops, then keep at most 10 docs per domain by
+    // the content-derived md5 rank — Sampling.groupedShuffleRank, the
+    // bucketed two-phase rank that survives a 100 TB stratum where a
+    // per-domain window funnels one reducer. Output is the kept set:
+    // deterministic under any partitioning, so it hash-matches the
+    // oracle's ROW_NUMBER replay.
+    "q190_domain_quota" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(
+        col("doc_id"),
+        concat(lit("https://"), col("lang"), lit("."), col("source"),
+          lit("press.com/docs/"), col("doc_id").cast("string"),
+          lit("?utm_source=feed#top")).as("url"))
+      val dom = d.select(col("doc_id"), col("url"),
+        TextOps.registrableDomain(TextOps.urlHost(col("url"))).as("domain"))
+      graft.operators.Sampling
+        .groupedShuffleRank(dom, Seq("domain"), col("doc_id"))
+        .filter(col("shuffle_rank") <= 10)
+        .select(col("domain"), col("doc_id"),
+          col("shuffle_rank").cast("long").as("quota_rank"))
+    }),
+
     // The composed WEB-CORPUS INGEST shape: raw markup → htmlText →
     // quality gate on the EXTRACTED text → integer mass accounting per
     // source — q186's operator in its production position, upstream of
@@ -2828,6 +2873,52 @@ object TextQueries {
          |       ELSE len(string_split_regex(trim(x), '\\s+')) END AS INT)
          |    AS x_tokens
          |FROM x""".stripMargin,
+
+    // the regex patterns interpolate from the SAME TextOps vals the
+    // Spark ops compile, and the rank replays q169's ROW_NUMBER idiom
+    // (md5 is collision-free across distinct ids, so the secondary key
+    // never decides)
+    "q190_domain_quota" ->
+      s"""WITH d AS (SELECT doc_id,
+         |    'https://' || lang || '.' || source || 'press.com/docs/' ||
+         |    CAST(doc_id AS VARCHAR) || '?utm_source=feed#top' AS url
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    regexp_extract(
+         |      lower(regexp_extract(url, '${TextOps.urlHostPattern}', 1)),
+         |      '${TextOps.registrableDomainPattern}', 1) AS domain
+         |  FROM d),
+         |r AS (SELECT domain, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY domain
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+         |  FROM h)
+         |SELECT domain, doc_id, CAST(rk AS BIGINT) AS quota_rank
+         |FROM r WHERE rk <= 10""".stripMargin,
+
+    // positioned line split via the componentsCtes range-unnest idiom;
+    // string_agg skips the CASE's NULLs in pos order, mirroring Spark's
+    // null-dropping collect_list + sort_array reassembly; the
+    // all-boilerplate doc coalesces to '' on both sides
+    "q189_boilerplate_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |    'please accept cookies to continue' || chr(10) || text ||
+        |    chr(10) || 'copyright ' || source || ' all rights reserved' ||
+        |    chr(10) || 'document ' || CAST(doc_id AS VARCHAR) AS t
+        |  FROM documents),
+        |l AS (SELECT doc_id, i AS pos, parts[i] AS ln
+        |      FROM (SELECT doc_id, string_split(t, chr(10)) AS parts,
+        |                   unnest(range(1, len(string_split(t, chr(10))) + 1)) AS i
+        |            FROM d)),
+        |f AS (SELECT md5(ln) AS h, COUNT(DISTINCT doc_id) AS docfreq
+        |      FROM l GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.pos, l.ln, f.docfreq <= 10 AS keep
+        |      FROM l JOIN f ON md5(l.ln) = f.h)
+        |SELECT doc_id,
+        |  md5(coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+        |                          ORDER BY pos), '')) AS clean_md5,
+        |  CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_removed
+        |FROM k GROUP BY doc_id""".stripMargin,
 
     // the q22 quality formula replayed over the EXTRACTED text; only
     // integers aggregate past the per-row IEEE gate

@@ -11,21 +11,17 @@ class BenchContractSpec extends AnyFunSuite {
 
   test("slim metric line fits the driver tail with worst-case numbers") {
     val names = SparkEntry.queries.keys.toSeq.sorted
-    // worst-case per-median width under msSlimQ(): 9.94 renders "9.9"
-    // and a pathological 99999 s clamps to "99" — ≤3 structural chars
-    // in both regimes, so the budget holds for any runtime
-    val medians = names.zipWithIndex.map { case (n, i) =>
-      n -> (if (i % 2 == 0) 9.94 else 99999.0)
-    }
-    // worst-case rendering of the abbreviated slim stream section
-    // (msSlim clamps sec at 999 — 4-char structural bound)
+    // worst-case per-median width under msSlimQ(): EVERY median at the
+    // 3-char maximum ("9.9"). The r15 registry growth proved the old
+    // alternating 2/3-char synthetic was NOT worst case: real runs
+    // render almost every median at 3 chars ("0.4"), and the real line
+    // hit 2003 chars while the synthetic said 1934 — the exact silent
+    // truncation this spec exists to catch, caught only by a live run
+    val medians = names.map(n => n -> 9.94)
+    // worst-case rendering of the rps-only slim stream section
     val stream =
-      """{"sw":{"r":1000000,"s":999,"rps":999999},""" +
-        """"swu":{"r":1000000,"s":999,"rps":999999},""" +
-        """"swtp":{"r":1000000,"s":999,"rps":999999},""" +
-        """"krt":{"r":1000000,"s":999,"rps":999999}}"""
-    val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1",
-      annBuildSec = 9999.99)
+      """{"sw":999999,"swu":999999,"swtp":999999,"krt":999999}"""
+    val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1")
     assert(line.length <= 1950,
       s"metric line ${line.length} chars leaves <50 headroom under the 2000-char driver tail " +
         "— shorten query names or drop per-query detail from the slim line")

@@ -191,6 +191,42 @@ class TextOpsSpec extends SparkSpec {
     assert(extract("   \t  ") == "")
   }
 
+  test("stripBoilerplateLines: cross-doc frequent lines drop, order survives, empty doc keeps its row") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "BANNER\nunique one\nFOOTER"),
+      (2L, "BANNER\nunique two\nFOOTER\nextra two"),
+      (3L, "BANNER\nunique three\nFOOTER"),
+      // doc 4 is ALL boilerplate - it must survive as an empty row
+      (4L, "BANNER\nFOOTER"),
+      // doc 5 repeats a line WITHIN itself: self-repetition is the
+      // doc's own structure, docfreq counts it once
+      (5L, "solo\nsolo\nunique five")).toDF("doc_id", "t")
+    val out = TextOps.stripBoilerplateLines(docs, "doc_id", "t", maxDocFreq = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("unique one", 1L, 2L)))
+    assert(out(2L) == (("unique two\nextra two", 2L, 2L)), s"order must survive: ${out(2L)}")
+    assert(out(3L) == (("unique three", 1L, 2L)))
+    assert(out(4L) == (("", 0L, 2L)), s"all-boilerplate doc must keep its row: ${out(4L)}")
+    assert(out(5L) == (("solo\nsolo\nunique five", 3L, 0L)),
+      s"within-doc repetition is not boilerplate: ${out(5L)}")
+  }
+
+  test("urlHost / registrableDomain: ports, case, deep subdomains, degenerate input") {
+    import spark.implicits._
+    def run(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column, s: String): String =
+      Seq(s).toDF("u").select(f(col("u"))).as[String].collect().head
+    assert(run(TextOps.urlHost, "https://WWW.Example.COM/Path/Q?x=1") == "www.example.com")
+    assert(run(TextOps.urlHost, "http://a.b.c.d:8080/x") == "a.b.c.d")
+    assert(run(TextOps.urlHost, "ftp+ssh://host.io#frag") == "host.io")
+    assert(run(TextOps.urlHost, "not a url") == "")
+    assert(run(u => TextOps.registrableDomain(TextOps.urlHost(u)),
+      "https://en.news.src3press.com/a") == "src3press.com")
+    // documented naive-two-label limitation: ccSLDs fold to the ccSLD
+    assert(run(TextOps.registrableDomain, "deep.sub.example.co.uk") == "co.uk")
+    assert(run(TextOps.registrableDomain, "localhost") == "")
+  }
+
   test("canonicalizeUnicode: NFC subset composes, homoglyphs fold") {
     import spark.implicits._
     def canon(s: String): String =
