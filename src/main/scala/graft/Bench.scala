@@ -659,16 +659,17 @@ object Bench {
     * parse → single sliding window → KafkaIO sink — the executed form of
     * the reference's deployment topology, measuring source offset
     * planning + binary column decode + sink publish on top of the same
-    * windowed aggregation single_window measures from files. Returns
-    * (rows, seconds) where the clock covers ONLY the streaming query —
-    * frame rendering and broker publish are setup, not the measurement. */
-  /** Returns (input rows, measured-section seconds, JIT delta ms, GC
-    * delta ms) — the JVM deltas bracket EXACTLY the timed streaming
-    * section, so the storm tagger judges the same region the published
-    * wall covers. Bracketing the whole call instead let heavy GC in the
-    * untimed frame-render prep exceed half of a genuine in-section deopt
-    * storm's excess and UN-tag it (the excess rule reads "not explained
-    * by GC"), putting the storm wall into the clean median. */
+    * windowed aggregation single_window measures from files.
+    *
+    * Returns (input rows, measured-section seconds, JIT delta ms, GC
+    * delta ms). The clock covers ONLY the streaming query — frame
+    * rendering and broker publish are setup, not the measurement — and
+    * the JVM deltas bracket EXACTLY that same timed section, so the
+    * storm tagger judges the region the published wall covers.
+    * Bracketing the whole call instead let heavy GC in the untimed prep
+    * exceed half of a genuine in-section deopt storm's excess and UN-tag
+    * it (the excess rule reads "not explained by GC"), putting the storm
+    * wall into the clean median. */
   private[graft] def kafkaRoundtrip(
       spark: SparkSession, sfDir: String, cap: Int): (Long, Double, Long, Long) = {
     import org.apache.spark.sql.functions._

@@ -228,7 +228,13 @@ object TextOps {
       maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
     val lines = docs
-      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      // NULL text reads as the empty document (one "" line): split(NULL)
+      // explodes to zero rows and the doc would vanish from the output
+      // with no n_removed evidence — the silent row loss the contract
+      // below forbids. A real crawl HAS null extractions.
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
       .withColumn("h", md5(col("line")))
     // countDistinct(id), not count(1): a line repeated WITHIN one doc is
     // that document's own structure, not cross-site boilerplate
@@ -256,8 +262,9 @@ object TextOps {
     * `/ ? #` or `:port`, lowercased (hosts are case-insensitive; paths
     * are not, so the WHOLE url is never lowercased). Engine-portable
     * regex, no java.net.URI (whose parsing rules differ across JDKs and
-    * don't exist in DuckDB). Null/invalid urls yield an empty string —
-    * regexp_extract's no-match value in both engines. */
+    * don't exist in DuckDB). A non-matching (invalid) url yields an
+    * empty string — regexp_extract's no-match value in both engines — a
+    * NULL url stays NULL in both (null-propagation, not no-match). */
   val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, urlHostPattern, 1))

@@ -1535,13 +1535,17 @@ object TextQueries {
     // state bounded by document size. The op document-level dedup can't
     // express: the surrounding content differs on every page.
     "q189_boilerplate_lines" -> ((s, dir) => {
+      // null-PROPAGATING concat, matching the oracle's `||` exactly —
+      // concat_ws would skip a NULL text and emit a 3-line doc where the
+      // oracle's row vanishes (the fixture has no nulls, but the two
+      // engines must diverge on NO input)
       val docs = table(s, dir, "documents").select(
         col("doc_id"),
-        concat_ws("\n",
-          lit("please accept cookies to continue"),
+        concat(
+          lit("please accept cookies to continue\n"),
           col("text"),
-          concat(lit("copyright "), col("source"), lit(" all rights reserved")),
-          concat(lit("document "), col("doc_id").cast("string"))).as("t"))
+          lit("\ncopyright "), col("source"), lit(" all rights reserved"),
+          lit("\ndocument "), col("doc_id").cast("string")).as("t"))
       TextOps.stripBoilerplateLines(docs, "doc_id", "t", maxDocFreq = 10)
         .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
           col("n_kept"), col("n_removed"))

@@ -479,10 +479,15 @@ object StreamOps {
       // operator escape hatch for the permanent false-positive
       // coincidence (see the class scaladoc): a verified legitimate
       // reprocess opts this batch number out of the folded-copy check
-      val allow = new org.apache.hadoop.fs.Path(
-        s"$indexPath/_folded/guard_allow_$bareId")
-      if (!fs.exists(allow) && graft.operators.DedupIndexStore
-          .mayHoldFoldedIngest(spark, indexPath, tableBase, bareId)) {
+      // the manifest gate runs FIRST: the marker existence check is a
+      // filesystem RPC, and paying it only on the already-rare
+      // fold-may-exist path keeps the steady-state trigger cost at the
+      // manifest read alone (&& short-circuit, semantically identical)
+      lazy val allowed = fs.exists(new org.apache.hadoop.fs.Path(
+        s"$indexPath/_folded/guard_allow_$bareId"))
+      if (graft.operators.DedupIndexStore
+          .mayHoldFoldedIngest(spark, indexPath, tableBase, bareId) &&
+          !allowed) {
         // the lineage scan reads through the session's relation cache —
         // refresh so a fold committed since the last trigger is visible
         // (metadata-only, and only ever paid on this already-rare path)

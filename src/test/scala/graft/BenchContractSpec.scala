@@ -18,9 +18,12 @@ class BenchContractSpec extends AnyFunSuite {
     // hit 2003 chars while the synthetic said 1934 — the exact silent
     // truncation this spec exists to catch, caught only by a live run
     val medians = names.map(n => n -> 9.94)
-    // worst-case rendering of the rps-only slim stream section
+    // worst-case rendering of the rps-only slim stream section: 8-digit
+    // rps (a 100k-row replay finishing in ~1 ms would print 8 digits —
+    // bound above anything a real run can reach, since the synthetic-
+    // understates-real gap is exactly what bit in r15)
     val stream =
-      """{"sw":999999,"swu":999999,"swtp":999999,"krt":999999}"""
+      """{"sw":99999999,"swu":99999999,"swtp":99999999,"krt":99999999}"""
     val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1")
     assert(line.length <= 1950,
       s"metric line ${line.length} chars leaves <50 headroom under the 2000-char driver tail " +

@@ -201,7 +201,10 @@ class TextOpsSpec extends SparkSpec {
       (4L, "BANNER\nFOOTER"),
       // doc 5 repeats a line WITHIN itself: self-repetition is the
       // doc's own structure, docfreq counts it once
-      (5L, "solo\nsolo\nunique five")).toDF("doc_id", "t")
+      (5L, "solo\nsolo\nunique five"),
+      // doc 6: NULL text (a real crawl has null extractions) — must
+      // surface as the empty doc, never vanish from the accounting
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "t")
     val out = TextOps.stripBoilerplateLines(docs, "doc_id", "t", maxDocFreq = 2)
       .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
     assert(out(1L) == (("unique one", 1L, 2L)))
@@ -210,6 +213,10 @@ class TextOpsSpec extends SparkSpec {
     assert(out(4L) == (("", 0L, 2L)), s"all-boilerplate doc must keep its row: ${out(4L)}")
     assert(out(5L) == (("solo\nsolo\nunique five", 3L, 0L)),
       s"within-doc repetition is not boilerplate: ${out(5L)}")
+    // the null-text doc reads as one "" line; with only one such doc its
+    // docfreq is 1 <= cap, so it survives as the empty doc, counted kept
+    assert(out(6L) == (("", 1L, 0L)),
+      s"null text must surface as the empty doc, not vanish: ${out(6L)}")
   }
 
   test("urlHost / registrableDomain: ports, case, deep subdomains, degenerate input") {
