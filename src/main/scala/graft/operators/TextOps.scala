@@ -260,25 +260,171 @@ object TextOps {
 
   /** URL host: the authority between `scheme://` and the first
     * `/ ? #` or `:port`, lowercased (hosts are case-insensitive; paths
-    * are not, so the WHOLE url is never lowercased). Engine-portable
-    * regex, no java.net.URI (whose parsing rules differ across JDKs and
-    * don't exist in DuckDB). A non-matching (invalid) url yields an
-    * empty string — regexp_extract's no-match value in both engines — a
-    * NULL url stays NULL in both (null-propagation, not no-match). */
-  val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#:]+)"
+    * are not, so the WHOLE url is never lowercased). An optional
+    * userinfo segment (`user:pass@`) is skipped — greedy up to the LAST
+    * `@` before the path, matching WHATWG parsing, so credentialed
+    * crawl URLs key by the host, not the username (ADVICE r15).
+    * Engine-portable regex, no java.net.URI (whose parsing rules differ
+    * across JDKs and don't exist in DuckDB). A non-matching (invalid)
+    * url yields an empty string — regexp_extract's no-match value in
+    * both engines — a NULL url stays NULL in both (null-propagation,
+    * not no-match). */
+  val urlHostPattern = "^[a-zA-Z][a-zA-Z0-9+.-]*://(?:[^/?#]*@)?([^/?#:@]+)"
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, urlHostPattern, 1))
 
-  /** Registrable domain, NAIVE two-label rule (the last two dot labels):
-    * `en.src3press.com` → `src3press.com`. Deliberately NOT the Public
-    * Suffix List — that is a mutable external table (co.uk, github.io,
-    * …) whose snapshot would drift between engines and over time; the
-    * two-label rule is exact for generic TLDs and documented-wrong for
-    * ccSLDs, the right trade for a deterministic cross-engine quota
-    * key. Single-label hosts (localhost) yield an empty string. */
-    val registrableDomainPattern = "([^.]+\\.[^.]+)$"
-  def registrableDomain(host: Column): Column =
-    regexp_extract(host, registrableDomainPattern, 1)
+  /** [[urlHost]] as DuckDB SQL over expression text `e` — the oracle
+    * spelling is generated from the same pattern val, so the two
+    * engines can never drift. */
+  def urlHostSql(e: String): String =
+    s"lower(regexp_extract($e, '$urlHostPattern', 1))"
+
+  /** Pinned ccSLD exception list (VERDICT r15 item 4): the second-level
+    * public suffixes under which registration happens one label deeper
+    * (`example.co.uk`, not `co.uk`). Deliberately NOT the full Public
+    * Suffix List — that is a mutable external table (thousands of
+    * entries, private registries like github.io) whose snapshot would
+    * drift between engines and over time. This is an explicit,
+    * versioned, in-repo subset of the highest-traffic ccSLDs — the same
+    * determinism trade the confusable table makes. Sorted, so the
+    * rendered SQL literal list is stable. */
+  val ccSlds: Seq[String] = Seq(
+    "ac.jp", "ac.uk", "co.id", "co.il", "co.in", "co.jp", "co.kr",
+    "co.nz", "co.th", "co.uk", "co.za", "com.ar", "com.au", "com.br",
+    "com.cn", "com.hk", "com.mx", "com.my", "com.ph", "com.sg",
+    "com.sa", "com.tr", "com.tw", "com.vn", "edu.au", "edu.cn",
+    "go.jp", "gov.au", "gov.uk", "govt.nz", "ne.jp", "net.au",
+    "net.cn", "net.uk", "or.jp", "or.kr", "org.au", "org.br",
+    "org.cn", "org.nz", "org.uk").sorted
+
+  private val twoLabelPattern = "([^.]+\\.[^.]+)$"
+  private val threeLabelPattern = "([^.]+\\.[^.]+\\.[^.]+)$"
+  private val trailingDotPattern = "\\.+$"
+
+  /** Registrable domain: the last two dot labels (`en.src3press.com` →
+    * `src3press.com`), except under a pinned [[ccSlds]] suffix where it
+    * is the last THREE (`www.example.co.uk` → `example.co.uk`).
+    * Trailing dots (FQDN spelling `example.com.`, common in crawl
+    * data) are stripped first instead of folding the host into the
+    * invalid-URL bucket (ADVICE r15). Hosts that need no registrable
+    * domain — single labels (localhost), a bare ccSLD (`co.uk`
+    * itself) — yield an empty string. Pure codegen'd regex + IN-list
+    * expressions, identical in DuckDB via [[registrableDomainSql]]. */
+  def registrableDomain(host: Column): Column = {
+    val h = regexp_replace(host, trailingDotPattern, "")
+    val two = regexp_extract(h, twoLabelPattern, 1)
+    val three = regexp_extract(h, threeLabelPattern, 1)
+    when(two.isin(ccSlds: _*), three).otherwise(two)
+  }
+
+  /** [[registrableDomain]] as DuckDB SQL over expression text `e` —
+    * generated from the same patterns and the same [[ccSlds]] list. */
+  def registrableDomainSql(e: String): String = {
+    val h = s"regexp_replace($e, '$trailingDotPattern', '', 'g')"
+    val two = s"regexp_extract($h, '$twoLabelPattern', 1)"
+    val three = s"regexp_extract($h, '$threeLabelPattern', 1)"
+    val list = ccSlds.map(s => s"'$s'").mkString(", ")
+    s"(CASE WHEN $two IN ($list) THEN $three ELSE $two END)"
+  }
+
+  /** Anchor-href extraction patterns (VERDICT r15 item 1) — one
+    * portable pattern per HTML quote style (double, single, unquoted),
+    * because a single pattern would need a backreference on the quote
+    * char and backreferences are outside the Java∩RE2 subset. Each
+    * pattern stays inside one tag (`[^>]*` never crosses `>`), matches
+    * `<a`/`<A` with at least one whitespace char before the attribute
+    * list, and captures the raw href value. Naive by contract (like the
+    * rest of the markup chain): an attribute merely ENDING in `href`
+    * (`data-href=`) also matches — the price of no speculative parser,
+    * identical in both engines. */
+  val hrefDqPattern = "(?i)<a\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+  val hrefSqPattern = "(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'"
+  val hrefUqPattern = "(?i)<a\\s[^>]*href\\s*=\\s*([^\\s'\">][^\\s>]*)"
+
+  /** All anchor hrefs in raw markup, as an array: the three quote-style
+    * extractions concatenated (grouped by quote style, NOT document
+    * order — edge counting is order-insensitive, and a positional merge
+    * would cost a sort for nothing). Pure codegen'd regexp_extract_all,
+    * shuffle-free. A no-href anchor contributes nothing; an empty
+    * href="" contributes an empty string (classified away downstream). */
+  def extractLinks(markup: Column): Column =
+    concat(
+      regexp_extract_all(markup, lit(hrefDqPattern), lit(1)),
+      regexp_extract_all(markup, lit(hrefSqPattern), lit(1)),
+      regexp_extract_all(markup, lit(hrefUqPattern), lit(1)))
+
+  /** [[extractLinks]] as DuckDB SQL (lists concatenate with `||`). */
+  def extractLinksSql(e: String): String =
+    Seq(hrefDqPattern, hrefSqPattern, hrefUqPattern)
+      .map(p => s"regexp_extract_all($e, '${p.replace("'", "''")}', 1)")
+      .mkString(" || ")
+
+  private val schemePattern = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
+  private val httpPattern = "(?i)^https?://"
+  private val protoRelHostPattern = "^//(?:[^/?#]*@)?([^/?#:@]+)"
+
+  /** Resolve one raw href to the registrable domain it links to, given
+    * the linking page's own domain:
+    *  - empty and fragment-only (`#…`) hrefs → NULL (no edge);
+    *  - absolute http(s) URLs → [[registrableDomain]] of their host;
+    *  - any other scheme (mailto:, javascript:, tel:, ftp:) → NULL —
+    *    not part of the document link graph;
+    *  - protocol-relative `//host/…` → the host's registrable domain;
+    *  - everything else is a relative path → the SOURCE domain (a
+    *    self-edge, which is what crawl-graph analyses expect of
+    *    intra-site navigation).
+    * Space-only trim on both engines (the deterministic subset of the
+    * HTML spec's URL whitespace stripping). Pure per-row CASE over
+    * codegen'd regexes — mirrored by [[linkDomainSql]]. */
+  def linkDomain(href: Column, srcDomain: Column): Column = {
+    val h = trim(href)
+    when(h === "" || h.startsWith("#"), lit(null).cast("string"))
+      .when(h.rlike(httpPattern), registrableDomain(urlHost(h)))
+      .when(h.rlike(schemePattern), lit(null).cast("string"))
+      .when(h.startsWith("//"),
+        registrableDomain(lower(regexp_extract(h, protoRelHostPattern, 1))))
+      .otherwise(srcDomain)
+  }
+
+  /** [[linkDomain]] as DuckDB SQL over href expression `e` and source
+    * domain expression `srcE` — same patterns, same branch order. */
+  def linkDomainSql(e: String, srcE: String): String = {
+    val h = s"trim($e)"
+    s"""CASE WHEN $h = '' OR $h LIKE '#%' THEN NULL
+       |  WHEN regexp_matches($h, '$httpPattern')
+       |    THEN ${registrableDomainSql(urlHostSql(h))}
+       |  WHEN regexp_matches($h, '$schemePattern') THEN NULL
+       |  WHEN $h LIKE '//%' THEN ${registrableDomainSql(
+            s"lower(regexp_extract($h, '$protoRelHostPattern', 1))")}
+       |  ELSE $srcE END""".stripMargin
+  }
+
+  /** The domain link graph (VERDICT r15 item 1): from raw markup +
+    * each page's own URL, emit (src_domain, dst_domain, n_links)
+    * edges — the link-structure half of web-corpus processing that
+    * [[htmlText]]'s text extraction discards, and the input crawl
+    * prioritization / spam scoring / PageRank-over-sites need.
+    *
+    * Scale shape: href extraction and domain resolution are per-row
+    * codegen (the markup bytes never shuffle); the explode multiplies
+    * rows by links-per-page (bounded, ~O(100)); the ONE shuffle is the
+    * (src,dst) count aggregation, map-side combinable, carrying only
+    * short domain-pair strings. Unresolvable targets (mailto:,
+    * fragments, invalid hosts) drop before the shuffle. */
+  def domainLinkEdges(
+      docs: org.apache.spark.sql.DataFrame,
+      markupCol: String,
+      urlCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(
+        registrableDomain(urlHost(col(urlCol))).as("src_domain"),
+        explode(extractLinks(col(markupCol))).as("href"))
+      .select(col("src_domain"),
+        linkDomain(col("href"), col("src_domain")).as("dst_domain"))
+      .filter(col("dst_domain").isNotNull && col("dst_domain") =!= "" &&
+        col("src_domain") =!= "")
+      .groupBy(col("src_domain"), col("dst_domain"))
+      .agg(count(lit(1)).as("n_links"))
 
   /** One step of the [[htmlTextSteps]] / [[unicodeCanonSteps]] chains:
     * either a portable-regex replace (no lookaround, no backreferences,
@@ -329,14 +475,17 @@ object TextOps {
     *    never word-joins); a `<` never closed by a `>` is literal text;
     *  - the deterministic entity subset decodes AFTER tag removal
     *    (entity-encoded markup is content, not markup): the five XML
-    *    named entities + nbsp, and their decimal spellings. The
-    *    ampersand-PRODUCING decodes (`&#38;` `&amp;`) run LAST and as
-    *    ONE global regex pass, so their output is never re-scanned as an
-    *    entity opener — `&#38;amp;` decodes to `&amp;`, not `&` (a global
-    *    replace never re-reads its own replacement, in Java and RE2
-    *    alike). Other entities (named Latin-1, hex numerics) stay
-    *    literal: decoding them needs character tables this repo bans
-    *    for cross-engine bit-exactness;
+    *    named entities + nbsp, their decimal spellings, and their
+    *    HEX spellings (`&#x3C;`-style, case-insensitive in the `x` and
+    *    the digits, no leading zeros — VERDICT r15 item 2). The
+    *    ampersand-PRODUCING decodes (`&#38;` `&#x26;` `&amp;`) run LAST
+    *    and as ONE global regex pass, so their output is never
+    *    re-scanned as an entity opener — `&#38;amp;` decodes to
+    *    `&amp;`, not `&` (a global replace never re-reads its own
+    *    replacement, in Java and RE2 alike). Other entities (named
+    *    Latin-1, zero-padded numerics) stay literal: decoding the
+    *    general class needs character tables this repo bans for
+    *    cross-engine bit-exactness;
     *  - whitespace discipline: horizontal runs collapse to one space,
     *    newline runs (with flanking spaces) to one newline, ends
     *    trimmed — the output is trimmed block-per-line text.
@@ -357,16 +506,18 @@ object TextOps {
       "|tbody|blockquote|pre|section|article|aside|header|footer|nav|form" +
       "|figure|figcaption|main|title)\\b[^>]*>", "\n"),
     Rx("(?s)<[^>]*>", " "),
-    Lit("&lt;", "<"), Lit("&#60;", "<"),
-    Lit("&gt;", ">"), Lit("&#62;", ">"),
-    Lit("&quot;", "\""), Lit("&#34;", "\""),
-    Lit("&apos;", "'"), Lit("&#39;", "'"),
-    Lit("&nbsp;", " "), Lit("&#160;", " "),
-    // ONE global pass for both ampersand spellings, not two Lit steps: a
-    // global regex never re-scans its own replacement (Java and RE2
-    // alike), so `&#38;amp;` decodes to `&amp;` — two sequential
-    // replaces would re-read the first step's `&` and double-decode
-    Rx("&(amp|#38);", "&"),
+    Lit("&lt;", "<"), Lit("&#60;", "<"), Rx("(?i)&#x3c;", "<"),
+    Lit("&gt;", ">"), Lit("&#62;", ">"), Rx("(?i)&#x3e;", ">"),
+    Lit("&quot;", "\""), Lit("&#34;", "\""), Rx("(?i)&#x22;", "\""),
+    Lit("&apos;", "'"), Lit("&#39;", "'"), Rx("(?i)&#x27;", "'"),
+    Lit("&nbsp;", " "), Lit("&#160;", " "), Rx("(?i)&#xa0;", " "),
+    // ONE global pass for all three ampersand spellings, not separate
+    // steps: a global regex never re-scans its own replacement (Java
+    // and RE2 alike), so `&#38;amp;` decodes to `&amp;` — sequential
+    // replaces would re-read the first step's `&` and double-decode.
+    // (?i:) scopes the case fold to the hex spelling; `amp`/`#38` stay
+    // exact (named entities are case-sensitive in the subset).
+    Rx("&(amp|#38|(?i:#x26));", "&"),
     Rx("[ \\t\\r\\f\\x0B]+", " "),
     Rx(" ?\\n[\\n ]*", "\n"),
     Rx("^[\\n ]+", ""),

@@ -46,19 +46,51 @@ object TextQueries {
     Left("</div><ul><li>chars: "),
     Right("n_chars"),
     Left("&nbsp;total</li><li>tail &lt;b&gt;marked&#39;up&lt;/b&gt;" +
+      // hex spellings (mixed case), the ampersand no-redecode corner
+      // (&#x26;amp; must yield the literal text `&amp;`), and a
+      // zero-padded numeric that stays literal by contract
+      "</li><li>hex &#x3C;q&#X3E; mix&#xA0;&#x26;amp; &#x27;pad&#x03C;" +
       "</li></ul><p>unclosed <em>emphasis</body></html><script>leak()"))
 
-  private def htmlMarkupSql: String =
-    htmlParts.map {
+  private def partsSql(parts: Seq[Either[String, String]]): String =
+    parts.map {
       case Left(s) => "'" + s.replace("'", "''") + "'"
       case Right(c) => s"CAST($c AS VARCHAR)"
     }.mkString(" || ")
 
-  private def htmlMarkupCol: org.apache.spark.sql.Column =
-    concat(htmlParts.map {
+  private def partsCol(
+      parts: Seq[Either[String, String]]): org.apache.spark.sql.Column =
+    concat(parts.map {
       case Left(s) => lit(s)
       case Right(c) => col(c).cast("string")
     }: _*)
+
+  private def htmlMarkupSql: String = partsSql(htmlParts)
+  private def htmlMarkupCol: org.apache.spark.sql.Column = partsCol(htmlParts)
+
+  /** q191's link-bearing markup template (VERDICT r15 item 1), shared
+    * by the Spark query and the oracle like [[htmlParts]]. One anchor
+    * per extraction/classification corner: a double-quoted absolute
+    * http link (cross-page, same site), an UPPERCASE single-quoted
+    * absolute link to a ccSLD partner domain, an unquoted relative
+    * href (→ self-edge), a fragment-only href and an empty href (no
+    * edge), mailto: and javascript: schemes (no edge), a no-href
+    * anchor, and a protocol-relative CDN link. The `next_id`/`p5`/`p3`
+    * columns are pre-projected identically on both engines. */
+  private val linkParts: Seq[Either[String, String]] = Seq(
+    Left("<html><body><p>See <a href=\"https://"),
+    Right("lang"), Left("."), Right("source"), Left("press.com/docs/"),
+    Right("next_id"),
+    Left("\">next</a> now</p><A CLASS='x' HREF='https://partner"),
+    Right("p5"),
+    Left(".co.uk/landing?ref="), Right("source"),
+    Left("'>partner</A><a rel=nofollow href=/local/"), Right("doc_id"),
+    Left(".html>self</a><a href=\"#top\">top</a><a href=\"\">empty</a>" +
+      "<a href=\"mailto:ed@example.com\">mail</a>" +
+      "<a href=\"javascript:void(0)\">js</a><a name=\"x\">nohref</a>" +
+      "<a href=\"//cdn"),
+    Right("p3"),
+    Left(".static-example.net/lib.js\">cdn</a></body></html>"))
 
   /** q187's homoglyph alphabet: Latin chars and the Cyrillic codepoints
     * [[TextOps.unicodeCanonSteps]]'s confusable table folds back —
@@ -1553,7 +1585,10 @@ object TextQueries {
 
     // Domain quotas (the C4/RefinedWeb per-site cap): synthesize each
     // doc's URL deterministically (subdomain from lang, registrable
-    // domain from source), extract host → registrable domain with the
+    // domain from source, TLD cycling through a generic gTLD and two
+    // pinned ccSLDs, a credentialed-userinfo stripe and an FQDN
+    // trailing-dot stripe — the three crawl-URL corners ADVICE r15
+    // flagged), extract host → registrable domain with the
     // engine-portable regex ops, then keep at most 10 docs per domain by
     // the content-derived md5 rank — Sampling.groupedShuffleRank, the
     // bucketed two-phase rank that survives a 100 TB stratum where a
@@ -1561,10 +1596,17 @@ object TextQueries {
     // deterministic under any partitioning, so it hash-matches the
     // oracle's ROW_NUMBER replay.
     "q190_domain_quota" -> ((s, dir) => {
+      val tld = when(col("doc_id") % 3 === 0, lit("com"))
+        .when(col("doc_id") % 3 === 1, lit("co.uk"))
+        .otherwise(lit("com.au"))
+      val userinfo =
+        when(col("doc_id") % 7 === 0, lit("user:pw@")).otherwise(lit(""))
+      val fqdnDot = when(col("doc_id") % 11 === 0, lit(".")).otherwise(lit(""))
       val d = table(s, dir, "documents").select(
         col("doc_id"),
-        concat(lit("https://"), col("lang"), lit("."), col("source"),
-          lit("press.com/docs/"), col("doc_id").cast("string"),
+        concat(lit("https://"), userinfo, col("lang"), lit("."),
+          col("source"), lit("press."), tld, fqdnDot, lit("/docs/"),
+          col("doc_id").cast("string"),
           lit("?utm_source=feed#top")).as("url"))
       val dom = d.select(col("doc_id"), col("url"),
         TextOps.registrableDomain(TextOps.urlHost(col("url"))).as("domain"))
@@ -1573,6 +1615,28 @@ object TextQueries {
         .filter(col("shuffle_rank") <= 10)
         .select(col("domain"), col("doc_id"),
           col("shuffle_rank").cast("long").as("quota_rank"))
+    }),
+
+    // The domain LINK GRAPH (VERDICT r15 item 1): anchor hrefs pulled
+    // from fixture-synthesized markup ([[linkParts]] — every quote
+    // style, relative/fragment/empty/mailto/javascript/no-href corners,
+    // a ccSLD partner and a protocol-relative CDN), resolved through
+    // urlHost/registrableDomain/linkDomain to (src_domain, dst_domain,
+    // n_links) edges — the link-structure half of web-corpus processing
+    // that q186's text extraction discards, feeding the same graph
+    // battery as q99/q132/q175. Markup bytes never shuffle; the one
+    // shuffle is the map-side-combinable edge count.
+    "q191_link_graph" -> ((s, dir) => {
+      val d = table(s, dir, "documents").select(
+        col("doc_id"), col("lang"), col("source"),
+        (col("doc_id") + 1).as("next_id"),
+        (col("doc_id") % 5).as("p5"),
+        (col("doc_id") % 3).as("p3"))
+      val pages = d.select(
+        concat(lit("https://"), col("lang"), lit("."), col("source"),
+          lit("press.com/docs/"), col("doc_id").cast("string")).as("url"),
+        partsCol(linkParts).as("markup"))
+      TextOps.domainLinkEdges(pages, "markup", "url")
     }),
 
     // The composed WEB-CORPUS INGEST shape: raw markup → htmlText →
@@ -2878,19 +2942,25 @@ object TextQueries {
          |    AS x_tokens
          |FROM x""".stripMargin,
 
-    // the regex patterns interpolate from the SAME TextOps vals the
-    // Spark ops compile, and the rank replays q169's ROW_NUMBER idiom
-    // (md5 is collision-free across distinct ids, so the secondary key
-    // never decides)
+    // the host/domain SQL is GENERATED from the same TextOps vals the
+    // Spark ops compile (urlHostSql/registrableDomainSql — pattern,
+    // trailing-dot strip, and ccSLD list all shared), and the rank
+    // replays q169's ROW_NUMBER idiom (md5 is collision-free across
+    // distinct ids, so the secondary key never decides)
     "q190_domain_quota" ->
       s"""WITH d AS (SELECT doc_id,
-         |    'https://' || lang || '.' || source || 'press.com/docs/' ||
+         |    'https://' ||
+         |    CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END ||
+         |    lang || '.' || source || 'press.' ||
+         |    CASE WHEN doc_id % 3 = 0 THEN 'com'
+         |         WHEN doc_id % 3 = 1 THEN 'co.uk' ELSE 'com.au' END ||
+         |    CASE WHEN doc_id % 11 = 0 THEN '.' ELSE '' END ||
+         |    '/docs/' ||
          |    CAST(doc_id AS VARCHAR) || '?utm_source=feed#top' AS url
          |  FROM documents),
          |h AS (SELECT doc_id,
-         |    regexp_extract(
-         |      lower(regexp_extract(url, '${TextOps.urlHostPattern}', 1)),
-         |      '${TextOps.registrableDomainPattern}', 1) AS domain
+         |    ${TextOps.registrableDomainSql(TextOps.urlHostSql("url"))}
+         |      AS domain
          |  FROM d),
          |r AS (SELECT domain, doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY domain
@@ -2898,6 +2968,32 @@ object TextQueries {
          |  FROM h)
          |SELECT domain, doc_id, CAST(rk AS BIGINT) AS quota_rank
          |FROM r WHERE rk <= 10""".stripMargin,
+
+    // the markup template, the three href patterns, and the
+    // classification CASE all render from the same TextOps/linkParts
+    // structures the Spark query compiles — symmetry by construction
+    "q191_link_graph" ->
+      s"""WITH d AS (SELECT doc_id, lang, source,
+         |    doc_id + 1 AS next_id, doc_id % 5 AS p5, doc_id % 3 AS p3
+         |  FROM documents),
+         |m AS (SELECT
+         |    ${TextOps.registrableDomainSql(TextOps.urlHostSql(
+               "'https://' || lang || '.' || source || 'press.com/docs/' " +
+                 "|| CAST(doc_id AS VARCHAR)"))} AS src_domain,
+         |    ${partsSql(linkParts)} AS markup
+         |  FROM d),
+         |l AS (SELECT src_domain,
+         |    unnest(${TextOps.extractLinksSql("markup")}) AS href
+         |  FROM m),
+         |e AS (SELECT src_domain,
+         |    ${TextOps.linkDomainSql("href", "src_domain")} AS dst_domain
+         |  FROM l)
+         |SELECT src_domain, dst_domain,
+         |  CAST(COUNT(1) AS BIGINT) AS n_links
+         |FROM e
+         |WHERE dst_domain IS NOT NULL AND dst_domain <> ''
+         |  AND src_domain <> ''
+         |GROUP BY src_domain, dst_domain""".stripMargin,
 
     // positioned line split via the componentsCtes range-unnest idiom;
     // string_agg skips the CASE's NULLs in pos order, mirroring Spark's

@@ -161,10 +161,20 @@ class TextOpsSpec extends SparkSpec {
     assert(extract("a &amp; b &#38; c") == "a & b & c")
     assert(extract("&quot;q&quot; &#39;a&#39; x&nbsp;y") == "\"q\" 'a' x y")
     // amp-producing decodes run LAST as one global pass: output is
-    // never re-scanned, for either spelling or their concatenation
+    // never re-scanned, for any spelling or their concatenation
     assert(extract("&amp;lt;") == "&lt;")
     assert(extract("&#38;amp;") == "&amp;")
     assert(extract("&amp;#38;") == "&#38;")
+    assert(extract("&#x26;amp;") == "&amp;")
+    assert(extract("&amp;#x26;") == "&#x26;")
+    // hex spellings of the subset decode, case-insensitively in the
+    // x and the digits (VERDICT r15 item 2)
+    assert(extract("&#x3c;b&#x3E;hex&#X3c;/b&#X3E;") == "<b>hex</b>")
+    assert(extract("&#x22;q&#x22; &#X27;a&#x27; x&#xA0;y &#xa0;z") ==
+      "\"q\" 'a' x y z")
+    assert(extract("a &#x26; b") == "a & b")
+    // zero-padded numerics are outside the subset -> literal
+    assert(extract("&#x03C; &#060;") == "&#x03C; &#060;")
     // outside the deterministic subset -> literal (needs engine tables)
     assert(extract("caf&eacute; &#x41;") == "caf&eacute; &#x41;")
   }
@@ -229,9 +239,87 @@ class TextOpsSpec extends SparkSpec {
     assert(run(TextOps.urlHost, "not a url") == "")
     assert(run(u => TextOps.registrableDomain(TextOps.urlHost(u)),
       "https://en.news.src3press.com/a") == "src3press.com")
-    // documented naive-two-label limitation: ccSLDs fold to the ccSLD
-    assert(run(TextOps.registrableDomain, "deep.sub.example.co.uk") == "co.uk")
+    // userinfo is skipped, greedily to the LAST @ before the path
+    // (WHATWG); an @ in the query never reaches the userinfo scan
+    assert(run(TextOps.urlHost, "https://user:pw@Example.com/x") == "example.com")
+    assert(run(TextOps.urlHost, "https://a@b@c.io/x") == "c.io")
+    assert(run(TextOps.urlHost, "https://host.io/p?reply=a@b") == "host.io")
+    assert(run(TextOps.urlHost, "https://user:pw@host.io:8080/x") == "host.io")
+    // pinned ccSLD exceptions take three labels; generic TLDs take two
+    assert(run(TextOps.registrableDomain, "deep.sub.example.co.uk") == "example.co.uk")
+    assert(run(TextOps.registrableDomain, "www.shop.com.au") == "shop.com.au")
+    assert(run(TextOps.registrableDomain, "coop.example.org") == "example.org")
+    // a bare ccSLD has no registrable domain, like a single label
+    assert(run(TextOps.registrableDomain, "co.uk") == "")
     assert(run(TextOps.registrableDomain, "localhost") == "")
+    // FQDN trailing dots strip instead of poisoning the extract
+    assert(run(TextOps.registrableDomain, "www.example.com.") == "example.com")
+    assert(run(TextOps.registrableDomain, "sub.example.co.uk.") == "example.co.uk")
+  }
+
+  test("extractLinks: all three quote styles, multiple anchors, no-href anchors") {
+    import spark.implicits._
+    def links(m: String): Seq[String] =
+      Seq(m).toDF("m").select(TextOps.extractLinks(col("m")))
+        .as[Seq[String]].collect().head
+    assert(links("""<a href="https://x.com/a">a</a> <a href='b.html'>b</a>""")
+      .sorted == Seq("b.html", "https://x.com/a"))
+    // unquoted values terminate at whitespace or '>'
+    assert(links("<a rel=nofollow href=/p/q.html>r</a>") == Seq("/p/q.html"))
+    assert(links("<a href=x.html class=y>r</a>") == Seq("x.html"))
+    // case-insensitive tag/attr; attributes before href are skipped
+    assert(links("""<A CLASS='k' HREF='/up'>u</A>""") == Seq("/up"))
+    // no-href anchors and non-anchor tags contribute nothing
+    assert(links("""<a name="x">t</a> <img src="i.png"> plain""") == Nil)
+    // empty href extracts as "" (classified away by linkDomain)
+    assert(links("""<a href="">e</a>""") == Seq(""))
+    // multiple dq anchors in one document all extract
+    assert(links("""<a href="1">x</a><a href="2">y</a>""") == Seq("1", "2"))
+  }
+
+  test("linkDomain: http/relative/fragment/scheme/protocol-relative classification") {
+    import spark.implicits._
+    def dom(href: String): Option[String] =
+      Seq(href).toDF("h")
+        .select(TextOps.linkDomain(col("h"), lit("self.com")))
+        .as[Option[String]].collect().head
+    assert(dom("https://en.wiki.example.org/page") == Some("example.org"))
+    assert(dom("HTTPS://X.CO.UK/p") == Some("x.co.uk"))
+    assert(dom("http://news.partner3.co.uk/l?a=1") == Some("partner3.co.uk"))
+    // relative paths are self-edges; fragments and empties are no edge
+    assert(dom("/docs/1.html") == Some("self.com"))
+    assert(dom("../up.html") == Some("self.com"))
+    assert(dom(" spaced.html ") == Some("self.com"))
+    assert(dom("#top") == None)
+    assert(dom("") == None)
+    // non-http schemes never reach the graph
+    assert(dom("mailto:a@b.com") == None)
+    assert(dom("javascript:void(0)") == None)
+    assert(dom("tel:+15551234") == None)
+    assert(dom("ftp://files.example.com/x") == None)
+    // protocol-relative resolves by host
+    assert(dom("//cdn.static-example.net/lib.js") == Some("static-example.net"))
+    // invalid absolute host -> '' (filtered by domainLinkEdges)
+    assert(dom("https:///nohost") == Some(""))
+  }
+
+  test("domainLinkEdges: edges aggregate per (src,dst); dead targets drop") {
+    import spark.implicits._
+    val pages = Seq(
+      ("https://a.site1.com/p1",
+        """<a href="https://x.other.org/1">o</a><a href="/self">s</a>""" +
+          """<a href="#f">f</a><a href="mailto:m@x.org">m</a>"""),
+      ("https://b.site1.com/p2",
+        """<a href='https://y.other.org/2'>o</a><a href=nav.html>s</a>"""),
+      ("https://site2.co.uk/p3",
+        """<a href="//cdn.static.io/l.js">c</a>""")
+    ).toDF("url", "markup")
+    val edges = TextOps.domainLinkEdges(pages, "markup", "url")
+      .as[(String, String, Long)].collect().toSet
+    assert(edges == Set(
+      ("site1.com", "other.org", 2L),
+      ("site1.com", "site1.com", 2L),
+      ("site2.co.uk", "static.io", 1L)))
   }
 
   test("canonicalizeUnicode: NFC subset composes, homoglyphs fold") {
