@@ -598,6 +598,100 @@ object TextOps {
     (confusable ++ combining).map { case (f, t) => Lit(f, t) }
   }
 
+  /** Byte-pair-encoding merge learning + application (VERDICT r15
+    * item 5) — `rounds` unrolled greedy merge rounds over the corpus's
+    * lowercased letter runs, upgrading the token-counting family from
+    * whitespace/regex proxies to an actual learned-subword
+    * tokenization. Each round: count adjacent symbol pairs across every
+    * word occurrence (frequency-weighted by construction), pick the
+    * most frequent (ties: lexicographically smallest WRAPPED pair
+    * string — deterministic binary compare in both engines), merge it
+    * everywhere, repeat. The greedy argmax stays IN-ENGINE: each
+    * round's 1-row best pair broadcast-joins back (never collected),
+    * the same unrolled shape as the q129/q164 greedy rounds.
+    *
+    * Symbol sequences travel in WRAPPED form — `hello` →
+    * `|h| |e| |l| |l| |o|` — so the merge is a plain literal
+    * replace: pair "|l| |o|" → "|lo|". The wrapping is what makes
+    * that replace boundary-safe (a bare "l o" could match a symbol
+    * SUFFIX `l` before a symbol PREFIX `o`, merging across symbol
+    * boundaries) and repeat-safe (left-to-right non-overlapping global
+    * replace — identical in Java and DuckDB — reproduces BPE's
+    * leftmost-first merge on runs: `|a| |a| |a|` → `|aa| |a|`).
+    * Pipe can't collide with symbol text: symbols are [a-z] only.
+    *
+    * Output, one row per document that has at least one letter run
+    * (token-empty docs have no tokenization to report): n_words,
+    * n_syms0 (= total letters), n_syms (after `rounds` merges), fp (an
+    * order-insensitive exact content fingerprint: per-word md5-prefix
+    * ints, summed), merges (the learned merge list, wrapped form,
+    * ';'-joined — constant across rows, pinning WHICH merges were
+    * learned). A corpus with no adjacent pairs left reaches a fixed
+    * point: the left join finds no best pair and seqs pass through
+    * unchanged (never an empty result).
+    *
+    * Scale shape: per round, ONE map-side-combinable pair-count
+    * aggregation (pairs are ≤9-char strings; document text never
+    * shuffles) + a broadcast of a 1-row table + a per-row literal
+    * replace. `localCheckpoint` per round keeps lineage linear in
+    * `rounds` instead of doubling (best-pair agg + merge both read the
+    * prior round). At 100 TB each round is one pass over symbol pairs —
+    * the canonical distributed-BPE shape. */
+  def applyBpeMerges(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1 && rounds <= 8,
+      s"rounds=$rounds must be in [1,8] (each round is an unrolled job)")
+    import org.apache.spark.sql.DataFrame
+    val words0: DataFrame = docs
+      .select(col(idCol),
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("w"))
+      // wrapped form: '|' + "c| |" per char, trailing " |" dropped via
+      // the exact length 4·len(w)−1 (ASCII-only by construction)
+      .select(col(idCol),
+        expr("substring(concat('|', regexp_replace(w, '(.)', '$1| |')), " +
+          "1, 4*length(w)-1)").as("seq"),
+        length(col("w")).cast("long").as("n0"))
+    var words = words0.localCheckpoint()
+    (1 to rounds).foreach { r =>
+      val pairs = words
+        .filter(size(split(col("seq"), " ")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, size(split(seq, ' ')) - 1), " +
+            "i -> concat(element_at(split(seq, ' '), i), ' ', " +
+            "element_at(split(seq, ' '), i + 1)))")).as("pair"))
+      val best = pairs.groupBy(col("pair"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .select(col("pair").as(s"p$r"))
+      // LEFT join on true, not crossJoin: an empty best (fixed point —
+      // no pairs anywhere) must pass seqs through, not empty the corpus
+      words = words
+        .join(broadcast(best), lit(true), "left")
+        .withColumn("seq",
+          when(col(s"p$r").isNull, col("seq"))
+            .otherwise(replace(col("seq"), col(s"p$r"),
+              replace(col(s"p$r"), lit("| |"), lit("")))))
+        .localCheckpoint()
+    }
+    val mergesCol = concat_ws(";",
+      (1 to rounds).map(r => coalesce(col(s"p$r"), lit(""))): _*)
+    words
+      .withColumn("merges", mergesCol)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n0")).as("n_syms0"),
+        sum(size(split(col("seq"), " ")).cast("long")).as("n_syms"),
+        sum(conv(substring(md5(col("seq")), 1, 8), 16, 10).cast("long"))
+          .as("fp"),
+        min(col("merges")).as("merges"))
+  }
+
   def canonicalizeUnicode(text: Column): Column =
     chainColumn(unicodeCanonSteps, text)
 

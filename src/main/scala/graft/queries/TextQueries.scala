@@ -111,6 +111,52 @@ object TextQueries {
     conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
       .cast("long") % cmWidth
 
+  /** q192's DuckDB replay of [[TextOps.applyBpeMerges]]: the same
+    * `rounds` greedy rounds unrolled as CTE chains — per round a
+    * pair-count CTE, a 1-row best-pair CTE (same count-then-pair tie
+    * order), and a LEFT JOIN ON TRUE merge application (the no-pair
+    * fixed point passes seqs through on both engines). The wrapped-seq
+    * construction mirrors the Spark expression char for char; only the
+    * regex replacement spelling differs (`\\1` vs `$$1` — RE2 vs Java
+    * backreference syntax, same semantics). */
+  private def bpeOracleSql(rounds: Int): String = {
+    val prep =
+      """s0 AS (SELECT doc_id,
+        |    substring('|' || regexp_replace(w, '(.)', '\1| |', 'g'),
+        |      1, 4*length(w)-1) AS seq,
+        |    CAST(length(w) AS BIGINT) AS n0
+        |  FROM (SELECT doc_id,
+        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+        |        FROM documents))""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      val carried = (1 until r).map(i => s", p$i").mkString
+      s"""pr$r AS (SELECT parts[i] || ' ' || parts[i+1] AS pair
+         |  FROM (SELECT string_split(seq, ' ') AS parts,
+         |               unnest(range(1, len(string_split(seq, ' ')))) AS i
+         |        FROM $prev)),
+         |b$r AS (SELECT pair AS p$r FROM (
+         |    SELECT pair, COUNT(1) AS c FROM pr$r GROUP BY pair)
+         |  ORDER BY c DESC, pair ASC LIMIT 1),
+         |s$r AS (SELECT doc_id, n0$carried, p$r,
+         |    CASE WHEN p$r IS NULL THEN seq
+         |         ELSE replace(seq, p$r, replace(p$r, '| |', '')) END AS seq
+         |  FROM $prev LEFT JOIN b$r ON TRUE)""".stripMargin
+    }
+    val mergesExpr =
+      (1 to rounds).map(r => s"coalesce(p$r, '')").mkString(" || ';' || ")
+    s"""WITH $prep,
+       |${roundCtes.mkString(",\n")}
+       |SELECT doc_id,
+       |  CAST(COUNT(1) AS BIGINT) AS n_words,
+       |  CAST(SUM(n0) AS BIGINT) AS n_syms0,
+       |  CAST(SUM(len(string_split(seq, ' '))) AS BIGINT) AS n_syms,
+       |  CAST(SUM(CAST(concat('0x', substr(md5(seq), 1, 8)) AS BIGINT))
+       |    AS BIGINT) AS fp,
+       |  min($mergesExpr) AS merges
+       |FROM s$rounds GROUP BY doc_id""".stripMargin
+  }
+
   /** Built dedup-index artifact dirs, keyed by dataset dir — the
     * persisted-index lifecycle for q184 (the dedup analog of
     * SimilarityQueries' ivfIndex/pqIndex caches): ONE build job per
@@ -1656,7 +1702,16 @@ object TextQueries {
       // both directions pinned by FanOutSpec)
       graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id")
         .select(col("doc_id"), col("source"),
-          TextOps.htmlText(htmlMarkupCol).as("x"))
+          TextOps.htmlText(htmlMarkupCol).as("x0"))
+        // Generate boundary (explode of a 1-element array): evaluate the
+        // ~25-pass extraction chain ONCE per row into an attribute.
+        // Without it, projection collapse into the fused partial hash-agg
+        // re-inlined the chain at every use inside qualityScore +
+        // tokenCount and the generated doAggregateWithKeys method grew
+        // past the JVM's 64 KB limit — janino failed and the whole stage
+        // silently ran interpreted (observed in the r16 bench log as
+        // 'ERROR CodeGenerator ... Code grows beyond 64 KB').
+        .select(col("source"), explode(array(col("x0"))).as("x"))
         .select(col("source"),
           TextOps.qualityScore(col("x")).as("quality"),
           TextOps.tokenCount(col("x")).as("n_tokens"))
@@ -1665,6 +1720,18 @@ object TextQueries {
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tokens").cast("long")).as("token_mass"))
     }),
+
+    // Learned-subword tokenization (VERDICT r15 item 5): 3 unrolled
+    // greedy BPE merge rounds over the corpus's letter runs — the
+    // upgrade from whitespace/regex token proxies (q21/q149/q154) to a
+    // trained tokenizer. Per-doc word/symbol counts before/after, an
+    // order-insensitive exact fingerprint of the merged seqs, and the
+    // learned merge list itself (pinning WHICH pairs won each round,
+    // tie order included) — all hash-exact against the same rounds
+    // unrolled in DuckDB CTEs.
+    "q192_bpe_merges" -> ((s, dir) =>
+      TextOps.applyBpeMerges(
+        table(s, dir, "documents"), "doc_id", "text", rounds = 3)),
 
     // Homoglyph-canonical dedup (VERDICT r14 item 6): the dedup family
     // case/punct folding cannot see — script-level near-dups (Cyrillic
@@ -3044,6 +3111,9 @@ object TextQueries {
          |  CAST(SUM(n) AS BIGINT) AS token_mass
          |FROM q WHERE quality > 0.55 AND n >= 60
          |GROUP BY source""".stripMargin,
+
+    // the same 3 greedy rounds unrolled as CTEs (see bpeOracleSql)
+    "q192_bpe_merges" -> bpeOracleSql(3),
 
     // chr(769) = U+0301 combining acute — the decomposed spelling; the
     // canonicalization chain is generated from TextOps.unicodeCanonSteps

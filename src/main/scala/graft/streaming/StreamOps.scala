@@ -101,6 +101,112 @@ object StreamOps {
     dedupWithinWatermark(scored, Seq("content_hash"), eventTimeCol, horizon)
   }
 
+  /** Batch-side half of the streaming boilerplate-removal pair
+    * (VERDICT r15 item 6): compute the banned-line table — md5s of
+    * every line whose cross-document frequency in `docs` exceeds
+    * `maxDocFreq` (the [[graft.operators.TextOps.stripBoilerplateLines]]
+    * frequency rule) — and overwrite it at `outPath`. Runs on the
+    * STANDING corpus on whatever cadence the operator chooses (the
+    * analog of rebuilding a dimension snapshot); the streaming side
+    * re-reads the snapshot every trigger, so a refresh lands without
+    * touching the stream. Only 16-byte hashes are ever written — the
+    * table for a 100 TB corpus is MBs (distinct frequent lines), and
+    * the one aggregation is map-side combinable over line hashes. */
+  def buildBannedLines(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxDocFreq: Long,
+      outPath: String): Unit = {
+    require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
+    docs
+      .select(col(idCol),
+        explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
+      .select(col(idCol), md5(col("line")).as("h"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("docfreq"))
+      .filter(col("docfreq") > maxDocFreq)
+      .select(col("h"))
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Streaming-side half: drop every line of `textCol` whose md5 is in
+    * the banned-line snapshot at `bannedPath`, reassembling the
+    * remaining lines in order — [[graft.operators.TextOps.stripBoilerplateLines]]'
+    * removal semantics with the frequency decision OUTSOURCED to the
+    * maintained table (a micro-batch's own within-batch frequencies
+    * can't see a banner that arrives once per trigger). BATCH
+    * semantics (per-doc reassembly aggregate): run it inside
+    * foreachBatch via [[streamingIngestDedup]]'s `perBatchTransform`,
+    * never in an append-mode streaming plan. The snapshot is re-read
+    * on EVERY call — one trigger, one fresh read (the
+    * [[enrichWithDim]] dim-snapshot pattern), so batch-side refreshes
+    * apply from the next trigger on. The banned side joins broadcast
+    * (MBs by construction); doc text never shuffles — line hashes do,
+    * plus the doc-keyed reassembly.
+    *
+    * A doc whose EVERY line is banned is dropped entirely (a
+    * boilerplate-only page is not corpus — unlike the batch
+    * accounting op, which keeps the empty row for bookkeeping, an
+    * admission pipeline must not index empty documents). Returns
+    * exactly (idCol, textCol). */
+  def stripBannedLines(
+      batch: DataFrame,
+      idCol: String,
+      textCol: String,
+      bannedPath: String): DataFrame = {
+    val spark = batch.sparkSession
+    val banned = spark.read.parquet(bannedPath)
+      .select(col("h")).withColumn("banned", lit(1))
+    val lines = batch
+      .select(col(idCol),
+        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
+          .as(Seq("pos", "line")))
+      .withColumn("h", md5(col("line")))
+    lines.join(broadcast(banned), Seq("h"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(
+            sort_array(collect_list(
+              when(col("banned").isNull, struct(col("pos"), col("line"))))),
+            s => s.getField("line")),
+          "\n").as("graft_clean_text"),
+        sum(when(col("banned").isNull, 1L).otherwise(0L)).as("graft_n_kept"))
+      .filter(col("graft_n_kept") > 0)
+      .select(col(idCol), col("graft_clean_text").as(textCol))
+  }
+
+  /** The composed streaming WEB-corpus ingest (VERDICT r15 item 6):
+    * raw markup → [[graft.operators.TextOps.htmlText]] extraction
+    * (stateless codegen'd fold — runs IN the streaming plan) →
+    * [[stripBannedLines]] boilerplate admission (per-batch, against
+    * the maintained banned-line snapshot) → [[streamingIngestDedup]]
+    * near-dup admission and index append. The full production
+    * topology: a cookie banner planted across micro-batches never
+    * reaches the index (its lines strip before signatures are even
+    * computed), and dedup operates on the CLEAN text — so a re-crawl
+    * of the same content under different chrome collapses correctly. */
+  def streamingWebIngest(
+      markupStream: DataFrame,
+      idCol: String,
+      markupCol: String,
+      indexPath: String,
+      checkpointDir: String,
+      bannedLinesPath: String,
+      onAdmitted: (DataFrame, Long) => Unit,
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+    val extracted = markupStream.select(
+      col(idCol),
+      graft.operators.TextOps.htmlText(col(markupCol)).as("text"))
+    streamingIngestDedup(
+      extracted, idCol, "text", indexPath, checkpointDir, onAdmitted,
+      threshold, maxBucket,
+      perBatchTransform =
+        (b, _) => stripBannedLines(b, idCol, "text", bannedLinesPath))
+  }
+
   /** Admission-controlled file replay — the backfill knob. Streaming a
     * large parquet backlog with no per-trigger bound makes the FIRST
     * micro-batch swallow the entire history: its shuffles, window state,
@@ -260,12 +366,22 @@ object StreamOps {
       checkpointDir: String,
       onAdmitted: (DataFrame, Long) => Unit,
       threshold: Double = 0.5,
-      maxBucket: Int = 1000): org.apache.spark.sql.streaming.StreamingQuery = {
+      maxBucket: Int = 1000,
+      // BATCH-semantics pre-admission transform (default: identity),
+      // run inside foreachBatch where groupBy/join need no watermark —
+      // the hook the web-ingest composition uses for line-level
+      // boilerplate removal (a per-doc reassembly aggregate that
+      // Structured Streaming's append mode would reject in-plan). Must
+      // preserve idCol/textCol; rows it drops are never probed,
+      // admitted, or indexed.
+      perBatchTransform: (DataFrame, Long) => DataFrame = (b, _) => b)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val ns = ingestNs(checkpointDir)
     docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (rawBatch: DataFrame, batchId: Long) =>
+        val batch = perBatchTransform(rawBatch, batchId)
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
         val legacy = legacyIngestIds(checkpointDir, batchId)
@@ -436,7 +552,18 @@ object StreamOps {
     * are committed corpus. A marker, NOT a manifest edit: the fold
     * manifest is compaction's bookkeeping (an audit would re-add the
     * id, and deleting the only entry would leave the empty-manifest +
-    * fold-history state that re-triggers the scan anyway).
+    * fold-history state that re-triggers the scan anyway). CAVEAT
+    * (ADVICE r15): the marker lives under the tail's `_folded/`
+    * directory, so DELETING AND RE-SEEDING THE TAIL DISCARDS IT — the
+    * same re-seeded corner the manifest scaladoc covers. Because the
+    * folded lineage the marker excuses is permanent, an operator who
+    * recreates the tail path must re-create every `guard_allow_b<N>`
+    * marker along with it, or the permanent abort resumes on the next
+    * coinciding replay (the abort message says so). It stays tail-local
+    * by design: the standing table is shared across incarnations, and
+    * an allow decision is scoped to THIS tail's checkpoint lineage —
+    * parking it in a shared table property would leak one incarnation's
+    * verification to every future one.
     *
     * Steady-state cost: one directory-existence check per trigger (plus
     * the manifest read on the hybrid path); the partition is read (a
@@ -511,7 +638,10 @@ object StreamOps {
               "rows are committed corpus, then create the marker file " +
               s"'$indexPath/_folded/guard_allow_$bareId' to opt this " +
               "batch number out of the folded-copy check — the folded " +
-              "rows stay probe-able corpus either way.")
+              "rows stay probe-able corpus either way. NOTE: the marker " +
+              "lives in the tail; if you later delete and re-seed the " +
+              "tail directory you must re-create it, or this abort " +
+              "resumes (the folded lineage it excuses is permanent).")
       }
     }
   }

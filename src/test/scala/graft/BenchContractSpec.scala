@@ -23,11 +23,47 @@ class BenchContractSpec extends AnyFunSuite {
     // bound above anything a real run can reach, since the synthetic-
     // understates-real gap is exactly what bit in r15)
     val stream =
-      """{"sw":99999999,"swu":99999999,"swtp":99999999,"krt":99999999}"""
-    val line = Bench.renderSlim(medians, 99999.9999, "{}", stream, "/root/testdata/sf0.1")
+      """{"w":99999999,"u":99999999,"t":99999999,"k":99999999}"""
+    val line = Bench.renderSlim(medians, 99999.9999, 99, stream,
+      "/root/testdata/sf0.1", 99.999)
     assert(line.length <= 1950,
       s"metric line ${line.length} chars leaves <50 headroom under the 2000-char driver tail " +
         "— shorten query names or drop per-query detail from the slim line")
+  }
+
+  test("slim-line field shape is pinned (ADVICE r15): exact top-level keys and value kinds") {
+    // the slim stdout line is the driver-facing contract; r15 changed the
+    // stream section's shape (objects -> bare rps) without a pin, so any
+    // external consumer broke silently. This parses the rendered line and
+    // pins the exact key set and value kinds — a shape change now has to
+    // edit this test, i.e. be deliberate.
+    val medians = Seq("q01_agg" -> 0.5, "q186_html_extract" -> 1.2)
+    val stream = """{"w":39400,"u":12000,"t":9000,"k":15000}"""
+    val line = Bench.renderSlim(medians, 97.2, 1, stream,
+      "/root/testdata/sf0.1", 1.234)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    val keys = {
+      val it = node.fieldNames(); val b = Seq.newBuilder[String]
+      while (it.hasNext) b += it.next(); b.result().toSet
+    }
+    assert(keys == Set("metric", "value", "unit", "sentinel", "queries",
+      "err", "stream", "sf"), s"slim-line top-level keys drifted: $keys")
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("value").isNumber && node.get("sentinel").isNumber)
+    assert(node.get("sf").asText() == "sf0.1")
+    // queries: bare-number keys -> numeric medians
+    assert(node.get("queries").get("01").isNumber)
+    assert(node.get("queries").get("186").isNumber)
+    // stream: single-letter section names -> bare numeric rps (r16
+    // shape: w/u/t/k, NO per-field {r,s,rps} objects; full names and
+    // spreads live in bench_out.json)
+    Seq("w", "u", "t", "k").foreach { k =>
+      assert(node.get("stream").get(k).isNumber,
+        s"stream.$k must be a bare rps number")
+    }
+    // err: a count, never error text (text could overflow the tail)
+    assert(node.get("err").isInt && node.get("err").asInt() == 1)
   }
 
   test("slim-line q-number prefixes are unique across the registry") {
@@ -74,14 +110,21 @@ class BenchContractSpec extends AnyFunSuite {
   test("j3 JSON number rendering is locale-independent") {
     // ADVICE r14: the full-JSON per-pass arrays rendered through the `f`
     // interpolator, which uses the JVM default locale — a comma-decimal
-    // host emitted `1,234` and broke the driver's JSON parse
-    val prev = java.util.Locale.getDefault
-    try {
-      java.util.Locale.setDefault(java.util.Locale.GERMANY)
-      assert(Bench.j3(1.2345) == "1.234" || Bench.j3(1.2345) == "1.235")
-      assert(!Bench.j3(1.2345).contains(","))
-      assert(Bench.j3(0.5) == "0.500")
-    } finally java.util.Locale.setDefault(prev)
+    // host emitted `1,234` and broke the driver's JSON parse.
+    // ADVICE r15: the default-locale mutation is JVM-GLOBAL; suites run
+    // in parallel in one JVM, so any locale-sensitive formatting
+    // elsewhere could observe GERMANY mid-test. All locale-mutating
+    // tests must hold [[BenchContractSpec.localeLock]] for the full
+    // mutate-assert-restore span (this is currently the only one).
+    BenchContractSpec.localeLock.synchronized {
+      val prev = java.util.Locale.getDefault
+      try {
+        java.util.Locale.setDefault(java.util.Locale.GERMANY)
+        assert(Bench.j3(1.2345) == "1.234" || Bench.j3(1.2345) == "1.235")
+        assert(!Bench.j3(1.2345).contains(","))
+        assert(Bench.j3(0.5) == "0.500")
+      } finally java.util.Locale.setDefault(prev)
+    }
   }
 
   test("isStormPass tags the measured storm signatures and nothing else") {
@@ -104,4 +147,11 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.ms(3.14159) == "3.14")
     assert(Bench.ms(999.999) == "1000") // carries, still a valid number
   }
+}
+
+/** Shared lock for tests that mutate the JVM-global default Locale —
+  * parallel suites in the same JVM must never observe a test locale
+  * (ADVICE r15). */
+object BenchContractSpec {
+  val localeLock = new Object
 }

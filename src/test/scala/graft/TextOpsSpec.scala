@@ -322,6 +322,39 @@ class TextOpsSpec extends SparkSpec {
       ("site2.co.uk", "static.io", 1L)))
   }
 
+  test("applyBpeMerges: hand-computed merges, tie order, counts") {
+    import spark.implicits._
+    val docs = Seq((1L, "aa ab"), (2L, "aab, B!")).toDF("doc_id", "text")
+    // round 1: "|a| |a|":2 ties "|a| |b|":2 -> lexicographic min on the
+    //   WRAPPED string picks "|a| |a|" ('a' < 'b' at the tie position)
+    // round 2: "|a| |b|":1 ties "|aa| |b|":1 -> "|aa| |b|" wins ('a' <
+    //   '|' bytewise), the documented wrapped-form tie order
+    // round 3: only "|a| |b|" remains
+    val out = TextOps.applyBpeMerges(docs, "doc_id", "text", rounds = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(5)))).toMap
+    val merges = "|a| |a|;|aa| |b|;|a| |b|"
+    assert(out(1L) == ((2L, 4L, 2L, merges)), s"doc 1: ${out(1L)}")
+    // punctuation/case fold away: "aab, B!" -> words aab, b
+    assert(out(2L) == ((2L, 4L, 2L, merges)), s"doc 2: ${out(2L)}")
+  }
+
+  test("applyBpeMerges: no-pair fixed point passes seqs through, never empties") {
+    import spark.implicits._
+    // all words single-letter: no adjacent pair exists in any round
+    val docs = Seq((1L, "a b c")).toDF("doc_id", "text")
+    val r = TextOps.applyBpeMerges(docs, "doc_id", "text", rounds = 2)
+      .collect().head
+    assert(r.getLong(1) == 3L && r.getLong(2) == 3L && r.getLong(3) == 3L)
+    assert(r.getString(5) == ";", "unlearned rounds render as empty slots")
+    // pairs exhaust mid-run: round 1 merges the only pair, rounds 2-3 no-op
+    val docs2 = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    val r2 = TextOps.applyBpeMerges(docs2, "doc_id", "text", rounds = 3)
+      .collect().head
+    assert(r2.getLong(3) == 2L, "both words merge to one symbol")
+    assert(r2.getString(5) == "|a| |b|;;")
+  }
+
   test("canonicalizeUnicode: NFC subset composes, homoglyphs fold") {
     import spark.implicits._
     def canon(s: String): String =
