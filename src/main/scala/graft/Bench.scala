@@ -116,22 +116,30 @@ object Bench {
       streamJson: String,
       sfDir: String,
       sentinelSec: Double): String = {
+    // leading zeros dropped from the q-number keys ("01" -> "1"):
+    // unique either way (zero-padded names never collide with 2-digit
+    // ones) and the 9 single-digit queries each buy a budget char
     val qsSlim = medians.map { case (k, t) =>
-      "\"" + k.takeWhile(_ != '_').stripPrefix("q") + "\":" + msSlimQ(t)
+      val num = k.takeWhile(_ != '_').stripPrefix("q")
+      "\"" + num.dropWhile(_ == '0') + "\":" + msSlimQ(t)
     }.mkString("{", ",", "}")
     // sf renders as the basename ("sf0.1") — the full path spent 16
     // line-budget chars on a constant prefix. ann_build moved to the
     // full JSON only when the 187-query registry outgrew the budget
     // (the driver contract requires metric/value/unit/queries/sf; the
     // build timing is builder evidence, not a per-round gate input).
-    // sentinel: the fixed-work host-speed probe (VERDICT r15 item 3) —
+    // sent: the fixed-work host-speed sentinel (VERDICT r15 item 3) —
     // a constant 8M-row hash kernel whose median wall lets any reader
     // normalize round-over-round totals for host drift (r15's 117 s vs
     // 83 s was a uniform guest-invisible host slowdown, not code).
-    // err: a COUNT since r16 — full error text lives in bench_out.json
-    // and stderr; an error string in the byte-budgeted slim line could
-    // itself overflow the tail and unscore the round.
-    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","sentinel":${ms(sentinelSec)},"queries":$qsSlim,"err":$errCount,"stream":$streamJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // err: a COUNT, capped at 9 — full error text lives in
+    // bench_out.json and stderr; an error string in the byte-budgeted
+    // slim line could itself overflow the tail and unscore the round.
+    // The 192-query registry sits near the STRUCTURAL cap of the
+    // driver's 2,000-char tail (~10 chars/query floor); a future round
+    // that adds many queries must find budget here first —
+    // BenchContractSpec fails loudly when it runs out.
+    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","sent":${ms(sentinelSec)},"queries":$qsSlim,"err":${math.min(errCount, 9)},"stream":$streamJson,"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 
   /** Fixed-work host-speed sentinel: one pass = 8M codegen'd
@@ -389,14 +397,16 @@ object Bench {
       val slimStreamName = Map(
         "single_window" -> "w", "six_windows_union" -> "u",
         "six_windows_two_phase" -> "t", "kafka_roundtrip" -> "k")
-      // rps-ONLY in the slim line (r15: the 187-query registry pushed the
-      // REAL rendered line to 2003 chars — 3 over the driver tail, which
-      // would truncate the leading '{' and silently unscore the gate;
-      // the old {"r":…,"s":…,"rps":…} objects spent ~100 chars on values
-      // that are constants (input rows per config) or derivable (sec),
-      // all preserved in the full JSON)
+      // KILO-rows/s through msSlim in the slim line (r15 cut to bare rps
+      // when the 187-query registry pushed the REAL rendered line to
+      // 2003 chars; r16's 192 queries + the sentinel re-overflowed, so
+      // the slim stream unit is now krps with msSlim's structural 3-char
+      // bound — "9.7" under 10 krps, whole krps to the 999 cap. This
+      // box's stream sections run 9-40 krps, and run-to-run spread is
+      // ~30%, far above the quantization. Bare rps with full precision
+      // stays in the full JSON.)
       val slim = wrap(slimStreamName) { (_, rows, med) =>
-        String.format(java.util.Locale.ROOT, "%.0f", Double.box(rows / med))
+        msSlim(rows / med / 1000.0)
       }
       val full = wrap(identity) { (name, rows, med) =>
         val walls = timesBy(name).toSeq

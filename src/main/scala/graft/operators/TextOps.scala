@@ -598,6 +598,88 @@ object TextOps {
     (confusable ++ combining).map { case (f, t) => Lit(f, t) }
   }
 
+  /** Feature-hashed linear text scorer — the EXECUTION SHAPE of
+    * fastText-style model-based quality filtering (the CCNet/LLaMA
+    * recipe: a linear classifier over hashed word uni+bigrams decides
+    * keep/drop), with the weight table derived deterministically from
+    * md5 so both engines replay it bit-for-bit (the repo bans opaque
+    * model artifacts for the same reason it bans engine Unicode
+    * tables; swapping in trained weights changes ONE function). Each
+    * feature hashes into one of [[hashDim]] buckets; each bucket's
+    * integer weight is a pinned pseudo-random value in [-1000, 1000];
+    * a document's score is the occurrence-weighted sum, keep = score>0.
+    *
+    * Scale shape: features explode per row (bounded by token count),
+    * weights are PURE EXPRESSIONS (no weight-table join — the "table"
+    * is arithmetic), and the one shuffle is the doc-keyed sum with
+    * map-side combine; at 100 TB this is the canonical inference pass:
+    * linear in corpus bytes, no state, no broadcast. Token-empty and
+    * null docs surface with score 0, never vanish. */
+  val hashDim = 4096
+  private def featBucket(f: Column): Column =
+    conv(substring(md5(concat(lit("gw1:"), f)), 1, 8), 16, 10)
+      .cast("long") % hashDim
+  private def bucketWeight(b: Column): Column =
+    conv(substring(md5(concat(lit("w:"), b.cast("string"))), 1, 8), 16, 10)
+      .cast("long") % 2001 - 1000
+
+  def hashedLinearScore(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val feats = docs
+      .select(col(idCol), tokens(lower(col(textCol))).as("t"))
+      .select(col(idCol), explode(
+        when(size(col("t")) < 2, col("t"))
+          .otherwise(concat(col("t"), expr(
+            "transform(sequence(1, size(t) - 1), " +
+              "i -> concat(element_at(t, i), '_', element_at(t, i + 1)))"))))
+        .as("f"))
+    val scored = feats
+      .select(col(idCol), bucketWeight(featBucket(col("f"))).as("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("w")).as("score"))
+    docs.select(col(idCol)).join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("score"), lit(0L)).as("score"))
+      .withColumn("kept", (col("score") > 0).cast("int"))
+  }
+
+  /** URL canonicalization for URL-level dedup keys (the C4/CCNet
+    * pre-fetch dedup pass): strip the fragment, strip the tracking
+    * parameters crawls are littered with (`utm_*`, `fbclid`, `gclid`,
+    * `msclkid`, `mc_eid` — a pinned, versioned list, same determinism
+    * trade as [[ccSlds]]), then tidy the separators the removals leave
+    * behind (`?&x` → `?x`, trailing `?`/`&`). Same [[ChainStep]]
+    * discipline as [[htmlTextSteps]] — every pattern is
+    * backreference-free so the chain renders into DuckDB verbatim.
+    * DELIBERATELY NOT done here: host lowercasing (the key extractors
+    * [[urlHost]]/[[registrableDomain]] already lowercase — the path is
+    * case-SENSITIVE and must survive), default-port stripping and
+    * trailing-slash folding (both scheme/server-dependent guesses, not
+    * deterministic rewrites). */
+  val trackingParams = "(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)"
+  val urlCanonSteps: Seq[ChainStep] = Seq(
+    // fragment first: a tracking param inside the fragment is not a
+    // query param and must die with the fragment, not be re-tidied
+    Rx("(?s)#.*", ""),
+    // mid-query removals: &p=v (global, handles any run of them)
+    Rx("&" + trackingParams + "=[^&]*", ""),
+    // leading-position removal keeps the '?' when params follow...
+    Rx("\\?" + trackingParams + "=[^&]*&", "?"),
+    // ...and drops it when nothing does
+    Rx("\\?" + trackingParams + "=[^&]*$", ""),
+    // tidy: the leading rule can fire once per pass, so a ?t1=a&t2=b&q
+    // run resolves as &-rule kills t2 first, then the ?-rule kills t1;
+    // a final trailing '?' or '&' (empty query left behind) drops
+    Rx("[?&]+$", ""))
+
+  def canonicalizeUrl(url: Column): Column = chainColumn(urlCanonSteps, url)
+
+  /** [[canonicalizeUrl]] as DuckDB SQL — the q194 oracle spelling. */
+  def canonicalizeUrlSql(e: String): String = chainSql(urlCanonSteps, e)
+
   /** Byte-pair-encoding merge learning + application (VERDICT r15
     * item 5) — `rounds` unrolled greedy merge rounds over the corpus's
     * lowercased letter runs, upgrading the token-counting family from

@@ -92,6 +92,44 @@ object TextQueries {
     Right("p3"),
     Left(".static-example.net/lib.js\">cdn</a></body></html>"))
 
+  /** The q191/q193 page table: each document's own URL + its
+    * [[linkParts]] markup, with the template's derived columns
+    * pre-projected (mirrored verbatim in the oracle's `d` CTE). */
+  private def linkPages(s: SparkSession, dir: String): DataFrame = {
+    val d = table(s, dir, "documents").select(
+      col("doc_id"), col("lang"), col("source"),
+      (col("doc_id") + 1).as("next_id"),
+      (col("doc_id") % 5).as("p5"),
+      (col("doc_id") % 3).as("p3"))
+    d.select(
+      concat(lit("https://"), col("lang"), lit("."), col("source"),
+        lit("press.com/docs/"), col("doc_id").cast("string")).as("url"),
+      partsCol(linkParts).as("markup"))
+  }
+
+  /** The q191 oracle's CTE chain up to the filtered edge relation `e`
+    * — shared verbatim by the q193 oracle, which stacks the unrolled
+    * PageRank rounds on top of the same edges. */
+  private def linkEdgeCtes: String =
+    s"""d AS (SELECT doc_id, lang, source,
+       |    doc_id + 1 AS next_id, doc_id % 5 AS p5, doc_id % 3 AS p3
+       |  FROM documents),
+       |m AS (SELECT
+       |    ${TextOps.registrableDomainSql(TextOps.urlHostSql(
+             "'https://' || lang || '.' || source || 'press.com/docs/' " +
+               "|| CAST(doc_id AS VARCHAR)"))} AS src_domain,
+       |    ${partsSql(linkParts)} AS markup
+       |  FROM d),
+       |l AS (SELECT src_domain,
+       |    unnest(${TextOps.extractLinksSql("markup")}) AS href
+       |  FROM m),
+       |e0 AS (SELECT src_domain,
+       |    ${TextOps.linkDomainSql("href", "src_domain")} AS dst_domain
+       |  FROM l),
+       |e AS (SELECT src_domain, dst_domain FROM e0
+       |  WHERE dst_domain IS NOT NULL AND dst_domain <> ''
+       |    AND src_domain <> '')""".stripMargin
+
   /** q187's homoglyph alphabet: Latin chars and the Cyrillic codepoints
     * [[TextOps.unicodeCanonSteps]]'s confusable table folds back —
     * `translate` over these pairs manufactures the script-level
@@ -1672,17 +1710,22 @@ object TextQueries {
     // that q186's text extraction discards, feeding the same graph
     // battery as q99/q132/q175. Markup bytes never shuffle; the one
     // shuffle is the map-side-combinable edge count.
-    "q191_link_graph" -> ((s, dir) => {
-      val d = table(s, dir, "documents").select(
-        col("doc_id"), col("lang"), col("source"),
-        (col("doc_id") + 1).as("next_id"),
-        (col("doc_id") % 5).as("p5"),
-        (col("doc_id") % 3).as("p3"))
-      val pages = d.select(
-        concat(lit("https://"), col("lang"), lit("."), col("source"),
-          lit("press.com/docs/"), col("doc_id").cast("string")).as("url"),
-        partsCol(linkParts).as("markup"))
-      TextOps.domainLinkEdges(pages, "markup", "url")
+    "q191_link_graph" -> ((s, dir) =>
+      TextOps.domainLinkEdges(linkPages(s, dir), "markup", "url")),
+
+    // PageRank over the REAL link graph (composition): the q191 edges —
+    // extracted from markup, not synthesized — feed the same
+    // integer-arithmetic fixed-iteration PageRank as q99, so the
+    // crawl-prioritization score every web pipeline derives from link
+    // structure is computed end-to-end from raw HTML. Unweighted
+    // distinct domain edges (q191's grouped output), self-edges kept
+    // (intra-site navigation mass), bit-exact vs the same three rounds
+    // unrolled in DuckDB with the operator's src-node coalesce
+    // mirrored.
+    "q193_domain_pagerank" -> ((s, dir) => {
+      val edges = TextOps.domainLinkEdges(linkPages(s, dir), "markup", "url")
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+      graft.operators.Graphs.integerPageRank(edges, iters = 3)
     }),
 
     // The composed WEB-CORPUS INGEST shape: raw markup → htmlText →
@@ -1720,6 +1763,43 @@ object TextQueries {
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tokens").cast("long")).as("token_mass"))
     }),
+
+    // URL canonicalization dedup (the C4/CCNet pre-fetch pass): strip
+    // fragments and tracking params (utm_*/fbclid/gclid/msclkid/mc_eid,
+    // the pinned chain in TextOps.urlCanonSteps) and count how many
+    // distinct URLs collapse per source — the URL-level dedup that runs
+    // BEFORE any content is fetched at crawl scale. The fixture cycles
+    // four variants (two tracking-parameter shapes, a fragment, bare)
+    // over colliding paths; integer distinct counts hash-match the same
+    // chain rendered into DuckDB.
+    "q194_url_canon_dedup" -> ((s, dir) => {
+      val variant = when(col("doc_id") % 4 === 0,
+          lit("?utm_source=feed&utm_campaign=spring"))
+        .when(col("doc_id") % 4 === 1, lit("?q=1&gclid=CjkKEQ"))
+        .when(col("doc_id") % 4 === 2, lit("#section-2"))
+        .otherwise(lit(""))
+      table(s, dir, "documents")
+        .select(col("source"),
+          concat(lit("https://"), col("lang"), lit("."), col("source"),
+            lit("press.com/a/"), (col("doc_id") % 50).cast("string"),
+            variant).as("url"))
+        .select(col("source"), col("url"),
+          TextOps.canonicalizeUrl(col("url")).as("canon"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_urls"),
+          countDistinct(col("url")).as("raw_distinct"),
+          countDistinct(col("canon")).as("canon_distinct"))
+    }),
+
+    // Model-based quality filtering, execution shape (the fastText
+    // keep/drop classifier of the CCNet/LLaMA recipes): hashed word
+    // uni+bigram features, a deterministic md5-derived integer weight
+    // table (no artifact to drift between engines), doc score = summed
+    // weights, keep = score > 0. Weights are pure expressions — no
+    // weight-table join, no broadcast — and the one shuffle is the
+    // doc-keyed sum: the canonical linear inference pass at 100 TB.
+    "q195_hashed_classifier" -> ((s, dir) =>
+      TextOps.hashedLinearScore(table(s, dir, "documents"), "doc_id", "text")),
 
     // Learned-subword tokenization (VERDICT r15 item 5): 3 unrolled
     // greedy BPE merge rounds over the corpus's letter runs — the
@@ -3040,27 +3120,34 @@ object TextQueries {
     // classification CASE all render from the same TextOps/linkParts
     // structures the Spark query compiles — symmetry by construction
     "q191_link_graph" ->
-      s"""WITH d AS (SELECT doc_id, lang, source,
-         |    doc_id + 1 AS next_id, doc_id % 5 AS p5, doc_id % 3 AS p3
-         |  FROM documents),
-         |m AS (SELECT
-         |    ${TextOps.registrableDomainSql(TextOps.urlHostSql(
-               "'https://' || lang || '.' || source || 'press.com/docs/' " +
-                 "|| CAST(doc_id AS VARCHAR)"))} AS src_domain,
-         |    ${partsSql(linkParts)} AS markup
-         |  FROM d),
-         |l AS (SELECT src_domain,
-         |    unnest(${TextOps.extractLinksSql("markup")}) AS href
-         |  FROM m),
-         |e AS (SELECT src_domain,
-         |    ${TextOps.linkDomainSql("href", "src_domain")} AS dst_domain
-         |  FROM l)
+      s"""WITH $linkEdgeCtes
          |SELECT src_domain, dst_domain,
          |  CAST(COUNT(1) AS BIGINT) AS n_links
-         |FROM e
-         |WHERE dst_domain IS NOT NULL AND dst_domain <> ''
-         |  AND src_domain <> ''
-         |GROUP BY src_domain, dst_domain""".stripMargin,
+         |FROM e GROUP BY src_domain, dst_domain""".stripMargin,
+
+    // q191's edge CTEs + the q99 integer PageRank rounds unrolled, with
+    // the operator's src-node coalesce (a src that is never a dst keeps
+    // contributing the floor mass) mirrored via the pf CTEs
+    "q193_domain_pagerank" ->
+      s"""WITH $linkEdgeCtes,
+         |edges AS (SELECT src_domain AS src, dst_domain AS dst FROM e
+         |          GROUP BY src_domain, dst_domain),
+         |deg AS (SELECT src, COUNT(1) AS outdeg FROM edges GROUP BY src),
+         |wd AS (SELECT x.src, x.dst, d2.outdeg
+         |       FROM edges x JOIN deg d2 USING (src)),
+         |sn AS (SELECT src AS node FROM deg),
+         |pf0 AS (SELECT node, 1000000::BIGINT AS pr FROM sn),
+         |p1 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+         |       FROM wd JOIN pf0 ON src = node GROUP BY dst),
+         |pf1 AS (SELECT sn.node, coalesce(p1.pr, 150000) AS pr
+         |        FROM sn LEFT JOIN p1 USING (node)),
+         |p2 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+         |       FROM wd JOIN pf1 ON src = node GROUP BY dst),
+         |pf2 AS (SELECT sn.node, coalesce(p2.pr, 150000) AS pr
+         |        FROM sn LEFT JOIN p2 USING (node)),
+         |p3 AS (SELECT dst AS node, 150000 + (85 * SUM(pr // outdeg)) // 100 AS pr
+         |       FROM wd JOIN pf2 ON src = node GROUP BY dst)
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3""".stripMargin,
 
     // positioned line split via the componentsCtes range-unnest idiom;
     // string_agg skips the CASE's NULLs in pos order, mirroring Spark's
@@ -3114,6 +3201,49 @@ object TextQueries {
 
     // the same 3 greedy rounds unrolled as CTEs (see bpeOracleSql)
     "q192_bpe_merges" -> bpeOracleSql(3),
+
+    // same md5 bucket/weight arithmetic; uni and bigram features as two
+    // UNION ALL branches (Spark's single concat-explode ≡ the union);
+    // token-empty/null docs come back via the LEFT JOIN with score 0
+    "q195_hashed_classifier" ->
+      """WITH t AS (SELECT doc_id,
+        |    CASE WHEN length(trim(lower(text))) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(lower(text)), '\s+') END AS toks
+        |  FROM documents),
+        |f AS (SELECT doc_id, unnest(toks) AS f FROM t
+        |      UNION ALL
+        |      SELECT doc_id, toks[i] || '_' || toks[i+1] AS f
+        |      FROM (SELECT doc_id, toks,
+        |              unnest(range(1, len(toks))) AS i FROM t)),
+        |w AS (SELECT doc_id,
+        |    (CAST(concat('0x', substr(md5('w:' || CAST(
+        |       CAST(concat('0x', substr(md5('gw1:' || f), 1, 8)) AS BIGINT)
+        |         % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 2001) - 1000 AS w
+        |  FROM f),
+        |s AS (SELECT doc_id, COUNT(1) AS n_feats, SUM(w) AS score
+        |      FROM w GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(coalesce(n_feats, 0) AS BIGINT) AS n_feats,
+        |  CAST(coalesce(score, 0) AS BIGINT) AS score,
+        |  CAST(CASE WHEN coalesce(score, 0) > 0 THEN 1 ELSE 0 END AS INT)
+        |    AS kept
+        |FROM documents d LEFT JOIN s USING (doc_id)""".stripMargin,
+
+    // the canonicalization chain renders from TextOps.urlCanonSteps
+    "q194_url_canon_dedup" ->
+      s"""WITH d AS (SELECT source,
+         |    'https://' || lang || '.' || source || 'press.com/a/' ||
+         |    CAST(doc_id % 50 AS VARCHAR) ||
+         |    CASE WHEN doc_id % 4 = 0
+         |           THEN '?utm_source=feed&utm_campaign=spring'
+         |         WHEN doc_id % 4 = 1 THEN '?q=1&gclid=CjkKEQ'
+         |         WHEN doc_id % 4 = 2 THEN '#section-2' ELSE '' END AS url
+         |  FROM documents)
+         |SELECT source, CAST(COUNT(1) AS BIGINT) AS n_urls,
+         |  CAST(COUNT(DISTINCT url) AS BIGINT) AS raw_distinct,
+         |  CAST(COUNT(DISTINCT ${TextOps.canonicalizeUrlSql("url")})
+         |    AS BIGINT) AS canon_distinct
+         |FROM d GROUP BY source""".stripMargin,
 
     // chr(769) = U+0301 combining acute — the decomposed spelling; the
     // canonicalization chain is generated from TextOps.unicodeCanonSteps

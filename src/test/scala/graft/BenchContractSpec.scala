@@ -18,12 +18,10 @@ class BenchContractSpec extends AnyFunSuite {
     // hit 2003 chars while the synthetic said 1934 — the exact silent
     // truncation this spec exists to catch, caught only by a live run
     val medians = names.map(n => n -> 9.94)
-    // worst-case rendering of the rps-only slim stream section: 8-digit
-    // rps (a 100k-row replay finishing in ~1 ms would print 8 digits —
-    // bound above anything a real run can reach, since the synthetic-
-    // understates-real gap is exactly what bit in r15)
-    val stream =
-      """{"w":99999999,"u":99999999,"t":99999999,"k":99999999}"""
+    // worst-case rendering of the krps slim stream section: msSlim's
+    // structural 3-char bound ("999" at the cap) — the r16 unit change
+    // that bought the 192-query registry back under the tail
+    val stream = """{"w":999,"u":999,"t":999,"k":999}"""
     val line = Bench.renderSlim(medians, 99999.9999, 99, stream,
       "/root/testdata/sf0.1", 99.999)
     assert(line.length <= 1950,
@@ -38,7 +36,7 @@ class BenchContractSpec extends AnyFunSuite {
     // pins the exact key set and value kinds — a shape change now has to
     // edit this test, i.e. be deliberate.
     val medians = Seq("q01_agg" -> 0.5, "q186_html_extract" -> 1.2)
-    val stream = """{"w":39400,"u":12000,"t":9000,"k":15000}"""
+    val stream = """{"w":34,"u":9.7,"t":11,"k":19}"""
     val line = Bench.renderSlim(medians, 97.2, 1, stream,
       "/root/testdata/sf0.1", 1.234)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
@@ -46,24 +44,29 @@ class BenchContractSpec extends AnyFunSuite {
       val it = node.fieldNames(); val b = Seq.newBuilder[String]
       while (it.hasNext) b += it.next(); b.result().toSet
     }
-    assert(keys == Set("metric", "value", "unit", "sentinel", "queries",
+    assert(keys == Set("metric", "value", "unit", "sent", "queries",
       "err", "stream", "sf"), s"slim-line top-level keys drifted: $keys")
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
-    assert(node.get("value").isNumber && node.get("sentinel").isNumber)
+    assert(node.get("value").isNumber && node.get("sent").isNumber)
     assert(node.get("sf").asText() == "sf0.1")
-    // queries: bare-number keys -> numeric medians
-    assert(node.get("queries").get("01").isNumber)
+    // queries: bare-number keys WITHOUT leading zeros -> numeric medians
+    assert(node.get("queries").get("1").isNumber)
+    assert(node.get("queries").get("01") == null)
     assert(node.get("queries").get("186").isNumber)
-    // stream: single-letter section names -> bare numeric rps (r16
-    // shape: w/u/t/k, NO per-field {r,s,rps} objects; full names and
-    // spreads live in bench_out.json)
+    // stream: single-letter section names -> numeric KILO-rows/s at
+    // msSlim precision (r16 shape: w/u/t/k, no {r,s,rps} objects; full
+    // names + bare-rps precision live in bench_out.json)
     Seq("w", "u", "t", "k").foreach { k =>
       assert(node.get("stream").get(k).isNumber,
-        s"stream.$k must be a bare rps number")
+        s"stream.$k must be a bare krps number")
     }
-    // err: a count, never error text (text could overflow the tail)
+    // err: a count capped at 9, never error text (text could overflow
+    // the tail)
     assert(node.get("err").isInt && node.get("err").asInt() == 1)
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderSlim(medians, 1.0, 23, stream, "x", 0.2))
+      .get("err").asInt() == 9, "err count must cap at one digit")
   }
 
   test("slim-line q-number prefixes are unique across the registry") {

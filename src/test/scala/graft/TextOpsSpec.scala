@@ -322,6 +322,58 @@ class TextOpsSpec extends SparkSpec {
       ("site2.co.uk", "static.io", 1L)))
   }
 
+  test("hashedLinearScore: independent weight re-derivation, bigrams, empty/null docs") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    def weightOf(feat: String): Long = {
+      val b = java.lang.Long.parseLong(md5hex("gw1:" + feat).take(8), 16) % 4096
+      java.lang.Long.parseLong(md5hex("w:" + b).take(8), 16) % 2001 - 1000
+    }
+    val docs = Seq((1L, "good words here"), (2L, ""), (3L, null), (4L, "Solo"))
+      .toDF("doc_id", "text")
+    val out = TextOps.hashedLinearScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getInt(3)))).toMap
+    // doc 1: 3 unigrams + 2 bigrams, score re-derived off-Spark
+    val s1 = Seq("good", "words", "here", "good_words", "words_here")
+      .map(weightOf).sum
+    assert(out(1L) == ((5L, s1, if (s1 > 0) 1 else 0)), s"doc 1: ${out(1L)}")
+    // doc 4: single token, lowercased, no bigram
+    val s4 = weightOf("solo")
+    assert(out(4L) == ((1L, s4, if (s4 > 0) 1 else 0)), s"doc 4: ${out(4L)}")
+    // empty and null docs surface with zero score, never vanish
+    assert(out(2L) == ((0L, 0L, 0)) && out(3L) == ((0L, 0L, 0)))
+  }
+
+  test("canonicalizeUrl: fragments and tracking params strip, real params survive") {
+    import spark.implicits._
+    def canon(u: String): String =
+      Seq(u).toDF("u").select(TextOps.canonicalizeUrl(col("u")))
+        .as[String].collect().head
+    // fragment dies, including any tracking param inside it
+    assert(canon("https://x.com/p#sec") == "https://x.com/p")
+    assert(canon("https://x.com/p?q=1#utm_source=feed") == "https://x.com/p?q=1")
+    // leading tracking param: '?' survives iff real params follow
+    assert(canon("https://x.com/p?utm_source=a&q=1") == "https://x.com/p?q=1")
+    assert(canon("https://x.com/p?utm_source=a") == "https://x.com/p")
+    // mid/trailing tracking params
+    assert(canon("https://x.com/p?q=1&utm_medium=social") == "https://x.com/p?q=1")
+    assert(canon("https://x.com/p?a=1&gclid=XYZ&b=2") == "https://x.com/p?a=1&b=2")
+    // an all-tracking query vanishes entirely
+    assert(canon("https://x.com/p?utm_a=1&utm_b=2&fbclid=F") == "https://x.com/p")
+    assert(canon("https://x.com/p?utm_a=1&msclkid=m&mc_eid=e#f") == "https://x.com/p")
+    // real params, empty values, and ?-less urls are fixed points
+    assert(canon("https://x.com/p?a=1&b=2") == "https://x.com/p?a=1&b=2")
+    assert(canon("https://x.com/p?gclid=") == "https://x.com/p")
+    assert(canon("https://x.com/p") == "https://x.com/p")
+    // a dangling separator left by hand-authored urls tidies away
+    assert(canon("https://x.com/p?") == "https://x.com/p")
+    // the path is never case-folded or rewritten
+    assert(canon("https://x.com/Path/UPPER?utm_x=1") == "https://x.com/Path/UPPER")
+  }
+
   test("applyBpeMerges: hand-computed merges, tie order, counts") {
     import spark.implicits._
     val docs = Seq((1L, "aa ab"), (2L, "aab, B!")).toDF("doc_id", "text")
