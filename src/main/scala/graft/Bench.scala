@@ -113,7 +113,6 @@ object Bench {
       medians: Seq[(String, Double)],
       total: Double,
       errCount: Int,
-      streamJson: String,
       sfDir: String,
       sentinelSec: Double): String = {
     // leading zeros dropped from the q-number keys ("01" -> "1"):
@@ -135,11 +134,15 @@ object Bench {
     // err: a COUNT, capped at 9 — full error text lives in
     // bench_out.json and stderr; an error string in the byte-budgeted
     // slim line could itself overflow the tail and unscore the round.
-    // The 192-query registry sits near the STRUCTURAL cap of the
-    // driver's 2,000-char tail (~10 chars/query floor); a future round
-    // that adds many queries must find budget here first —
-    // BenchContractSpec fails loudly when it runs out.
-    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","sent":${ms(sentinelSec)},"queries":$qsSlim,"err":${math.min(errCount, 9)},"stream":$streamJson,"sf":"${new java.io.File(sfDir).getName}"}"""
+    // The 196-query registry sits near the STRUCTURAL cap of the
+    // driver's 2,000-char tail (~10 chars/query floor). The stream
+    // section moved to the full JSON ONLY in r16 (it was the last
+    // non-contract field with real width): stream throughput evidence
+    // lives in bench_out.json, committed every round as
+    // BENCH_r*_full.json. A future round that adds many queries must
+    // find budget here first — BenchContractSpec fails loudly when it
+    // runs out.
+    s"""{"metric":"total","value":${msSlim(total)},"unit":"sec","sent":${ms(sentinelSec)},"queries":$qsSlim,"err":${math.min(errCount, 9)},"sf":"${new java.io.File(sfDir).getName}"}"""
   }
 
   /** Fixed-work host-speed sentinel: one pass = 8M codegen'd
@@ -389,25 +392,12 @@ object Bench {
           "\"" + nameOf(name) + "\":" + render(name, rowsBy(name), medOf(name))
         }.mkString("{", ",", "}")
       // slim uses abbreviated section/field names (w/u/t/k, bare rps) —
-      // the registry's growth eats the driver-tail budget and these
-      // chars buy more query entries; the full JSON keeps the
-      // self-describing names. Single letters since r16 (the 188-query
-      // registry + the sentinel re-overflowed the budget); the mapping
-      // is pinned by BenchContractSpec's shape test.
-      val slimStreamName = Map(
-        "single_window" -> "w", "six_windows_union" -> "u",
-        "six_windows_two_phase" -> "t", "kafka_roundtrip" -> "k")
-      // KILO-rows/s through msSlim in the slim line (r15 cut to bare rps
-      // when the 187-query registry pushed the REAL rendered line to
-      // 2003 chars; r16's 192 queries + the sentinel re-overflowed, so
-      // the slim stream unit is now krps with msSlim's structural 3-char
-      // bound — "9.7" under 10 krps, whole krps to the 999 cap. This
-      // box's stream sections run 9-40 krps, and run-to-run spread is
-      // ~30%, far above the quantization. Bare rps with full precision
-      // stays in the full JSON.)
-      val slim = wrap(slimStreamName) { (_, rows, med) =>
-        msSlim(rows / med / 1000.0)
-      }
+      // FULL JSON ONLY since r16: the stream section was the last
+      // non-contract field with real width in the byte-budgeted slim
+      // line, and the 196-query registry needed its ~45 chars (r15 had
+      // already cut the per-field objects to bare rps). Stream
+      // throughput evidence lives in bench_out.json, committed per
+      // round as BENCH_r*_full.json.
       val full = wrap(identity) { (name, rows, med) =>
         val walls = timesBy(name).toSeq
         s"""{"input_rows":$rows,"sec":${j3(med)},"rows_per_sec":${(rows / med).toLong},""" +
@@ -417,11 +407,11 @@ object Bench {
           s""""jit_ms":[${jitBy(name).mkString(",")}],""" +
           s""""gc_ms":[${gcBy(name).mkString(",")}]}"""
       }
-      (slim, full)
+      full
     } catch { case e: Throwable =>
       errors("stream_throughput") = s"${e.getClass.getName}: ${e.getMessage}"
       System.err.println(s"[bench] stream_throughput FAILED: ${e.getClass.getName}: ${e.getMessage}")
-      ("null", "null")
+      "null"
     }
 
     // ---- 10× scale-stress section (full JSON only) ----
@@ -595,10 +585,10 @@ object Bench {
     val sentinelSec = try sentinelMedian(spark)
     catch { case _: Throwable => -1.0 }
     val jsonFull =
-      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","sentinel":${j3(sentinelSec)},"queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"stress10x_storms":$stressStormsJson,"soak":$soakJson,"errors":$errJson,"stream":${stream._2},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","run_id":"$runId","sentinel":${j3(sentinelSec)},"queries":$qs,"spread":$spread,"ann_build":$annBuildSec,"dedup_build":$dedupBuildSec,"ann_sweep":$annSweepJson,"stress10x":$stressJson,"stress10x_spread":$stressSpreadJson,"stress10x_storms":$stressStormsJson,"soak":$soakJson,"errors":$errJson,"stream":$stream,"sf":"$sfDir"}"""
     val json = renderSlim(
       results.map { case (k, t) => k -> t(Reps / 2) }, total, errors.size,
-      stream._1, sfDir, sentinelSec)
+      sfDir, sentinelSec)
 
     try java.nio.file.Files.writeString(java.nio.file.Paths.get("bench_out.json"), jsonFull + "\n")
     catch { case _: Throwable => () }

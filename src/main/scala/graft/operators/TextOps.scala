@@ -598,6 +598,75 @@ object TextOps {
     (confusable ++ combining).map { case (f, t) => Lit(f, t) }
   }
 
+  /** Cross-document duplicated-SPAN removal (the Lee et al.
+    * exact-substring dedup granularity, as a removal op): every token
+    * position covered by a word `k`-gram that appears in more than
+    * `maxDocFreq` distinct documents is dropped, and the survivors
+    * reassemble in order. Completes the dedup ladder — document-level
+    * ([[Dedup]]), line-level ([[stripBoilerplateLines]]), and now
+    * sub-line spans (licence blocks, templated sentences, quoted
+    * chunks) that neither of the coarser units can see. ALL
+    * occurrences drop, not all-but-one: keeping "the first" needs a
+    * global document order that doesn't exist at corpus scale, and
+    * determinism is the contract.
+    *
+    * Scale shape: the doc-frequency aggregate and the membership join
+    * both key on md5(gram) computed MAP-SIDE — gram text never
+    * shuffles; covered positions explode per duplicated gram (bounded
+    * by k × duplicated-gram count); reassembly is one doc-keyed
+    * aggregate with per-doc state bounded by document size (the q189
+    * discipline). A production corpus would swap the md5 for the
+    * 64-bit rolling shingle hashes — same plan, 8-byte keys; md5 keeps
+    * the DuckDB oracle bit-exact. A doc with fewer than `k` tokens is
+    * its own single gram (the [[contamination]] rule); token-empty and
+    * all-duplicate docs keep their row with empty `clean_text`.
+    * Output: (idCol, clean_text, n_kept, n_removed). */
+  def removeDuplicateSpans(
+      docs: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      maxDocFreq: Long = 1): org.apache.spark.sql.DataFrame = {
+    require(k >= 1 && maxDocFreq >= 1,
+      s"k=$k and maxDocFreq=$maxDocFreq must be >= 1")
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
+    val toks = base
+      .select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
+    // gram j (0-based) covers token positions j .. min(j+k-1, n-1); a
+    // short doc's single gram covers the whole doc
+    val grams = base.filter(size(col("t")) > 0)
+      .select(col(idCol), size(col("t")).as("n"),
+        posexplode(expr(
+          s"transform(sequence(1, greatest(size(t) - ${k - 1}, 1)), " +
+            s"i -> array_join(slice(t, i, $k), ' '))"))
+          .as(Seq("gpos", "gram")))
+      .select(col(idCol), col("n"), col("gpos"), md5(col("gram")).as("gh"))
+    val dup = grams.groupBy(col("gh"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") > maxDocFreq)
+      .select(col("gh"))
+    val covered = grams.join(dup, Seq("gh"))
+      .select(col(idCol),
+        explode(sequence(col("gpos"),
+          least(col("gpos") + (k - 1), col("n") - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(
+          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
+            s => s.getField("tok")),
+          " ").as("graft_clean"),
+        count(lit(1)).as("graft_n_kept"))
+    docs.select(col(idCol), tokenCount(col(textCol)).as("graft_n_toks"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("graft_clean"), lit("")).as("clean_text"),
+        coalesce(col("graft_n_kept"), lit(0L)).as("n_kept"),
+        (col("graft_n_toks").cast("long") -
+          coalesce(col("graft_n_kept"), lit(0L))).as("n_removed"))
+  }
+
   /** Feature-hashed linear text scorer — the EXECUTION SHAPE of
     * fastText-style model-based quality filtering (the CCNet/LLaMA
     * recipe: a linear classifier over hashed word uni+bigrams decides
@@ -739,12 +808,17 @@ object TextOps {
         length(col("w")).cast("long").as("n0"))
     var words = words0.localCheckpoint()
     (1 to rounds).foreach { r =>
+      // split ONCE into an attribute before the lambda: a split inside
+      // transform's body re-evaluates per element (no CSE across a
+      // lambda boundary), turning the pair build O(n²) per word —
+      // measured 6.8 s -> the dominant cost of the whole query at sf0.1
       val pairs = words
-        .filter(size(split(col("seq"), " ")) >= 2)
+        .select(split(col("seq"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
         .select(explode(expr(
-          "transform(sequence(1, size(split(seq, ' ')) - 1), " +
-            "i -> concat(element_at(split(seq, ' '), i), ' ', " +
-            "element_at(split(seq, ' '), i + 1)))")).as("pair"))
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', " +
+            "element_at(syms, i + 1)))")).as("pair"))
       val best = pairs.groupBy(col("pair"))
         .agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
@@ -758,7 +832,10 @@ object TextOps {
           when(col(s"p$r").isNull, col("seq"))
             .otherwise(replace(col("seq"), col(s"p$r"),
               replace(col(s"p$r"), lit("| |"), lit("")))))
-        .localCheckpoint()
+      // checkpoint cuts the double-read lineage (next round's pair agg
+      // AND merge both read this table) — except after the LAST round,
+      // whose output feeds exactly one final aggregate
+      if (r < rounds) words = words.localCheckpoint()
     }
     val mergesCol = concat_ws(";",
       (1 to rounds).map(r => coalesce(col(s"p$r"), lit(""))): _*)

@@ -1791,6 +1791,27 @@ object TextQueries {
           countDistinct(col("canon")).as("canon_distinct"))
     }),
 
+    // Duplicated-SPAN removal (the Lee et al. exact-substring dedup
+    // granularity): a 9-word block planted verbatim on every third doc
+    // — plus whatever 5-grams the fixture naturally repeats — is cut
+    // from ALL carriers, while the junction-spanning grams (unique per
+    // doc) keep their unique-side tokens. Completes the dedup ladder
+    // below q20 (document) and q189 (line). Gram md5s computed
+    // map-side, gram text never shuffles; reassembly is the q189
+    // doc-keyed positioned aggregate.
+    "q196_span_dedup" -> ((s, dir) => {
+      val planted = table(s, dir, "documents").select(
+        col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(col("text"),
+            lit(" this block is quoted verbatim across many pages today")))
+          .otherwise(col("text")).as("t"))
+      TextOps.removeDuplicateSpans(planted, "doc_id", "t",
+          k = 5, maxDocFreq = 1)
+        .select(col("doc_id"), md5(col("clean_text")).as("clean_md5"),
+          col("n_kept"), col("n_removed"))
+    }),
+
     // Model-based quality filtering, execution shape (the fastText
     // keep/drop classifier of the CCNet/LLaMA recipes): hashed word
     // uni+bigram features, a deterministic md5-derived integer weight
@@ -1809,9 +1830,13 @@ object TextQueries {
     // learned merge list itself (pinning WHICH pairs won each round,
     // tie order included) — all hash-exact against the same rounds
     // unrolled in DuckDB CTEs.
+    // fanOutForCpu like q44/q188: the per-round pair build is CPU-bound
+    // per-row work and the fixture is a single-file scan (production
+    // multi-split scans make the repartition a no-op)
     "q192_bpe_merges" -> ((s, dir) =>
       TextOps.applyBpeMerges(
-        table(s, dir, "documents"), "doc_id", "text", rounds = 3)),
+        graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", rounds = 3)),
 
     // Homoglyph-canonical dedup (VERDICT r14 item 6): the dedup family
     // case/punct folding cannot see — script-level near-dups (Cyrillic
@@ -3201,6 +3226,48 @@ object TextQueries {
 
     // the same 3 greedy rounds unrolled as CTEs (see bpeOracleSql)
     "q192_bpe_merges" -> bpeOracleSql(3),
+
+    // positioned tokens + grams via the range-unnest idiom (1-based —
+    // positions never leave either engine, so the base doesn't matter);
+    // DuckDB's inclusive list slice toks[j:j+4] ≡ Spark's slice(t,i,5),
+    // both capped at the list end; the LEFT JOIN brings back
+    // all-duplicate docs as empty rows
+    "q196_span_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ||
+        |      ' this block is quoted verbatim across many pages today'
+        |    ELSE text END AS t FROM documents),
+        |b AS (SELECT doc_id,
+        |    CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE string_split_regex(trim(t), '\s+') END AS toks
+        |  FROM d),
+        |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+        |  FROM (SELECT doc_id, toks,
+        |          unnest(range(1, len(toks) + 1)) AS i FROM b)),
+        |g AS (SELECT doc_id, n, j AS gpos,
+        |    md5(array_to_string(toks[j:j+4], ' ')) AS gh
+        |  FROM (SELECT doc_id, toks, len(toks) AS n,
+        |          unnest(range(1, greatest(len(toks) - 3, 2))) AS j
+        |        FROM b WHERE len(toks) > 0)),
+        |dup AS (SELECT gh FROM (
+        |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+        |  WHERE df > 1),
+        |cov AS (SELECT DISTINCT doc_id, pos FROM (
+        |    SELECT g.doc_id,
+        |      unnest(range(g.gpos, least(g.gpos + 5, g.n + 1))) AS pos
+        |    FROM g JOIN dup USING (gh))),
+        |kept AS (SELECT t.doc_id, t.pos, t.tok
+        |  FROM tok t LEFT JOIN cov c
+        |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+        |  WHERE c.pos IS NULL),
+        |r AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+        |    COUNT(1) AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT d2.doc_id, md5(coalesce(r.clean, '')) AS clean_md5,
+        |  CAST(coalesce(r.n_kept, 0) AS BIGINT) AS n_kept,
+        |  CAST((CASE WHEN length(trim(d2.t)) = 0 THEN 0
+        |        ELSE len(string_split_regex(trim(d2.t), '\s+')) END)
+        |    - coalesce(r.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM d d2 LEFT JOIN r USING (doc_id)""".stripMargin,
 
     // same md5 bucket/weight arithmetic; uni and bigram features as two
     // UNION ALL branches (Spark's single concat-explode ≡ the union);

@@ -18,11 +18,7 @@ class BenchContractSpec extends AnyFunSuite {
     // hit 2003 chars while the synthetic said 1934 — the exact silent
     // truncation this spec exists to catch, caught only by a live run
     val medians = names.map(n => n -> 9.94)
-    // worst-case rendering of the krps slim stream section: msSlim's
-    // structural 3-char bound ("999" at the cap) — the r16 unit change
-    // that bought the 192-query registry back under the tail
-    val stream = """{"w":999,"u":999,"t":999,"k":999}"""
-    val line = Bench.renderSlim(medians, 99999.9999, 99, stream,
+    val line = Bench.renderSlim(medians, 99999.9999, 99,
       "/root/testdata/sf0.1", 99.999)
     assert(line.length <= 1950,
       s"metric line ${line.length} chars leaves <50 headroom under the 2000-char driver tail " +
@@ -36,16 +32,18 @@ class BenchContractSpec extends AnyFunSuite {
     // pins the exact key set and value kinds — a shape change now has to
     // edit this test, i.e. be deliberate.
     val medians = Seq("q01_agg" -> 0.5, "q186_html_extract" -> 1.2)
-    val stream = """{"w":34,"u":9.7,"t":11,"k":19}"""
-    val line = Bench.renderSlim(medians, 97.2, 1, stream,
+    val line = Bench.renderSlim(medians, 97.2, 1,
       "/root/testdata/sf0.1", 1.234)
     val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
     val keys = {
       val it = node.fieldNames(); val b = Seq.newBuilder[String]
       while (it.hasNext) b += it.next(); b.result().toSet
     }
+    // NO "stream" since r16: the last non-contract field with real
+    // width moved to the full JSON (committed as BENCH_r*_full.json)
+    // when the 196-query registry outgrew the tail again
     assert(keys == Set("metric", "value", "unit", "sent", "queries",
-      "err", "stream", "sf"), s"slim-line top-level keys drifted: $keys")
+      "err", "sf"), s"slim-line top-level keys drifted: $keys")
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
     assert(node.get("value").isNumber && node.get("sent").isNumber)
@@ -54,18 +52,11 @@ class BenchContractSpec extends AnyFunSuite {
     assert(node.get("queries").get("1").isNumber)
     assert(node.get("queries").get("01") == null)
     assert(node.get("queries").get("186").isNumber)
-    // stream: single-letter section names -> numeric KILO-rows/s at
-    // msSlim precision (r16 shape: w/u/t/k, no {r,s,rps} objects; full
-    // names + bare-rps precision live in bench_out.json)
-    Seq("w", "u", "t", "k").foreach { k =>
-      assert(node.get("stream").get(k).isNumber,
-        s"stream.$k must be a bare krps number")
-    }
     // err: a count capped at 9, never error text (text could overflow
     // the tail)
     assert(node.get("err").isInt && node.get("err").asInt() == 1)
     assert(new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Bench.renderSlim(medians, 1.0, 23, stream, "x", 0.2))
+      .readTree(Bench.renderSlim(medians, 1.0, 23, "x", 0.2))
       .get("err").asInt() == 9, "err count must cap at one digit")
   }
 

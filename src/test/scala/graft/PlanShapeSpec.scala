@@ -40,7 +40,11 @@ class PlanShapeSpec extends SparkSpec {
       // overlap fold (bm25's stats scalar included)
       "q173_rbo",
       // q179: the 1-row octile fence-array scalar against the user table
-      "q179_octile_lift")
+      "q179_octile_lift",
+      // q192: three left joins ON TRUE against the broadcast ≤1-row
+      // best-pair scalar of each BPE round (bounded by design; LEFT so
+      // the no-pair fixed point passes rows through)
+      "q192_bpe_merges")
 
   test("no registered query plans an unbounded join shape") {
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, f) =>

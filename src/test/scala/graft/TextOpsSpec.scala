@@ -322,6 +322,30 @@ class TextOpsSpec extends SparkSpec {
       ("site2.co.uk", "static.io", 1L)))
   }
 
+  test("removeDuplicateSpans: shared spans cut everywhere, junction tokens survive, degenerate docs") {
+    import spark.implicits._
+    val docs = Seq(
+      // docs 1+2 share one 5-gram (c1..c5) embedded in unique context
+      (1L, "u1 u2 c1 c2 c3 c4 c5 u3"),
+      (2L, "c1 c2 c3 c4 c5 v1 v2 v3 v4 v5"),
+      // doc 3 shares nothing
+      (3L, "totally distinct words without repeats here"),
+      // docs 4+5: under k tokens -> the whole doc is its single gram;
+      // identical docs therefore erase each other completely
+      (4L, "short doc"), (5L, "short doc"),
+      (6L, "")).toDF("doc_id", "t")
+    val out = TextOps.removeDuplicateSpans(docs, "doc_id", "t", k = 5)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(1L) == (("u1 u2 u3", 3L, 5L)), s"doc 1: ${out(1L)}")
+    assert(out(2L) == (("v1 v2 v3 v4 v5", 5L, 5L)), s"doc 2: ${out(2L)}")
+    assert(out(3L) == (("totally distinct words without repeats here", 6L, 0L)))
+    assert(out(4L) == (("", 0L, 2L)) && out(5L) == (("", 0L, 2L)),
+      s"identical short docs must erase both ways: ${out(4L)} ${out(5L)}")
+    assert(out(6L) == (("", 0L, 0L)), "the empty doc keeps its row")
+  }
+
   test("hashedLinearScore: independent weight re-derivation, bigrams, empty/null docs") {
     import spark.implicits._
     def md5hex(s: String): String =
