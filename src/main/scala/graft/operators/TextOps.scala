@@ -375,7 +375,11 @@ object TextOps {
     *    intra-site navigation).
     * Space-only trim on both engines (the deterministic subset of the
     * HTML spec's URL whitespace stripping). Pure per-row CASE over
-    * codegen'd regexes — mirrored by [[linkDomainSql]]. */
+    * codegen'd regexes — mirrored by [[linkDomainSql]]. A NULL href
+    * (never produced by [[extractLinks]] — regexp_extract_all yields
+    * strings) falls through every predicate to the relative branch on
+    * BOTH engines; callers feeding hrefs from another source should
+    * null-filter first. */
   def linkDomain(href: Column, srcDomain: Column): Column = {
     val h = trim(href)
     when(h === "" || h.startsWith("#"), lit(null).cast("string"))
