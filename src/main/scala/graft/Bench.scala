@@ -134,7 +134,7 @@ object Bench {
     // err: a COUNT, capped at 9 — full error text lives in
     // bench_out.json and stderr; an error string in the byte-budgeted
     // slim line could itself overflow the tail and unscore the round.
-    // The 196-query registry sits near the STRUCTURAL cap of the
+    // The 193-query registry sits near the STRUCTURAL cap of the
     // driver's 2,000-char tail (~10 chars/query floor). The stream
     // section moved to the full JSON ONLY in r16 (it was the last
     // non-contract field with real width): stream throughput evidence
@@ -405,7 +405,7 @@ object Bench {
       // slim uses abbreviated section/field names (w/u/t/k, bare rps) —
       // FULL JSON ONLY since r16: the stream section was the last
       // non-contract field with real width in the byte-budgeted slim
-      // line, and the 196-query registry needed its ~45 chars (r15 had
+      // line, and the 193-query registry needed its ~45 chars (r15 had
       // already cut the per-field objects to bare rps). Stream
       // throughput evidence lives in bench_out.json, committed per
       // round as BENCH_r*_full.json.

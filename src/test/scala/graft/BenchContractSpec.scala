@@ -41,7 +41,7 @@ class BenchContractSpec extends AnyFunSuite {
     }
     // NO "stream" since r16: the last non-contract field with real
     // width moved to the full JSON (committed as BENCH_r*_full.json)
-    // when the 196-query registry outgrew the tail again
+    // when the 193-query registry outgrew the tail again
     assert(keys == Set("metric", "value", "unit", "sent", "queries",
       "err", "sf"), s"slim-line top-level keys drifted: $keys")
     assert(node.get("metric").asText() == "total")
