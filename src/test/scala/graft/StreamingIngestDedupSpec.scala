@@ -897,6 +897,31 @@ class StreamingIngestDedupSpec extends SparkSpec {
       q.processAllAvailable()
       assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (1L, 4L)),
         s"batch 1 admissions: ${admitted.toSet}")
+      // the batch side detects a NEW banner and refreshes the snapshot
+      // (overwrite) — the running stream must pick it up on the next
+      // trigger with NO restart (the per-trigger re-read claim)
+      val banner2 = "subscribe to our newsletter for updates"
+      val corpus2 = (0 until 12).map(i =>
+        (200L + i, (banner :+ banner2 :+ s"later crawl page $i id ${i * 11}")
+          .mkString("\n"))).toDF("doc_id", "text")
+      StreamOps.buildBannedLines(corpus2, "doc_id", "text",
+        maxDocFreq = 10, outPath = bannedPath)
+      val freshText2 = "streams joined windows watermarked triggers " +
+        "checkpointed offsets replayed sinks idempotent batches bounded " +
+        "state stores compacted snapshots versioned"
+      in.addData((5L, markup(Seq(banner2, freshText2))))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) ==
+        Set((0L, 1L), (1L, 4L), (2L, 5L)),
+        s"batch 2 admissions: ${admitted.toSet}")
+      // doc 6 is doc 5's content WITHOUT banner2 — an exact dup iff
+      // banner2 was stripped before doc 5 was indexed
+      in.addData((6L, markup(Seq(freshText2))))
+      q.processAllAvailable()
+      assert(admitted.synchronized(admitted.toSet) ==
+        Set((0L, 1L), (1L, 4L), (2L, 5L)),
+        s"the refreshed ban must have kept banner2 out of the index: " +
+          s"${admitted.toSet}")
     } finally q.stop()
   }
 
