@@ -261,19 +261,6 @@ object AnnIndexStore {
     fs.delete(inflight, false)
   }
 
-  /** Delete one `ingest=` level from the coded corpus, if present — the
-    * legacy-spelling retirement step mirroring
-    * [[DedupIndexStore.dropIngest]]: after a stream upgraded across an
-    * ingest-id format change re-appends its replayed batch under the new
-    * id, the pre-upgrade attempt's partition (same vectors, old id) is
-    * removed so [[loadCodes]] never returns a vector twice. No-op when
-    * absent. */
-  def dropIngest(spark: SparkSession, path: String, ingestId: String): Unit = {
-    require(ingestId != "base", "refusing to drop the base corpus partition")
-    val p = new org.apache.hadoop.fs.Path(s"$path/ingest=$ingestId")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) fs.delete(p, true)
-  }
 
   private def writeCodes(
       corpus: DataFrame,

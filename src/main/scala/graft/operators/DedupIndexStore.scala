@@ -154,25 +154,6 @@ object DedupIndexStore {
   private def dropIngests(t: DataFrame, ids: Seq[String]): DataFrame =
     if (ids.isEmpty) t else t.filter(!col("ingest").isin(ids: _*))
 
-  /** Delete one `ingest=` partition from a path-layout index, if present
-    * — the retirement step for LEGACY ingest-id spellings (see
-    * [[graft.streaming.StreamOps.legacyIngestIds]]): a maintaining stream
-    * upgraded across an id-format change appends its replayed batch under
-    * the NEW id, then drops the crashed pre-upgrade attempt's partition
-    * so the index converges to the clean-run state instead of holding the
-    * same docs' rows twice. No-op (two existence checks) when the
-    * partition is absent — the steady state after the first post-upgrade
-    * trigger. */
-  def dropIngest(spark: SparkSession, path: String, ingestId: String): Unit = {
-    require(ingestId != "base", "refusing to drop the base corpus partition")
-    val conf = spark.sparkContext.hadoopConfiguration
-    Seq(s"$path/bands/ingest=$ingestId", s"$path/shingles/ingest=$ingestId")
-      .foreach { d =>
-        val p = new org.apache.hadoop.fs.Path(d)
-        val fs = p.getFileSystem(conf)
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-  }
 
   /** Initialize an EMPTY path-layout index: meta only, parameters fixed
     * now, band/shingle partitions arrive through [[append]]. This is the

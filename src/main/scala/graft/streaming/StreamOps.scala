@@ -384,21 +384,18 @@ object StreamOps {
         val batch = perBatchTransform(rawBatch, batchId)
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
-        val legacy = legacyIngestIds(checkpointDir, batchId)
         guardBareIdReplay(spark, batch, idCol, batchId, indexPath)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              ingestId +: legacy))
+              Seq(ingestId)))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, indexPath, ingestId)
-          legacy.foreach(graft.operators.DedupIndexStore
-            .dropIngest(spark, indexPath, _))
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
@@ -429,70 +426,6 @@ object StreamOps {
     java.security.MessageDigest.getInstance("MD5")
       .digest(checkpointDir.getBytes("UTF-8"))
       .take(8).map(b => f"$b%02x").mkString
-
-  /** LEGACY spellings of a batch's ingest id, for upgrade compatibility
-    * across id-format changes (ADVICE r12): currently the 4-byte-
-    * namespace era's `<8-hex-ns>_b<batchId>` — the 8-hex ns is a prefix
-    * of today's 16-hex one (same digest, shorter take), so it provably
-    * belongs to THIS checkpoint and no other incarnation.
-    *
-    * Deliberately NOT listed: the pre-namespace bare `b<batchId>`. A
-    * bare id carries no ownership — an existing `ingest=b0` partition
-    * may equally be ANOTHER incarnation's committed batch 0, and
-    * auto-excluding (then retiring) it would reintroduce the exact
-    * cross-incarnation clobber the namespace exists to prevent (the
-    * clobber test pins that a new stream must treat foreign partitions
-    * as ordinary corpus). Upgrading a pre-namespace maintaining stream
-    * therefore REQUIRES a quiesced drain: stop the stream after a
-    * committed batch, then upgrade — every bare-id partition is then
-    * ordinary corpus that nothing ever references again. Since r14 a
-    * VIOLATION of the drain requirement fails loudly instead of losing
-    * data silently: [[guardBareIdReplay]] detects the replay-self-match
-    * signature (a bare `b<batchId>` corpus partition holding a subset of
-    * the replaying batch's own doc ids) and aborts the batch with the
-    * drain instruction, while genuinely foreign bare-id partitions pass
-    * through untouched (both pinned in StreamingIngestDedupSpec).
-    *
-    * INDEX FORMAT MIGRATION NOTE (the full contract history):
-    *
-    *  - BUCKETED standing tables built before the `ingest` lineage
-    *    column fail LOUDLY on probe/compact (missing column) — rebuild
-    *    with [[graft.operators.DedupIndexStore.buildBucketed]]; there is
-    *    no silent mode.
-    *  - bare → namespaced ids (r12): quiesced drain REQUIRED (above).
-    *  - 4-byte → 8-byte namespace (r13): no drain needed. A stream
-    *    upgraded with an IN-FLIGHT uncommitted batch replays it under
-    *    the new spelling; without compatibility it would fail to
-    *    exclude its old partition, self-match every doc, admit nothing,
-    *    and an idempotent sink would overwrite the batch's output with
-    *    zero rows. The streaming loops exclude this list's spellings on
-    *    the probe side alongside the current id and, after the
-    *    re-append commits under the new id, retire the legacy
-    *    partitions ([[graft.operators.DedupIndexStore.dropIngest]]) so
-    *    the index converges to the clean-run state. An id that was
-    *    never written matches nothing — steady-state cost is zero.
-    *
-    * Scoped to the one replayed batch: committed pre-upgrade batches
-    * keep their old ids forever as ordinary corpus partitions (correct —
-    * they are never excluded, never rewritten).
-    *
-    * RETIREMENT SCHEDULE (VERDICT r13 item 5): the 8-hex legacy spelling
-    * stops being excluded in ROUND 17 — delete this method's entry (and
-    * the post-commit [[graft.operators.DedupIndexStore.dropIngest]]
-    * retirement calls) then. The checklist is pinned as a test, not
-    * prose (VERDICT r14 item 4): StreamingIngestDedupSpec's
-    * "RETIRE IN ROUND 17: legacyIngestIds is exactly the one 8-hex
-    * spelling" enumerates every deletion site; grep `legacyIngestIds`
-    * and the removal is mechanical. An in-flight 4-byte-era batch can exist only
-    * in the FIRST post-upgrade trigger of a stream, so any stream that
-    * has run at all under r13+ has already replayed or retired it; two
-    * further rounds is a generous window. Until then the exclusion is
-    * zero-cost by construction: excluding an id that was never written is
-    * a partition-pruning predicate that matches no directory and a scan
-    * predicate that matches no row (pinned by the "excluding a
-    * never-written ingest id is free and changes nothing" spec). */
-  private[graft] def legacyIngestIds(checkpointDir: String, batchId: Long): Seq[String] =
-    Seq(s"${ingestNs(checkpointDir).take(8)}_b$batchId")
 
   /** Fail LOUDLY on the one upgrade violation that is otherwise silent
     * data loss (VERDICT r13 item 1): a maintaining stream from the
@@ -753,7 +686,6 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
-        val legacy = legacyIngestIds(checkpointDir, batchId)
         // the tail is where a pre-namespace hybrid writer's in-flight
         // append would live; passing the standing table makes the guard
         // also catch the copy a between-incarnation compaction FOLDED
@@ -764,18 +696,12 @@ object StreamOps {
           standingTableBase = Some(tableBase))
         val (admitted, signed) = admitBucketedSigned(
           batch, idCol, textCol, tableBase, tailPath, threshold, maxBucket,
-          excludeIngests = ingestId +: legacy, cache = true)
+          excludeIngests = Seq(ingestId), cache = true)
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
           graft.operators.DedupIndexStore.append(
             admitted, idCol, textCol, tailPath, ingestId)
-          // legacy partitions are retirable only in the path-layout tail;
-          // a legacy-era row already FOLDED into the bucketed tables stays
-          // (excluded above, so the replay is still correct) with the
-          // crash-window semantics compactTail documents
-          legacy.foreach(graft.operators.DedupIndexStore
-            .dropIngest(spark, tailPath, _))
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())
@@ -890,14 +816,13 @@ object StreamOps {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
         val ingestId = s"${ns}_b$batchId"
-        val legacy = legacyIngestIds(checkpointDir, batchId)
         guardBareIdReplay(spark, batch, idCol, batchId, indexPath)
         val params = graft.operators.DedupIndexStore.params(spark, indexPath)
         val (admitted, signed) = admitSigned(
           batch, idCol, textCol, params, threshold, maxBucket, cache = true,
           probe = (bb, sb) => graft.operators.DedupIndexStore
             .probeSignedPath(spark, bb, sb, indexPath, threshold, maxBucket,
-              ingestId +: legacy))
+              Seq(ingestId)))
         admitted.persist()
         try {
           onAdmitted(admitted, batchId)
@@ -906,10 +831,6 @@ object StreamOps {
           graft.operators.AnnIndexStore.appendCodes(
             admitted, idCol, vecCol, coarseCentroids, pqCentroids,
             codesPath, ingestId)
-          legacy.foreach { id =>
-            graft.operators.DedupIndexStore.dropIngest(spark, indexPath, id)
-            graft.operators.AnnIndexStore.dropIngest(spark, codesPath, id)
-          }
         } finally {
           admitted.unpersist()
           signed.foreach(_.unpersist())

@@ -488,118 +488,6 @@ class StreamingIngestDedupSpec extends SparkSpec {
     assert(hits == Set(1L), s"doc 1 must survive the new incarnation: $hits")
   }
 
-  test("in-flight upgrade across the namespace widening replays convergently") {
-    // ADVICE r12 (medium): the ingest-id contract changed (4-byte -> 8-byte
-    // checkpoint namespace). A stream upgraded with an UNCOMMITTED batch
-    // replays it under the new spelling; without compatibility the replay
-    // fails to exclude the old partition, self-matches every doc, admits
-    // nothing, and an idempotent sink overwrites the batch with zero rows.
-    // The loop must (a) admit identically and (b) retire the legacy
-    // partition so the index converges to the clean-run state.
-    val idx = java.nio.file.Files.createTempDirectory("graft_sid_up").toString
-    DedupIndexStore.build(
-      Seq((100L, corpusText)).toDF("doc_id", "text"),
-      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_up_ckpt").toFile
-    ckpt.deleteOnExit()
-    val data = Seq(
-      (1L, freshText),
-      (3L, corpusText + " phi"),
-      (5L, otherText))
-    // pre-upgrade first attempt: appended under the OLD (4-byte-ns) id,
-    // crash before the streaming commit
-    val legacyId = StreamOps.ingestNs(ckpt.getAbsolutePath).take(8) + s"_b0"
-    val newId = StreamOps.ingestNs(ckpt.getAbsolutePath) + "_b0"
-    assert(legacyId != newId, "the widening must actually change the id")
-    val first = StreamOps.admitBatch(
-      data.toDF("doc_id", "text"), "doc_id", "text", idx, threshold = 0.2)
-    assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
-    DedupIndexStore.append(first, "doc_id", "text", idx, legacyId)
-    // -- upgrade happens here; the restarted stream replays batch 0 --
-    val in = MemoryStream[(Long, String)](spark)
-    val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val q = StreamOps.streamingIngestDedup(
-      in.toDF().toDF("doc_id", "text"), "doc_id", "text", idx,
-      ckpt.getAbsolutePath,
-      (df, bid) => admitted.synchronized {
-        admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
-      },
-      threshold = 0.2)
-    try {
-      in.addData(data: _*)
-      q.processAllAvailable()
-    } finally q.stop()
-    assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (0L, 5L)),
-      s"upgraded replay must admit like the first attempt: ${admitted.toSet}")
-    // the index converged: new partition present, legacy partition retired
-    assert(new java.io.File(s"$idx/bands/ingest=$newId").exists,
-      "re-append under the new id spelling is missing")
-    assert(!new java.io.File(s"$idx/bands/ingest=$legacyId").exists,
-      "legacy partition must be retired after the re-append commits")
-    // and each admitted doc's rows exist exactly once: a near-dup of doc 5
-    // matches ONE corpus row, not two
-    val pairs = DedupIndexStore.probe(
-      spark, Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
-      "doc_id", "text", idx, threshold = 0.2).collect()
-    assert(pairs.length == 1 && pairs.head.getLong(1) == 5L,
-      s"probe after upgrade: ${pairs.mkString(", ")}")
-  }
-
-  test("in-flight upgrade in the hybrid layout survives a pre-restart compaction") {
-    // the compounded seam: the pre-upgrade attempt appended its batch to
-    // the TAIL under the old 4-byte-ns id, a compaction then folded those
-    // rows - with their legacy lineage - into the bucketed tables, and
-    // only then did the upgraded stream restart. The replay must exclude
-    // the legacy spelling in the BUCKETED tables (no tail partition
-    // exists anymore) or it self-matches and admits nothing.
-    val tail = java.nio.file.Files.createTempDirectory("graft_sid_upb").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_sid_upb_ckpt").toFile
-    ckpt.deleteOnExit()
-    try {
-      DedupIndexStore.buildBucketed(
-        Seq((100L, corpusText)).toDF("doc_id", "text"),
-        "doc_id", "text", "sidup_idx", 4, k = 2, numHashes = 32, bands = 16)
-      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 32, bands = 16)
-      val data = Seq((1L, freshText), (3L, corpusText + " phi"), (5L, otherText))
-      val legacyId = StreamOps.ingestNs(ckpt.getAbsolutePath).take(8) + "_b0"
-      val first = StreamOps.admitBatchBucketed(
-        data.toDF("doc_id", "text"), "doc_id", "text", "sidup_idx", tail,
-        threshold = 0.2)
-      assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 5L))
-      DedupIndexStore.append(first, "doc_id", "text", tail, legacyId)
-      // crash before commit; maintenance folds the legacy tail partition
-      DedupIndexStore.compactTail(spark, "sidup_idx", tail, 4)
-      assert(!new java.io.File(s"$tail/bands").exists)
-      // -- upgrade happens here; the restarted stream replays batch 0 --
-      val in = MemoryStream[(Long, String)](spark)
-      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val q = StreamOps.streamingIngestDedupBucketed(
-        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "sidup_idx", tail,
-        ckpt.getAbsolutePath,
-        (df, bid) => admitted.synchronized {
-          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
-        },
-        threshold = 0.2)
-      try {
-        in.addData(data: _*)
-        q.processAllAvailable()
-      } finally q.stop()
-      assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (0L, 5L)),
-        s"upgraded hybrid replay must admit like the first attempt: ${admitted.toSet}")
-      // the folded legacy rows stay in the bucketed tables (rows are not
-      // retirable there - documented crash-window semantics); later
-      // batches still dedup correctly against them
-      val next = StreamOps.admitBatchBucketed(
-        Seq((9L, otherText + " extra")).toDF("doc_id", "text"),
-        "doc_id", "text", "sidup_idx", tail, threshold = 0.2)
-      assert(next.collect().isEmpty,
-        "near-dup of the re-admitted doc 5 must still drop")
-    } finally {
-      Seq("bands", "shingles", "meta").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS sidup_idx_$t"))
-    }
-  }
-
   test("un-drained bare-id upgrade fails loudly; a foreign bare-id partition passes through") {
     // VERDICT r13 item 1: upgrading a PRE-NAMESPACE maintaining stream
     // with an in-flight uncommitted batch (no quiesced drain) used to
@@ -923,82 +811,6 @@ class StreamingIngestDedupSpec extends SparkSpec {
         s"the refreshed ban must have kept banner2 out of the index: " +
           s"${admitted.toSet}")
     } finally q.stop()
-  }
-
-  test("RETIRE IN ROUND 17: legacyIngestIds is exactly the one 8-hex spelling") {
-    // The retirement checklist as a failing-if-forgotten marker, not
-    // prose (VERDICT r14 item 4). In ROUND 17, delete — mechanically, by
-    // grepping `legacyIngestIds`:
-    //   1. StreamOps.legacyIngestIds and every call site (the `legacy`
-    //      vals and the post-commit DedupIndexStore.dropIngest /
-    //      AnnIndexStore.dropIngest retirement calls in
-    //      streamingIngestDedup, streamingIngestDedupBucketed, and
-    //      streamingIngestDedupWithAnn),
-    //   2. THIS test,
-    //   3. the "excluding a never-written ingest id is free" pin below,
-    //   4. the "in-flight upgrade ... replays convergently" /
-    //      "survives a pre-restart compaction" upgrade-era specs.
-    // This test EXISTING in round 17's diff review = the retirement was
-    // missed; the exclusion list growing past one entry = someone added
-    // a new legacy spelling without a schedule — both are the failure
-    // modes this pin exists to make loud.
-    val ckpt = java.nio.file.Files
-      .createTempDirectory("graft_sid_retire").toString
-    val ids = StreamOps.legacyIngestIds(ckpt, 7L)
-    val ns8 = StreamOps.ingestNs(ckpt).take(8)
-    assert(ids == Seq(s"${ns8}_b7"),
-      s"legacyIngestIds must be exactly the scheduled 8-hex spelling " +
-        s"(retires round 17), got: $ids")
-  }
-
-  test("excluding a never-written ingest id is free and changes nothing") {
-    // pins the legacyIngestIds retirement contract (VERDICT r13 item 5):
-    // until the 8-hex spelling is removed (round 17), excluding an id
-    // that was never written must cost nothing — same admissions, same
-    // rows read (the filter prunes partitions instead of scanning them)
-    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    val idx = java.nio.file.Files.createTempDirectory("graft_sid_free").toString
-    DedupIndexStore.build(
-      Seq((100L, corpusText)).toDF("doc_id", "text"),
-      "doc_id", "text", idx, k = 2, numHashes = 32, bands = 16)
-    DedupIndexStore.append(
-      Seq((1L, freshText)).toDF("doc_id", "text"),
-      "doc_id", "text", idx, "cafe0123cafe0123_b0")
-    val batch = Seq(
-      (7L, freshText + " psi"),
-      (8L, otherText)).toDF("doc_id", "text")
-    def admittedWith(exclude: Option[String]): (Set[Long], Long) = {
-      val read = new java.util.concurrent.atomic.AtomicLong
-      val listener = new SparkListener {
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-          if (t.taskMetrics != null)
-            read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
-      }
-      spark.sparkContext.addSparkListener(listener)
-      try {
-        val out = StreamOps.admitBatch(
-          batch, "doc_id", "text", idx, threshold = 0.2,
-          excludeIngest = exclude)
-          .select("doc_id").collect().map(_.getLong(0)).toSet
-        var last = -1L
-        var settled = 0
-        while (settled < 3) {
-          Thread.sleep(200)
-          if (read.get == last) settled += 1 else { settled = 0; last = read.get }
-        }
-        (out, read.get)
-      } finally spark.sparkContext.removeSparkListener(listener)
-    }
-    val (without, readWithout) = admittedWith(None)
-    val (withNever, readWithNever) =
-      admittedWith(Some("ffffffffdeadbeef_b7"))
-    assert(without == Set(8L), s"baseline admissions: $without")
-    assert(withNever == without,
-      "excluding a never-written id must not change admissions")
-    assert(readWithNever == readWithout,
-      s"excluding a never-written id must read the same rows " +
-        s"($readWithNever vs $readWithout) — the exclusion must prune, " +
-        "not scan")
   }
 
   test("admitBatch replays the admission rule deterministically in batch") {
