@@ -1,0 +1,182 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistence for a trained BPE merge list — the tokenizer's
+  * train-once / apply-many lifecycle made durable (the
+  * [[AnnIndexStore]] pattern: a training job writes a tiny versioned
+  * parquet artifact next to the corpus; every later job loads it
+  * instead of re-training).
+  *
+  * Why a store: [[TextOps.applyBpeMerges]] unrolls training rounds
+  * INSIDE one plan, which caps practical depth (each round is a
+  * pair-count aggregate + a merge application — 8 rounds is already an
+  * 8-stage chain). Real tokenizers need tens of thousands of merges,
+  * applied to every corpus snapshot and every incoming batch. This
+  * store splits the lifecycle: [[train]] is a driver LOOP of the same
+  * round body (depth now bounded by time, not plan size — 64+ merges
+  * is routine), and application is k literal replaces from the stored
+  * list — a single narrow per-row pass, no training scan, no shuffle
+  * beyond the caller's own aggregate.
+  *
+  * At 100 TB: training runs once per corpus snapshot (on a sample, as
+  * tokenizer training always does — the merge ranking converges long
+  * before the full corpus is seen); the artifact is kilobytes and
+  * ships to application jobs as k string literals baked into the plan
+  * (never a join, never a broadcast table). Application cost is k
+  * sequential `replace` calls per letter run — embarrassingly
+  * parallel, whole-stage-codegen'd.
+  *
+  * Artifact layout (engine-portable; any parquet reader audits it):
+  * one row per requested round — (rank: int, pair: string), where
+  * `pair` is the round's winning adjacent pair in WRAPPED spelling
+  * (`|l| |o|`, see [[TextOps.bpeWords]]) or '' for rounds past the
+  * corpus's fixed point (no adjacent pairs left). Persisting the ''
+  * padding keeps the artifact self-describing: application needs no
+  * side-channel `rounds` parameter to reproduce the padded merge-list
+  * fingerprint of the inline operator. The wrapped spelling IS the
+  * format version — a list can only be applied to sequences built by
+  * the same construction that trained it.
+  *
+  * Determinism contract: [[train]] reproduces
+  * [[TextOps.applyBpeMerges]]'s rounds EXACTLY (same pair expressions,
+  * same count-desc/pair-asc tie order), so stored-then-applied output
+  * is bit-identical to the inline operator at the same depth — pinned
+  * by the q197 oracle (stored application vs the rounds replayed in
+  * DuckDB) and by BpeStoreSpec's in-engine equivalence test.
+  */
+object BpeStore {
+
+  /** Train `rounds` greedy BPE merges over `docs` and persist the merge
+    * list at `path` (overwrite). Driver loop, one job per round: count
+    * adjacent symbol pairs, collect the 1-row argmax (count desc, pair
+    * asc — the inline operator's exact tie order), apply it everywhere
+    * as a literal replace, checkpoint. Early fixed point (no pairs
+    * anywhere) stops training; remaining rounds persist as ''. Returns
+    * the padded list.
+    *
+    * The per-round collect is ONE ≤9-char row — training stays
+    * distributed (the pair count is a map-side-combinable aggregate
+    * over ≤9-char strings; document text never shuffles), only the
+    * argmax result lands on the driver, which is what lets the next
+    * round's replace be a codegen'd literal instead of a broadcast
+    * join. `localCheckpoint` per round keeps lineage length constant
+    * instead of linear in completed rounds. */
+  def train(
+      docs: DataFrame,
+      textCol: String,
+      rounds: Int,
+      path: String): Seq[String] = {
+    require(rounds >= 1 && rounds <= 65536,
+      s"rounds=$rounds must be in [1, 65536]")
+    val merges = scala.collection.mutable.ArrayBuffer.empty[String]
+    var words = TextOps.bpeWords(docs, Nil, textCol).localCheckpoint()
+    var fixedPoint = false
+    var r = 0
+    while (r < rounds && !fixedPoint) {
+      val best = words
+        .select(split(col("seq"), " ").as("syms"))
+        .filter(size(col("syms")) >= 2)
+        // split once into an attribute before the lambda (no CSE across
+        // a lambda boundary — see the applyBpeMerges note)
+        .select(explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "i -> concat(element_at(syms, i), ' ', " +
+            "element_at(syms, i + 1)))")).as("pair"))
+        .groupBy(col("pair"))
+        .agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) fixedPoint = true
+      else {
+        val pair = best(0).getString(0)
+        merges += pair
+        words = words
+          .withColumn("seq",
+            replace(col("seq"), lit(pair), lit(pair.replace("| |", ""))))
+          .localCheckpoint()
+      }
+      r += 1
+    }
+    val padded = merges.toSeq ++ Seq.fill(rounds - merges.size)("")
+    save(docs.sparkSession, padded, path)
+    padded
+  }
+
+  /** Persist a merge list (wrapped spelling, '' padding included) as
+    * the (rank, pair) artifact — tiny, single-file, overwrite. */
+  def save(spark: SparkSession, merges: Seq[String], path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex.map { case (p, i) => (i + 1, p) }
+      .toDF("rank", "pair")
+      .repartition(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Load the merge list in rank order ('' padding included). */
+  def load(spark: SparkSession, path: String): Seq[String] =
+    spark.read.parquet(path)
+      .orderBy(col("rank"))
+      .collect()
+      .map(_.getString(1))
+      .toSeq
+
+  /** Apply a loaded merge list to `docs` and aggregate per document —
+    * the stored-artifact equivalent of [[TextOps.applyBpeMerges]], same
+    * output schema (n_words, n_syms0, n_syms, fp, merges), bit-identical
+    * at the trained depth. The k replaces nest into ONE projection
+    * (application order = rank order, which per row is exactly the
+    * sequential round semantics — round boundaries only matter for
+    * COUNTING, and counting happened at train time), so the whole
+    * application is a single codegen'd pass before the one doc-keyed
+    * aggregate. */
+  def applyMerges(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      merges: Seq[String]): DataFrame =
+    applied(docs, Seq(idCol), textCol, merges)
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(col("n0")).as("n_syms0"),
+        sum(size(split(col("seq"), " ")).cast("long")).as("n_syms"),
+        sum(conv(substring(md5(col("seq")), 1, 8), 16, 10).cast("long"))
+          .as("fp"),
+        min(lit(merges.mkString(";"))).as("merges"))
+
+  /** [[applyMerges]] fed from the persisted artifact. */
+  def applyFromStore(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      path: String): DataFrame =
+    applyMerges(docs, idCol, textCol, load(docs.sparkSession, path))
+
+  /** The learned-vocabulary token stream: one row per post-merge symbol
+    * (wrapped spelling) with `keepCols` carried — what corpus audits
+    * (vocab coverage, Zipf curves) consume once a tokenizer is trained,
+    * replacing whitespace-token proxies. Column name `w` to drop into
+    * the existing audit shapes. */
+  def symbols(
+      docs: DataFrame,
+      keepCols: Seq[String],
+      textCol: String,
+      path: String): DataFrame =
+    applied(docs, keepCols, textCol, load(docs.sparkSession, path))
+      .select(keepCols.map(col) :+
+        explode(split(col("seq"), " ")).as("w"): _*)
+
+  private def applied(
+      docs: DataFrame,
+      keepCols: Seq[String],
+      textCol: String,
+      merges: Seq[String]): DataFrame = {
+    val mergedSeq = merges.filter(_.nonEmpty).foldLeft(col("seq")) {
+      (c, p) => replace(c, lit(p), lit(p.replace("| |", "")))
+    }
+    TextOps.bpeWords(docs, keepCols, textCol).withColumn("seq", mergedSeq)
+  }
+}

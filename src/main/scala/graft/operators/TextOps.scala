@@ -341,23 +341,50 @@ object TextOps {
   val hrefSqPattern = "(?i)<a\\s[^>]*href\\s*=\\s*'([^']*)'"
   val hrefUqPattern = "(?i)<a\\s[^>]*href\\s*=\\s*([^\\s'\">][^\\s>]*)"
 
-  /** All anchor hrefs in raw markup, as an array: the three quote-style
-    * extractions concatenated (grouped by quote style, NOT document
-    * order — edge counting is order-insensitive, and a positional merge
-    * would cost a sort for nothing). Pure codegen'd regexp_extract_all,
-    * shuffle-free. A no-href anchor contributes nothing; an empty
-    * href="" contributes an empty string (classified away downstream). */
-  def extractLinks(markup: Column): Column =
-    concat(
-      regexp_extract_all(markup, lit(hrefDqPattern), lit(1)),
-      regexp_extract_all(markup, lit(hrefSqPattern), lit(1)),
-      regexp_extract_all(markup, lit(hrefUqPattern), lit(1)))
+  /** rel="nofollow" anchor OPENING tags — the three rel quote styles
+    * as ONE alternation (unlike the href patterns, no capture group
+    * must line up across alternatives, so alternation works without a
+    * quote backreference — and one linear pass over the markup beats
+    * three; measured on the q191 chain). Stripping the opening tag
+    * before href extraction is how [[extractLinks]] honors the
+    * attribute: no opening tag, no href match — the anchor text and
+    * `</a>` left behind carry no extractable link. Naive by the markup
+    * chain's standing contract: the quoted alternatives match
+    * `nofollow` as a SUBSTRING of the rel value (correct for the
+    * multi-token `rel="nofollow noopener"` form; also matches a
+    * hypothetical `rel="nonofollowish"` — token-boundary tests need
+    * lookaround), and `data-rel=` also matches, both identical in both
+    * engines. */
+  val nofollowPattern = "(?i)<a\\s[^>]*rel\\s*=\\s*" +
+    "(\"[^\"]*nofollow[^\"]*\"|'[^']*nofollow[^']*'|nofollow)[^>]*>"
 
-  /** [[extractLinks]] as DuckDB SQL (lists concatenate with `||`). */
-  def extractLinksSql(e: String): String =
+  /** All FOLLOWED anchor hrefs in raw markup, as an array: rel=nofollow
+    * anchors are stripped first (they are an explicit "pass no ranking
+    * mass / don't crawl" signal — a link graph that counts them
+    * misranks exactly the spam they were invented to demote), then the
+    * three quote-style extractions concatenate (grouped by quote style,
+    * NOT document order — edge counting is order-insensitive, and a
+    * positional merge would cost a sort for nothing). Pure codegen'd
+    * regexp chain, shuffle-free. A no-href anchor contributes nothing;
+    * an empty href="" contributes an empty string (classified away
+    * downstream). */
+  def extractLinks(markup: Column): Column = {
+    val m = regexp_replace(markup, lit(nofollowPattern), lit(""))
+    concat(
+      regexp_extract_all(m, lit(hrefDqPattern), lit(1)),
+      regexp_extract_all(m, lit(hrefSqPattern), lit(1)),
+      regexp_extract_all(m, lit(hrefUqPattern), lit(1)))
+  }
+
+  /** [[extractLinks]] as DuckDB SQL (lists concatenate with `||`;
+    * same nofollow pre-strip, 'g' flag = Java's replace-all default). */
+  def extractLinksSql(e: String): String = {
+    val stripped =
+      s"regexp_replace($e, '${nofollowPattern.replace("'", "''")}', '', 'g')"
     Seq(hrefDqPattern, hrefSqPattern, hrefUqPattern)
-      .map(p => s"regexp_extract_all($e, '${p.replace("'", "''")}', 1)")
+      .map(p => s"regexp_extract_all($stripped, '${p.replace("'", "''")}', 1)")
       .mkString(" || ")
+  }
 
   private val schemePattern = "^[a-zA-Z][a-zA-Z0-9+.-]*:"
   private val httpPattern = "(?i)^https?://"
@@ -403,11 +430,61 @@ object TextOps {
        |  ELSE $srcE END""".stripMargin
   }
 
+  /** `<base href>` patterns — the same three quote styles as the anchor
+    * patterns, same rationale. */
+  val baseDqPattern = "(?i)<base\\s[^>]*href\\s*=\\s*\"([^\"]*)\""
+  val baseSqPattern = "(?i)<base\\s[^>]*href\\s*=\\s*'([^']*)'"
+  val baseUqPattern = "(?i)<base\\s[^>]*href\\s*=\\s*([^\\s'\">][^\\s>]*)"
+
+  /** The registrable domain a document's `<base href>` redirects
+    * RELATIVE links to, or NULL when no base tag changes the domain
+    * (VERDICT r16 item 5): a page with
+    * `<base href="https://cdn.example.org/">` resolves every relative
+    * href against that host, not its own URL — without this, such
+    * pages self-edge all their relative links. Quote-style precedence
+    * is dq, sq, uq (each `regexp_extract` already takes its pattern's
+    * FIRST match; cross-style document order would cost a positional
+    * parse — the extractLinks grouping trade). Only an absolute
+    * http(s) or protocol-relative base names a host; a relative base
+    * (`/path/`), any other scheme, or no base tag → NULL (caller falls
+    * back to the page's own domain). Per-row codegen'd regex CASE,
+    * mirrored by [[baseHrefDomainSql]]. */
+  def baseHrefDomain(markup: Column): Column = {
+    val dq = regexp_extract(markup, baseDqPattern, 1)
+    val sq = regexp_extract(markup, baseSqPattern, 1)
+    val uq = regexp_extract(markup, baseUqPattern, 1)
+    val h = trim(coalesce(
+      when(dq =!= "", dq), when(sq =!= "", sq), when(uq =!= "", uq),
+      lit("")))
+    when(h.rlike(httpPattern), registrableDomain(urlHost(h)))
+      .when(h.startsWith("//"),
+        registrableDomain(lower(regexp_extract(h, protoRelHostPattern, 1))))
+      .otherwise(lit(null).cast("string"))
+  }
+
+  /** [[baseHrefDomain]] as DuckDB SQL over markup expression `e` —
+    * same patterns, same precedence, same branch order. */
+  def baseHrefDomainSql(e: String): String = {
+    def x(p: String) = s"regexp_extract($e, '${p.replace("'", "''")}', 1)"
+    val h = s"""trim(CASE WHEN ${x(baseDqPattern)} <> '' THEN ${x(baseDqPattern)}
+               |  WHEN ${x(baseSqPattern)} <> '' THEN ${x(baseSqPattern)}
+               |  WHEN ${x(baseUqPattern)} <> '' THEN ${x(baseUqPattern)}
+               |  ELSE '' END)""".stripMargin
+    s"""CASE WHEN regexp_matches($h, '$httpPattern')
+       |    THEN ${registrableDomainSql(urlHostSql(h))}
+       |  WHEN $h LIKE '//%' THEN ${registrableDomainSql(
+            s"lower(regexp_extract($h, '$protoRelHostPattern', 1))")}
+       |  ELSE NULL END""".stripMargin
+  }
+
   /** The domain link graph (VERDICT r15 item 1): from raw markup +
     * each page's own URL, emit (src_domain, dst_domain, n_links)
     * edges — the link-structure half of web-corpus processing that
     * [[htmlText]]'s text extraction discards, and the input crawl
     * prioritization / spam scoring / PageRank-over-sites need.
+    * rel=nofollow anchors never become edges ([[extractLinks]]), and
+    * relative links resolve against the page's `<base href>` domain
+    * when one names a host ([[baseHrefDomain]]), else the page's own.
     *
     * Scale shape: href extraction and domain resolution are per-row
     * codegen (the markup bytes never shuffle); the explode multiplies
@@ -422,9 +499,13 @@ object TextOps {
     docs
       .select(
         registrableDomain(urlHost(col(urlCol))).as("src_domain"),
+        baseHrefDomain(col(markupCol)).as("base_domain"),
         explode(extractLinks(col(markupCol))).as("href"))
       .select(col("src_domain"),
-        linkDomain(col("href"), col("src_domain")).as("dst_domain"))
+        linkDomain(col("href"),
+          when(col("base_domain").isNotNull && col("base_domain") =!= "",
+            col("base_domain")).otherwise(col("src_domain")))
+          .as("dst_domain"))
       .filter(col("dst_domain").isNotNull && col("dst_domain") =!= "" &&
         col("src_domain") =!= "")
       .groupBy(col("src_domain"), col("dst_domain"))
@@ -486,10 +567,19 @@ object TextOps {
     *    and as ONE global regex pass, so their output is never
     *    re-scanned as an entity opener — `&#38;amp;` decodes to
     *    `&amp;`, not `&` (a global replace never re-reads its own
-    *    replacement, in Java and RE2 alike). Other entities (named
-    *    Latin-1, zero-padded numerics) stay literal: decoding the
-    *    general class needs character tables this repo bans for
-    *    cross-engine bit-exactness;
+    *    replacement, in Java and RE2 alike). A PINNED ~30-entry named
+    *    entity list ([[namedEntities]] — dashes, curly quotes,
+    *    copyright marks, accented Latin letters: the spellings real
+    *    crawls are full of, VERDICT r16 item 6) decodes the same way:
+    *    explicit name→codepoint pairs, versioned in this file, never
+    *    an engine character table (the ccSLD/confusable trade). Names
+    *    are case-sensitive (`&COPY;` stays literal, matching the
+    *    subset's XML-entity rule) and none of the decodes produce an
+    *    ampersand, so the single-final-ampersand-pass invariant holds
+    *    untouched. Everything else (other named entities, zero-padded
+    *    numerics, decimal/hex spellings beyond the XML five) stays
+    *    literal: decoding the general class needs the full HTML5
+    *    table this repo bans for cross-engine bit-exactness;
     *  - whitespace discipline: horizontal runs collapse to one space,
     *    newline runs (with flanking spaces) to one newline, ends
     *    trimmed — the output is trimmed block-per-line text.
@@ -499,6 +589,35 @@ object TextOps {
     * embarrassingly parallel: the scrubbing-pass shape that holds at
     * 100 TB. A single-scan custom kernel would halve the constant but
     * could not be replayed by any SQL oracle; the chain is the spec. */
+  /** The pinned named-entity subset beyond the XML five: explicit
+    * name → codepoint pairs (\u escapes — the byte is the spec, like
+    * the confusable table), chosen as the Latin-1/punctuation entities
+    * that actually pollute crawl tokens and shingles when left
+    * literal. Case-sensitive by the subset's rule; none decodes to an
+    * ampersand (the final-amp-pass invariant depends on that — there
+    * is a compile-time require below, not just a spec). */
+  val namedEntities: Seq[(String, String)] = Seq(
+    "mdash" -> "\u2014", "ndash" -> "\u2013",
+    "lsquo" -> "\u2018", "rsquo" -> "\u2019",
+    "ldquo" -> "\u201c", "rdquo" -> "\u201d",
+    "hellip" -> "\u2026",
+    "copy" -> "\u00a9", "reg" -> "\u00ae", "trade" -> "\u2122",
+    "deg" -> "\u00b0", "middot" -> "\u00b7",
+    "laquo" -> "\u00ab", "raquo" -> "\u00bb",
+    "sect" -> "\u00a7", "para" -> "\u00b6",
+    "plusmn" -> "\u00b1", "times" -> "\u00d7", "divide" -> "\u00f7",
+    "frac12" -> "\u00bd", "frac14" -> "\u00bc", "frac34" -> "\u00be",
+    "cent" -> "\u00a2", "pound" -> "\u00a3", "euro" -> "\u20ac",
+    "yen" -> "\u00a5",
+    "eacute" -> "\u00e9", "egrave" -> "\u00e8", "agrave" -> "\u00e0",
+    "ccedil" -> "\u00e7", "ntilde" -> "\u00f1",
+    "auml" -> "\u00e4", "ouml" -> "\u00f6", "uuml" -> "\u00fc",
+    "szlig" -> "\u00df")
+  require(namedEntities.map(_._1).distinct.size == namedEntities.size &&
+    namedEntities.forall { case (n, v) =>
+      n.forall(c => c.isLetterOrDigit) && !v.contains("&") },
+    "named entity table: names must be unique word chars, decodes amp-free")
+
   val htmlTextSteps: Seq[ChainStep] = Seq(
     Rx("(?s)<!--.*?-->", " "),
     Rx("(?s)<!--.*", " "),
@@ -514,7 +633,10 @@ object TextOps {
     Lit("&gt;", ">"), Lit("&#62;", ">"), Rx("(?i)&#x3e;", ">"),
     Lit("&quot;", "\""), Lit("&#34;", "\""), Rx("(?i)&#x22;", "\""),
     Lit("&apos;", "'"), Lit("&#39;", "'"), Rx("(?i)&#x27;", "'"),
-    Lit("&nbsp;", " "), Lit("&#160;", " "), Rx("(?i)&#xa0;", " "),
+    Lit("&nbsp;", " "), Lit("&#160;", " "), Rx("(?i)&#xa0;", " ")) ++
+    // the pinned named-entity subset (amp-free decodes, so order among
+    // them is immaterial and the final amp pass stays last)
+    namedEntities.map { case (n, v) => Lit(s"&$n;", v) } ++ Seq(
     // ONE global pass for all three ampersand spellings, not separate
     // steps: a global regex never re-scans its own replacement (Java
     // and RE2 alike), so `&#38;amp;` decodes to `&amp;` — sequential
@@ -731,7 +853,15 @@ object TextOps {
     * [[urlHost]]/[[registrableDomain]] already lowercase — the path is
     * case-SENSITIVE and must survive), default-port stripping and
     * trailing-slash folding (both scheme/server-dependent guesses, not
-    * deterministic rewrites). */
+    * deterministic rewrites). KNOWN NAIVETY (ADVICE r16, pinned like
+    * the rest of this list): the mid-query `&param=` rule is not
+    * anchored to the query string — a literal `&gclid=x` in the PATH
+    * ('&' is legal unencoded there) or inside another parameter's
+    * unencoded value is also stripped, silently merging such URLs'
+    * dedup keys. Anchoring would need a split-at-'?' two-part rewrite
+    * outside the single-chain [[ChainStep]] discipline; real tracking
+    * params in paths are vanishingly rare, so the trade goes the same
+    * way as the rest of the chain. */
   val trackingParams = "(utm_[a-z]+|fbclid|gclid|msclkid|mc_eid)"
   val urlCanonSteps: Seq[ChainStep] = Seq(
     // fragment first: a tracking param inside the fragment is not a
@@ -799,18 +929,7 @@ object TextOps {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       s"rounds=$rounds must be in [1,8] (each round is an unrolled job)")
-    import org.apache.spark.sql.DataFrame
-    val words0: DataFrame = docs
-      .select(col(idCol),
-        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
-          .as("w"))
-      // wrapped form: '|' + "c| |" per char, trailing " |" dropped via
-      // the exact length 4·len(w)−1 (ASCII-only by construction)
-      .select(col(idCol),
-        expr("substring(concat('|', regexp_replace(w, '(.)', '$1| |')), " +
-          "1, 4*length(w)-1)").as("seq"),
-        length(col("w")).cast("long").as("n0"))
-    var words = words0.localCheckpoint()
+    var words = bpeWords(docs, Seq(idCol), textCol).localCheckpoint()
     (1 to rounds).foreach { r =>
       // split ONCE into an attribute before the lambda: a split inside
       // transform's body re-evaluates per element (no CSE across a
@@ -854,6 +973,27 @@ object TextOps {
           .as("fp"),
         min(col("merges")).as("merges"))
   }
+
+  /** The BPE symbol-sequence base table shared by [[applyBpeMerges]]
+    * and [[BpeStore]]: one row per letter run (`[a-z]+` over the
+    * lowercased text) carrying `keepCols`, the WRAPPED symbol sequence
+    * `seq` ('|' + "c| |" per char, trailing " |" dropped via the exact
+    * length 4·len(w)−1 — ASCII-only by construction), and the initial
+    * symbol count `n0`. The wrapped spelling is the artifact format:
+    * a stored merge list only applies to sequences built by THIS
+    * construction. */
+  private[graft] def bpeWords(
+      docs: org.apache.spark.sql.DataFrame,
+      keepCols: Seq[String],
+      textCol: String): org.apache.spark.sql.DataFrame =
+    docs
+      .select(keepCols.map(col) :+
+        explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+          .as("w"): _*)
+      .select(keepCols.map(col) :+
+        expr("substring(concat('|', regexp_replace(w, '(.)', '$1| |')), " +
+          "1, 4*length(w)-1)").as("seq") :+
+        length(col("w")).cast("long").as("n0"): _*)
 
   def canonicalizeUnicode(text: Column): Column =
     chainColumn(unicodeCanonSteps, text)

@@ -50,6 +50,13 @@ object TextQueries {
       // (&#x26;amp; must yield the literal text `&amp;`), and a
       // zero-padded numeric that stays literal by contract
       "</li><li>hex &#x3C;q&#X3E; mix&#xA0;&#x26;amp; &#x27;pad&#x03C;" +
+      // named Latin-1 subset corners (VERDICT r16 item 6): decoded
+      // pairs (mdash/rsquo/copy/eacute/frac12), the amp-shielded
+      // no-redecode corner (&amp;mdash; -> literal `&mdash;`), a
+      // case-mismatch (&COPY; stays literal) and an out-of-subset
+      // name (&zwnj; stays literal)
+      "</li><li>dash&mdash;here it&rsquo;s &copy; caf&eacute; " +
+      "&frac12; off &amp;mdash; &COPY; &zwnj;" +
       "</li></ul><p>unclosed <em>emphasis</body></html><script>leak()"))
 
   private def partsSql(parts: Seq[Either[String, String]]): String =
@@ -72,20 +79,31 @@ object TextQueries {
     * by the Spark query and the oracle like [[htmlParts]]. One anchor
     * per extraction/classification corner: a double-quoted absolute
     * http link (cross-page, same site), an UPPERCASE single-quoted
-    * absolute link to a ccSLD partner domain, an unquoted relative
-    * href (→ self-edge), a fragment-only href and an empty href (no
-    * edge), mailto: and javascript: schemes (no edge), a no-href
-    * anchor, and a protocol-relative CDN link. The `next_id`/`p5`/`p3`
-    * columns are pre-projected identically on both engines. */
+    * absolute link to a ccSLD partner domain, an unquoted-rel nofollow
+    * relative anchor and a double-quoted multi-token
+    * `rel="nofollow sponsored"` absolute anchor (both dropped — no
+    * edge), a plain unquoted relative href (→ base-domain edge on
+    * even doc_ids, self-edge otherwise), a fragment-only href and an
+    * empty href (no edge), mailto: and javascript: schemes (no edge),
+    * a no-href anchor, and a protocol-relative CDN link. Even doc_ids
+    * carry a `<base href>` naming another host (the `bt` column);
+    * odd ones have an empty head — both base branches stay exercised.
+    * The `bt`/`next_id`/`p5`/`p3` columns are pre-projected
+    * identically on both engines. */
   private val linkParts: Seq[Either[String, String]] = Seq(
-    Left("<html><body><p>See <a href=\"https://"),
+    Left("<html><head>"), Right("bt"),
+    Left("</head><body><p>See <a href=\"https://"),
     Right("lang"), Left("."), Right("source"), Left("press.com/docs/"),
     Right("next_id"),
     Left("\">next</a> now</p><A CLASS='x' HREF='https://partner"),
     Right("p5"),
     Left(".co.uk/landing?ref="), Right("source"),
     Left("'>partner</A><a rel=nofollow href=/local/"), Right("doc_id"),
-    Left(".html>self</a><a href=\"#top\">top</a><a href=\"\">empty</a>" +
+    Left(".html>self</a><a href=/p/"), Right("doc_id"),
+    Left(">rel</a><a rel=\"nofollow sponsored\" href=\"https://ads"),
+    Right("p3"),
+    Left(".example.com/buy\">ad</a><a href=\"#top\">top</a>" +
+      "<a href=\"\">empty</a>" +
       "<a href=\"mailto:ed@example.com\">mail</a>" +
       "<a href=\"javascript:void(0)\">js</a><a name=\"x\">nohref</a>" +
       "<a href=\"//cdn"),
@@ -100,7 +118,12 @@ object TextQueries {
       col("doc_id"), col("lang"), col("source"),
       (col("doc_id") + 1).as("next_id"),
       (col("doc_id") % 5).as("p5"),
-      (col("doc_id") % 3).as("p3"))
+      (col("doc_id") % 3).as("p3"),
+      when(col("doc_id") % 2 === 0,
+        concat(lit("<base href=\"https://mirror"),
+          (col("doc_id") % 5).cast("string"),
+          lit(".basehost.org/\">")))
+        .otherwise(lit("")).as("bt"))
     d.select(
       concat(lit("https://"), col("lang"), lit("."), col("source"),
         lit("press.com/docs/"), col("doc_id").cast("string")).as("url"),
@@ -108,11 +131,17 @@ object TextQueries {
   }
 
   /** The q191 oracle's CTE chain up to the filtered edge relation `e`
-    * — shared verbatim by the q193 oracle, which stacks the unrolled
-    * PageRank rounds on top of the same edges. */
+    * — shared verbatim by the q193/q198 oracles, which stack the
+    * unrolled PageRank rounds on top of the same edges. Relative links
+    * resolve against the page's base-href domain when one names a
+    * host, else the page's own domain (the domainLinkEdges rule). */
   private def linkEdgeCtes: String =
     s"""d AS (SELECT doc_id, lang, source,
-       |    doc_id + 1 AS next_id, doc_id % 5 AS p5, doc_id % 3 AS p3
+       |    doc_id + 1 AS next_id, doc_id % 5 AS p5, doc_id % 3 AS p3,
+       |    CASE WHEN doc_id % 2 = 0
+       |      THEN '<base href="https://mirror' ||
+       |        CAST(doc_id % 5 AS VARCHAR) || '.basehost.org/">'
+       |      ELSE '' END AS bt
        |  FROM documents),
        |m AS (SELECT
        |    ${TextOps.registrableDomainSql(TextOps.urlHostSql(
@@ -120,11 +149,16 @@ object TextQueries {
                "|| CAST(doc_id AS VARCHAR)"))} AS src_domain,
        |    ${partsSql(linkParts)} AS markup
        |  FROM d),
-       |l AS (SELECT src_domain,
-       |    unnest(${TextOps.extractLinksSql("markup")}) AS href
+       |mb AS (SELECT src_domain, markup,
+       |    ${TextOps.baseHrefDomainSql("markup")} AS base_domain
        |  FROM m),
+       |l AS (SELECT src_domain, base_domain,
+       |    unnest(${TextOps.extractLinksSql("markup")}) AS href
+       |  FROM mb),
        |e0 AS (SELECT src_domain,
-       |    ${TextOps.linkDomainSql("href", "src_domain")} AS dst_domain
+       |    ${TextOps.linkDomainSql("href",
+             "(CASE WHEN base_domain IS NOT NULL AND base_domain <> '' " +
+               "THEN base_domain ELSE src_domain END)")} AS dst_domain
        |  FROM l),
        |e AS (SELECT src_domain, dst_domain FROM e0
        |  WHERE dst_domain IS NOT NULL AND dst_domain <> ''
@@ -149,23 +183,31 @@ object TextQueries {
     conv(substring(md5(concat(term, lit("#" + i))), 1, 8), 16, 10)
       .cast("long") % cmWidth
 
-  /** q192's DuckDB replay of [[TextOps.applyBpeMerges]]: the same
-    * `rounds` greedy rounds unrolled as CTE chains — per round a
-    * pair-count CTE, a 1-row best-pair CTE (same count-then-pair tie
-    * order), and a LEFT JOIN ON TRUE merge application (the no-pair
-    * fixed point passes seqs through on both engines). The wrapped-seq
-    * construction mirrors the Spark expression char for char; only the
-    * regex replacement spelling differs (`\\1` vs `$$1` — RE2 vs Java
-    * backreference syntax, same semantics). */
-  private def bpeOracleSql(rounds: Int): String = {
+  /** The DuckDB replay of BPE training (q192/q197 and the learned-vocab
+    * audits): the same `rounds` greedy rounds unrolled as CTE chains —
+    * per round a pair-count CTE, a 1-row best-pair CTE (same
+    * count-then-pair tie order), and a LEFT JOIN ON TRUE merge
+    * application (the no-pair fixed point passes seqs through on both
+    * engines). The wrapped-seq construction mirrors the Spark
+    * expression char for char; only the regex replacement spelling
+    * differs (`\\1` vs `$$1` — RE2 vs Java backreference syntax, same
+    * semantics). `keys` are carried through the chain for the caller's
+    * final aggregate (doc_id for q192/q197, source for q149, none for
+    * q154). The seq CTEs are MATERIALIZED: each s-CTE is referenced
+    * twice (pair count + merge application), so DuckDB's
+    * inline-by-default expansion is 2^rounds — exponential past ~8
+    * rounds — while materialization keeps the replay linear, exactly
+    * like the Spark side's per-round localCheckpoint. */
+  private def bpeRoundCtes(rounds: Int, keys: Seq[String]): String = {
+    val k = keys.map(_ + ", ").mkString
     val prep =
-      """s0 AS (SELECT doc_id,
-        |    substring('|' || regexp_replace(w, '(.)', '\1| |', 'g'),
-        |      1, 4*length(w)-1) AS seq,
-        |    CAST(length(w) AS BIGINT) AS n0
-        |  FROM (SELECT doc_id,
-        |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
-        |        FROM documents))""".stripMargin
+      s"""s0 AS MATERIALIZED (SELECT $k
+         |    substring('|' || regexp_replace(w, '(.)', '\\1| |', 'g'),
+         |      1, 4*length(w)-1) AS seq,
+         |    CAST(length(w) AS BIGINT) AS n0
+         |  FROM (SELECT $k
+         |          unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |        FROM documents))""".stripMargin
     val roundCtes = (1 to rounds).map { r =>
       val prev = s"s${r - 1}"
       val carried = (1 until r).map(i => s", p$i").mkString
@@ -176,15 +218,18 @@ object TextQueries {
          |b$r AS (SELECT pair AS p$r FROM (
          |    SELECT pair, COUNT(1) AS c FROM pr$r GROUP BY pair)
          |  ORDER BY c DESC, pair ASC LIMIT 1),
-         |s$r AS (SELECT doc_id, n0$carried, p$r,
+         |s$r AS MATERIALIZED (SELECT ${k}n0$carried, p$r,
          |    CASE WHEN p$r IS NULL THEN seq
          |         ELSE replace(seq, p$r, replace(p$r, '| |', '')) END AS seq
          |  FROM $prev LEFT JOIN b$r ON TRUE)""".stripMargin
     }
+    s"$prep,\n${roundCtes.mkString(",\n")}"
+  }
+
+  private def bpeOracleSql(rounds: Int): String = {
     val mergesExpr =
       (1 to rounds).map(r => s"coalesce(p$r, '')").mkString(" || ';' || ")
-    s"""WITH $prep,
-       |${roundCtes.mkString(",\n")}
+    s"""WITH ${bpeRoundCtes(rounds, Seq("doc_id"))}
        |SELECT doc_id,
        |  CAST(COUNT(1) AS BIGINT) AS n_words,
        |  CAST(SUM(n0) AS BIGINT) AS n_syms0,
@@ -193,6 +238,17 @@ object TextQueries {
        |    AS BIGINT) AS fp,
        |  min($mergesExpr) AS merges
        |FROM s$rounds GROUP BY doc_id""".stripMargin
+  }
+
+  /** The learned-vocab symbol stream as a CTE suffix: the trained
+    * rounds replayed, then one row per post-merge symbol (column `w`)
+    * with `keys` carried — the oracle-side analog of
+    * [[graft.operators.BpeStore.symbols]]. */
+  private def bpeSymbolCtes(rounds: Int, keys: Seq[String]): String = {
+    val k = keys.map(_ + ", ").mkString
+    s"""${bpeRoundCtes(rounds, keys)},
+       |sym AS (SELECT ${k}unnest(string_split(seq, ' ')) AS w
+       |  FROM s$rounds)""".stripMargin
   }
 
   /** Built dedup-index artifact dirs, keyed by dataset dir — the
@@ -216,6 +272,81 @@ object TextQueries {
         "doc_id", "text", path, k = 2, numHashes = 32, bands = 16)
       path
     })
+
+  /** Trained BPE merge artifacts, keyed by dataset dir — the tokenizer
+    * train-once / apply-many lifecycle for q197 and the learned-vocab
+    * audits (q149/q154): ONE training job per corpus snapshot persists
+    * the [[graft.operators.BpeStore]] merge list; every apply/audit
+    * after that loads the artifact (k string literals) and never
+    * re-trains. 16 rounds — twice the inline operator's 8-round plan
+    * cap, exercising exactly the depth the driver-loop store exists
+    * for (the 64-round regime is pinned in BpeStoreSpec; the oracle
+    * replay is linear in rounds via MATERIALIZED CTEs, so 16 keeps the
+    * correctness gate fast). */
+  val bpeStoreRounds = 16
+
+  private val bpeStore =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  def bpeStorePath(s: SparkSession, dir: String): String =
+    bpeStore.getOrElseUpdate(dir, {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-bpe-merges").toString
+      graft.util.SparkUtil.deleteDirOnExit(path)
+      graft.operators.BpeStore.train(
+        graft.util.SparkUtil.fanOutForCpu(
+          table(s, dir, "documents"), "doc_id"),
+        "text", bpeStoreRounds, path)
+      path
+    })
+
+  /** q199's pre-packing ladder — markup → htmlText →
+    * stripBoilerplateLines → removeDuplicateSpans → q44 keep-filter →
+    * chunkByTokens, with lang joined back — as ONE lazy composed plan:
+    * every stage is a pure DataFrame transform, nothing here launches a
+    * job (PlanShapeSpec pins that on both variants; the registered
+    * q199 adds only groupedCumSum's documented tail materialization).
+    *
+    * `stageCache` (the default, what q199 registers): each stage
+    * boundary is an executor-side materialization (`localCheckpoint` —
+    * the q193-edges pattern; nothing ever lands on the driver, and
+    * under AQE the boundary's stages run at construction like the
+    * repo's other eager-checkpoint operators). The boilerplate, span,
+    * and filter stages each consume their input 2-5 times (frequency
+    * aggregate + membership join + reassembly + row-keeping joins), so
+    * WITHOUT the boundaries the consumers multiply: the extraction
+    * chain alone re-executes ~24× (measured 13 s at sf0.1 vs ~2 s
+    * cached). `stageCache = false` keeps the single pure plan tree —
+    * the declarative artifact PlanShapeSpec audits for zero
+    * construction jobs, the Generate boundaries, and the
+    * chain-copy-per-operator invariant (a checkpoint boundary hides
+    * upstream plan structure). */
+  private[graft] def webToSequencesLadder(
+      s: SparkSession, dir: String,
+      stageCache: Boolean = true): DataFrame = {
+    def stage(df: DataFrame): DataFrame =
+      if (stageCache) df.localCheckpoint(false) else df
+    val docs = graft.util.SparkUtil.fanOutForCpu(
+      table(s, dir, "documents"), "doc_id")
+    val extracted = stage(docs
+      .select(col("doc_id"), TextOps.htmlText(htmlMarkupCol).as("x0"))
+      // the q188 Generate boundary: evaluate the ~25-pass chain once
+      // per row into an attribute before the multi-consumer stages
+      .select(col("doc_id"), explode(array(col("x0"))).as("x")))
+    val deBoilered = stage(TextOps.stripBoilerplateLines(
+      extracted, "doc_id", "x", maxDocFreq = 10)
+      .select(col("doc_id"), col("clean_text")))
+    val deSpanned = stage(TextOps.removeDuplicateSpans(
+      deBoilered, "doc_id", "clean_text", k = 5, maxDocFreq = 1)
+      .select(col("doc_id"), col("clean_text").as("text")))
+    val kept = filterPipeline(deSpanned)
+      .filter(col("keep")).select(col("doc_id"))
+    val chunks = TextOps.chunkByTokens(
+      deSpanned.join(kept, Seq("doc_id")), "doc_id", "text",
+      width = 32, step = 24)
+    chunks.join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok"))
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: rank within identical-content groups.
@@ -1262,17 +1393,22 @@ object TextQueries {
     // (count desc, token asc — a strict total order, so the K-boundary
     // is deterministic) and audit each source's out-of-vocabulary rate
     // in ppm — the go/no-go check before freezing a tokenizer on a new
-    // mixture. Scale shape: tokens collapse to (source, token) counts in
-    // ONE map-side-combined aggregate (shuffle ∝ sources × vocab, not
-    // corpus tokens); the K-row vocab comes off that via per-partition
-    // top-K heaps (TakeOrderedAndProject) and broadcasts back. K=16
-    // exercises OOV against this corpus's 31-token vocabulary; the plan
-    // is K-independent (32k at 100 TB). Integer counting → hash-exact.
+    // mixture. Since r17 the audited units are the LEARNED vocabulary —
+    // post-merge BPE symbols from the persisted q197 artifact (k literal
+    // replaces, no training pass) — not whitespace-token proxies: the
+    // audit now answers the question about the tokenizer that will
+    // actually run. Scale shape: symbols collapse to (source, symbol)
+    // counts in ONE map-side-combined aggregate (shuffle ∝ sources ×
+    // vocab, not corpus tokens); the K-row vocab comes off that via
+    // per-partition top-K heaps (TakeOrderedAndProject) and broadcasts
+    // back. K=16; the plan is K-independent (32k at 100 TB). Integer
+    // counting → hash-exact (oracle replays the trained rounds).
     "q149_vocab_coverage" -> ((s, dir) => {
       val vocabK = 16
-      val sw = table(s, dir, "documents")
-        .select(col("source"),
-          explode(TextOps.tokens(lower(col("text")))).as("w"))
+      val sw = graft.operators.BpeStore.symbols(
+          graft.util.SparkUtil.fanOutForCpu(
+            table(s, dir, "documents"), "doc_id"),
+          Seq("source"), "text", bpeStorePath(s, dir))
         .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
       val vocab = sw.groupBy(col("w")).agg(sum(col("c")).as("cnt"))
         .orderBy(col("cnt").desc, col("w")).limit(vocabK)
@@ -1357,8 +1493,12 @@ object TextQueries {
     // Integer counting → hash-exact. Ks beyond the vocab size drop out
     // of the equi-join in both engines identically.
     "q154_zipf_curve" -> ((s, dir) => {
-      val uni = table(s, dir, "documents")
-        .select(explode(TextOps.tokens(lower(col("text")))).as("w"))
+      // learned-vocab units since r17 (see q149): post-merge BPE
+      // symbols from the stored artifact, not whitespace tokens
+      val uni = graft.operators.BpeStore.symbols(
+          graft.util.SparkUtil.fanOutForCpu(
+            table(s, dir, "documents"), "doc_id"),
+          Nil, "text", bpeStorePath(s, dir))
         .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       val tot = uni.agg(sum(col("cnt")).as("total"))
       val ranked = uni.orderBy(col("cnt").desc, col("w")).limit(32)
@@ -1723,9 +1863,29 @@ object TextQueries {
     // unrolled in DuckDB with the operator's src-node coalesce
     // mirrored.
     "q193_domain_pagerank" -> ((s, dir) => {
+      // the edge table (|E| short domain pairs) materializes once:
+      // the rank's degree and mass-passing sides would otherwise each
+      // re-run the whole markup extraction chain
       val edges = TextOps.domainLinkEdges(linkPages(s, dir), "markup", "url")
         .select(col("src_domain").as("src"), col("dst_domain").as("dst"))
+        .localCheckpoint(true)
       graft.operators.Graphs.integerPageRank(edges, iters = 3)
+    }),
+
+    // WEIGHTED PageRank over the same real link graph (VERDICT r16
+    // item 3): q193 discards the n_links weights q191 computes — here a
+    // node's mass splits across its out-edges proportionally to link
+    // mass ((pr·w) div Σw per src, the crawl-prioritization form), so a
+    // domain linked 100× from a site outranks one in its footer.
+    // Bit-exact vs the weighted rounds unrolled in DuckDB.
+    "q198_weighted_pagerank" -> ((s, dir) => {
+      // edge table materialized once, like q193
+      val edges = TextOps.domainLinkEdges(linkPages(s, dir), "markup", "url")
+        .select(col("src_domain").as("src"), col("dst_domain").as("dst"),
+          col("n_links"))
+        .localCheckpoint(true)
+      graft.operators.Graphs.integerWeightedPageRank(
+        edges, "n_links", iters = 3)
     }),
 
     // The composed WEB-CORPUS INGEST shape: raw markup → htmlText →
@@ -1763,6 +1923,29 @@ object TextQueries {
         .agg(count(lit(1)).as("kept_docs"),
           sum(col("n_tokens").cast("long")).as("token_mass"))
     }),
+
+    // The FULL web→training-sequences ladder as ONE registered plan
+    // (VERDICT r16 item 4): raw markup → htmlText extraction →
+    // cross-doc boilerplate-line removal (q189) → duplicated-span
+    // removal (q196) → the q44 keep-decision over the CLEANED text →
+    // token-window chunking (q54) → per-language packing (q55). Each
+    // stage is individually oracle-checked; this pins the COMPOSITION
+    // the 100 TB pipeline actually runs — one lazy plan, no driver
+    // materialization between stages (PlanShapeSpec pins that), with
+    // the q188 Generate boundary keeping the ~25-pass extraction chain
+    // evaluated once per row before the multi-consumer stages fan out.
+    // Scale shape is the union of its parts': text bytes shuffle only
+    // in the two doc-keyed reassemblies; frequency/membership tables
+    // travel as md5s; packing is the salted two-phase groupedCumSum.
+    "q199_web_to_sequences" -> ((s, dir) =>
+      graft.operators.Packing.groupedCumSum(
+        webToSequencesLadder(s, dir),
+        group = "lang", orderCols = Seq("doc_id", "chunk_id"),
+        tokCol = "n_tok", cumName = "cum_tok")
+        .withColumn("bin",
+          floor((col("cum_tok") - col("n_tok")) / 2048).cast("int"))
+        .select(col("doc_id"), col("chunk_id"), col("lang"), col("n_tok"),
+          col("cum_tok"), col("bin"))),
 
     // URL canonicalization dedup (the C4/CCNet pre-fetch pass): strip
     // fragments and tracking params (utm_*/fbclid/gclid/msclkid/mc_eid,
@@ -1837,6 +2020,20 @@ object TextQueries {
       TextOps.applyBpeMerges(
         graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id"),
         "doc_id", "text", rounds = 3)),
+
+    // Tokenizer artifact lifecycle (VERDICT r16 item 2): train 16 BPE
+    // merge rounds ONCE per corpus snapshot, persist the merge list as
+    // a parquet artifact (BpeStore), and apply it here with NO training
+    // pass — 16 nested literal replaces in one codegen'd projection
+    // before the doc aggregate. 16 rounds is past applyBpeMerges' 8-round
+    // inline plan cap, which is the point of the driver-loop store. The
+    // oracle replays the full training inline (MATERIALIZED CTEs keep it
+    // linear), so hash-equality proves stored-then-applied ≡ trained
+    // inline, merge list included — the q184 persisted-artifact pattern.
+    "q197_bpe_store" -> ((s, dir) =>
+      graft.operators.BpeStore.applyFromStore(
+        graft.util.SparkUtil.fanOutForCpu(table(s, dir, "documents"), "doc_id"),
+        "doc_id", "text", bpeStorePath(s, dir))),
 
     // Homoglyph-canonical dedup (VERDICT r14 item 6): the dedup family
     // case/punct folding cannot see — script-level near-dups (Cyrillic
@@ -2837,26 +3034,24 @@ object TextQueries {
         |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
         |FROM f GROUP BY source, file_idx""".stripMargin,
 
-    // The K-boundary is the same strict (cnt DESC, w ASC) total order.
+    // The K-boundary is the same strict (cnt DESC, w ASC) total order;
+    // tokens are the learned-vocab BPE symbols (trained rounds replayed).
     "q149_vocab_coverage" ->
-      """WITH sw AS (
-        |  SELECT source, w, COUNT(1) AS c FROM (
-        |    SELECT source,
-        |      unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |    FROM documents WHERE length(trim(text)) > 0)
-        |  GROUP BY source, w),
-        |vocab AS (
-        |  SELECT w FROM (
-        |    SELECT w, SUM(c) AS cnt FROM sw GROUP BY w)
-        |  ORDER BY cnt DESC, w ASC LIMIT 16)
-        |SELECT source,
-        |  CAST(SUM(c) AS BIGINT) AS n_tokens,
-        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
-        |  COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov_types,
-        |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) * 1000000
-        |    // SUM(c) AS BIGINT) AS oov_ppm
-        |FROM sw LEFT JOIN vocab v USING (w)
-        |GROUP BY source""".stripMargin,
+      s"""WITH ${bpeSymbolCtes(bpeStoreRounds, Seq("source"))},
+         |sw AS (SELECT source, w, COUNT(1) AS c FROM sym
+         |  GROUP BY source, w),
+         |vocab AS (
+         |  SELECT w FROM (
+         |    SELECT w, SUM(c) AS cnt FROM sw GROUP BY w)
+         |  ORDER BY cnt DESC, w ASC LIMIT 16)
+         |SELECT source,
+         |  CAST(SUM(c) AS BIGINT) AS n_tokens,
+         |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) AS BIGINT) AS n_oov,
+         |  COUNT(CASE WHEN v.w IS NULL THEN 1 END) AS n_oov_types,
+         |  CAST(SUM(CASE WHEN v.w IS NULL THEN c ELSE 0 END) * 1000000
+         |    // SUM(c) AS BIGINT) AS oov_ppm
+         |FROM sw LEFT JOIN vocab v USING (w)
+         |GROUP BY source""".stripMargin,
 
     // Corpus-wide md5 dup counts joined back; the quality mean is the
     // shared split decimal→double discipline (d2).
@@ -2905,12 +3100,11 @@ object TextQueries {
          |FROM cs GROUP BY csize""".stripMargin,
 
     // Rank + running sum via the oracle's window (fine single-node);
-    // the same strict (cnt DESC, w ASC) order as the Spark fold.
+    // the same strict (cnt DESC, w ASC) order as the Spark fold; tokens
+    // are the learned-vocab BPE symbols (trained rounds replayed).
     "q154_zipf_curve" ->
-      """WITH toks AS (
-        |  SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS w
-        |  FROM documents WHERE length(trim(text)) > 0),
-        |u AS (SELECT w, COUNT(1) AS cnt FROM toks GROUP BY w),
+      s"""WITH ${bpeSymbolCtes(bpeStoreRounds, Nil)},
+         |u AS (SELECT w, COUNT(1) AS cnt FROM sym GROUP BY w),
         |r AS (SELECT w, cnt,
         |        ROW_NUMBER() OVER (ORDER BY cnt DESC, w ASC) AS rank
         |      FROM u),
@@ -3174,6 +3368,33 @@ object TextQueries {
          |       FROM wd JOIN pf2 ON src = node GROUP BY dst)
          |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3""".stripMargin,
 
+    // the q193 rounds with weighted mass passing: per edge
+    // (pr * n_links) // wsum, wsum = per-src weight total
+    "q198_weighted_pagerank" ->
+      s"""WITH $linkEdgeCtes,
+         |edges AS (SELECT src_domain AS src, dst_domain AS dst,
+         |            COUNT(1) AS w
+         |          FROM e GROUP BY src_domain, dst_domain),
+         |ws AS (SELECT src, SUM(w) AS wsum FROM edges GROUP BY src),
+         |wd AS (SELECT x.src, x.dst, x.w, s2.wsum
+         |       FROM edges x JOIN ws s2 USING (src)),
+         |sn AS (SELECT src AS node FROM ws),
+         |pf0 AS (SELECT node, 1000000::BIGINT AS pr FROM sn),
+         |p1 AS (SELECT dst AS node,
+         |         150000 + (85 * SUM((pr * w) // wsum)) // 100 AS pr
+         |       FROM wd JOIN pf0 ON src = node GROUP BY dst),
+         |pf1 AS (SELECT sn.node, coalesce(p1.pr, 150000) AS pr
+         |        FROM sn LEFT JOIN p1 USING (node)),
+         |p2 AS (SELECT dst AS node,
+         |         150000 + (85 * SUM((pr * w) // wsum)) // 100 AS pr
+         |       FROM wd JOIN pf1 ON src = node GROUP BY dst),
+         |pf2 AS (SELECT sn.node, coalesce(p2.pr, 150000) AS pr
+         |        FROM sn LEFT JOIN p2 USING (node)),
+         |p3 AS (SELECT dst AS node,
+         |         150000 + (85 * SUM((pr * w) // wsum)) // 100 AS pr
+         |       FROM wd JOIN pf2 ON src = node GROUP BY dst)
+         |SELECT node, CAST(pr AS BIGINT) AS pr FROM p3""".stripMargin,
+
     // positioned line split via the componentsCtes range-unnest idiom;
     // string_agg skips the CASE's NULLs in pos order, mirroring Spark's
     // null-dropping collect_list + sort_array reassembly; the
@@ -3224,8 +3445,85 @@ object TextQueries {
          |FROM q WHERE quality > 0.55 AND n >= 60
          |GROUP BY source""".stripMargin,
 
-    // the same 3 greedy rounds unrolled as CTEs (see bpeOracleSql)
+    // the same 3 greedy rounds unrolled as CTEs (see bpeRoundCtes)
     "q192_bpe_merges" -> bpeOracleSql(3),
+
+    // the stored-artifact application replayed as the full 16 trained
+    // rounds inline — hash-equality IS the stored ≡ inline proof
+    "q197_bpe_store" -> bpeOracleSql(bpeStoreRounds),
+
+    // the whole ladder replayed: q186's extraction, q189's line strip
+    // (docfreq ≤ 10), q196's span removal (k=5, df>1), q44's keep
+    // decision over the cleaned relation (filterSqlOver nested as a
+    // subquery), then q55's chunk+pack with lang joined back from
+    // documents. MATERIALIZED at each stage boundary — the chain
+    // references each stage 2-3×, and inline expansion would re-run
+    // the 25-pass extraction per reference (the bpeRoundCtes lesson).
+    "q199_web_to_sequences" ->
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT doc_id, $htmlMarkupSql AS markup FROM documents),
+         |x AS MATERIALIZED (
+         |  SELECT doc_id, ${TextOps.htmlTextSql("markup")} AS x FROM m),
+         |bl AS (SELECT doc_id, i AS pos, parts[i] AS ln
+         |  FROM (SELECT doc_id, string_split(x, chr(10)) AS parts,
+         |          unnest(range(1, len(string_split(x, chr(10))) + 1)) AS i
+         |        FROM x)),
+         |bf AS (SELECT md5(ln) AS h, COUNT(DISTINCT doc_id) AS docfreq
+         |       FROM bl GROUP BY 1),
+         |bk AS (SELECT bl.doc_id, bl.pos, bl.ln, bf.docfreq <= 10 AS keep
+         |       FROM bl JOIN bf ON md5(bl.ln) = bf.h),
+         |sb AS MATERIALIZED (SELECT doc_id,
+         |    coalesce(string_agg(CASE WHEN keep THEN ln END, chr(10)
+         |                        ORDER BY pos), '') AS t
+         |  FROM bk GROUP BY doc_id),
+         |b AS (SELECT doc_id,
+         |    CASE WHEN length(trim(t)) = 0 THEN CAST([] AS VARCHAR[])
+         |         ELSE string_split_regex(trim(t), '\\s+') END AS toks
+         |  FROM sb),
+         |tok AS (SELECT doc_id, i AS pos, toks[i] AS tok
+         |  FROM (SELECT doc_id, toks,
+         |          unnest(range(1, len(toks) + 1)) AS i FROM b)),
+         |g AS (SELECT doc_id, n, j AS gpos,
+         |    md5(array_to_string(toks[j:j+4], ' ')) AS gh
+         |  FROM (SELECT doc_id, toks, len(toks) AS n,
+         |          unnest(range(1, greatest(len(toks) - 3, 2))) AS j
+         |        FROM b WHERE len(toks) > 0)),
+         |sdup AS (SELECT gh FROM (
+         |    SELECT gh, COUNT(DISTINCT doc_id) AS df FROM g GROUP BY gh)
+         |  WHERE df > 1),
+         |cov AS (SELECT DISTINCT doc_id, pos FROM (
+         |    SELECT g.doc_id,
+         |      unnest(range(g.gpos, least(g.gpos + 5, g.n + 1))) AS pos
+         |    FROM g JOIN sdup USING (gh))),
+         |skept AS (SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN cov c
+         |    ON t.doc_id = c.doc_id AND t.pos = c.pos
+         |  WHERE c.pos IS NULL),
+         |sr AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS clean,
+         |       COUNT(1) AS n_kept FROM skept GROUP BY doc_id),
+         |cl AS MATERIALIZED (
+         |  SELECT sb.doc_id, coalesce(sr.clean, '') AS text
+         |  FROM sb LEFT JOIN sr USING (doc_id)),
+         |fkept AS (SELECT doc_id FROM (${filterSqlOver("cl")}) WHERE keep),
+         |ktoks AS (
+         |  SELECT c.doc_id, string_split_regex(trim(c.text), '\\s+') AS toks,
+         |         d.lang
+         |  FROM cl c JOIN fkept USING (doc_id)
+         |    JOIN documents d ON d.doc_id = c.doc_id
+         |  WHERE length(trim(c.text)) > 0),
+         |kstarts AS (
+         |  SELECT doc_id, lang, toks, unnest(range(0, len(toks), 24)) AS s
+         |  FROM ktoks),
+         |kchunks AS (
+         |  SELECT doc_id, CAST(s // 24 AS INT) AS chunk_id, lang,
+         |    CAST(len(toks[s+1:s+32]) AS INT) AS n_tok
+         |  FROM kstarts)
+         |SELECT doc_id, chunk_id, lang, n_tok,
+         |  CAST(SUM(n_tok) OVER w AS BIGINT) AS cum_tok,
+         |  CAST(floor((SUM(n_tok) OVER w - n_tok) / 2048) AS INT) AS bin
+         |FROM kchunks
+         |WINDOW w AS (PARTITION BY lang ORDER BY doc_id, chunk_id
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""".stripMargin,
 
     // positioned tokens + grams via the range-unnest idiom (1-based —
     // positions never leave either engine, so the base doesn't matter);
@@ -3525,13 +3823,15 @@ object TextQueries {
        |      ORDER BY quality DESC, doc_id ASC) AS rn
        |  FROM lab) WHERE rn = 1""".stripMargin
 
-  /** q44's oracle SQL, shared verbatim by q55's `kept` stage. */
-  private val filterSql: String =
+  /** q44's oracle SQL, shared verbatim by q55's `kept` stage and — over
+    * the cleaned-text relation instead of raw `documents` — by q199's.
+    * `rel` must expose (doc_id, text). */
+  private def filterSqlOver(rel: String): String =
       s"""WITH toks AS (
          |  SELECT doc_id,
          |    CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
          |         ELSE string_split_regex(trim(text), '\\s+') END AS toks
-         |  FROM documents),
+         |  FROM $rel),
          |rep AS (
          |  SELECT doc_id, 1.0 - len(list_distinct(grams)) / len(grams) AS repetition
          |  FROM (
@@ -3567,11 +3867,11 @@ object TextQueries {
          |      len(list_distinct(string_split_regex(trim(lower(text)), '\\s+'))) AS nd,
          |      len(list_filter(string_split_regex(trim(lower(text)), '\\s+'),
          |          t -> t IN $stopIn)) AS stop
-         |    FROM documents)),
+         |    FROM $rel)),
          |dup AS (
          |  SELECT doc_id,
          |    ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) > 1 AS is_duplicate
-         |  FROM documents)
+         |  FROM $rel)
          |SELECT q.doc_id, q.quality, r.repetition, c.contamination, d.is_duplicate,
          |  (q.quality >= 0.5 AND r.repetition <= 0.2 AND
          |   c.contamination < 0.5 AND NOT d.is_duplicate) AS keep
@@ -3579,6 +3879,8 @@ object TextQueries {
          |JOIN rep r USING (doc_id)
          |JOIN dup d USING (doc_id)
          |JOIN cont c USING (doc_id)""".stripMargin
+
+  private val filterSql: String = filterSqlOver("documents")
 
   private val scalarOracles: Map[String, String] = Map(
     "q20_dedup_exact" ->

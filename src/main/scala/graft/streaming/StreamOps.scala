@@ -111,7 +111,16 @@ object StreamOps {
     * re-reads the snapshot every trigger, so a refresh lands without
     * touching the stream. Only 16-byte hashes are ever written — the
     * table for a 100 TB corpus is MBs (distinct frequent lines), and
-    * the one aggregation is map-side combinable over line hashes. */
+    * the one aggregation is map-side combinable over line hashes.
+    *
+    * The EMPTY line is never banned (ADVICE r16): '' exceeds any
+    * realistic frequency threshold in any corpus, and banning it would
+    * make [[stripBannedLines]] delete every blank separator from
+    * streamed docs — collapsing paragraph structure — and drop
+    * empty-extraction docs entirely via the n_kept>0 admission filter.
+    * Blank lines are document STRUCTURE, not cross-site boilerplate
+    * (boilerplate is content that repeats; blankness is the absence of
+    * content), so the frequency rule deliberately does not see them. */
   def buildBannedLines(
       docs: DataFrame,
       idCol: String,
@@ -122,6 +131,7 @@ object StreamOps {
     docs
       .select(col(idCol),
         explode(split(coalesce(col(textCol), lit("")), "\n")).as("line"))
+      .filter(col("line") =!= "")
       .select(col(idCol), md5(col("line")).as("h"))
       .groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("docfreq"))

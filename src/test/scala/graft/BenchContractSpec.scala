@@ -41,12 +41,24 @@ class BenchContractSpec extends AnyFunSuite {
     }
     // NO "stream" since r16: the last non-contract field with real
     // width moved to the full JSON (committed as BENCH_r*_full.json)
-    // when the 193-query registry outgrew the tail again
-    assert(keys == Set("metric", "value", "unit", "sent", "queries",
+    // when the 193-query registry outgrew the tail again. "sent" -> "vn"
+    // in r17 (VERDICT r16 item 7): the sentinel-NORMALIZED total
+    // replaced the raw sentinel (recoverable as anchor·value/vn; exact
+    // pre/post medians live in the full JSON).
+    assert(keys == Set("metric", "value", "unit", "vn", "queries",
       "err", "sf"), s"slim-line top-level keys drifted: $keys")
     assert(node.get("metric").asText() == "total")
     assert(node.get("unit").asText() == "sec")
-    assert(node.get("value").isNumber && node.get("sent").isNumber)
+    assert(node.get("value").isNumber && node.get("vn").isNumber)
+    // vn = value × (anchor / sentinel) to slim rounding (msSlim renders
+    // whole seconds at >= 10, so the tolerance is the rendering tier's)
+    assert(math.abs(node.get("vn").asDouble() -
+      97.2 * Bench.sentinelAnchorSec / 1.234) < 0.5,
+      s"vn must be the anchor-normalized total: ${node.get("vn")}")
+    // a failed sentinel (<= 0) renders vn as the -1 marker, not NaN/Inf
+    assert(new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Bench.renderSlim(medians, 97.2, 1, "x", -1.0))
+      .get("vn").asInt() == -1)
     assert(node.get("sf").asText() == "sf0.1")
     // queries: bare-number keys WITHOUT leading zeros -> numeric medians
     assert(node.get("queries").get("1").isNumber)
@@ -61,12 +73,17 @@ class BenchContractSpec extends AnyFunSuite {
   }
 
   test("slim-line q-number prefixes are unique across the registry") {
-    // renderSlim keys the stdout line by the q-number prefix; two queries
-    // sharing a prefix would emit duplicate JSON keys and one median
-    // would silently vanish in any JSON consumer
-    val prefixes = SparkEntry.queries.keys.toSeq.map(_.takeWhile(_ != '_'))
-    val dups = prefixes.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
-    assert(dups.isEmpty, s"duplicate q-number prefixes: ${dups.mkString(", ")}")
+    // renderSlim keys the stdout line by the ZERO-STRIPPED q-number
+    // ("q01_x" -> "1"), so uniqueness must be checked on exactly that
+    // keying (ADVICE r16): raw-prefix dedup would pass a future
+    // "q1_x"/"q01_y" pair that renders duplicate JSON keys (one median
+    // silently lost), and a hypothetical "q0_" name renders an EMPTY key
+    val rendered = SparkEntry.queries.keys.toSeq
+      .map(_.takeWhile(_ != '_').stripPrefix("q").dropWhile(_ == '0'))
+    val dups = rendered.groupBy(identity).filter(_._2.size > 1).keys.toSeq.sorted
+    assert(dups.isEmpty, s"duplicate rendered q-number keys: ${dups.mkString(", ")}")
+    assert(rendered.forall(_.nonEmpty),
+      "a query name rendered an empty slim-line key (q0-class name)")
     // the registry map itself is merged with ++ across per-file maps — a
     // full-name collision there is equally silent (later map wins)
     val perFile = Seq(

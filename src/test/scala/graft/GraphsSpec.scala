@@ -80,4 +80,58 @@ class GraphsSpec extends SparkSpec {
       Graphs.integerPageRank(Seq("a" -> "b").toDF("src", "dst"), 0)
     }
   }
+
+  test("integerWeightedPageRank: uniform weights reproduce the unweighted form exactly") {
+    val edges = Seq(
+      ("s", "a"), ("a", "b"), ("b", "a"), ("b", "c"), ("c", "a"))
+    (1 to 3).foreach { iters =>
+      val unweighted = Graphs.integerPageRank(edges.toDF("src", "dst"), iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val uniform = Graphs.integerWeightedPageRank(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        "w", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(uniform === unweighted, s"iters=$iters")
+      // and uniform weight K != 1 too: (pr·K) div (outdeg·K) can differ
+      // from pr div outdeg only by flooring — here both divide exactly
+      // the same ratio, so the results must still agree
+      val uniformK = Graphs.integerWeightedPageRank(
+        edges.map { case (s, d) => (s, d, 7L) }.toDF("src", "dst", "w"),
+        "w", iters)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(uniformK === unweighted, s"iters=$iters, w=7")
+    }
+  }
+
+  test("integerWeightedPageRank: mass follows the heavier edge") {
+    // hub splits 9:1 between a and b; both a and b return all mass to
+    // hub, so after round 1 a holds 9x b's hub share
+    val edges = Seq(
+      ("hub", "a", 9L), ("hub", "b", 1L),
+      ("a", "hub", 1L), ("b", "hub", 1L))
+    val pr = Graphs.integerWeightedPageRank(
+      edges.toDF("src", "dst", "w"), "w", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // pr1(a) = 150000 + 85·(10⁶·9 div 10) div 100 = 150000 + 765000
+    assert(pr("a") == 915000L, s"got $pr")
+    // pr1(b) = 150000 + 85·(10⁶·1 div 10) div 100 = 150000 + 85000
+    assert(pr("b") == 235000L, s"got $pr")
+    // hub gets both return edges' full mass: 150000 + 85·(10⁶+10⁶)/100
+    assert(pr("hub") == 1850000L, s"got $pr")
+  }
+
+  test("integerWeightedPageRank: per-edge product precedes the division") {
+    // w=15 and w=2 over wsum=17 (10⁶ mod 17 = 9, so the remainder times
+    // the weight crosses wsum): product-first gives (10⁶·15) div 17 =
+    // 882352; dividing first ((10⁶ div 17)·15 = 882345) floors each
+    // share before scaling — pin the product-first spelling by value
+    val pr = Graphs.integerWeightedPageRank(
+      Seq(("s", "a", 15L), ("s", "b", 2L)).toDF("src", "dst", "w"), "w", 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(pr("a") == 150000L + (85L * (15000000L / 17)) / 100, s"got $pr")
+    assert(pr("b") == 150000L + (85L * (2000000L / 17)) / 100, s"got $pr")
+    assert((85L * (15000000L / 17)) / 100 !=
+      (85L * ((1000000L / 17) * 15)) / 100,
+      "fixture must actually distinguish product-first from divide-first")
+  }
 }

@@ -108,93 +108,4 @@ class IngestSoakSpec extends SparkSpec {
     }
   }
 
-  test("compound seam: kill mid-compaction + 4->8-byte id upgrade in the same incarnation") {
-    // VERDICT r13 item 4: the compaction crash fence and the in-flight
-    // namespace-widening upgrade were each spec'd alone; this drives them
-    // COMPOUNDED — the pre-upgrade attempt's batch is in the tail, a
-    // compaction is killed after its bucketed appends but before the
-    // manifest write, and the stream restarts UPGRADED in that same
-    // incarnation. Required: exact admissions on the replay, no duplicate
-    // folds in the recovery compaction, and a correct store afterwards.
-    val textA = "spark catalyst tungsten codegen shuffle exchange partition broadcast"
-    val textB = "parquet footers column chunks dictionary encoding page statistics"
-    val tail = java.nio.file.Files.createTempDirectory("graft_cmb_tail").toString
-    val ckpt = java.nio.file.Files.createTempDirectory("graft_cmb_ckpt").toFile
-    ckpt.deleteOnExit()
-    try {
-      DedupIndexStore.buildBucketed(
-        Seq((100000L, "seed corpus document about tokens shingles bands " +
-          "signatures jaccard thresholds buckets")).toDF("doc_id", "text"),
-        "doc_id", "text", "cmb_idx", 4, k = 2, numHashes = 8, bands = 4)
-      DedupIndexStore.initEmpty(spark, tail, k = 2, numHashes = 8, bands = 4)
-      val data = Seq((1L, textA), (2L, textB))
-      val legacyId = StreamOps.ingestNs(ckpt.getAbsolutePath).take(8) + "_b0"
-      val newId = StreamOps.ingestNs(ckpt.getAbsolutePath) + "_b0"
-      // pre-upgrade attempt: both docs admitted, appended to the tail
-      // under the 4-byte-era id, crash before the streaming commit
-      val first = StreamOps.admitBatchBucketed(
-        data.toDF("doc_id", "text"), "doc_id", "text", "cmb_idx", tail,
-        threshold = 0.2)
-      assert(first.select("doc_id").collect().map(_.getLong(0)).toSet == Set(1L, 2L))
-      DedupIndexStore.append(first, "doc_id", "text", tail, legacyId)
-      // maintenance compaction is KILLED mid-run, after its bucketed
-      // appends and before the manifest write: fold for real, then
-      // restore the killed-run state — tail partition back, manifests
-      // gone, _inflight left behind (same simulation as
-      // DedupIndexManifestSpec's crash-fence test)
-      DedupIndexStore.compactTail(spark, "cmb_idx", tail, 4)
-      DedupIndexStore.append(first, "doc_id", "text", tail, legacyId)
-      Seq("bands.txt", "shingles.txt").foreach(f =>
-        new java.io.File(s"$tail/_folded/$f").delete())
-      new java.io.File(s"$tail/_folded/_inflight").createNewFile()
-      // -- the upgrade lands HERE; the same incarnation restarts and
-      // replays batch 0 under the widened id --
-      val in = MemoryStream[(Long, String)](spark)
-      val admitted = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-      val q = StreamOps.streamingIngestDedupBucketed(
-        in.toDF().toDF("doc_id", "text"), "doc_id", "text", "cmb_idx", tail,
-        ckpt.getAbsolutePath,
-        (df, bid) => admitted.synchronized {
-          admitted ++= df.select("doc_id").collect().map(r => (bid, r.getLong(0)))
-        },
-        threshold = 0.2)
-      try {
-        in.addData(data: _*)
-        q.processAllAvailable()
-        assert(admitted.synchronized(admitted.toSet) == Set((0L, 1L), (0L, 2L)),
-          "the upgraded replay must admit exactly the first attempt's docs " +
-            s"despite its rows standing in BOTH stores: ${admitted.toSet}")
-        // the stream retired the legacy tail partition after the commit
-        assert(!new java.io.File(s"$tail/bands/ingest=$legacyId").exists,
-          "legacy tail partition must be retired by the upgraded replay")
-        assert(new java.io.File(s"$tail/bands/ingest=$newId").exists)
-        // recovery compaction, mid-stream: the inflight fence forces the
-        // audit, which must fold ONLY the new id (the legacy rows already
-        // stand) — the no-duplicate-folds half of the compound seam
-        DedupIndexStore.compactTail(spark, "cmb_idx", tail, 4)
-        def bandRows(ingest: String): Long = spark.table("cmb_idx_bands")
-          .filter($"ingest" === ingest).count()
-        assert(bandRows(legacyId) == 2L * 4,
-          s"legacy rows must stand exactly once, got ${bandRows(legacyId)}")
-        assert(bandRows(newId) == 2L * 4,
-          s"new-id rows must fold exactly once, got ${bandRows(newId)}")
-        assert(!new java.io.File(s"$tail/_folded/_inflight").exists,
-          "recovery must clear the inflight marker")
-        assert(!new java.io.File(s"$tail/bands").exists, "tail must be cleared")
-        // and the loop keeps running correctly in the same incarnation:
-        // a fresh doc admits, a near-dup of doc 1 (standing twice, under
-        // both id eras) still drops exactly once
-        in.addData(
-          (3L, "entirely novel text mentioning vacuum analyze planner estimates"),
-          (4L, textA + " tailword"))
-        q.processAllAvailable()
-        assert(admitted.synchronized(admitted.toSet) ==
-          Set((0L, 1L), (0L, 2L), (1L, 3L)),
-          s"post-recovery trigger admissions: ${admitted.toSet}")
-      } finally q.stop()
-    } finally {
-      Seq("bands", "shingles", "meta").foreach(t =>
-        spark.sql(s"DROP TABLE IF EXISTS cmb_idx_$t"))
-    }
-  }
 }

@@ -151,4 +151,75 @@ class PlanShapeSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, offenders.mkString("\n"))
   }
+
+  test("q199 composes the whole ladder as ONE lazy plan with its Generate boundaries") {
+    // VERDICT r16 item 4: the web→training-sequences ladder must stay a
+    // single registered plan — no driver materialization between stages
+    // (construction launches zero jobs), and the q188 Generate-boundary
+    // lesson must hold at the extraction stage: the ~25-pass htmlText
+    // chain may appear in several plan BRANCHES (each evaluates it once
+    // per row), but no single operator may inline it twice — that is
+    // the projection-collapse shape whose generated method grew past
+    // janino's 64 KB limit and silently fell back to interpreted eval.
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      def settle(): Int = {
+        var last = -1; var settled = 0
+        while (settled < 3) {
+          Thread.sleep(150)
+          if (jobs.get == last) settled += 1 else { settled = 0; last = jobs.get }
+        }
+        jobs.get
+      }
+      // baseline: the bare fanned-out scan the ladder starts from pays
+      // fixed scan-setup jobs (parquet schema read + the lazy
+      // checkpoint's RDD resolution) — every registered query pays
+      // these; they are not inter-stage actions
+      graft.util.SparkUtil.fanOutForCpu(
+        graft.util.SparkUtil.table(spark, sf(), "documents"), "doc_id")
+        .queryExecution.executedPlan
+      val baseline = settle()
+      // the PURE plan tree (stageCache = false): the declarative
+      // composition claim — six stages as one tree, zero jobs at
+      // construction. The REGISTERED form materializes each stage
+      // boundary at construction (executor-side localCheckpoint, the
+      // q193-edges / groupedCumSum eager pattern — never a driver
+      // collect); its semantics are the oracle's to check, its plan
+      // structure is THIS tree's, so the structural audits read this
+      // variant (a checkpoint boundary hides upstream plan structure).
+      val exec = graft.queries.TextQueries
+        .webToSequencesLadder(spark, sf(), stageCache = false)
+        .queryExecution
+      exec.executedPlan // force full analysis + physical planning
+      val total = settle()
+      assert(total - baseline <= baseline,
+        s"composing the pure-tree ladder must add no jobs beyond its " +
+          s"own scan setup (baseline $baseline, ladder ${total - baseline})")
+      // the ladder's row-expansion stages survive optimization as
+      // Generate nodes (line explode, gram explode, span-cover explode,
+      // chunk-start explode, plus the extraction boundary)
+      val gens = exec.optimizedPlan.collect {
+        case g: org.apache.spark.sql.catalyst.plans.logical.Generate => g
+      }
+      assert(gens.size >= 5,
+        s"expected the ladder's explode boundaries, got ${gens.size}")
+      // per-NODE chain-copy audit via the chain's unique "&nbsp;" literal
+      val copiesPerNode = exec.optimizedPlan.collect { case n =>
+        n.expressions.map(_.collect {
+          case Literal(v, _) if v != null && v.toString == "&nbsp;" => 1
+        }.sum).sum
+      }
+      assert(copiesPerNode.sum >= 1, "extraction chain vanished from the plan")
+      assert(copiesPerNode.forall(_ <= 1),
+        s"extraction chain inlined 2+ times into one operator " +
+          s"(codegen 64 KB hazard): $copiesPerNode")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
 }

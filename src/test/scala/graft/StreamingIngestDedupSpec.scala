@@ -813,6 +813,38 @@ class StreamingIngestDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("banned-line snapshot never bans the empty line; blank separators survive") {
+    // ADVICE r16: '' exceeds any frequency threshold in any corpus —
+    // banning it would make stripBannedLines collapse paragraph
+    // structure (every blank separator deleted) and drop
+    // empty-extraction docs via the n_kept>0 admission filter. Blank
+    // lines are structure, not boilerplate; the build must not see them.
+    import graft.streaming.StreamOps
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    val banner = "accept cookies now"
+    val corpus = (0 until 12).map(i =>
+      (i.toLong, s"$banner\n\npage body $i\n\nmore body $i"))
+      .toDF("doc_id", "text")
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_banned_empty").toString + "/banned"
+    StreamOps.buildBannedLines(corpus, "doc_id", "text",
+      maxDocFreq = 5, outPath = path)
+    val hashes = spark.read.parquet(path)
+      .collect().map(_.getString(0)).toSet
+    assert(hashes.contains(md5hex(banner)), "the banner must be banned")
+    assert(!hashes.contains(md5hex("")),
+      "the empty line must never enter the banned table")
+    val out = StreamOps.stripBannedLines(
+      Seq((100L, s"$banner\nfirst para\n\nsecond para"))
+        .toDF("doc_id", "text"),
+      "doc_id", "text", path)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(100L) == "first para\n\nsecond para",
+      s"blank separator must survive the strip: '${out(100L)}'")
+  }
+
   test("admitBatch replays the admission rule deterministically in batch") {
     val idx = java.nio.file.Files.createTempDirectory("graft_sid_idx2").toString
     DedupIndexStore.build(

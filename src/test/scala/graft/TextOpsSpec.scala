@@ -175,8 +175,35 @@ class TextOpsSpec extends SparkSpec {
     assert(extract("a &#x26; b") == "a & b")
     // zero-padded numerics are outside the subset -> literal
     assert(extract("&#x03C; &#060;") == "&#x03C; &#060;")
-    // outside the deterministic subset -> literal (needs engine tables)
-    assert(extract("caf&eacute; &#x41;") == "caf&eacute; &#x41;")
+    // numerics outside the subset's five -> literal (needs tables)
+    assert(extract("&#x41; &#65;") == "&#x41; &#65;")
+  }
+
+  test("htmlText: pinned named Latin-1 entity subset (VERDICT r16 item 6)") {
+    // the crawl-frequent names decode to their exact codepoints
+    assert(extract("dash&mdash;here") == "dash—here")
+    assert(extract("it&rsquo;s &ldquo;q&rdquo;") ==
+      "it’s “q”")
+    assert(extract("&copy; 2024 &reg; &trade;") ==
+      "© 2024 ® ™")
+    assert(extract("caf&eacute; na&ntilde;a stra&szlig;e") ==
+      "café naña straße")
+    assert(extract("&frac12; price &plusmn; 3&deg;") ==
+      "½ price ± 3°")
+    assert(extract("5&euro; &middot; 4&pound;") ==
+      "5€ · 4£")
+    // amp-shielded names stay literal: the amp pass runs LAST and its
+    // output is never re-scanned (the standing no-redecode invariant)
+    assert(extract("&amp;mdash;") == "&mdash;")
+    assert(extract("&#38;copy;") == "&copy;")
+    // names are case-sensitive, like the XML five
+    assert(extract("&COPY; &MDASH;") == "&COPY; &MDASH;")
+    // names outside the pinned table stay literal
+    assert(extract("&zwnj; &oelig; &alpha;") == "&zwnj; &oelig; &alpha;")
+    // every table entry decodes (the table is the spec, end to end)
+    TextOps.namedEntities.foreach { case (n, v) =>
+      assert(extract(s"x &$n; y") == s"x $v y", s"entity &$n;")
+    }
   }
 
   test("htmlText: nested/unclosed tags and degenerate '<'-only text") {
@@ -265,7 +292,7 @@ class TextOpsSpec extends SparkSpec {
     assert(links("""<a href="https://x.com/a">a</a> <a href='b.html'>b</a>""")
       .sorted == Seq("b.html", "https://x.com/a"))
     // unquoted values terminate at whitespace or '>'
-    assert(links("<a rel=nofollow href=/p/q.html>r</a>") == Seq("/p/q.html"))
+    assert(links("<a href=/p/q.html>r</a>") == Seq("/p/q.html"))
     assert(links("<a href=x.html class=y>r</a>") == Seq("x.html"))
     // case-insensitive tag/attr; attributes before href are skipped
     assert(links("""<A CLASS='k' HREF='/up'>u</A>""") == Seq("/up"))
@@ -275,6 +302,74 @@ class TextOpsSpec extends SparkSpec {
     assert(links("""<a href="">e</a>""") == Seq(""))
     // multiple dq anchors in one document all extract
     assert(links("""<a href="1">x</a><a href="2">y</a>""") == Seq("1", "2"))
+  }
+
+  test("extractLinks: rel=nofollow anchors drop in every quote style") {
+    import spark.implicits._
+    def links(m: String): Seq[String] =
+      Seq(m).toDF("m").select(TextOps.extractLinks(col("m")))
+        .as[Seq[String]].collect().head
+    // all three rel quote styles, rel before or after href
+    assert(links("<a rel=nofollow href=/p/q.html>r</a>") == Nil)
+    assert(links("""<a rel='nofollow' href='/x'>r</a>""") == Nil)
+    assert(links("""<a rel="nofollow" href="/y">r</a>""") == Nil)
+    assert(links("""<a href="/z" rel="nofollow">r</a>""") == Nil)
+    // multi-token rel values still count as nofollow
+    assert(links("""<a rel="nofollow sponsored" href="/s">r</a>""") == Nil)
+    assert(links("""<a rel="noopener nofollow" href="/o">r</a>""") == Nil)
+    // a followed sibling anchor is untouched by the strip
+    assert(links(
+      """<a rel=nofollow href="/no">n</a><a href="/yes">y</a>""") ==
+      Seq("/yes"))
+    // rel values WITHOUT nofollow keep their href
+    assert(links("""<a rel="noopener" href="/ok">r</a>""") == Seq("/ok"))
+    assert(links("<a rel=author href=/a>r</a>") == Seq("/a"))
+  }
+
+  test("baseHrefDomain: first base tag's host, else null; relative bases ignored") {
+    import spark.implicits._
+    def base(m: String): Option[String] =
+      Seq(m).toDF("m").select(TextOps.baseHrefDomain(col("m")))
+        .as[Option[String]].collect().head
+    assert(base("""<base href="https://cdn.example.org/">""") ==
+      Some("example.org"))
+    assert(base("""<base target="_b" href='http://a.mirror.co.uk/x/'>""") ==
+      Some("mirror.co.uk"))
+    assert(base("<base href=//static.host.net/>") == Some("host.net"))
+    // relative base paths change the path, not the domain -> null
+    assert(base("""<base href="/docs/">""") == None)
+    assert(base("""<base target="_blank">""") == None)
+    assert(base("no base tag at all") == None)
+    // only the FIRST base href counts (dq precedence within a style)
+    assert(base("""<base href="https://a.one.com/"><base href="https://b.two.com/">""") ==
+      Some("one.com"))
+  }
+
+  test("domainLinkEdges: base href redirects relative links; nofollow never edges") {
+    import spark.implicits._
+    val pages = Seq(
+      // base names a host: relative links edge to it, absolute ones don't
+      ("https://a.site1.com/p1",
+        """<head><base href="https://cdn.assets.io/v2/"></head>""" +
+          """<a href="/self">s</a><a href=nav.html>n</a>""" +
+          """<a href="https://x.other.org/1">o</a>"""),
+      // no base: relative links self-edge as before
+      ("https://b.site1.com/p2",
+        """<a href="/local">l</a>"""),
+      // relative base: domain unchanged, still a self-edge
+      ("https://site2.co.uk/p3",
+        """<base href="/sub/"><a href="page.html">p</a>"""),
+      // nofollow relative link under a base: no edge at all
+      ("https://site3.org/p4",
+        """<base href="https://cdn.assets.io/"><a rel=nofollow href="/x">x</a>""")
+    ).toDF("url", "markup")
+    val edges = TextOps.domainLinkEdges(pages, "markup", "url")
+      .as[(String, String, Long)].collect().toSet
+    assert(edges == Set(
+      ("site1.com", "assets.io", 2L),
+      ("site1.com", "other.org", 1L),
+      ("site1.com", "site1.com", 1L),
+      ("site2.co.uk", "site2.co.uk", 1L)))
   }
 
   test("linkDomain: http/relative/fragment/scheme/protocol-relative classification") {
