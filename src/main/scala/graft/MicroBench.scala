@@ -23,14 +23,45 @@ object MicroBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // job/stage accounting per rep: at small SF the fixed per-job and
+    // per-shuffle overheads dominate, so "how many jobs / stages / tasks
+    // did this query launch" is the first diagnostic, not task time
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val stages = new java.util.concurrent.atomic.AtomicInteger
+    val tasks = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); stages.addAndGet(j.stageInfos.size)
+      }
+      override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        tasks.incrementAndGet()
+    })
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => filters.exists(n.contains))
+    // one untimed warmup pass per query at sf0.001 (the Bench
+    // discipline): without it rep1 pays codegen compile + JIT ramp and
+    // reads 3-30× the steady state, poisoning spot comparisons
+    names.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+    // bracket with the fixed-work host-speed sentinel (Bench's): this
+    // box shows guest-invisible multi-minute contention windows, and a
+    // spot timing without the sentinel is uninterpretable during one
+    println(f"SENT pre ${Bench.sentinelMedian(spark, 3)}%.3f")
     for (name <- names; rep <- 1 to reps) {
+      jobs.set(0); stages.set(0); tasks.set(0)
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      println(f"MICRO $name rep$rep ${(System.nanoTime() - t0) / 1e9}%.2f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      // listener events drain asynchronously; settle before reading
+      Thread.sleep(150)
+      println(f"MICRO $name rep$rep $sec%.2f jobs=${jobs.get} stages=${stages.get} tasks=${tasks.get}")
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
+    println(f"SENT post ${Bench.sentinelMedian(spark, 3)}%.3f")
     spark.stop()
   }
 }

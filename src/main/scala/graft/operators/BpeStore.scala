@@ -71,21 +71,34 @@ object BpeStore {
     require(rounds >= 1 && rounds <= 65536,
       s"rounds=$rounds must be in [1, 65536]")
     val merges = scala.collection.mutable.ArrayBuffer.empty[String]
-    var words = TextOps.bpeWords(docs, Nil, textCol).localCheckpoint()
+    // The driver loop runs over the DISTINCT-WORD frequency table (r17
+    // optimization round; see the applyBpeMerges scale note): one
+    // occurrence→vocabulary count up front, then every round's pair
+    // aggregate is cnt-weighted over |vocab| rows and every round's
+    // merge + checkpoint rewrites |vocab| short strings, not the
+    // corpus's occurrence stream. Pair totals and tie order — hence
+    // the learned list — are bit-identical to the per-occurrence form
+    // (a pair in word w occurs cnt(w) times); distinct words stay
+    // distinct under merging, so the weights never re-group. This is
+    // what makes 64+ round training routine: round cost is bounded by
+    // vocabulary size, which saturates long before corpus size.
+    var words = TextOps.bpeWords(docs, Nil, textCol)
+      .groupBy(col("seq")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
     var fixedPoint = false
     var r = 0
     while (r < rounds && !fixedPoint) {
       val best = words
-        .select(split(col("seq"), " ").as("syms"))
+        .select(col("cnt"), split(col("seq"), " ").as("syms"))
         .filter(size(col("syms")) >= 2)
         // split once into an attribute before the lambda (no CSE across
         // a lambda boundary — see the applyBpeMerges note)
-        .select(explode(expr(
+        .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> concat(element_at(syms, i), ' ', " +
             "element_at(syms, i + 1)))")).as("pair"))
         .groupBy(col("pair"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
         .collect()
@@ -174,6 +187,15 @@ object BpeStore {
       keepCols: Seq[String],
       textCol: String,
       merges: Seq[String]): DataFrame = {
+    // Application stays PER-OCCURRENCE on purpose (r17 optimization
+    // round): a distinct-vocab + join variant was tried and reverted —
+    // at application time the k nested replaces are a pure map-side
+    // codegen'd pass with NO shuffle, and trading that for a distinct
+    // aggregate plus a re-attach join costs two exchanges to save CPU
+    // that only dominates at very large k (measured: q149/q154 ~0.6 s
+    // → ~1.0 s at sf0.1 with k=16). Training is where the vocab table
+    // wins (see [[train]]): rounds re-scan their input, application
+    // scans it once.
     val mergedSeq = merges.filter(_.nonEmpty).foldLeft(col("seq")) {
       (c, p) => replace(c, lit(p), lit(p.replace("| |", "")))
     }

@@ -420,9 +420,17 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 20,
       driverLimit: Long = 500000L): DataFrame = {
-    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the CALLER'S pair pipeline once, then mirror the
+    // checkpointed edges (r17 optimization round): the old
+    // `pairs.union(pairs.swapped).localCheckpoint` planned the full
+    // upstream pair computation into BOTH union branches — for the
+    // jaccardEdges callers (q73/q86/q152) that executed the whole
+    // candidate-generation + exact-verify pipeline twice per query
+    // (only the deepest exchanges were reused). Mirroring after the
+    // checkpoint is a map-only second read of |E| rows.
+    val e = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
     // size-adaptive fast path: the edge set is now materialized, so a
     // bounded limit-probe is cheap — see [[driverComponents]]
     val fast = driverComponents(sym, driverLimit)
@@ -669,8 +677,15 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
+      // threshold form (r17 optimization round): the banded DP fills
+      // only the 2·maxDist+1 diagonal and abandons a row pair the
+      // moment the band exceeds maxDist — O(len·maxDist) per candidate
+      // instead of O(len²). Pairs over the threshold return -1 and are
+      // dropped exactly as the unbounded form's `dist <= maxDist`
+      // filter dropped them; surviving pairs carry the identical true
+      // distance, so the output (and the DuckDB oracle) is unchanged.
       .select(col("doc_id_a"), col("doc_id_b"),
-        levenshtein(col("text_a"), col("text_b")).as("dist"))
-      .filter(col("dist") <= maxDist)
+        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
+      .filter(col("dist") >= 0)
   }
 }

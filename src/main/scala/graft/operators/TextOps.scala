@@ -211,12 +211,15 @@ object TextOps {
     * Scale shape: lines travel as md5 hashes through the doc-frequency
     * aggregation and the membership join — the corpus's text bytes are
     * never shuffled (same discipline as the dedup shinglers). The
-    * frequency table is one map-side-combinable aggregate; reassembly is
-    * one shuffle keyed by the doc id with per-doc state bounded by
-    * document size (sort_array over the doc's own (pos, line) pairs, no
-    * window). A doc whose every line is boilerplate survives as an
-    * EMPTY string with `n_removed` = its line count — corpus accounting
-    * must not silently lose rows.
+    * frequency table is one map-side-combinable aggregate reduced to
+    * the BANNED hashes only (df > maxDocFreq) before the membership
+    * join, so the join's build side is the boilerplate tail, not the
+    * distinct-line universe; removed positions aggregate per doc
+    * (integer state bounded by document size) and reassembly is a
+    * per-row fold over the doc's own split — no doc-keyed shuffle of
+    * line text at all. A doc whose every line is boilerplate survives
+    * as an EMPTY string with `n_removed` = its line count — corpus
+    * accounting must not silently lose rows.
     *
     * Output: (idCol, clean_text, n_kept, n_removed). Line order is
     * preserved by position, so the result is deterministic under any
@@ -227,35 +230,45 @@ object TextOps {
       textCol: String,
       maxDocFreq: Long): org.apache.spark.sql.DataFrame = {
     require(maxDocFreq >= 1, s"maxDocFreq=$maxDocFreq must be >= 1")
-    val lines = docs
-      // NULL text reads as the empty document (one "" line): split(NULL)
-      // explodes to zero rows and the doc would vanish from the output
-      // with no n_removed evidence — the silent row loss the contract
-      // below forbids. A real crawl HAS null extractions.
-      .select(col(idCol),
-        posexplode(split(coalesce(col(textCol), lit("")), "\n"))
-          .as(Seq("pos", "line")))
-      .withColumn("h", md5(col("line")))
+    // NULL text reads as the empty document (one "" line): split(NULL)
+    // explodes to zero rows and the doc would vanish from the output
+    // with no n_removed evidence — the silent row loss the contract
+    // below forbids. A real crawl HAS null extractions.
+    val base = docs.select(col(idCol),
+      split(coalesce(col(textCol), lit("")), "\n").as("ls"))
+    // line text never leaves its doc row (r17 optimization round): the
+    // exploded view carries only (id, pos, md5) — the frequency
+    // aggregate, the ban-set membership join, and the removed-position
+    // aggregate all move 16-byte hashes and integers, and reassembly
+    // is a PER-ROW array fold over the doc's own split, not a doc-keyed
+    // collect_list of line text. Two shuffles total (hash-keyed
+    // frequency + doc-keyed removed positions), neither carrying text.
+    val lines = base
+      .select(col(idCol), posexplode(col("ls")).as(Seq("pos", "line")))
+      .select(col(idCol), col("pos"), md5(col("line")).as("h"))
     // countDistinct(id), not count(1): a line repeated WITHIN one doc is
-    // that document's own structure, not cross-site boilerplate
-    val freq = lines.groupBy(col("h"))
+    // that document's own structure, not cross-site boilerplate. Only
+    // the BANNED hashes (docfreq > maxDocFreq — the boilerplate tail,
+    // tiny relative to the distinct-line universe) survive into the
+    // membership join, so AQE can broadcast it where the old
+    // full-frequency inner join shuffled every line row.
+    val banned = lines.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("docfreq"))
-    val tagged = lines.join(freq, Seq("h"))
-      .withColumn("keep", col("docfreq") <= maxDocFreq)
-    val rebuilt = tagged
-      .groupBy(col(idCol))
-      .agg(
+      .filter(col("docfreq") > maxDocFreq)
+      .select(col("h"))
+    val removedPos = lines.join(banned, Seq("h"))
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("rp"))
+    base.join(removedPos, Seq(idCol), "left")
+      .select(col(idCol), col("ls"),
+        coalesce(col("rp"), expr("cast(array() as array<int>)")).as("rp"))
+      .select(col(idCol),
         array_join(
-          transform(
-            sort_array(collect_list(
-              when(col("keep"), struct(col("pos"), col("line"))))),
-            s => s.getField("line")),
+          expr("transform(filter(transform(ls, (l, i) -> " +
+            "struct(l as l, i as i)), x -> NOT array_contains(rp, x.i)), " +
+            "x -> x.l)"),
           "\n").as("clean_text"),
-        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-        sum(when(col("keep"), 0L).otherwise(1L)).as("n_removed"))
-    // collect_list drops the null structs of removed lines, so the
-    // all-boilerplate doc keeps its row with clean_text = ""
-    rebuilt.select(col(idCol), col("clean_text"), col("n_kept"), col("n_removed"))
+        (size(col("ls")) - size(col("rp"))).cast("long").as("n_kept"),
+        size(col("rp")).cast("long").as("n_removed"))
   }
 
   /** URL host: the authority between `scheme://` and the first
@@ -409,11 +422,23 @@ object TextOps {
     * null-filter first. */
   def linkDomain(href: Column, srcDomain: Column): Column = {
     val h = trim(href)
-    when(h === "" || h.startsWith("#"), lit(null).cast("string"))
-      .when(h.rlike(httpPattern), registrableDomain(urlHost(h)))
-      .when(h.rlike(schemePattern), lit(null).cast("string"))
+    // ONE registrableDomain fold shared by both absolute-href branches
+    // (r17 optimization round): the http and protocol-relative branches
+    // first resolve a HOST, then the single shared fold maps it to the
+    // registrable domain. Inlining registrableDomain twice doubled the
+    // generated code of every consumer (the r17 bench log showed the
+    // q191-family Generate consumer failing janino's 64 KB method limit
+    // into interpreted fallback). Branch equivalence to the previous
+    // per-branch form: `//…` never matches schemePattern (starts with
+    // `/`), http matches BEFORE the scheme test in both forms, and a
+    // NULL href still falls through every predicate to the relative
+    // branch (rlike/startsWith on NULL skip their `when`).
+    val host = when(h.rlike(httpPattern), urlHost(h))
       .when(h.startsWith("//"),
-        registrableDomain(lower(regexp_extract(h, protoRelHostPattern, 1))))
+        lower(regexp_extract(h, protoRelHostPattern, 1)))
+    when(h === "" || h.startsWith("#"), lit(null).cast("string"))
+      .when(host.isNotNull, registrableDomain(host))
+      .when(h.rlike(schemePattern), lit(null).cast("string"))
       .otherwise(srcDomain)
   }
 
@@ -497,14 +522,37 @@ object TextOps {
       markupCol: String,
       urlCol: String): org.apache.spark.sql.DataFrame =
     docs
-      .select(
-        registrableDomain(urlHost(col(urlCol))).as("src_domain"),
-        baseHrefDomain(col(markupCol)).as("base_domain"),
-        explode(extractLinks(col(markupCol))).as("href"))
+      .select(col(urlCol).as("u"), col(markupCol).as("m"))
+      // Generate boundary 1 (the q188 lesson, r17 optimization round):
+      // evaluate the page-level chains — own-domain, base-href domain,
+      // and ONE nofollow strip pass — once per row into attributes.
+      // Without the boundary the three quote-style extractions each
+      // re-inlined the nofollow regexp_replace (generator expressions
+      // get no common-subexpression elimination), and the fused
+      // consumer method grew past janino's 64 KB limit into silent
+      // interpreted fallback (r17 bench log: `ERROR CodeGenerator` at
+      // every link-family warmup; q191 0.7 s → 2.0 s).
+      .select(explode(array(struct(
+        registrableDomain(urlHost(col("u"))).as("src_domain"),
+        baseHrefDomain(col("m")).as("base_domain"),
+        regexp_replace(col("m"), lit(nofollowPattern), lit(""))
+          .as("stripped")))).as("x"))
+      .select(col("x.src_domain").as("src_domain"),
+        col("x.base_domain").as("base_domain"),
+        // [[extractLinks]] over the pre-stripped attribute: the same
+        // three extractions, minus the per-style re-strip
+        explode(concat(
+          regexp_extract_all(col("x.stripped"), lit(hrefDqPattern), lit(1)),
+          regexp_extract_all(col("x.stripped"), lit(hrefSqPattern), lit(1)),
+          regexp_extract_all(col("x.stripped"), lit(hrefUqPattern), lit(1))))
+          .as("href"))
+      // Generate boundary 2: the per-href domain-resolution CASE becomes
+      // an attribute before the aggregate consumes it, keeping each
+      // generated doConsume method small enough to compile
       .select(col("src_domain"),
-        linkDomain(col("href"),
+        explode(array(linkDomain(col("href"),
           when(col("base_domain").isNotNull && col("base_domain") =!= "",
-            col("base_domain")).otherwise(col("src_domain")))
+            col("base_domain")).otherwise(col("src_domain")))))
           .as("dst_domain"))
       .filter(col("dst_domain").isNotNull && col("dst_domain") =!= "" &&
         col("src_domain") =!= "")
@@ -739,9 +787,10 @@ object TextOps {
     * Scale shape: the doc-frequency aggregate and the membership join
     * both key on md5(gram) computed MAP-SIDE — gram text never
     * shuffles; covered positions explode per duplicated gram (bounded
-    * by k × duplicated-gram count); reassembly is one doc-keyed
-    * aggregate with per-doc state bounded by document size (the q189
-    * discipline). A production corpus would swap the md5 for the
+    * by k × duplicated-gram count) and aggregate into one per-doc
+    * integer array (state bounded by document size, the q189
+    * discipline); reassembly is a per-row filter over the doc's own
+    * token array, so token text never shuffles either. A production corpus would swap the md5 for the
     * 64-bit rolling shingle hashes — same plan, 8-byte keys; md5 keeps
     * the DuckDB oracle bit-exact. A doc with fewer than `k` tokens is
     * its own single gram (the [[contamination]] rule); token-empty and
@@ -756,8 +805,6 @@ object TextOps {
     require(k >= 1 && maxDocFreq >= 1,
       s"k=$k and maxDocFreq=$maxDocFreq must be >= 1")
     val base = docs.select(col(idCol), tokens(col(textCol)).as("t"))
-    val toks = base
-      .select(col(idCol), posexplode(col("t")).as(Seq("pos", "tok")))
     // gram j (0-based) covers token positions j .. min(j+k-1, n-1); a
     // short doc's single gram covers the whole doc
     val grams = base.filter(size(col("t")) > 0)
@@ -771,26 +818,37 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") > maxDocFreq)
       .select(col("gh"))
-    val covered = grams.join(dup, Seq("gh"))
+    // token text never shuffles (r17 optimization round): covered
+    // positions aggregate PER DOC into one array (collect_set — state
+    // bounded by document size, the q189 discipline), and reassembly is
+    // a per-row filter over the doc's own token array. The old shape
+    // exploded every token into (id, pos, tok) rows and shuffled that
+    // token-text table TWICE (anti-join + doc-keyed collect_list
+    // rebuild); this one shuffles gram hashes and integer positions
+    // only, and the dup set — already df-filtered, tiny — broadcasts
+    // under AQE instead of re-shuffling the gram table.
+    val coveredPos = grams.join(dup, Seq("gh"))
       .select(col(idCol),
         explode(sequence(col("gpos"),
           least(col("gpos") + (k - 1), col("n") - 1))).as("pos"))
-      .distinct()
-    val kept = toks.join(covered, Seq(idCol, "pos"), "left_anti")
-    val rebuilt = kept.groupBy(col(idCol))
-      .agg(
-        array_join(
-          transform(sort_array(collect_list(struct(col("pos"), col("tok")))),
-            s => s.getField("tok")),
-          " ").as("graft_clean"),
-        count(lit(1)).as("graft_n_kept"))
-    docs.select(col(idCol), tokenCount(col(textCol)).as("graft_n_toks"))
-      .join(rebuilt, Seq(idCol), "left")
+      .groupBy(col(idCol)).agg(collect_set(col("pos")).as("cp"))
+    base.join(coveredPos, Seq(idCol), "left")
+      .select(col(idCol), col("t"),
+        coalesce(col("cp"), expr("cast(array() as array<int>)")).as("cp"))
       .select(col(idCol),
-        coalesce(col("graft_clean"), lit("")).as("clean_text"),
-        coalesce(col("graft_n_kept"), lit(0L)).as("n_kept"),
-        (col("graft_n_toks").cast("long") -
-          coalesce(col("graft_n_kept"), lit(0L))).as("n_removed"))
+        coalesce(
+          array_join(
+            expr("transform(filter(transform(t, (tok, i) -> " +
+              "struct(tok as tok, i as i)), x -> NOT array_contains(cp, x.i)), " +
+              "x -> x.tok)"),
+            " "), lit("")).as("clean_text"),
+        when(col("t").isNull, lit(0L))
+          .otherwise((size(col("t")) - size(col("cp"))).cast("long"))
+          .as("n_kept"),
+        (size(col("t")).cast("long") -
+          when(col("t").isNull, lit(0L))
+            .otherwise((size(col("t")) - size(col("cp"))).cast("long")))
+          .as("n_removed"))
   }
 
   /** Feature-hashed linear text scorer — the EXECUTION SHAPE of
@@ -915,13 +973,17 @@ object TextOps {
     * point: the left join finds no best pair and seqs pass through
     * unchanged (never an empty result).
     *
-    * Scale shape: per round, ONE map-side-combinable pair-count
-    * aggregation (pairs are ≤9-char strings; document text never
-    * shuffles) + a broadcast of a 1-row table + a per-row literal
-    * replace. `localCheckpoint` per round keeps lineage linear in
-    * `rounds` instead of doubling (best-pair agg + merge both read the
-    * prior round). At 100 TB each round is one pass over symbol pairs —
-    * the canonical distributed-BPE shape. */
+    * Scale shape: one occurrence→vocabulary aggregate up front (word
+    * strings, map-side combinable), then per round ONE map-side-
+    * combinable weighted pair-count aggregation over VOCABULARY rows
+    * (pairs are ≤9-char strings; document text never shuffles) + a
+    * broadcast of a 1-row table + a per-vocab-row literal replace.
+    * `localCheckpoint` per round keeps lineage linear in `rounds`
+    * instead of doubling (best-pair agg + merge both read the prior
+    * round) and now materializes |vocab| rows, not the corpus. At
+    * 100 TB each round is one pass over the word-frequency table — the
+    * canonical BPE-trainer shape (every real tokenizer trains on word
+    * frequencies, not the occurrence stream). */
   def applyBpeMerges(
       docs: org.apache.spark.sql.DataFrame,
       idCol: String,
@@ -929,41 +991,63 @@ object TextOps {
       rounds: Int): org.apache.spark.sql.DataFrame = {
     require(rounds >= 1 && rounds <= 8,
       s"rounds=$rounds must be in [1,8] (each round is an unrolled job)")
-    var words = bpeWords(docs, Seq(idCol), textCol).localCheckpoint()
+    // Rounds run over the DISTINCT-WORD frequency table (r17
+    // optimization round) — the shape every real BPE trainer uses: a
+    // pair occurring in word w counts cnt(w) times, so the per-round
+    // aggregate is Σ cnt over vocabulary rows instead of one row per
+    // word OCCURRENCE, and the per-round merge + localCheckpoint
+    // rewrite |vocab| short strings instead of the whole corpus's
+    // letter runs (natural-language vocabulary is orders of magnitude
+    // smaller than the occurrence stream — THE ratio that makes
+    // tokenizer training tractable at 100 TB). Distinct words stay
+    // distinct under merging (the symbol concatenation is the word),
+    // so the weights never need re-grouping. Pair totals, tie order,
+    // learned merges, and the per-document output are bit-identical to
+    // the per-occurrence form; the occurrences re-attach by word at the
+    // end through one join (vocab is small → AQE broadcasts it).
+    val occ = docs.select(col(idCol),
+      explode(regexp_extract_all(lower(col(textCol)), lit("[a-z]+"), lit(0)))
+        .as("w"))
+    var vocab = occ.groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("w"),
+        expr("substring(concat('|', regexp_replace(w, '(.)', '$1| |')), " +
+          "1, 4*length(w)-1)").as("seq"),
+        length(col("w")).cast("long").as("n0"),
+        col("cnt"))
+      .localCheckpoint()
     (1 to rounds).foreach { r =>
       // split ONCE into an attribute before the lambda: a split inside
       // transform's body re-evaluates per element (no CSE across a
       // lambda boundary), turning the pair build O(n²) per word —
       // measured 6.8 s -> the dominant cost of the whole query at sf0.1
-      val pairs = words
-        .select(split(col("seq"), " ").as("syms"))
+      val pairs = vocab
+        .select(col("cnt"), split(col("seq"), " ").as("syms"))
         .filter(size(col("syms")) >= 2)
-        .select(explode(expr(
+        .select(col("cnt"), explode(expr(
           "transform(sequence(1, size(syms) - 1), " +
             "i -> concat(element_at(syms, i), ' ', " +
             "element_at(syms, i + 1)))")).as("pair"))
       val best = pairs.groupBy(col("pair"))
-        .agg(count(lit(1)).as("c"))
+        .agg(sum(col("cnt")).as("c"))
         .orderBy(col("c").desc, col("pair").asc)
         .limit(1)
         .select(col("pair").as(s"p$r"))
       // LEFT join on true, not crossJoin: an empty best (fixed point —
-      // no pairs anywhere) must pass seqs through, not empty the corpus
-      words = words
+      // no pairs anywhere) must pass seqs through, not empty the corpus.
+      // The argmax stays IN-ENGINE (1-row broadcast, never collected).
+      vocab = vocab
         .join(broadcast(best), lit(true), "left")
         .withColumn("seq",
           when(col(s"p$r").isNull, col("seq"))
             .otherwise(replace(col("seq"), col(s"p$r"),
               replace(col(s"p$r"), lit("| |"), lit("")))))
       // checkpoint cuts the double-read lineage (next round's pair agg
-      // AND merge both read this table) — except after the LAST round,
-      // whose output feeds exactly one final aggregate
-      if (r < rounds) words = words.localCheckpoint()
+      // AND merge both read this table)
+      if (r < rounds) vocab = vocab.localCheckpoint()
     }
     val mergesCol = concat_ws(";",
       (1 to rounds).map(r => coalesce(col(s"p$r"), lit(""))): _*)
-    words
-      .withColumn("merges", mergesCol)
+    occ.join(vocab.withColumn("merges", mergesCol), Seq("w"))
       .groupBy(col(idCol))
       .agg(
         count(lit(1)).as("n_words"),

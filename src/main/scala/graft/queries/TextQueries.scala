@@ -392,9 +392,15 @@ object TextQueries {
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
     // Language ID heuristic — rows-only (profile tables are engine-side).
+    // Generate boundary (r17 optimization round, the q188 lesson): as a
+    // GROUPING expression the langId struct-argmax evaluates interpreted
+    // (~0.2 ms/row — the langId scaladoc's measurement, ≈ the whole
+    // query at sf0.1); behind the explode it evaluates ONCE per row in
+    // codegen and the aggregate groups a plain attribute.
     "q25_langid" -> ((s, dir) =>
       table(s, dir, "documents")
-        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
+        .select(col("lang"),
+          explode(array(TextOps.langId(col("text")))).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))),
 
@@ -959,6 +965,13 @@ object TextQueries {
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
       val bg = bigrams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("bc"))
       val pf = bigrams.groupBy(col("w1")).agg(count(lit(1)).as("pc"))
+      // NOTE (r17 optimization round): a "join bg⋈pf first, attach to
+      // the occurrence stream once" rewrite was tried and REVERTED —
+      // AQE already broadcasts both small frequency tables here (two
+      // broadcast joins, zero shuffles of the occurrence stream), and
+      // pre-joining them forced a real exchange pair instead (measured
+      // 0.85 s → ~3.5 s at sf0.1). The two-broadcast shape is also the
+      // right 100 TB plan whenever the frequency tables fit memory.
       bigrams.join(bg, Seq("w1", "w2")).join(pf, Seq("w1"))
         .withColumn("surprise", expr("pc div bc"))
         .groupBy(col("doc_id"))
@@ -1637,12 +1650,20 @@ object TextQueries {
         .join(toksDf, "doc_id")
         .select(col("doc_id"), col("score").as("rel"), col("toks"))
         .localCheckpoint(true)
+      // each round's 1-row selection is localCheckpointed (r17
+      // optimization round): `sel` feeds BOTH the scoring crossJoin and
+      // the append crossJoin, so without the cut every round doubled
+      // the selection subplan — by round 5 the plan carried 2⁴ copies
+      // of round 1's lineage, and planning + the duplicated broadcast
+      // builds dominated the query. One ~1-row job per round replaces
+      // that; greedy semantics and output are unchanged.
       val sel0 = cand
         .agg(max(struct(col("rel"), (col("doc_id") * -1).as("nid"),
           col("doc_id"), col("toks"))).as("b"))
         .select(array(expr(
           "named_struct('doc_id', b.doc_id, 'toks', b.toks, 'rel', b.rel)"))
           .as("sel"))
+        .localCheckpoint(true)
       val selN = (2 to 5).foldLeft(sel0) { (sel, _) =>
         val scored = cand.crossJoin(broadcast(sel))
           .filter(!expr("exists(sel, s -> s.doc_id = doc_id)"))
@@ -1661,6 +1682,7 @@ object TextQueries {
             """array_append(sel,
               |  named_struct('doc_id', b.doc_id, 'toks', b.toks,
               |               'rel', b.rel))""".stripMargin).as("sel"))
+          .localCheckpoint(true)
       }
       selN.select(posexplode(col("sel")).as(Seq("pos", "r")))
         .select((col("pos") + 1).cast("int").as("rank"),
