@@ -677,15 +677,16 @@ object Dedup {
     a.join(b, Seq("blk"))
       .filter(col("doc_id_a") < col("doc_id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDist)
-      // threshold form (r17 optimization round): the banded DP fills
-      // only the 2·maxDist+1 diagonal and abandons a row pair the
-      // moment the band exceeds maxDist — O(len·maxDist) per candidate
-      // instead of O(len²). Pairs over the threshold return -1 and are
-      // dropped exactly as the unbounded form's `dist <= maxDist`
-      // filter dropped them; surviving pairs carry the identical true
-      // distance, so the output (and the DuckDB oracle) is unchanged.
+      // NOTE (r17 optimization round): the threshold form
+      // `levenshtein(a, b, maxDist)` (banded O(len·maxDist) DP) was
+      // tried and REVERTED — on this operator's short blocked strings
+      // (part names, ~33 chars) Spark's banded implementation measured
+      // consistently SLOWER than the plain DP (bench medians 2.10 s →
+      // 2.78 s at sf0.1; the band bookkeeping outweighs the saved
+      // cells until strings are much longer than the threshold).
+      // Callers deduping long documents should reconsider it.
       .select(col("doc_id_a"), col("doc_id_b"),
-        levenshtein(col("text_a"), col("text_b"), maxDist).as("dist"))
-      .filter(col("dist") >= 0)
+        levenshtein(col("text_a"), col("text_b")).as("dist"))
+      .filter(col("dist") <= maxDist)
   }
 }

@@ -392,15 +392,17 @@ object TextQueries {
         TextOps.fingerprint(col("text")).as("fingerprint"))),
 
     // Language ID heuristic — rows-only (profile tables are engine-side).
-    // Generate boundary (r17 optimization round, the q188 lesson): as a
-    // GROUPING expression the langId struct-argmax evaluates interpreted
-    // (~0.2 ms/row — the langId scaladoc's measurement, ≈ the whole
-    // query at sf0.1); behind the explode it evaluates ONCE per row in
-    // codegen and the aggregate groups a plain attribute.
+    // NOTE (r17 optimization round): a Generate boundary
+    // (explode(array(langId))) was tried to move the struct-argmax out
+    // of the interpreted grouping path and REVERTED — generator
+    // expressions get no subexpression elimination, so the shared
+    // `tokens(lower(text))` re-evaluated once per language profile and
+    // the query read 4× slower (bench medians 1.0 s → 4.6 s at sf0.1).
+    // The langId scaladoc's measurement stands: the interpreted
+    // grouping eval is the cheapest of the known spellings.
     "q25_langid" -> ((s, dir) =>
       table(s, dir, "documents")
-        .select(col("lang"),
-          explode(array(TextOps.langId(col("text")))).as("predicted"))
+        .select(col("lang"), TextOps.langId(col("text")).as("predicted"))
         .groupBy(col("lang"), col("predicted"))
         .agg(count(lit(1)).as("n"))),
 
