@@ -21,6 +21,21 @@ object MicroBench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // match Bench's session (spot timings must measure the benched
+      // config): same cleaner cadence and codegen-cache size — without
+      // these, spot reps show Bench-invisible GC storms and codegen
+      // cache churn (see Bench's comments for the A/B history)
+      .config("spark.cleaner.periodicGC.interval",
+        sys.env.getOrElse("SPARK_GRAFT_CLEANER_GC", "30s"))
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
+      // spot-experiment override hook: any "k=v;k=v" list lands in the
+      // session conf (A/B-ing a conf candidate without a rebuild)
+      .config(sys.env.get("SPARK_GRAFT_EXTRA_CONF").toSeq
+        .flatMap(_.split(';').toSeq).map(_.split('=')).collect {
+          case Array(k, v) => (k, v)
+        }.foldLeft(new org.apache.spark.SparkConf()) { case (c, (k, v)) =>
+          c.set(k, v)
+        })
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // job/stage accounting per rep: at small SF the fixed per-job and
